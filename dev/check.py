@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only — the
+shipped Scala library does not depend on this).
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+  - loads each <outDir>/<name> parquet (Spark result)
+  - runs oracle_sql.json[<name>] in DuckDB over the sfDir tables
+  - compares row multisets after sorting columns by name and rows by value
+Usage: python3 dev/check.py [sfDir] [outDir]
+"""
+import json, math, sys
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+def canon(df):
+    cols = sorted(df.columns)
+    rows = [tuple(norm(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    return cols, sorted(rows)
+
+fails = 0
+for name in sorted(oracles):
+    try:
+        got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+        exp = con.sql(oracles[name]).df()
+        gc, gr = canon(got)
+        ec, er = canon(exp)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} vs oracle {ec}")
+            fails += 1
+        elif gr != er:
+            diff = [i for i, (a, b) in enumerate(zip(gr, er)) if a != b]
+            print(f"FAIL {name}: {len(gr)} vs {len(er)} rows; first diffs:")
+            for i in diff[:3]:
+                print(f"   spark {gr[i]}")
+                print(f"   duck  {er[i]}")
+            if len(gr) != len(er):
+                print(f"   row count mismatch {len(gr)} vs {len(er)}")
+            fails += 1
+        else:
+            print(f"OK   {name} ({len(gr)} rows)")
+    except Exception as e:
+        print(f"ERR  {name}: {e}")
+        fails += 1
+
+missing = [q for q in oracles if q not in oracles]
+print(f"\n{len(oracles) - fails}/{len(oracles)} queries match")
+sys.exit(1 if fails else 0)
