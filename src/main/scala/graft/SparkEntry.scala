@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators._
+import graft.expressions.HashExpressions
+import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Driver contract — every operator from SURVEY.md §2 exposed as a named
   * query over the driver testdata, with a DuckDB-oracle SQL twin.
@@ -43,7 +45,13 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ extensionQueries
+
+  def oracleSql: Map[String, String] = coreOracleSql ++ extensionOracleSql
+
+  /** Reference-inventory operators (SURVEY.md §2). */
+  def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1-A5: grouped agg with conditional count, distinct count, max
     // (reference: gold.py:33-48, bronze.py:153-158)
@@ -219,9 +227,117 @@ object SparkEntry {
     })
   )
 
+  /** LLM-data-pipeline extensions: dedup family, similarity search, text
+    * analysis, multimodal plumbing (BASELINE.json surface).
+    */
+  def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup on a derived key (first-5-token prefix — the testdata
+    // plants real clusters there)
+    "q16_dedup_exact" -> ((s, dir) => {
+      graft.dedup.Dedup.exactByKey(
+        Tables.documents(s, dir), "doc_id",
+        array_join(slice(split(trim(col("text")), " "), 1, 5), " "))
+    }),
+
+    // Token counting + vocabulary stats (whitespace tokenization)
+    "q17_token_stats" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        length(col("text")).cast(IntegerType).as("n_chars_actual"),
+        ((length(col("text")).cast(DoubleType) - (size(toks) - 1).cast(DoubleType)) /
+          size(toks).cast(DoubleType)).as("mean_token_len"))
+    }),
+
+    // Heuristic quality scoring (stopword density / diversity / length)
+    "q18_quality_score" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        floor(TextFunctions.qualityScore(col("text")) * 10).cast(IntegerType).as("quality_bucket"))
+    }),
+
+    // Stopword-hit language ID vs the labeled lang column (confusion counts)
+    "q19_lang_id" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("lang"), TextFunctions.langId(toks).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // MinHash+LSH near-dup pairs (no SQL oracle — verified by ScalaTest
+    // against brute-force Jaccard)
+    "q20_minhash_neardup" -> ((s, dir) => {
+      graft.dedup.MinHashDedup.nearDuplicates(
+        Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
+    }),
+
+    // n-gram Jaccard of every doc against probe doc 0
+    "q21_jaccard_probe" -> ((s, dir) => {
+      graft.dedup.Dedup.jaccardToProbe(
+        Tables.documents(s, dir), "doc_id", "text", probeId = 0L)
+        .filter(col("jaccard") >= 0.01)
+    }),
+
+    // Brute-force cosine top-10 for probe vectors (exact ANN baseline)
+    "q22_knn_brute" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.similarity.Knn.bruteForce(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    }),
+
+    // Embedding-cosine near-dup pairs over a subset (brute verify shape)
+    "q23_embedding_neardup" -> ((s, dir) => {
+      graft.dedup.Dedup.embeddingPairsBrute(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", threshold = 0.35)
+    }),
+
+    // Custom-Expression fingerprints: winnowing doc fingerprint + SimHash
+    "q24_fingerprints" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        HashExpressions.docFingerprint(col("text"), 32).as("fingerprint"),
+        HashExpressions.simHash64(TextFunctions.tokens(col("text"))).as("simhash"))
+    }),
+
+    // SimHash near-dup pairs via 4x16-bit block LSH (spec-verified)
+    "q25_simhash_neardup" -> ((s, dir) => {
+      graft.dedup.Dedup.simHashPairs(
+        Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+    }),
+
+    // Tumbling-window event aggregation (batch twin of the streaming path)
+    "q26_event_windows" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), decSum("value").as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("cnt"), col("sum_value"))
+    }),
+
+    // Multimodal plumbing: binary column + stubbed batch decode + summary
+    "q27_media_features" -> ((s, dir) => {
+      graft.multimodal.Media.featureSummary(Tables.documents(s, dir))
+    }),
+
+    // LSH-bucketed ANN (the sub-linear scale path; probabilistic recall,
+    // spec-verified against bruteForce overlap)
+    "q28_knn_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.similarity.Knn.lshBuckets(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, dim = 64)
+    })
+  )
+
   // ------------------------------------------------------------- oracle SQL
 
-  def oracleSql: Map[String, String] = Map(
+  def coreOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | SUM(l_quantity) AS sum_qty,
@@ -376,5 +492,112 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_custkey, 'BOTH' AS category FROM (SELECT * FROM f INTERSECT SELECT * FROM o))
         |SELECT category, COUNT(*) AS cnt FROM cats GROUP BY category""".stripMargin
+  )
+
+  /** Oracles for the SQL-expressible extension queries. q20/q24/q25/q27/
+    * q28 are intentionally absent (LSH banding, custom hash expressions,
+    * stub decode — not expressible in DuckDB SQL); they are verified by
+    * ScalaTest specs instead and get the driver's rows-only check.
+    */
+  def extensionOracleSql: Map[String, String] = Map(
+    "q16_dedup_exact" ->
+      """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,
+        |  MIN(doc_id) AS keeper_id, COUNT(*) AS cluster_size
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q17_token_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |  CAST(LENGTH(text) AS INT) AS n_chars_actual,
+        |  (CAST(LENGTH(text) AS DOUBLE) - CAST(len(toks) - 1 AS DOUBLE))
+        |    / CAST(len(toks) AS DOUBLE) AS mean_token_len
+        |FROM t""".stripMargin,
+
+    "q18_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  (CAST(list_contains(toks,'the') AS INT) + CAST(list_contains(toks,'and') AS INT)
+        |   + CAST(list_contains(toks,'of') AS INT) + CAST(list_contains(toks,'to') AS INT)
+        |   + CAST(list_contains(toks,'a') AS INT) + CAST(list_contains(toks,'in') AS INT)
+        |   + CAST(list_contains(toks,'is') AS INT)) AS hits,
+        |  CAST(len(toks) AS DOUBLE) AS n,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+        |  FROM t),
+        |q AS (SELECT doc_id,
+        |  0.3 * LEAST((CAST(hits AS DOUBLE) / 7.0) * 2.0, 1.0)
+        |  + 0.4 * (nd / n) + 0.3 * LEAST(n / 100.0, 1.0) AS quality FROM s)
+        |SELECT doc_id, quality, CAST(FLOOR(quality * 10) AS INT) AS quality_bucket FROM q""".stripMargin,
+
+    "q19_lang_id" ->
+      """WITH t AS (SELECT lang, string_split(trim(text), ' ') AS toks FROM documents),
+        |s AS (SELECT lang,
+        |  (CAST(list_contains(toks,'the') AS INT) + CAST(list_contains(toks,'and') AS INT)
+        |   + CAST(list_contains(toks,'of') AS INT) + CAST(list_contains(toks,'to') AS INT)
+        |   + CAST(list_contains(toks,'a') AS INT) + CAST(list_contains(toks,'in') AS INT)
+        |   + CAST(list_contains(toks,'is') AS INT)) AS s_en,
+        |  (CAST(list_contains(toks,'el') AS INT) + CAST(list_contains(toks,'la') AS INT)
+        |   + CAST(list_contains(toks,'de') AS INT) + CAST(list_contains(toks,'que') AS INT)
+        |   + CAST(list_contains(toks,'y') AS INT) + CAST(list_contains(toks,'en') AS INT)) AS s_es,
+        |  (CAST(list_contains(toks,'le') AS INT) + CAST(list_contains(toks,'les') AS INT)
+        |   + CAST(list_contains(toks,'des') AS INT) + CAST(list_contains(toks,'et') AS INT)
+        |   + CAST(list_contains(toks,'une') AS INT) + CAST(list_contains(toks,'dans') AS INT)) AS s_fr,
+        |  (CAST(list_contains(toks,'der') AS INT) + CAST(list_contains(toks,'die') AS INT)
+        |   + CAST(list_contains(toks,'und') AS INT) + CAST(list_contains(toks,'das') AS INT)
+        |   + CAST(list_contains(toks,'ist') AS INT) + CAST(list_contains(toks,'nicht') AS INT)) AS s_de,
+        |  (CAST(list_contains(toks,'的') AS INT) + CAST(list_contains(toks,'了') AS INT)
+        |   + CAST(list_contains(toks,'是') AS INT)) AS s_zh
+        |  FROM t),
+        |p AS (SELECT lang,
+        |  CASE WHEN s_en = GREATEST(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+        |       WHEN s_es = GREATEST(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+        |       WHEN s_fr = GREATEST(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+        |       WHEN s_de = GREATEST(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+        |       ELSE 'zh' END AS predicted FROM s)
+        |SELECT lang, predicted, COUNT(*) AS cnt FROM p GROUP BY lang, predicted""".stripMargin,
+
+    "q21_jaccard_probe" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [] END) AS s FROM t),
+        |probe AS (SELECT s AS ps FROM sh WHERE doc_id = 0)
+        |SELECT doc_id,
+        |  CAST(len(list_intersect(s, ps)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(s, ps))) AS DOUBLE) AS jaccard
+        |FROM sh, probe WHERE doc_id <> 0
+        |  AND CAST(len(list_intersect(s, ps)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(s, ps))) AS DOUBLE) >= 0.01""".stripMargin,
+
+    "q22_knn_brute" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, embedding AS q FROM e WHERE vec_id < 5),
+        |scored AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(p.q, e.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(p.q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM e, p WHERE e.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        |  FROM scored) t WHERE rnk <= 10""".stripMargin,
+
+    "q23_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) > 0.35""".stripMargin,
+
+    "q26_event_windows" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,118 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.HashExpressions
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** The dedup family beyond MinHash: exact, SimHash, n-gram Jaccard
+  * probe, and embedding-cosine near-dup. Each returns a DataFrame so they
+  * compose into pipelines.
+  */
+object Dedup {
+
+  /** Exact dedup on a derived key (e.g. normalized text or md5): keeps the
+    * lowest id per key, reports cluster size. One hash-aggregate shuffle of
+    * (key, id) — at 100 TB pre-hash the key (fixed 16 bytes via md5)
+    * instead of shuffling raw text.
+    */
+  def exactByKey(docs: DataFrame, idCol: String, key: Column): DataFrame =
+    docs.select(col(idCol), key.as("dedup_key"))
+      .groupBy(col("dedup_key"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("cluster_size"))
+
+  /** SimHash near-dup: 64-bit similarity-preserving fingerprints, banded
+    * into 4 x 16-bit blocks for candidate generation (any pair within
+    * Hamming distance 3 shares at least one identical block — pigeonhole),
+    * then exact Hamming verify.
+    *
+    * Scale: fingerprint is one codegen'd pass per row; candidates shuffle
+    * only (block_idx, block_value, id, sig).
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block banding only guarantees recall for Hamming <= 3")
+    val sigs = docs.select(col(idCol),
+      HashExpressions.simHash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    val blocks = (0 until 4).map { j =>
+      struct(lit(j).as("block_idx"),
+        shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)).as("block_value"))
+    }
+    val exploded = sigs.select(col(idCol), col("sig"),
+      explode(array(blocks: _*)).as("b"))
+      .select(col(idCol), col("sig"), col("b.block_idx"), col("b.block_value"))
+    val a = exploded.select(col("block_idx"), col("block_value"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = exploded.select(col("block_idx"), col("block_value"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("block_idx", "block_value"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        HashExpressions.hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Brute-force SimHash pairs (test oracle for simHashPairs recall). */
+  def simHashPairsBrute(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol),
+      HashExpressions.simHash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    val a = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        HashExpressions.hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard similarity of every doc against one probe doc —
+    * a linear scan (no pair explosion), useful for "find docs like X".
+    */
+  def jaccardToProbe(docs: DataFrame, idCol: String, textCol: String,
+      probeId: Long, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize)).as("sh"))
+    val probe = sh.filter(col(idCol) === probeId)
+      .select(col("sh").as("probe_sh"))
+    sh.filter(col(idCol) =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol),
+        (size(array_intersect(col("sh"), col("probe_sh"))).cast("double") /
+          size(array_union(col("sh"), col("probe_sh"))).cast("double")).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, brute-force
+    * within the given DataFrame. Quadratic — callers bound the input (or
+    * use the LSH-bucketed variant below) at scale.
+    */
+  def embeddingPairsBrute(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") > threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Embedding near-dup, LSH-bucketed (the 100 TB path): random-hyperplane
+    * signature buckets bound the candidate set; exact cosine verifies.
+    * Recall is probabilistic (documented tradeoff) — tune nPlanes down /
+    * bands up for higher recall.
+    */
+  def embeddingPairsLsh(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val sig = embs.select(col(idCol), col(vecCol),
+      VectorFunctions.hyperplaneSignature(col(vecCol), dim, nPlanes, seed).as("bucket"))
+    val a = sig.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = sig.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") > threshold)
+      .select("id_a", "id_b")
+      .dropDuplicates()
+  }
+}

@@ -1,0 +1,21 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.GraftExpressions
+
+/** Public face of the native Catalyst expressions (implementations live in
+  * org.apache.spark.sql.graft to reach Spark's private[sql] bridge APIs).
+  */
+object HashExpressions {
+
+  /** 64-bit SimHash of a token array. */
+  def simHash64(tokens: Column): Column = GraftExpressions.simHash64(tokens)
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column =
+    GraftExpressions.hammingDistance(a, b)
+
+  /** Winnowing-style min-hash document fingerprint over byte windows. */
+  def docFingerprint(text: Column, window: Int): Column =
+    GraftExpressions.docFingerprint(text, window)
+}

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, word shingles, quality scoring, stopword-based language
+  * ID. Everything here is Spark built-in expressions (codegen'd, no UDFs),
+  * so at 100 TB these run as a narrow map over the scan — zero shuffle,
+  * full WholeStageCodegen.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (documents are single-space separated). */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** BPE-ish regex tokenization: letter runs, digit runs, single other
+    * chars. regexp_extract_all is codegen'd.
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Word n-gram shingles joined with spaces; empty array when the doc is
+    * shorter than n (guard matters: Spark's `sequence(1, 0)` counts DOWN).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Token count of whitespace tokenization. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  // Small public stopword lists per language, for the n-gram/stopword
+  // language-ID heuristic.
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "zh" -> Seq("的", "了", "是"))
+
+  /** Number of distinct stopwords of `lang` present in the token array. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    stopwords(lang).map(w => when(array_contains(toks, w), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Predicted language by max stopword hits; ties broken by the fixed
+    * order en > es > fr > de > zh (deterministic, oracle-reproducible).
+    */
+  def langId(toks: Column): Column = {
+    val order = Seq("en", "es", "fr", "de", "zh")
+    val scores = order.map(l => l -> stopwordHits(toks, l)).toMap
+    val best = greatest(order.map(scores): _*)
+    order.init.foldRight(lit(order.last)) { (l, rest) =>
+      when(scores(l) === best, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: mixes stopword density, vocabulary
+    * diversity, and length. Pure IEEE double arithmetic (no rounding) so
+    * it reproduces bit-exactly in any engine.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopRatio = stopwordHits(toks, "en").cast("double") / lit(7.0)
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val lengthScore = least(nTok / lit(100.0), lit(1.0))
+    lit(0.3) * least(stopRatio * 2.0, lit(1.0)) +
+      lit(0.4) * distinctRatio +
+      lit(0.3) * lengthScore
+  }
+}

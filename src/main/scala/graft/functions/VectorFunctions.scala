@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, built from
+  * `zip_with`/`aggregate`/`transform` so Catalyst codegens the loops —
+  * no UDF boxing. Accumulation is in double (left fold, deterministic
+  * order) so results reproduce exactly across engines.
+  */
+object VectorFunctions {
+
+  /** Dot product with double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity in double. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH signature: packs `nPlanes` sign bits of
+    * dot(v, plane_i) into a long. Planes are generated deterministically
+    * from `seed` (same signature every run / every executor). This is the
+    * scale path for similarity search: bucket by signature bands, then
+    * verify exact cosine only within candidate buckets.
+    */
+  def hyperplaneSignature(v: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val plane = typedLit(p.toSeq)
+      when(dot(v, plane) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

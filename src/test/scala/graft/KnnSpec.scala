@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.similarity.Knn
+
+class KnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 2.0f))
+    ).toDF("a", "b").select(VectorFunctions.cosine($"a", $"b").as("c"))
+    val Array(same, orth) = df.as[Double].collect()
+    assert(math.abs(same - 1.0) < 1e-12)
+    assert(math.abs(orth) < 1e-12)
+  }
+
+  test("bruteForce knn returns k ranked neighbors, no self-match, correct top-1") {
+    val embs = Tables.embeddings(spark, SparkTestSession.sfTiny)
+    val probes = embs.filter($"vec_id" < 3)
+    val out = Knn.bruteForce(embs, probes, "vec_id", "embedding", k = 5)
+    val rows = out.as[(Long, Long, Int)].collect()
+    assert(rows.length === 15) // 3 probes x 5
+    assert(!rows.exists(r => r._1 == r._2), "self-matches excluded")
+    // top-1 for probe 0 equals argmax of cosine computed independently
+    val exp = embs.filter($"vec_id" =!= 0L)
+      .crossJoin(broadcast(embs.filter($"vec_id" === 0L).select($"embedding".as("q"))))
+      .select($"vec_id", VectorFunctions.cosine($"embedding", $"q").as("c"))
+      .orderBy($"c".desc, $"vec_id".asc).select("vec_id").as[Long].head()
+    val got = rows.filter(r => r._1 == 0L && r._3 == 1).head._2
+    assert(got === exp)
+  }
+
+  test("LSH knn returns valid neighbors with reasonable top-10 overlap vs exact") {
+    val embs = Tables.embeddings(spark, SparkTestSession.sfTiny)
+    val probes = embs.filter($"vec_id" < 5)
+    val exact = Knn.bruteForce(embs, probes, "vec_id", "embedding", k = 10)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val approx = Knn.lshBuckets(embs, probes, "vec_id", "embedding", k = 10, dim = 64)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(approx.nonEmpty)
+    assert(!approx.exists(p => p._1 == p._2))
+    // recall is probabilistic; require > 0 overlap as a sanity floor and
+    // log the measured recall for tuning.
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    info(f"LSH top-10 recall vs exact: $recall%.2f")
+    assert(recall > 0.0)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("Merge.upsert: matched rows updated (even to null), unmatched target kept, new keys inserted") {
+    val target = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "name", "v")
+    val updates = Seq((2, null.asInstanceOf[String], 99), (4, "d", 40)).toDF("k", "name", "v")
+    val out = Merge.upsert(target, updates, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(out === Set((1, "a", 10), (2, null, 99), (3, "c", 30), (4, "d", 40)))
+  }
+
+  test("Merge.updateMatched: only matched rows change, no inserts") {
+    val target = Seq((1, "x"), (2, "y")).toDF("k", "s")
+    val updates = Seq((2, "Y2"), (9, "nope")).toDF("k", "s")
+    val out = Merge.updateMatched(target, updates, Seq("k"), Seq("s"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out === Set((1, "x"), (2, "Y2")))
+  }
+
+  test("Dedup.latestPerKey keeps exactly one newest row per key") {
+    val df = Seq(
+      (1, "2024-01-01 00:00:00", "old"),
+      (1, "2024-01-02 00:00:00", "new"),
+      (2, "2024-01-01 00:00:00", "only")
+    ).toDF("id", "ts", "tag").withColumn("ts", to_timestamp($"ts"))
+    val out = Dedup.latestPerKey(Seq("id"), Seq($"ts".desc, $"tag".asc))(df)
+    assert(out.count() === 2)
+    assert(out.filter($"id" === 1).select("tag").as[String].head() === "new")
+  }
+
+  test("Idempotency.newKeysOnly: re-delivering the same batch is a no-op") {
+    val existing = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val batch = Seq((2, "b2"), (3, "c")).toDF("id", "v")
+    val first = Idempotency.newKeysOnly(batch, existing, Seq("id"))
+    assert(first.select("id").as[Int].collect().toSet === Set(3))
+    // after appending, a replay of the same batch inserts nothing
+    val target2 = existing.unionByName(first)
+    assert(Idempotency.newKeysOnly(batch, target2, Seq("id")).count() === 0)
+  }
+
+  test("Enrich.fromDim: mapped flag + fallback when unmatched") {
+    val facts = Seq((1, "raw1"), (2, "raw2")).toDF("k", "fallback")
+    val dim = Seq((1, "std1")).toDF("k", "std")
+    val out = Enrich.fromDim(facts, dim, "k", "std", "resolved", "fallback", "mapped")
+      .collect().map(r => (r.getAs[Int]("k"), r.getAs[Boolean]("mapped"), r.getAs[String]("resolved"))).toSet
+    assert(out === Set((1, true, "std1"), (2, false, "raw2")))
+  }
+
+  test("Rankings.topNPerGroup pins ties deterministically") {
+    val df = Seq(("g", "b", 5L), ("g", "a", 5L), ("g", "c", 4L)).toDF("grp", "name", "cnt")
+    val out = Rankings.topNPerGroup(Seq("grp"), Seq($"cnt".desc, $"name".asc), 2)(df)
+      .orderBy("rnk").select("name").as[String].collect().toSeq
+    assert(out === Seq("a", "b"))
+  }
+
+  test("Standardize.normalizedKey strips non-alphanumerics after upper/trim") {
+    val out = Seq("  Golden-Retr. ").toDF("s")
+      .select(Standardize.normalizedKey($"s")).as[String].head()
+    assert(out === "GOLDENRETR")
+  }
+}

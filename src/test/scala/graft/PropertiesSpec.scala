@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{Dedup, Idempotency, Merge}
+
+/** Property tests for the idempotency protocol and the dedup window —
+  * SURVEY.md §5's required invariants: re-running any batch is a no-op;
+  * dedup keeps exactly one row per key, newest wins. Raw ScalaCheck (the
+  * scalatest bridge isn't in the offline dependency cache).
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def checkProp(name: String)(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withInitialSeed(42L), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val batchGen: Gen[List[(Int, Int)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0, 20), Gen.choose(0, 1000)))
+
+  test("property: anti-join idempotency — appending the same batch twice equals once") {
+    checkProp("idempotency")(Prop.forAll(batchGen, batchGen) { (existingRows, batchRows) =>
+      val existing = existingRows.toDF("id", "v").dropDuplicates("id")
+      val batch = batchRows.toDF("id", "v").dropDuplicates("id")
+      val once = existing.unionByName(Idempotency.newKeysOnly(batch, existing, Seq("id")))
+      val twice = once.unionByName(Idempotency.newKeysOnly(batch, once, Seq("id")))
+      twice.count() == once.count() &&
+        twice.select("id").distinct().count() == twice.count()
+    })
+  }
+
+  test("property: latestPerKey yields exactly one row per key — the max-(ts,uniq) row") {
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 10), Gen.choose(0, 100), Gen.choose(0, 1000000)))
+    checkProp("latestPerKey")(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("id", "ts", "uniq")
+      val out = Dedup.latestPerKey(Seq("id"), Seq($"ts".desc, $"uniq".desc))(df)
+      val winners = out.as[(Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val expected = rows.groupBy(_._1).map { case (k, g) =>
+        k -> g.map(r => (r._2, r._3)).max
+      }
+      out.count() == rows.map(_._1).distinct.size.toLong && winners == expected
+    })
+  }
+
+  test("property: Merge.upsert preserves key uniqueness and applies all updates") {
+    checkProp("upsert")(Prop.forAll(batchGen, batchGen) { (targetRows, updateRows) =>
+      val target = targetRows.toDF("id", "v").dropDuplicates("id")
+      val updates = updateRows.toDF("id", "v").dropDuplicates("id")
+      val out = Merge.upsert(target, updates, Seq("id"))
+      val outMap = out.as[(Int, Int)].collect().toMap
+      val tMap = target.as[(Int, Int)].collect().toMap
+      val uMap = updates.as[(Int, Int)].collect().toMap
+      out.select("id").distinct().count() == out.count() && outMap == (tMap ++ uMap)
+    })
+  }
+}
