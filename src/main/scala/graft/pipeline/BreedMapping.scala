@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Merge, Standardize}
+
+/** Breed reference dim maintenance (reference: sql/breed_mapping.py —
+  * literal VALUES relation → key normalization → dedup by max →
+  * MERGE upsert → silver backfill → coverage diagnostics).
+  *
+  * The reference ships ~560 curated variant→standard pairs; this module
+  * implements the machinery with a representative seed set (the curation
+  * itself is data, not engine). `upsertMapping` emulates MERGE with the
+  * library's full-outer-join upsert (no Delta in this environment).
+  */
+object BreedMapping {
+
+  /** Representative seed pairs (same normalization contract as the
+    * reference's: sql/breed_mapping.py:19-578).
+    */
+  val seedPairs: Seq[(String, String)] = Seq(
+    "Golden Retr" -> "GOLDEN RETRIEVER",
+    "GOLDEN RETRIEVER" -> "GOLDEN RETRIEVER",
+    "German Shepard" -> "GERMAN SHEPHERD DOG",
+    "GERMAN SHEPHERD" -> "GERMAN SHEPHERD DOG",
+    "Lab. Retriever" -> "LABRADOR RETRIEVER",
+    "LABRADOR" -> "LABRADOR RETRIEVER",
+    "D.S.H." -> "DOMESTIC SHORTHAIR",
+    "DSH" -> "DOMESTIC SHORTHAIR",
+    "Domestic Short Hair" -> "DOMESTIC SHORTHAIR",
+    "D.M.H." -> "DOMESTIC MEDIUMHAIR",
+    "MIX" -> "MIXED BREED",
+    "Mixed" -> "MIXED BREED",
+    "SHIH-TZU" -> "SHIH TZU",
+    "Poodle (Toy)" -> "POODLE TOY")
+
+  /** Build the normalized, deduplicated mapping updates from raw pairs
+    * (reference: breed_mapping.py:581-593 — normalize with the SAME
+    * expression silver uses, then max(breed_standard) per key).
+    */
+  def normalizedUpdates(spark: SparkSession, pairs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("breed_raw", "breed_standard")
+      .select(Standardize.normalizedKey(col("breed_raw")).as("breed_variant_key"),
+        upper(trim(col("breed_standard"))).as("breed_standard"))
+      .groupBy("breed_variant_key")
+      .agg(max("breed_standard").as("breed_standard"))
+  }
+
+  /** MERGE-upsert updates into the dim (reference: breed_mapping.py:596-603). */
+  def upsertMapping(current: DataFrame, updates: DataFrame): DataFrame =
+    Merge.upsert(current, updates, Seq("breed_variant_key"))
+
+  /** Backfill already-written silver rows from a refreshed dim
+    * (reference: breed_mapping.py:609-618): matched rows get the new
+    * standard + mapped=true; everything else untouched.
+    */
+  def backfillSilver(silver: DataFrame, mapping: DataFrame): DataFrame = {
+    val m = broadcast(mapping.select(col("breed_variant_key"),
+      col("breed_standard").as("__new_standard")))
+    silver.join(m, Seq("breed_variant_key"), "left")
+      .withColumn("breed_standard", coalesce(col("__new_standard"), col("breed_standard")))
+      .withColumn("breed_mapped", col("breed_mapped") || col("__new_standard").isNotNull)
+      .drop("__new_standard")
+  }
+
+  /** Coverage diagnostics (reference: breed_mapping.py:623-648): unmapped
+    * keys by frequency + overall coverage pct via 1x1 cross join.
+    */
+  def unmappedKeys(silver: DataFrame, mapping: DataFrame): DataFrame =
+    silver.select("breed_variant_key")
+      .join(mapping.select("breed_variant_key"), Seq("breed_variant_key"), "left_anti")
+      .groupBy("breed_variant_key").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("breed_variant_key").asc)
+
+  def coveragePct(silver: DataFrame): DataFrame = {
+    val total = silver.agg(count(lit(1)).as("total_rows"))
+    val mapped = silver.filter(col("breed_mapped"))
+      .agg(count(lit(1)).as("mapped_rows"))
+    total.crossJoin(mapped)
+      .withColumn("pct_mapped",
+        when(col("total_rows") === 0, lit(null).cast("double"))
+          .otherwise(lit(100.0) * col("mapped_rows") / col("total_rows")))
+  }
+}
