@@ -111,10 +111,12 @@ object SparkEntry {
       Rankings.pivotTopK(Seq("bucket"), "rnk", "event_type", 3)(ranked)
     }),
 
-    // W1: dedup keep-newest-per-key (reference: silver.py:81-85)
+    // W1: dedup keep-newest-per-key (reference: silver.py:81-85).
+    // Aggregate form: max_by hash-agg with map-side combine instead of a
+    // sort-window — the shuffle moves one candidate row per (partition,
+    // user) rather than every event.
     "q06_latest_event_per_user" -> ((s, dir) => {
-      Dedup.latestPerKey(Seq("user_id"),
-        Seq(col("ts").desc, col("event_id").desc))(events(s, dir))
+      Dedup.latestPerKeyAgg(Seq("user_id"), Seq(col("ts"), col("event_id")))(events(s, dir))
         .select("user_id", "event_id", "event_type", "value", "ts")
     }),
 

@@ -72,7 +72,13 @@ object MinHashDedup {
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 64,
       bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must be <= numHashes")
+    // The signature relation is referenced four times in the plan (both
+    // sides of the band self-join + both sides of the verify join); without
+    // materialization Spark recomputes the k minhash passes for each use.
+    // At scale this is the classic "checkpoint the signatures" step of
+    // every LSH pipeline.
     val sigs = withSignatures(docs, idCol, textCol, shingleSize, numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = candidatePairs(sigs, idCol, bands, rowsPerBand)
     val sets = sigs.select(col(idCol), col("shingles"))
     candidates

@@ -27,6 +27,26 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Keep the row with the maximum `ord` tuple per key — semantically
+    * `latestPerKey(keys, ord.map(_.desc))` for tie-free orderings, but
+    * executed as a hash aggregate (`max_by` over a struct) instead of a
+    * sort-window.
+    *
+    * Scale notes: this is the plan you want at 100 TB — partial map-side
+    * combine collapses each input partition to one candidate row per key
+    * before the exchange, so the shuffle moves ~|keys| rows instead of all
+    * rows, and no per-partition sort is ever materialized. Use the window
+    * form only when the ordering has NULLS-LAST or mixed-direction
+    * semantics a struct comparison can't express. `ord` must be a total
+    * order (append a unique column) for deterministic results.
+    */
+  def latestPerKeyAgg(keys: Seq[String], ord: Seq[Column]): DataFrame => DataFrame = { df =>
+    val payload = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), struct(ord: _*)).as("__best"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__best.$c").as(c)): _*)
+  }
+
   /** Exact duplicate removal on a projection (reference: bronze.py:111
     * `select("_id").dropDuplicates()`). Map-side partial aggregation makes
     * this a single shuffle of distinct keys, not of all rows.

@@ -49,6 +49,19 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("property: latestPerKeyAgg (max_by form) matches the window form") {
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 10), Gen.choose(0, 100), Gen.choose(0, 1000000)))
+    checkProp("latestPerKeyAgg")(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("id", "ts", "uniq")
+      val win = Dedup.latestPerKey(Seq("id"), Seq($"ts".desc, $"uniq".desc))(df)
+        .as[(Int, Int, Int)].collect().toSet
+      val agg = Dedup.latestPerKeyAgg(Seq("id"), Seq($"ts", $"uniq"))(df)
+        .as[(Int, Int, Int)].collect().toSet
+      win == agg
+    })
+  }
+
   test("property: Merge.upsert preserves key uniqueness and applies all updates") {
     checkProp("upsert")(Prop.forAll(batchGen, batchGen) { (targetRows, updateRows) =>
       val target = targetRows.toDF("id", "v").dropDuplicates("id")
