@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming façade over the engine's batch semantics
+  * (SURVEY.md §2.9: the reference is incremental *batch*; these are the
+  * additive streaming twins of its core operators — same results, applied
+  * continuously).
+  *
+  * Scale notes: all stateful operators key their state by the dedup/group
+  * key, so state is hash-partitioned across executors exactly like the
+  * batch shuffles; watermarks bound state size (without one, streaming
+  * dropDuplicates state grows forever — the 100 TB failure mode).
+  */
+object Streams {
+
+  /** Typed event-stream record (testdata `events` shape minus nanos:
+    * streaming sources carry micros timestamps).
+    */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** File-source ingestion: the streaming twin of the bronze CSV scan
+    * (reference: notebooks/bronze.py:75-80 — explicit schema, never
+    * inferred; `maxFilesPerTrigger` bounds batch size so one giant drop
+    * can't blow executor memory).
+    */
+  def fileIngest(spark: SparkSession, dir: String, schema: StructType,
+      format: String = "parquet", maxFilesPerTrigger: Int = 100,
+      globFilter: Option[String] = None): DataFrame = {
+    val reader = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format(format)
+    globFilter.foreach(reader.option("pathGlobFilter", _))
+    reader.load(dir) // file streams require a directory, not a single file
+  }
+
+  /** Streaming insert-only idempotency: the streaming twin of the J1
+    * anti-join (reference: bronze.py:111-112). State-store-backed exact
+    * once-per-key within the watermark horizon; late re-deliveries beyond
+    * the horizon are dropped by the watermark itself.
+    */
+  def dedupedIngest(stream: DataFrame, keyCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCol, tsCol)
+
+  /** Watermarked tumbling-window aggregation: the streaming twin of
+    * q26 / the gold daily totals (reference: gold.py:323-329 at day
+    * grain). Append mode emits a window once the watermark passes its
+    * end — results then match the batch groupBy(window) exactly.
+    */
+  def windowedCounts(stream: DataFrame, tsCol: String, windowLen: String,
+      watermark: String, keys: String*): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start") +: keys.map(col) :+
+        col("cnt") :+ col("sum_value"): _*)
+
+  /** Streaming keep-newest-per-key: the streaming twin of the W1 dedup
+    * window (reference: silver.py:81-85) via mapGroupsWithState. Emits
+    * the current winner for each key touched in a micro-batch; state is
+    * one row per key (the running max by (ts, event_id)).
+    */
+  def latestPerUser(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (_: Long, batch: Iterator[Event], state: GroupState[Event]) => {
+          val candidates = state.getOption.iterator ++ batch
+          val best = candidates.maxBy(e => (e.ts.getTime, e.event_id))
+          state.update(best)
+          best
+        })
+  }
+
+  /** Stateful sessionization via flatMapGroupsWithState: groups a user's
+    * events into sessions closed by `gapMillis` of inactivity, emitting
+    * one row per closed session. The kind of custom state logic
+    * (KeyValueGroupedDataset + GroupState) that windowed aggs can't
+    * express.
+    */
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  // must be public: the codegen'd state deserializer instantiates it
+  case class SessionState(startMs: Long, endMs: Long, nEvents: Long, sumValue: Double)
+
+  def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.endMs <= gapMillis =>
+                cur = Some(SessionState(s.startMs, t, s.nEvents + 1, s.sumValue + e.value))
+              case Some(s) =>
+                closed += Session(userId, new Timestamp(s.startMs),
+                  new Timestamp(s.endMs), s.nEvents, s.sumValue)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+        })
+  }
+
+  /** Run a streaming DataFrame to a named in-memory sink until all
+    * available input is processed — the local smoke path (a real
+    * deployment would use writeStream.format("parquet")/"kafka" with a
+    * checkpointLocation).
+    */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session}
+
+/** Streaming twins must agree with their batch counterparts — each test
+  * drives a MemoryStream (or file source) through the operator and
+  * compares against the equivalent batch computation on the same rows.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2025-06-01 10:$minute%02d:00")
+
+  private val sampleEvents = Seq(
+    Event(1, ts(0), 100, "click", 1.0, "{}"),
+    Event(2, ts(1), 100, "view", 2.0, "{}"),
+    Event(3, ts(2), 200, "click", 3.0, "{}"),
+    Event(4, ts(3), 100, "click", 4.0, "{}"),
+    Event(5, ts(30), 200, "view", 5.0, "{}"),
+    Event(6, ts(31), 100, "view", 6.0, "{}"))
+
+  test("windowedCounts matches the batch window aggregation") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+
+    val windowed = Streams.windowedCounts(
+      input.toDF(), "ts", "10 minutes", "5 minutes", "event_type")
+    val q = windowed.writeStream.outputMode("append").format("memory")
+      .queryName("win_out").start()
+    try {
+      // append mode seals a window when a LATER DATA batch advances the
+      // watermark past its end — drive three batches so every sample
+      // window gets sealed deterministically
+      input.addData(sampleEvents: _*)
+      q.processAllAvailable()
+      input.addData(Event(7, Timestamp.valueOf("2025-06-01 10:59:00"), 300, "late", 0.0, "{}"))
+      q.processAllAvailable()
+      input.addData(Event(8, Timestamp.valueOf("2025-06-01 11:30:00"), 300, "later", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = sampleEvents.toDF()
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+
+    val streamed = spark.table("win_out")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed.filter(r => r._2 != "late" && r._2 != "later") == batch)
+  }
+
+  test("dedupedIngest drops re-delivered keys within the watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(sampleEvents: _*)
+    input.addData(sampleEvents.take(3): _*) // exact re-delivery
+
+    val deduped = Streams.dedupedIngest(input.toDF(), "event_id", "ts", "1 hour")
+    Streams.runToMemory(deduped, "dedup_out")
+    assert(spark.table("dedup_out").count() == 6)
+    assert(spark.table("dedup_out").select("event_id").distinct().count() == 6)
+  }
+
+  test("latestPerUser keeps the running newest event per user across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(sampleEvents.take(4): _*)
+
+    val latest = Streams.latestPerUser(input.toDS())
+    val q = latest.writeStream.outputMode("update").format("memory")
+      .queryName("latest_out").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("latest_out").as[Event].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last.event_id }
+      assert(after1 == Map(100L -> 4L, 200L -> 3L))
+
+      input.addData(sampleEvents.drop(4): _*)
+      q.processAllAvailable()
+      val after2 = spark.table("latest_out").as[Event].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last.event_id }
+      assert(after2 == Map(100L -> 6L, 200L -> 5L))
+    } finally q.stop()
+
+    // agrees with the batch operator on the full data
+    val batch = graft.operators.Dedup.latestPerKeyAgg(
+      Seq("user_id"), Seq(col("ts"), col("event_id")))(sampleEvents.toDF())
+      .as[Event].collect().map(e => e.user_id -> e.event_id).toMap
+    assert(batch == Map(100L -> 6L, 200L -> 5L))
+  }
+
+  test("sessionize closes sessions on inactivity gaps") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(sampleEvents: _*)
+
+    val sessions = Streams.sessionize(input.toDS(), gapMillis = 10 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      // user 100: events at 10:00-10:03 then 10:31 → first session closed
+      val closed = spark.table("sess_out").as[Session].collect()
+      val u100 = closed.filter(_.user_id == 100)
+      assert(u100.length == 1)
+      assert(u100.head.n_events == 3 && u100.head.sum_value == 7.0)
+      assert(u100.head.session_start == ts(0) && u100.head.session_end == ts(3))
+      // user 200: 10:02 then 10:30 → first session closed with 1 event
+      val u200 = closed.filter(_.user_id == 200)
+      assert(u200.length == 1 && u200.head.n_events == 1)
+    } finally q.stop()
+  }
+
+  test("file-source streaming reads the real events parquet") {
+    // events.parquet carries TIMESTAMP(NANOS); read nanos as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"${SparkTestSession.sfTiny}/events.parquet").schema
+    val stream = Streams.fileIngest(spark, SparkTestSession.sfTiny, schema,
+      globFilter = Some("events.parquet"))
+    assert(stream.isStreaming)
+    val counted = stream.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    Streams.runToMemory(counted, "file_out", OutputMode.Complete())
+    val streamed = spark.table("file_out").as[(String, Long)].collect().toMap
+    val batch = spark.read.parquet(s"${SparkTestSession.sfTiny}/events.parquet")
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+}
