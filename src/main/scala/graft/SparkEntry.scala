@@ -334,6 +334,26 @@ object SparkEntry {
       graft.similarity.Knn.lshBuckets(
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, dim = 64)
+    }),
+
+    // BPE-ish regex tokenization (letter runs / digit runs / single
+    // punctuation) — codegen'd regexp_extract_all, oracle-checked
+    "q29_bpe_tokens" -> ((s, dir) => {
+      val toks = TextFunctions.regexTokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_bpe_tokens"),
+        size(array_distinct(toks)).as("n_bpe_distinct"),
+        element_at(toks, 1).as("first_token"))
+    }),
+
+    // IVF-Flat ANN (k-means coarse quantizer + inverted lists; the
+    // partition-pruned scale path; spec-verified recall vs bruteForce)
+    "q30_knn_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.similarity.Knn.ivf(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4)
     })
   )
 
@@ -600,6 +620,16 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q29_bpe_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_bpe_distinct,
+        |  toks[1] AS first_token
+        |FROM t""".stripMargin
   )
 }

@@ -37,14 +37,84 @@ object Knn {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** IVF-Flat ANN: k-means coarse quantizer (deterministic hash-seeded
+    * centroids + `lloydIters` distributed refinement passes), corpus
+    * partitioned into `nlist` inverted lists, probes scored only against
+    * their `nprobe` nearest lists.
+    *
+    * Scale notes: the quantizer is tiny (nlist × dim floats) and is
+    * broadcast — assignment is a narrow codegen'd map over the corpus, and
+    * at 100 TB the assigned corpus would be written partitioned/bucketed by
+    * `cluster_id` so a probe touches nprobe/nlist of the data. The only
+    * shuffles are the Lloyd mean re-computation (bounded: nlist × dim
+    * rows) and the final per-probe top-k.
+    */
+  def ivf(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
+    // centroid argmax as a codegen'd expression over the broadcast quantizer
+    def best(vec: org.apache.spark.sql.Column, cents: Array[Array[Float]], n: Int) = {
+      val sims = array(cents.map { c =>
+        VectorFunctions.cosine(vec, typedLit(c.toSeq))
+      }: _*)
+      // (sim, idx) structs sorted desc by sim, idx asc on ties → top-n ids
+      val ranked = sort_array(
+        transform(sims, (s, i) => struct((-s).as("neg"), i.as("idx"))))
+      slice(ranked, 1, n)
+    }
+
+    // 1. deterministic seed centroids: smallest xxhash64(id) wins
+    var centroids: Array[Array[Float]] = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy("__h").limit(nlist)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+    // 2. Lloyd refinement: assign → per-cluster elementwise mean
+    for (_ <- 0 until lloydIters) {
+      val assigned = corpus
+        .withColumn("__c", element_at(best(col(vecCol), centroids, 1), 1)("idx"))
+      val means = assigned
+        .select(col("__c"), posexplode(col(vecCol)).as(Seq("__p", "__v")))
+        .groupBy("__c", "__p").agg(avg("__v").as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { i =>
+        byCluster.get(i) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+          case None => centroids(i) // empty cluster keeps its seed
+        }
+      }.toArray
+    }
+
+    // 3. inverted lists + probe routing to nprobe lists
+    val indexed = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cluster_id", element_at(best(col("c_vec"), centroids, 1), 1)("idx"))
+    val routed = probes
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cluster_id",
+        explode(transform(best(col("q_vec"), centroids, nprobe), s => s("idx"))))
+
+    // 4. exact cosine within the probed lists, per-probe top-k
+    val scored = indexed.join(broadcast(routed), Seq("cluster_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** LSH-bucketed ANN: `tables` independent hyperplane signatures; union
     * of bucket collisions forms the candidate set, exact cosine ranks it.
     * Returns (query_id, neighbor_id, rnk) like bruteForce; rows may be
     * fewer than k when buckets are sparse.
     */
   def lshBuckets(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int, dim: Int, nPlanes: Int = 10,
-      tables: Int = 4, seed: Long = 42L): DataFrame = {
+      vecCol: String, k: Int, dim: Int, nPlanes: Int = 5,
+      tables: Int = 12, seed: Long = 42L): DataFrame = {
     def sigs(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
       val tableCols = (0 until tables).map { t =>
         struct(lit(t).as("table_idx"),

@@ -51,4 +51,37 @@ class KnnSpec extends AnyFunSuite {
     info(f"LSH top-10 recall vs exact: $recall%.2f")
     assert(recall > 0.0)
   }
+
+  test("IVF knn: valid shape, no self-match, useful recall vs exact") {
+    val embs = Tables.embeddings(spark, SparkTestSession.sfTiny)
+    val probes = embs.filter($"vec_id" < 5)
+    val exact = Knn.bruteForce(embs, probes, "vec_id", "embedding", k = 10)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val approx = Knn.ivf(embs, probes, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(approx.nonEmpty)
+    assert(!approx.exists(r => r._1 == r._2))
+    // per-probe ranks are 1..n with no gaps
+    approx.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
+    }
+    val approxPairs = approx.map(r => (r._1, r._2)).toSet
+    val recall = (approxPairs intersect exact).size.toDouble / exact.size
+    info(f"IVF top-10 recall vs exact (nprobe=4/nlist=8): $recall%.2f")
+    // probing half the lists of a quantized space should recover well
+    // over half the true neighbors on this data
+    assert(recall > 0.4)
+  }
+
+  test("IVF with nprobe = nlist equals exact brute force") {
+    val embs = Tables.embeddings(spark, SparkTestSession.sfTiny)
+    val probes = embs.filter($"vec_id" < 3)
+    val exact = Knn.bruteForce(embs, probes, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val full = Knn.ivf(embs, probes, "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full == exact)
+  }
 }
