@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface beyond the pipeline's own parquet IO
+  * (SURVEY.md §2.1).
+  *
+  * - `readCsv`/`readJson`: explicit-schema scans, never inferred
+  *   (reference: notebooks/bronze.py:75-80 — schema inference on a 100 TB
+  *   drop is a full extra pass).
+  * - `exportCsv`: the gold-view CSV export contract (reference:
+  *   README.md:81-82,117-123 — one headered CSV per view under an
+  *   `export_date=` prefix).
+  * - `compact`: plain-Spark analog of OPTIMIZE file compaction
+  *   (reference: docs/runbook.md:55-58) — rewrite small files to
+  *   target-sized ones.
+  * - `registerParquetTable`: path-based external-table registration
+  *   (reference: sql/register_bronze.sql:2-4).
+  */
+object Sources {
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).schema(schema).csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Export each view as a single headered CSV part under
+    * `outDir/export_date=<date>/<name>/`. `coalesce(1)` matches the
+    * reference's one-file-per-view contract; it only gates the final
+    * write (upstream stages keep full parallelism), and gold views are
+    * aggregates — small by construction. Export a non-aggregated table
+    * with `singleFile = false` to keep the write parallel.
+    */
+  def exportCsv(views: Map[String, DataFrame], outDir: String,
+      exportDate: String, singleFile: Boolean = true): Unit =
+    views.foreach { case (name, df) =>
+      val out = if (singleFile) df.coalesce(1) else df
+      out.write.option("header", "true").mode("overwrite")
+        .csv(s"$outDir/export_date=$exportDate/$name")
+    }
+
+  /** Rewrite a parquet dir into ~`targetFileMB`-sized files, preserving
+    * the partition layout. Writes to `dir.compacting`, then swaps —
+    * single-writer assumption, like the rest of the pipeline.
+    */
+  def compact(spark: SparkSession, dir: String, partitionCols: Seq[String],
+      targetFileMB: Int = 128): Unit = {
+    val df = spark.read.parquet(dir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+    val tmp = dir + ".compacting"
+    val writer =
+      if (partitionCols.nonEmpty)
+        // one shuffle, clustered by partition key so each output dir gets
+        // contiguous writers rather than nFiles tiny files per partition
+        df.repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+          .write.partitionBy(partitionCols: _*)
+      else df.repartition(nFiles).write
+    writer.mode("overwrite").parquet(tmp)
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+  }
+
+  /** Register a parquet directory as a queryable table name. */
+  def registerParquetTable(spark: SparkSession, name: String, dir: String): Unit =
+    spark.read.parquet(dir).createOrReplaceTempView(name)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tempDir(): String =
+    Files.createTempDirectory("graft-sources").toString
+
+  test("exportCsv writes one headered CSV per view under export_date") {
+    val out = tempDir()
+    val v1 = Seq((2024, "DOG", 10L), (2024, "CAT", 7L)).toDF("Year", "ANIMAL_TYPE", "total")
+    val v2 = Seq(("GOLDEN RETRIEVER", 5L)).toDF("breed", "cnt")
+    Sources.exportCsv(Map("v_totals" -> v1, "v_breeds" -> v2), out, "2025-06-01")
+
+    val back = spark.read.option("header", "true")
+      .csv(s"$out/export_date=2025-06-01/v_totals")
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("Year", "ANIMAL_TYPE", "total"))
+    // single part file per view
+    val parts = new java.io.File(s"$out/export_date=2025-06-01/v_totals")
+      .listFiles().filter(_.getName.endsWith(".csv"))
+    assert(parts.length == 1)
+  }
+
+  test("compact rewrites many small files into few, preserving data and partitions") {
+    val dir = tempDir() + "/table"
+    val df = (1 to 1000).map(i => (i, i % 3, s"val_$i")).toDF("id", "bucket", "v")
+    // write fragmented: many tiny files per partition
+    df.repartition(20).write.partitionBy("bucket").parquet(dir)
+    val filesBefore = Files.walk(java.nio.file.Paths.get(dir)).iterator()
+    val nBefore = {
+      import scala.jdk.CollectionConverters._
+      filesBefore.asScala.count(_.toString.endsWith(".parquet"))
+    }
+    assert(nBefore >= 20)
+
+    Sources.compact(spark, dir, Seq("bucket"))
+
+    import scala.jdk.CollectionConverters._
+    val nAfter = Files.walk(java.nio.file.Paths.get(dir)).iterator()
+      .asScala.count(_.toString.endsWith(".parquet"))
+    assert(nAfter < nBefore)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.select(sum("id")).first().getLong(0) == (1 to 1000).sum.toLong)
+    assert(back.select("bucket").distinct().count() == 3)
+  }
+
+  test("readCsv applies the explicit schema without inference") {
+    val dir = tempDir()
+    val f = new java.io.PrintWriter(s"$dir/data.csv")
+    f.println("id,name"); f.println("1,alpha"); f.println("2,beta"); f.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val df = Sources.readCsv(spark, s"$dir/data.csv", schema)
+    assert(df.schema == schema)
+    assert(df.count() == 2)
+  }
+}
