@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys.
+  *
+  * Spark's hash aggregation already absorbs aggregation skew via partial
+  * map-side combine, and AQE splits skewed SHUFFLE-join partitions at
+  * runtime. Salting is the manual fallback for the case AQE can't fix:
+  * a shuffled join where one key's rows exceed a single task's memory,
+  * or a deliberately pinned non-AQE plan.
+  *
+  * `saltedJoin` replicates the small side `salt` times and scatters the
+  * big side uniformly across the replicas, so a hot key's rows land on
+  * `salt` tasks instead of one. Identical results to a plain equi-join;
+  * costs `salt`× the small side's shuffle volume — use only when the
+  * small side is modest and the big side is skewed (else broadcast).
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `keys`, with the big side salted into
+    * `salt` buckets. Join type may be "inner" or "left" (semantics
+    * preserved: each big row matches exactly the same small rows as the
+    * unsalted join).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salt: Int, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    // deterministic scatter: hash of the whole big row modulo salt
+    val bigSalted = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
+    val smallReplicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    bigSalted.join(smallReplicated, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
+
+  /** Two-phase salted aggregation for associative aggregates: pre-aggregate
+    * on (keys, salt), then combine per key. Mostly documentary — Spark's
+    * partial aggregation gives the same effect — but useful when the
+    * partial agg is disabled (e.g. high-cardinality distinct structs) or
+    * when feeding a deliberately repartitioned pipeline.
+    */
+  def saltedCount(df: DataFrame, keys: Seq[String], salt: Int,
+      countName: String = "cnt"): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id().cast("long"), lit(salt)).cast("int"))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__partial").as(countName))
+
+  /** Top-N heaviest keys with their row share — the skew diagnostic you
+    * run before choosing a mitigation.
+    */
+  def keyHistogram(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val total = df.count()
+    counts.withColumn("share_pct", lit(100.0) * col("cnt") / lit(total.toDouble))
+      .orderBy(col("cnt").desc)
+      .limit(topN)
+  }
+}
