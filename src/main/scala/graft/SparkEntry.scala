@@ -354,6 +354,24 @@ object SparkEntry {
       graft.similarity.Knn.ivf(
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, nlist = 16, nprobe = 4)
+    }),
+
+    // Native pivot with pinned values (one-shuffle wide aggregation —
+    // the declarative twin of q05's max(when) manual pivot)
+    "q31_pivot_native" -> ((s, dir) => {
+      events(s, dir).withColumn("bucket", col("user_id") % 10)
+        .groupBy(col("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L) // absent (bucket, type) combos: 0, like the SQL CASE sum
+    }),
+
+    // Rollup: hierarchical subtotals in one pass (beyond the reference's
+    // flat groupings; one shuffle, grouping-set expansion map-side)
+    "q32_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), decSum("l_extendedprice").as("sum_price"))
     })
   )
 
@@ -630,6 +648,20 @@ object SparkEntry {
         |  CAST(len(toks) AS INT) AS n_bpe_tokens,
         |  CAST(len(list_distinct(toks)) AS INT) AS n_bpe_distinct,
         |  toks[1] AS first_token
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "q31_pivot_native" ->
+      """SELECT user_id % 10 AS bucket,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q32_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
   )
 }

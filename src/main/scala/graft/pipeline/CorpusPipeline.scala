@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup => DocDedup, MinHashDedup}
+import graft.functions.TextFunctions
+
+/** Composed training-data curation pipeline over a `documents`-shaped
+  * table (doc_id, text, lang, ...): the end-to-end flow a 100 TB corpus
+  * build runs, assembled from the engine's primitives.
+  *
+  *   annotate  → language ID, token stats, quality score   (narrow, codegen)
+  *   filter    → language whitelist + quality threshold    (narrow)
+  *   exactDedup→ drop exact duplicates by content hash     (1 shuffle on hash)
+  *   nearDedup → drop MinHash-LSH near-duplicate losers    (LSH shuffles on
+  *                (band, hash, id); text never shuffles)
+  *
+  * Each stage is also usable alone; `run` chains them and reports
+  * per-stage retention. Losers are dropped deterministically (keep the
+  * smallest doc_id of each duplicate cluster) so re-runs reproduce.
+  */
+object CorpusPipeline {
+
+  case class Config(
+      langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.0,
+      minTokens: Int = 5,
+      nearDupThreshold: Double = 0.8)
+
+  /** Stage 1: cheap per-doc annotations — one narrow pass. */
+  def annotate(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    docs
+      .withColumn("pred_lang", TextFunctions.langId(toks))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+  }
+
+  /** Stage 2: language + quality gate (narrow filter; at scale this is
+    * where most volume drops, before anything shuffles).
+    */
+  def qualityFilter(annotated: DataFrame, cfg: Config): DataFrame =
+    annotated.filter(
+      col("pred_lang").isin(cfg.langs: _*) &&
+        col("quality") >= cfg.minQuality &&
+        col("n_tokens") >= cfg.minTokens)
+
+  /** Stage 3: exact dedup — keep the smallest doc_id per identical text
+    * (hash-groupBy; shuffles (hash, id), not text).
+    */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val winners = docs
+      .select(col("doc_id"), xxhash64(col("text")).as("__th"))
+      .groupBy("__th").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(winners, Seq("doc_id"), "left_semi")
+  }
+
+  /** Stage 4: near dedup — MinHash-LSH pairs above threshold; within each
+    * connected pair, the larger doc_id loses. (Single-link transitive
+    * clusters would need an iterative connected-components pass; pairwise
+    * loser-drop is the standard one-shot approximation.)
+    */
+  def nearDedup(docs: DataFrame, threshold: Double): DataFrame = {
+    val losers = MinHashDedup.nearDuplicates(docs, "doc_id", "text", threshold)
+      .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
+      .distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  case class Report(input: Long, afterFilter: Long, afterExact: Long,
+      afterNear: Long, output: DataFrame)
+
+  /** Full chain with per-stage retention counts. */
+  def run(docs: DataFrame, cfg: Config = Config()): Report = {
+    val annotated = annotate(docs)
+    val filtered = qualityFilter(annotated, cfg)
+    val exact = exactDedup(filtered)
+    val near = nearDedup(exact, cfg.nearDupThreshold)
+    Report(docs.count(), filtered.count(), exact.count(), near.count(), near)
+  }
+}

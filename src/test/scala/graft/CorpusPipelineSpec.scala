@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.CorpusPipeline
+
+class CorpusPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, SparkTestSession.sfTiny)
+
+  test("annotate adds lang, token count, and quality without dropping rows") {
+    val a = CorpusPipeline.annotate(docs)
+    assert(a.count() == docs.count())
+    assert(Seq("pred_lang", "n_tokens", "quality").forall(a.columns.contains))
+    assert(a.filter(col("quality") < 0 || col("quality") > 1).isEmpty)
+  }
+
+  test("qualityFilter keeps only whitelisted predicted language above thresholds") {
+    val a = CorpusPipeline.annotate(docs)
+    val f = CorpusPipeline.qualityFilter(a,
+      CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.3, minTokens = 5))
+    assert(f.count() > 0 && f.count() < docs.count())
+    assert(f.filter(col("pred_lang") =!= "en").isEmpty)
+    assert(f.filter(col("quality") < 0.3).isEmpty)
+  }
+
+  test("exactDedup keeps exactly one doc per identical text, smallest id") {
+    val withClones = docs.limit(50).unionByName(
+      docs.limit(10).withColumn("doc_id", col("doc_id") + 100000L))
+    val out = CorpusPipeline.exactDedup(withClones)
+    assert(out.count() == 50) // every clone dropped
+    assert(out.filter(col("doc_id") >= 100000L).isEmpty) // smallest id wins
+    // and distinct texts are all preserved
+    assert(out.select("text").distinct().count() ==
+      withClones.select("text").distinct().count())
+  }
+
+  test("nearDedup drops the larger id of each near-duplicate pair") {
+    val pairs = graft.dedup.MinHashDedup
+      .nearDuplicates(docs, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    val out = CorpusPipeline.nearDedup(docs, threshold = 0.8)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(out.count() < docs.count() || pairs.isEmpty)
+    pairs.foreach { case (a, b, _) =>
+      assert(!kept.contains(math.max(a, b)), s"loser of ($a,$b) still present")
+      }
+  }
+
+  test("run chains the stages and reports monotone retention") {
+    val r = CorpusPipeline.run(docs,
+      CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.2, minTokens = 5))
+    assert(r.input >= r.afterFilter)
+    assert(r.afterFilter >= r.afterExact)
+    assert(r.afterExact >= r.afterNear)
+    assert(r.afterNear > 0)
+    assert(r.output.count() == r.afterNear)
+  }
+}
