@@ -57,16 +57,23 @@ object CorpusPipeline {
     docs.join(winners, Seq("doc_id"), "left_semi")
   }
 
-  /** Stage 4: near dedup — MinHash-LSH pairs above threshold; within each
-    * connected pair, the larger doc_id loses. (Single-link transitive
-    * clusters would need an iterative connected-components pass; pairwise
-    * loser-drop is the standard one-shot approximation.)
+  /** Stage 4: near dedup — MinHash-LSH pairs above threshold. Pairwise
+    * mode (default) drops the larger doc_id of each pair in one shot;
+    * `transitive = true` runs connected components over the pair graph
+    * first, so a~b, b~c collapses {a,b,c} to one survivor (single-link
+    * clustering, a few extra label-propagation rounds).
     */
-  def nearDedup(docs: DataFrame, threshold: Double): DataFrame = {
-    val losers = MinHashDedup.nearDuplicates(docs, "doc_id", "text", threshold)
-      .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
-      .distinct()
-    docs.join(losers, Seq("doc_id"), "left_anti")
+  def nearDedup(docs: DataFrame, threshold: Double,
+      transitive: Boolean = false): DataFrame = {
+    val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text", threshold)
+    if (transitive) {
+      graft.dedup.Components.dropDuplicateClusters(docs, pairs, "doc_id")
+    } else {
+      val losers = pairs
+        .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
+        .distinct()
+      docs.join(losers, Seq("doc_id"), "left_anti")
+    }
   }
 
   case class Report(input: Long, afterFilter: Long, afterExact: Long,

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Components
+
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("connectedComponents labels a chain, a clique, and an isolated pair") {
+    // chain 1-2-3-4, pair 10-11, clique 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val comps = Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents matches driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val got = Components.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    // canonicalize both sides: min member per component
+    def canon(m: Map[Long, Long]) =
+      m.groupBy(_._2).values.flatMap { grp =>
+        val minId = grp.keys.min
+        grp.keys.map(_ -> minId)
+      }.toMap
+    assert(canon(got) == canon(expected))
+  }
+
+  test("dropDuplicateClusters keeps one doc per transitive cluster") {
+    val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 1~2, 2~3 transitively; 5~6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Components.dropDuplicateClusters(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L))
+  }
+
+  test("custom SQL functions registered: simhash64 / hamming_distance / doc_fingerprint") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT simhash64(array('a','b','c')) AS sh,
+        |  hamming_distance(simhash64(array('a','b','c')), simhash64(array('a','b','d'))) AS hd,
+        |  doc_fingerprint('hello world hello world', 8) AS fp""".stripMargin).first()
+    // matches the Column-API expressions exactly
+    val colApi = Seq(("a b c")).toDF("t").select(
+      graft.expressions.HashExpressions.simHash64(split(col("t"), " ")).as("sh")).first()
+    assert(row.getAs[Long]("sh") == colApi.getAs[Long]("sh"))
+    assert(row.getAs[Int]("hd") >= 0 && row.getAs[Int]("hd") <= 64)
+    assert(row.getAs[Long]("fp") != 0L)
+  }
+}
