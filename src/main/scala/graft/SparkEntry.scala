@@ -372,6 +372,19 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"), decSum("l_extendedprice").as("sum_price"))
+    }),
+
+    // Sketch aggregates — the 100 TB scale path where exact distinct /
+    // exact percentiles would shuffle every value: HLL++ and a quantile
+    // sketch keep constant state per group. No SQL oracle (sketch values
+    // are algorithm-specific); AggregatesSpec bounds the error vs exact.
+    "q33_approx_stats" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99"))
     })
   )
 
