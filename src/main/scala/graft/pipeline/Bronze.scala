@@ -38,15 +38,17 @@ object Bronze {
     if (LoadControl.alreadyLoaded(spark, cfg.controlDir, Dataset, cfg.ingestionDate))
       return SkippedAlreadyLoaded
 
-    // 4. file-presence pre-check (driver FS call, bronze.py:61-66)
-    val dropDir = new java.io.File(s"${cfg.rawDir}/ingestion_date=${cfg.ingestionDate}")
-    val files = Option(dropDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".csv"))
-    if (files.isEmpty) return SkippedNoFiles
+    // 4. file-presence pre-check (driver FS call, bronze.py:61-66) —
+    // Hadoop FileSystem so the same code runs against S3/HDFS warehouses
+    val dropDir = new org.apache.hadoop.fs.Path(
+      s"${cfg.rawDir}/ingestion_date=${cfg.ingestionDate}")
+    val fs = dropDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(dropDir, "*.csv"))
+    if (files == null || files.isEmpty) return SkippedNoFiles
 
     // 5. CSV scan, explicit schema, no inference (bronze.py:75-80)
     val raw = spark.read.option("header", "true").schema(rawSchema)
-      .csv(dropDir.getPath)
+      .csv(dropDir.toString)
 
     // 6. standardize (bronze.py:84-95)
     val std = standardize(raw, cfg)
@@ -59,7 +61,7 @@ object Bronze {
 
     // 8. insert-only anti-join vs current bronze snapshot (bronze.py:111-112)
     val fresh =
-      if (tableExists(cfg.bronzeDir))
+      if (tableExists(spark, cfg.bronzeDir))
         Idempotency.newKeysOnly(std, spark.read.parquet(cfg.bronzeDir), Seq("_id"))
       else std
 
@@ -90,8 +92,10 @@ object Bronze {
     Seq(s).toDF("d").select(to_date(col("d"), "yyyy-MM-dd")).first().get(0) != null
   }
 
-  private[pipeline] def tableExists(dir: String): Boolean = {
-    val f = new java.io.File(dir)
-    f.exists() && Option(f.listFiles()).exists(_.nonEmpty)
+  /** Object-store-safe existence probe (Hadoop FS, not java.io.File). */
+  private[pipeline] def tableExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 }

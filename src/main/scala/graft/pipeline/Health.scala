@@ -45,8 +45,10 @@ object Health {
   def validate(silver: DataFrame): Map[String, Boolean] = {
     val h = silverHealth(silver).first()
     val dupProbe = silver.groupBy("_id").count().filter(col("count") > 1).isEmpty
+    // null-safe <=>: Silver's bare rlike leaves FSA_VALID NULL on null-FSA
+    // rows; a null-unsafe =!= would silently drop those rows from the probe
     val fsaConsistent = silver
-      .filter(col("FSA_VALID") =!= col("FSA").isNotNull).isEmpty
+      .filter(!(col("FSA_VALID") <=> col("FSA").isNotNull)).isEmpty
     val typesOk = silver
       .filter(!col("ANIMAL_TYPE").isin(AnimalTypes: _*)).isEmpty
     Map(

@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object LoadControl {
 
-  private def exists(spark: SparkSession, dir: String): Boolean =
-    new java.io.File(dir).exists() && new java.io.File(dir).listFiles() != null &&
-      new java.io.File(dir).listFiles().nonEmpty
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
 
   /** True iff (dataset, ingestionDate) was already loaded. Cheap probe —
     * the ledger has one row per run (reference uses limit(1).count()).

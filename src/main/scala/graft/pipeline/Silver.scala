@@ -44,7 +44,7 @@ object Silver {
 
     // anti-join vs current silver snapshot (silver.py:124-125)
     val fresh =
-      if (Bronze.tableExists(cfg.silverDir))
+      if (Bronze.tableExists(spark, cfg.silverDir))
         Idempotency.newKeysOnly(silverBatch, spark.read.parquet(cfg.silverDir), Seq("_id"))
       else silverBatch
 
@@ -63,7 +63,7 @@ object Silver {
     val std = bronze
       .withColumn("FSA", upper(trim(col("FSA"))))
       .withColumn("ANIMAL_TYPE", upper(trim(col("ANIMAL_TYPE"))))
-      .withColumn("FSA_VALID", col("FSA").rlike(FsaPattern))
+      .withColumn("FSA_VALID", col("FSA").isNotNull && col("FSA").rlike(FsaPattern))
       .withColumn("FSA", when(col("FSA_VALID"), col("FSA")).otherwise(lit(null)))
       // breed_raw + normalized variant key (silver.py:48-49)
       .withColumn("breed_raw", upper(trim(col("PRIMARY_BREED"))))

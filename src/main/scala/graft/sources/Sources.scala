@@ -43,8 +43,10 @@ object Sources {
     }
 
   /** Rewrite a parquet dir into ~`targetFileMB`-sized files, preserving
-    * the partition layout. Writes to `dir.compacting`, then swaps —
-    * single-writer assumption, like the rest of the pipeline.
+    * the partition layout. Writes to `dir.compacting`, then swaps via
+    * rename-aside (dir -> dir.old, tmp -> dir, drop dir.old) so a crash
+    * at any point leaves a recoverable copy — single-writer assumption,
+    * like the rest of the pipeline.
     */
   def compact(spark: SparkSession, dir: String, partitionCols: Seq[String],
       targetFileMB: Int = 128): Unit = {
@@ -61,11 +63,16 @@ object Sources {
       else df.repartition(nFiles).write
     writer.mode("overwrite").parquet(tmp)
 
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // Resolve the FS of `dir` itself (FileSystem.get(conf) would resolve
+    // the default FS, wrong for non-default schemes like s3a://).
     val target = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.delete(aside, true) // clear any leftover from a prior crashed swap
+    require(fs.rename(target, aside), s"compact: failed to move $dir aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), target),
+      s"compact: failed to promote $tmp (original preserved at $aside)")
+    fs.delete(aside, true)
   }
 
   /** Register a parquet directory as a queryable table name. */
