@@ -374,6 +374,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), decSum("l_extendedprice").as("sum_price"))
     }),
 
+    // Embedding near-dup via multi-table hyperplane LSH — the 100 TB
+    // scale path (q23 keeps the bounded brute-force oracle twin of the
+    // same subset + threshold). Exact-cosine verify keeps precision 1.0;
+    // recall is bounded by DedupSpec against brute force.
+    "q34_embedding_neardup_lsh" -> ((s, dir) => {
+      graft.dedup.Dedup.embeddingPairsLsh(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", threshold = 0.35, dim = 64)
+    }),
+
     // Sketch aggregates — the 100 TB scale path where exact distinct /
     // exact percentiles would shuffle every value: HLL++ and a quantile
     // sketch keep constant state per group. No SQL oracle (sketch values

@@ -15,18 +15,30 @@ import org.apache.spark.storage.StorageLevel
   * 3-5 rounds settle real corpora.
   *
   * Scale notes: each round is one join edges⋈labels + one groupBy-min —
-  * both shuffle only (id, label) longs. Labels persist per round and the
-  * loop exits early via a cheap changed-count check; `localCheckpoint`
-  * cuts the growing lineage so round N's plan doesn't replay rounds
-  * 1..N-1.
+  * both shuffle only (id, label) longs. The convergence signal is a
+  * `__changed` flag computed INSIDE the propagation select, so one
+  * count-job per round both materializes the round and decides the exit
+  * (no separate join-and-probe job). Rounds persist in memory/disk and
+  * the lineage is cut with an eager `localCheckpoint` every
+  * `checkpointInterval` rounds (checkpointing every round pays an extra
+  * materialization job each time; every k rounds bounds both the plan
+  * depth and the overhead). Superseded round caches are released as soon
+  * as the next round is materialized.
   */
 object Components {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Pairs (id_a, id_b) → (id, cluster_id) for every id present, where
     * cluster_id = min id of the connected component.
+    *
+    * Logs a warning if `maxIter` rounds pass without convergence — in
+    * that state components wider than maxIter carry SPLIT labels and a
+    * downstream dedup under-deduplicates; raise maxIter.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 20,
+      checkpointInterval: Int = 5): DataFrame = {
     // symmetric edge list
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
@@ -36,26 +48,45 @@ object Components {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    var superseded: DataFrame = null // previous round's persist, to release
 
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node pulls the min label over itself + its neighbors
+      // each node pulls the min label over itself + its neighbors;
+      // __changed rides along so convergence needs no second probe job
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("nbr_label"))
-      val next = labels.join(fromNeighbors, Seq("id"), "left")
+      val nextRaw = labels.join(fromNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old")).isEmpty
-      labels = next
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          coalesce(col("nbr_label") < col("label"), lit(false)).as("__changed"))
+      val cutLineage = iter % checkpointInterval == checkpointInterval - 1
+      val next =
+        if (cutLineage) nextRaw.localCheckpoint() // eager: materializes too
+        else nextRaw.persist(StorageLevel.MEMORY_AND_DISK)
+      // the count materializes every partition of `next` (narrow filter
+      // over the cached round) AND yields the convergence decision
+      converged = next.filter(col("__changed")).count() == 0L
+      if (superseded != null) superseded.unpersist()
+      superseded = if (cutLineage) null else next
+      labels = next.drop("__changed")
       iter += 1
     }
+    if (!converged)
+      log.warn(s"connectedComponents did not converge in $maxIter rounds; " +
+        "components with diameter > maxIter keep split cluster labels — raise maxIter")
+    // hand back a checkpointed result so every intermediate cache can go
+    val result = labels.withColumnRenamed("label", "cluster_id")
+    val out = if (superseded != null) {
+      val r = result.localCheckpoint()
+      superseded.unpersist()
+      r
+    } else result
     edges.unpersist()
-    labels.withColumnRenamed("label", "cluster_id")
+    out
   }
 
   /** Transitive dedup: drop every member of each near-duplicate component

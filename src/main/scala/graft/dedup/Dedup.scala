@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.HashExpressions
@@ -28,10 +29,14 @@ object Dedup {
     * then exact Hamming verify.
     *
     * Scale: fingerprint is one codegen'd pass per row; candidates shuffle
-    * only (block_idx, block_value, id, sig).
+    * only (block_idx, block_value, id, sig). `maxBucketSize` drops hot
+    * blocks (a boilerplate cluster sharing one 16-bit block value would
+    * otherwise put O(b²) pairs on a single reducer — same key, so AQE
+    * skew-split can't help); pairs lost are only those hot in ALL their
+    * blocks, i.e. near-exact duplicates that `exactByKey` removes upstream.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
     require(maxHamming <= 3, "4-block banding only guarantees recall for Hamming <= 3")
     val sigs = docs.select(col(idCol),
       HashExpressions.simHash64(TextFunctions.tokens(col(textCol))).as("sig"))
@@ -42,9 +47,17 @@ object Dedup {
     val exploded = sigs.select(col(idCol), col("sig"),
       explode(array(blocks: _*)).as("b"))
       .select(col(idCol), col("sig"), col("b.block_idx"), col("b.block_value"))
-    val a = exploded.select(col("block_idx"), col("block_value"),
+    val bounded =
+      if (maxBucketSize <= 0) exploded
+      else {
+        val w = Window.partitionBy("block_idx", "block_value")
+        exploded.withColumn("__bucket_n", count(lit(1)).over(w))
+          .filter(col("__bucket_n") <= maxBucketSize)
+          .drop("__bucket_n")
+      }
+    val a = bounded.select(col("block_idx"), col("block_value"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = exploded.select(col("block_idx"), col("block_value"),
+    val b = bounded.select(col("block_idx"), col("block_value"),
       col(idCol).as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("block_idx", "block_value"))
       .filter(col("id_a") < col("id_b"))
@@ -97,18 +110,45 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
-  /** Embedding near-dup, LSH-bucketed (the 100 TB path): random-hyperplane
-    * signature buckets bound the candidate set; exact cosine verifies.
-    * Recall is probabilistic (documented tradeoff) — tune nPlanes down /
-    * bands up for higher recall.
+  /** Embedding near-dup, LSH-bucketed (the 100 TB path): multi-table
+    * random-hyperplane buckets bound the candidate set; exact cosine
+    * verifies, so precision is 1.0 and only recall is probabilistic.
+    *
+    * A pair at angle θ lands in the same bucket of one table with prob
+    * (1-θ/π)^nPlanes; across tables recall is 1-(1-p)^nTables. Defaults
+    * (6 planes × 8 tables) give ≈0.98 recall at cosine 0.9 — tuned for
+    * the near-duplicate regime; widen nTables for lower thresholds.
+    *
+    * Scale: candidate generation shuffles (table_idx, bucket, id, vec);
+    * the exact-cosine verify is a narrow codegen'd pass per collision
+    * BEFORE the pair dedup, so the final dropDuplicates exchanges only
+    * surviving id pairs. Hot buckets (e.g. zero-vector clusters) are
+    * capped like the text-LSH paths.
     */
   def embeddingPairsLsh(embs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
-    val sig = embs.select(col(idCol), col(vecCol),
-      VectorFunctions.hyperplaneSignature(col(vecCol), dim, nPlanes, seed).as("bucket"))
-    val a = sig.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = sig.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("bucket"))
+      threshold: Double, dim: Int, nPlanes: Int = 6, nTables: Int = 8,
+      seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      struct(lit(t).as("table_idx"),
+        VectorFunctions.hyperplaneSignature(col(vecCol), dim, nPlanes, seed + t)
+          .as("bucket"))
+    }
+    val exploded = embs
+      .select(col(idCol), col(vecCol), explode(array(tables: _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.table_idx"), col("tb.bucket"))
+    val bounded =
+      if (maxBucketSize <= 0) exploded
+      else {
+        val w = Window.partitionBy("table_idx", "bucket")
+        exploded.withColumn("__bucket_n", count(lit(1)).over(w))
+          .filter(col("__bucket_n") <= maxBucketSize)
+          .drop("__bucket_n")
+      }
+    val a = bounded.select(col("table_idx"), col("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = bounded.select(col("table_idx"), col("bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") > threshold)

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -15,7 +16,15 @@ import graft.functions.TextFunctions
   *     never text — so the exchange is ~24 bytes/row/band;
   *   - exact Jaccard verification re-joins shingle sets by id for
   *     candidate pairs only (two hash joins on id), so the quadratic
-  *     verify work is confined to bucket collisions.
+  *     verify work is confined to bucket collisions;
+  *   - hot buckets (one band hash shared by a huge boilerplate cluster)
+  *     are capped: a bucket of b docs contributes O(b²) candidate pairs
+  *     AND lands on a single reducer (same join key, so AQE's skew split
+  *     cannot shard it) — `maxBucketSize` drops such buckets outright.
+  *     The recall loss is confined to pairs whose EVERY band is hot;
+  *     boilerplate clusters that hot are exact-duplicate territory, which
+  *     `Dedup.exactByKey` removes upstream. `hotBuckets` reports what a
+  *     given cap would drop before you commit to it.
   *
   * With k = bands*rowsPerBand minhashes, a pair with Jaccard j collides in
   * at least one band with prob 1-(1-j^rowsPerBand)^bands — the standard
@@ -27,10 +36,14 @@ object MinHashDedup {
   // 63-bit product, so it cannot overflow a long under ANSI arithmetic.
   private val PRIME = 2147483647L
 
-  /** Deterministic (a, b) coefficients for the k hash functions. */
+  /** Deterministic (a, b) coefficients for the k hash functions.
+    * `& Long.MaxValue` not `math.abs` — abs(Long.MinValue) is negative.
+    */
   private def coeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((math.abs(rnd.nextLong()) % (PRIME - 1) + 1, math.abs(rnd.nextLong()) % PRIME))
+    Seq.fill(k)((
+      (rnd.nextLong() & Long.MaxValue) % (PRIME - 1) + 1,
+      (rnd.nextLong() & Long.MaxValue) % PRIME))
   }
 
   /** id, shingles(array<string>), sig(array<long> length k). */
@@ -47,30 +60,67 @@ object MinHashDedup {
       .drop("__h")
   }
 
-  /** Candidate pairs (id_a < id_b) from LSH banding, deduplicated. */
-  def candidatePairs(signatures: DataFrame, idCol: String,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+  /** (id, band_idx, band_hash) — one row per band per doc. */
+  private def bandedRows(signatures: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band_idx"),
         xxhash64(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
     }
-    val exploded = signatures
+    signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
-    val a = exploded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-    val b = exploded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+  }
+
+  /** Candidate pairs (id_a < id_b) from LSH banding, deduplicated.
+    * `maxBucketSize > 0` drops buckets larger than the cap before the
+    * self-join (hot-bucket guard; 0 = unbounded).
+    */
+  def candidatePairs(signatures: DataFrame, idCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, maxBucketSize: Int = 0): DataFrame = {
+    val exploded = bandedRows(signatures, idCol, bands, rowsPerBand)
+    val bounded =
+      if (maxBucketSize <= 0) exploded
+      else {
+        // bucket size via unordered window count: ONE shuffle on the same
+        // (band_idx, band_hash) key the join needs anyway
+        val w = Window.partitionBy("band_idx", "band_hash")
+        exploded.withColumn("__bucket_n", count(lit(1)).over(w))
+          .filter(col("__bucket_n") <= maxBucketSize)
+          .drop("__bucket_n")
+      }
+    val a = bounded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val b = bounded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates()
   }
 
+  /** Diagnostic: buckets a given cap would drop, largest first —
+    * (band_idx, band_hash, bucket_n). Run this (cheap: one aggregation,
+    * no pair explosion) before tuning `maxBucketSize` so the recall
+    * tradeoff is measured, not guessed.
+    */
+  def hotBuckets(signatures: DataFrame, idCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, minSize: Int = 2): DataFrame =
+    bandedRows(signatures, idCol, bands, rowsPerBand)
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") >= minSize)
+      .orderBy(col("bucket_n").desc)
+
   /** Full pipeline: near-duplicate pairs with exact Jaccard >= threshold.
     * Output: id_a, id_b, jaccard (double).
+    *
+    * The returned pairs are materialized (localCheckpoint) so the
+    * signature cache can be released before returning — no dangling
+    * executor storage after the call, however long the session lives.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
+      maxBucketSize: Int = 2000): DataFrame = {
     require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must be <= numHashes")
     // The signature relation is referenced four times in the plan (both
     // sides of the band self-join + both sides of the verify join); without
@@ -79,9 +129,9 @@ object MinHashDedup {
     // every LSH pipeline.
     val sigs = withSignatures(docs, idCol, textCol, shingleSize, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = candidatePairs(sigs, idCol, bands, rowsPerBand)
+    val candidates = candidatePairs(sigs, idCol, bands, rowsPerBand, maxBucketSize)
     val sets = sigs.select(col(idCol), col("shingles"))
-    candidates
+    val verified = candidates
       .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -89,6 +139,11 @@ object MinHashDedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // eager by default: materializes the (small) pair list, then the wide
+    // cached signatures can go
+    val out = verified.localCheckpoint()
+    sigs.unpersist()
+    out
   }
 
   /** Brute-force exact Jaccard over all pairs — the correctness oracle for

@@ -79,12 +79,22 @@ object CorpusPipeline {
   case class Report(input: Long, afterFilter: Long, afterExact: Long,
       afterNear: Long, output: DataFrame)
 
-  /** Full chain with per-stage retention counts. */
+  /** Full chain with per-stage retention counts. Intermediate stages are
+    * persisted for the duration of the call so the four counts run the
+    * annotate/filter/dedup work once, not four times, then released.
+    * `Report.output` is returned still cached — the caller writes it out
+    * (the normal 100 TB ending) or unpersists it when done.
+    */
   def run(docs: DataFrame, cfg: Config = Config()): Report = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val annotated = annotate(docs)
-    val filtered = qualityFilter(annotated, cfg)
-    val exact = exactDedup(filtered)
-    val near = nearDedup(exact, cfg.nearDupThreshold)
-    Report(docs.count(), filtered.count(), exact.count(), near.count(), near)
+    val filtered = qualityFilter(annotated, cfg).persist(MEMORY_AND_DISK)
+    val exact = exactDedup(filtered).persist(MEMORY_AND_DISK)
+    val near = nearDedup(exact, cfg.nearDupThreshold).persist(MEMORY_AND_DISK)
+    val report = Report(docs.count(), filtered.count(), exact.count(),
+      near.count(), near)
+    filtered.unpersist()
+    exact.unpersist()
+    report
   }
 }

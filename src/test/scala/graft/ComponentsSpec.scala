@@ -46,6 +46,16 @@ class ComponentsSpec extends AnyFunSuite {
     assert(canon(got) == canon(expected))
   }
 
+  test("connectedComponents converges on a path longer than the checkpoint interval") {
+    // diameter 12: min-label propagation needs 12 rounds, crossing two
+    // checkpointInterval=5 boundaries — exercises the persist/checkpoint
+    // alternation and the superseded-cache release
+    val pairs = (1L until 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == 13 && comps.values.forall(_ == 1L))
+  }
+
   test("dropDuplicateClusters keeps one doc per transitive cluster") {
     val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // 1~2, 2~3 transitively; 5~6

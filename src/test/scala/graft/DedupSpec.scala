@@ -86,4 +86,75 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(brute), "LSH must not invent pairs (exact verify step)")
   }
+
+  test("embedding LSH recall >= 0.9 vs brute force on planted near-dups at cosine 0.9") {
+    val rnd = new scala.util.Random(123)
+    val base = Array.fill(180)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    // random 64-dim gaussians pair at cosine ~0±0.12, far below 0.9, so
+    // the only qualifying pairs are the 20 planted copies + tiny noise
+    val rows = base.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      (0 until 20).map { i =>
+        (1000L + i, base(i).toSeq.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+      }
+    val embs = rows.toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingPairsBrute(embs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingPairsLsh(embs, "vec_id", "embedding", 0.9, dim = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(brute.size >= 20, s"expected >=20 planted pairs, got ${brute.size}")
+    assert(lsh.subsetOf(brute))
+    assert(lsh.size.toDouble / brute.size >= 0.9,
+      s"recall ${lsh.size.toDouble / brute.size} below 0.9 (${lsh.size}/${brute.size})")
+  }
+
+  // Hot-bucket fixture: 1000 docs sharing one exact boilerplate text — one
+  // degenerate bucket in EVERY band. Uncapped, that single key would emit
+  // ~500k candidate pairs onto one reducer; the cap must drop it while
+  // leaving candidates among the normal docs untouched.
+  private val boilerText =
+    "common boilerplate header shared by every page of the crawl " * 3
+  private def hotDocs = {
+    val s1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val s3 = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val normal = Seq(
+      (1L, s1), (2L, s1 + " tail"),
+      (3L, s3), (4L, s3 + " extra"),
+      (5L, "completely different text with no relation to anything else here at all"))
+    val boiler = (100L until 1100L).map(i => (i, boilerText))
+    (normal ++ boiler).toDF("doc_id", "text")
+  }
+
+  test("MinHash hot-bucket cap bounds candidate volume, keeps normal-pair recall") {
+    val docs = hotDocs
+    val sigs = MinHashDedup.withSignatures(docs, "doc_id", "text")
+    // the degenerate cluster is visible to the diagnostic in every band
+    val hot = MinHashDedup.hotBuckets(sigs, "doc_id")
+      .filter(col("bucket_n") > 50).count()
+    assert(hot >= 16L, s"expected >=16 hot bands, got $hot")
+    // capped candidate generation: bounded volume, no boiler-only blowup
+    val nCands = MinHashDedup.candidatePairs(sigs, "doc_id", maxBucketSize = 50).count()
+    assert(nCands < 100L, s"capped candidates should be tiny, got $nCands")
+    // end-to-end: planted normal pairs survive, degenerate cluster is dropped
+    val capped = MinHashDedup.nearDuplicates(docs, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)) && capped.contains((3L, 4L)))
+    assert(capped.forall { case (a, b) => a < 100L && b < 100L },
+      "no candidate pair may come from the capped degenerate bucket")
+  }
+
+  test("SimHash hot-bucket cap drops the degenerate block, keeps normal pairs") {
+    val docs = hotDocs
+    val cappedPairs = Dedup.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedPairs.forall { case (a, b) => a < 100L && b < 100L },
+      "identical-boilerplate pairs must be excluded by the cap")
+    // normal docs are unaffected by the cap: same result as uncapped
+    // run restricted to them
+    val normalOnly = docs.filter(col("doc_id") < 100L)
+    val uncappedNormal = Dedup.simHashPairs(normalOnly, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedPairs === uncappedNormal)
+  }
 }
