@@ -9,16 +9,31 @@ import graft.operators.{Merge, Standardize}
   * literal VALUES relation → key normalization → dedup by max →
   * MERGE upsert → silver backfill → coverage diagnostics).
   *
-  * The reference ships ~560 curated variant→standard pairs; this module
-  * implements the machinery with a representative seed set (the curation
-  * itself is data, not engine). `upsertMapping` emulates MERGE with the
-  * library's full-outer-join upsert (no Delta in this environment).
+  * The full curated dim (the reference's ~552 variant→standard VALUES
+  * rows, sql/breed_mapping.py:19-578) ships as a TSV resource —
+  * curation is data, not engine — loaded by `referencePairs`.
+  * `upsertMapping` emulates MERGE with the library's full-outer-join
+  * upsert (no Delta in this environment).
   */
 object BreedMapping {
 
-  /** Representative seed pairs (same normalization contract as the
-    * reference's: sql/breed_mapping.py:19-578).
+  /** The reference's complete curated pair list (sql/breed_mapping.py:
+    * 19-578), transcribed as data: one `variant<TAB>standard` row per
+    * VALUES tuple, duplicates included (the normalize→dedup contract
+    * collapses them exactly like the reference's GROUP BY).
     */
+  lazy val referencePairs: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/breed_mapping_pairs.tsv")
+    require(in != null, "missing resource graft/breed_mapping_pairs.tsv")
+    try
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { line =>
+        val Array(k, v) = line.split("\t", 2)
+        (k, v)
+      }.toVector
+    finally in.close()
+  }
+
+  /** Small inline subset kept for fast mechanism tests. */
   val seedPairs: Seq[(String, String)] = Seq(
     "Golden Retr" -> "GOLDEN RETRIEVER",
     "GOLDEN RETRIEVER" -> "GOLDEN RETRIEVER",
@@ -34,6 +49,10 @@ object BreedMapping {
     "Mixed" -> "MIXED BREED",
     "SHIH-TZU" -> "SHIH TZU",
     "Poodle (Toy)" -> "POODLE TOY")
+
+  /** The full dim, normalized and deduplicated — what a deployment loads. */
+  def referenceDim(spark: SparkSession): DataFrame =
+    normalizedUpdates(spark, referencePairs)
 
   /** Build the normalized, deduplicated mapping updates from raw pairs
     * (reference: breed_mapping.py:581-593 — normalize with the SAME
