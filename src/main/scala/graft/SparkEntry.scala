@@ -216,6 +216,18 @@ object SparkEntry {
         .withColumn("pct_unmatched", lit(100.0) * col("unmatched_rows") / col("total_rows"))
     }),
 
+    // The complete v_breed_stats gold view (reference: gold.py:88-136 —
+    // share + rank + LAG yoy deltas + round/div-0 pins), exercised through
+    // Gold.breedStats itself on re-keyed testdata: Year=year(o_orderdate),
+    // type=o_orderstatus, breed=o_orderpriority.
+    "q35_breed_stats_full" -> ((s, dir) => {
+      val rekeyed = Tables.orders(s, dir).select(
+        year(col("o_orderdate")).as("Year"),
+        col("o_orderstatus").as("ANIMAL_TYPE"),
+        col("o_orderpriority").as("breed_standard"))
+      graft.pipeline.Gold.breedStats(rekeyed)
+    }),
+
     // §2.7: set operations (union / intersect / except)
     "q15_set_ops" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -544,6 +556,35 @@ object SparkEntry {
         |SELECT t.total_rows, u.unmatched_rows,
         |  100.0 * u.unmatched_rows / t.total_rows AS pct_unmatched
         |FROM total t CROSS JOIN unmatched u""".stripMargin,
+
+    "q35_breed_stats_full" ->
+      """WITH base AS (
+        |  SELECT CAST(YEAR(o_orderdate) AS INT) AS Year, o_orderstatus AS Animal_Type,
+        |    o_orderpriority AS breed, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT *,
+        |    CAST(SUM(cnt) OVER (PARTITION BY Year, Animal_Type) AS BIGINT) AS total,
+        |    RANK() OVER (PARTITION BY Year, Animal_Type
+        |      ORDER BY cnt DESC, breed ASC) AS rank_in_year_type
+        |  FROM base),
+        |sh AS (
+        |  SELECT *, ROUND(CAST(cnt AS DOUBLE) / total, 4) AS share FROM w),
+        |lagged AS (
+        |  SELECT *,
+        |    LAG(cnt, 1) OVER (PARTITION BY Animal_Type, breed ORDER BY Year) AS prev_cnt,
+        |    LAG(share, 1) OVER (PARTITION BY Animal_Type, breed ORDER BY Year) AS prev_share
+        |  FROM sh)
+        |SELECT Year, Animal_Type, breed, cnt, total, share, rank_in_year_type,
+        |  prev_cnt,
+        |  cnt - prev_cnt AS yoy_cnt_diff,
+        |  CASE WHEN prev_cnt > 0
+        |    THEN ROUND(CAST(cnt - prev_cnt AS DOUBLE) / prev_cnt, 4) END AS yoy_cnt_pct_change,
+        |  prev_share,
+        |  ROUND(share - prev_share, 4) AS yoy_share_point_diff,
+        |  CASE WHEN prev_share > 0
+        |    THEN ROUND((share - prev_share) / prev_share, 4) END AS yoy_share_pct_change
+        |FROM lagged""".stripMargin,
 
     "q15_set_ops" ->
       """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
