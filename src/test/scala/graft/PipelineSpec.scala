@@ -203,4 +203,53 @@ class PipelineSpec extends AnyFunSuite {
       assert(refreshed.count() == mapping(spark).count() + 1)
     }
   }
+
+  test("orchestrator: retry/backoff contract, full DAG, idempotent re-run") {
+    withPipelineDirs { (_, cfg) =>
+      writeRawCsv(cfg.rawDir, cfg.ingestionDate, day1Rows)
+
+      // transient failure is retried after the configured backoff
+      var sleeps = List.empty[Long]
+      var calls = 0
+      val (flaky, value) = Orchestrator.runStage(
+        "flaky", Orchestrator.SilverRetry, ms => sleeps ::= ms) {
+        calls += 1
+        if (calls == 1) throw new RuntimeException("transient")
+        42
+      }
+      assert(flaky.outcome == "success" && flaky.attempts == 2 && value.contains(42))
+      assert(sleeps == List(600000L)) // yaml:45 min_retry_interval_millis
+
+      // exhausted retries report failure, with maxRetries+1 attempts
+      var n = 0
+      val (doomed, none) = Orchestrator.runStage[Int](
+        "doomed", Orchestrator.Retry(2, 0L), _ => ()) {
+        n += 1; throw new RuntimeException("permanent")
+      }
+      assert(doomed.attempts == 3 && doomed.outcome.startsWith("failed")
+        && none.isEmpty && n == 3)
+
+      // full DAG with the complete reference dim
+      val report = Orchestrator.runAll(spark, cfg, sleep = _ => ())
+      assert(report.succeeded)
+      assert(report.stages.map(_.outcome) == Seq("success", "success", "success"))
+      val silverCount = spark.read.parquet(cfg.silverDir).count()
+      assert(silverCount == 5L)
+      assert(spark.sql("SELECT COUNT(*) FROM v_breed_stats").first().getLong(0) > 0)
+
+      // re-run of the same day (= retry after success): ledger + anti-join
+      // make it a no-op — nothing double-loads
+      val rerun = Orchestrator.runAll(spark, cfg, sleep = _ => ())
+      assert(rerun.succeeded)
+      assert(spark.read.parquet(cfg.silverDir).count() == silverCount)
+
+      // a stage failing past its retries aborts the run, downstream skipped
+      val bad = Orchestrator.runAll(
+        spark, cfg.copy(ingestionDate = "not-a-date"), sleep = _ => ())
+      assert(!bad.succeeded)
+      assert(bad.stages.head.attempts == 3
+        && bad.stages.head.outcome.startsWith("failed"))
+      assert(bad.stages.tail.map(_.outcome) == Seq("skipped", "skipped"))
+    }
+  }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards: the 100 TB story leans on AQE plus a
+  * handful of plan properties (broadcast dim joins, rank pushdown,
+  * parquet filter pushdown) that a refactor could silently lose. These
+  * assertions fail loudly if the plan regresses.
+  */
+class PlansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, SparkTestSession.sfTiny)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("AQE posture pinned: adaptive + coalesce partitions + skew join") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+  }
+
+  test("q02 top-N-per-group pushes the rank limit below the window sort") {
+    assert(plan("q02_top_parts_per_flag").contains("WindowGroupLimit"),
+      "rank filter should become a WindowGroupLimit, not a post-window filter")
+  }
+
+  test("q08 dim enrichment broadcasts and pushes the dim filter into the scan") {
+    val p = plan("q08_enrich_parts")
+    assert(p.contains("BroadcastHashJoin"), "small dim join must broadcast")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), LessThanOrEqual(p_size,25)]")
+      || p.contains("LessThanOrEqual(p_size,25)"),
+      "p_size predicate must reach the parquet scan")
+  }
+
+  test("q01 aggregation runs with map-side partial aggregation") {
+    // two HashAggregate levels (partial + final) around the exchange
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "grouped agg should partial-combine before the shuffle")
+  }
+}
