@@ -46,17 +46,31 @@ object MinHashDedup {
       (rnd.nextLong() & Long.MaxValue) % PRIME))
   }
 
-  /** id, shingles(array<string>), sig(array<long> length k). */
+  /** id, shingles(array<string>), sig(array<long> length k).
+    *
+    * The k mins are folded in ONE `aggregate` pass with a k-slot
+    * accumulator and the (a, b) coefficients as a literal array — k
+    * unrolled `array_min(transform(...))` expressions generate ~k large
+    * codegen methods whose compile/JIT time dwarfed the arithmetic
+    * (measured: 6.2 s cold vs 2.3 s warm on 5k docs). Values are
+    * identical: sig[i] = min over shingle hashes h of (a_i*h+b_i) mod P
+    * (empty shingle set ⇒ sig[i] = P, a constant, where the unrolled
+    * form gave null — both make empty docs mutual band-collisions that
+    * the exact-Jaccard verify then rejects).
+    */
   def withSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
     val sh = array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize))
     val base = transform(col("shingles"), s => pmod(xxhash64(s), lit(PRIME)))
-    val sigCols: Seq[Column] = coeffs(numHashes, seed).map { case (a, b) =>
-      array_min(transform(col("__h"), h => pmod(h * a + b, lit(PRIME))))
-    }
+    val coeffArr = typedLit(coeffs(numHashes, seed))
+    val sig = aggregate(
+      col("__h"),
+      array_repeat(lit(PRIME), numHashes),
+      (acc, h) => zip_with(acc, coeffArr, (m, c) =>
+        least(m, pmod(h * c.getField("_1") + c.getField("_2"), lit(PRIME)))))
     docs.select(col(idCol), sh.as("shingles"))
       .withColumn("__h", base)
-      .withColumn("sig", array(sigCols: _*))
+      .withColumn("sig", sig)
       .drop("__h")
   }
 
