@@ -26,18 +26,24 @@ object VectorFunctions {
     dot(a, b) / (norm(a) * norm(b))
 
   /** Random-hyperplane LSH signature: packs `nPlanes` sign bits of
-    * dot(v, plane_i) into a long. Planes are generated deterministically
-    * from `seed` (same signature every run / every executor). This is the
-    * scale path for similarity search: bucket by signature bands, then
-    * verify exact cosine only within candidate buckets.
+    * dot(v, plane_i) into a long (bit i = plane i). Planes are generated
+    * deterministically from `seed` (same signature every run / every
+    * executor). This is the scale path for similarity search: bucket by
+    * signature bands, then verify exact cosine only within candidate
+    * buckets.
+    *
+    * One `aggregate` fold over the planes as a literal array — unrolling
+    * a `when(dot(...))` per plane generated a large codegen method per
+    * plane (compile/JIT dominated the arithmetic when callers stack
+    * nPlanes × nTables of these). Planes are traversed reversed so
+    * acc*2+bit lands plane 0 on the LSB, matching the unrolled values
+    * bit-for-bit.
     */
   def hyperplaneSignature(v: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val plane = typedLit(p.toSeq)
-      when(dot(v, plane) > 0.0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val planesLit = typedLit(planes.reverse.map(_.toSeq).toSeq)
+    aggregate(planesLit, lit(0L), (acc, p) =>
+      acc * 2 + when(dot(v, p) > 0.0, lit(1L)).otherwise(lit(0L)))
   }
 }

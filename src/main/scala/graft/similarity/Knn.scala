@@ -51,11 +51,12 @@ object Knn {
     */
   def ivf(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
-    // centroid argmax as a codegen'd expression over the broadcast quantizer
+    // centroid argmax as a codegen'd expression over the broadcast
+    // quantizer — one transform loop over the centroid literal array
+    // (an unrolled cosine per centroid bloats codegen nlist-fold)
     def best(vec: org.apache.spark.sql.Column, cents: Array[Array[Float]], n: Int) = {
-      val sims = array(cents.map { c =>
-        VectorFunctions.cosine(vec, typedLit(c.toSeq))
-      }: _*)
+      val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+      val sims = transform(centsLit, c => VectorFunctions.cosine(vec, c))
       // (sim, idx) structs sorted desc by sim, idx asc on ties → top-n ids
       val ranked = sort_array(
         transform(sims, (s, i) => struct((-s).as("neg"), i.as("idx"))))
