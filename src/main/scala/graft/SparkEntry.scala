@@ -228,6 +228,23 @@ object SparkEntry {
       graft.pipeline.Gold.breedStats(rekeyed)
     }),
 
+    // Bucketed co-located join: both sides written bucketBy(custkey) once,
+    // then the equi-join + its sorts run exchange-free (BucketingSpec
+    // asserts the plan) — the write-time-shuffle amortization story for a
+    // recurring 100 TB fact join. Results identical to the plain join.
+    "q36_bucketed_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q36").toString
+      Bucketing.writeBucketed(Tables.orders(s, dir), "q36_orders", 8,
+        Seq("o_custkey"), Seq("o_custkey"), Some(s"$tmp/orders"))
+      Bucketing.writeBucketed(
+        Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"),
+        "q36_customer", 8, Seq("o_custkey"), Seq("o_custkey"), Some(s"$tmp/customer"))
+      Bucketing.table(s, "q36_orders")
+        .join(Bucketing.table(s, "q36_customer"), Seq("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("sum_price"))
+    }),
+
     // §2.7: set operations (union / intersect / except)
     "q15_set_ops" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -556,6 +573,12 @@ object SparkEntry {
         |SELECT t.total_rows, u.unmatched_rows,
         |  100.0 * u.unmatched_rows / t.total_rows AS pct_unmatched
         |FROM total t CROSS JOIN unmatched u""".stripMargin,
+
+    "q36_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
 
     "q35_breed_stats_full" ->
       """WITH base AS (
