@@ -32,8 +32,11 @@ object Dedup {
     * only (block_idx, block_value, id, sig). `maxBucketSize` drops hot
     * blocks (a boilerplate cluster sharing one 16-bit block value would
     * otherwise put O(b²) pairs on a single reducer — same key, so AQE
-    * skew-split can't help); pairs lost are only those hot in ALL their
-    * blocks, i.e. near-exact duplicates that `exactByKey` removes upstream.
+    * skew-split can't help). Recall tradeoff: a pair is lost iff every
+    * block it MATCHES on is hot — a Hamming≤3 pair matches ≥1 of 4
+    * blocks, so pairs matching only one block are at risk when that
+    * block value is boilerplate-hot; identical-fingerprint clusters are
+    * exact-duplicate territory that `exactByKey` removes upstream.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {

@@ -21,10 +21,13 @@ import graft.functions.TextFunctions
   *     are capped: a bucket of b docs contributes O(b²) candidate pairs
   *     AND lands on a single reducer (same join key, so AQE's skew split
   *     cannot shard it) — `maxBucketSize` drops such buckets outright.
-  *     The recall loss is confined to pairs whose EVERY band is hot;
-  *     boilerplate clusters that hot are exact-duplicate territory, which
-  *     `Dedup.exactByKey` removes upstream. `hotBuckets` reports what a
-  *     given cap would drop before you commit to it.
+  *     Recall tradeoff, stated honestly: a pair is lost iff EVERY band it
+  *     collides in is dropped. High-similarity pairs collide in many
+  *     bands (j=0.8 ⇒ ~6-7 of 16 expected) so they survive unless the
+  *     pair itself sits inside the boilerplate cluster (exact-duplicate
+  *     territory that `Dedup.exactByKey` removes upstream); pairs just at
+  *     the threshold colliding in 1-2 bands are the ones at risk. Run
+  *     `hotBuckets` to measure what a cap would drop before tuning it.
   *
   * With k = bands*rowsPerBand minhashes, a pair with Jaccard j collides in
   * at least one band with prob 1-(1-j^rowsPerBand)^bands — the standard

@@ -26,10 +26,13 @@ object BreedMapping {
     val in = getClass.getResourceAsStream("/graft/breed_mapping_pairs.tsv")
     require(in != null, "missing resource graft/breed_mapping_pairs.tsv")
     try
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { line =>
-        val Array(k, v) = line.split("\t", 2)
-        (k, v)
-      }.toVector
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.stripSuffix("\r")) // tolerate a CRLF checkout
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(k, v) = line.split("\t", 2)
+          (k, v)
+        }.toVector
     finally in.close()
   }
 

@@ -48,7 +48,9 @@ object Orchestrator {
         val a = body
         return (StageResult(name, attempt, "success"), Some(a))
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an interrupt (operator cancel) or a control
+        // throwable must propagate, not trigger a 30-minute backoff retry
+        case scala.util.control.NonFatal(e) =>
           failure = e
           if (attempt <= retry.maxRetries) {
             log.warn(s"stage $name attempt $attempt failed (${e.getMessage}); " +
@@ -76,6 +78,13 @@ object Orchestrator {
       return RunReport(Seq(bronzeRes,
         StageResult("bronze_to_silver", 0, "skipped"),
         StageResult("silver_to_gold", 0, "skipped")))
+    // bronze can legitimately skip before the table's first load (no CSV
+    // drop yet) — silver would otherwise fail reading a missing dir and
+    // burn both retries on a no-op day
+    if (!Bronze.tableExists(spark, cfg.bronzeDir))
+      return RunReport(Seq(bronzeRes,
+        StageResult("bronze_to_silver", 0, "skipped"),
+        StageResult("silver_to_gold", 0, "skipped")))
 
     val (silverRes, silverOk) =
       runStage("bronze_to_silver", SilverRetry, sleep)(Silver.run(spark, cfg, dim))
@@ -83,6 +92,11 @@ object Orchestrator {
       return RunReport(Seq(bronzeRes, silverRes,
         StageResult("silver_to_gold", 0, "skipped")))
 
+    // a day can legitimately produce no silver rows (empty batch) before
+    // the table's first load — gold then has nothing to register
+    if (!Bronze.tableExists(spark, cfg.silverDir))
+      return RunReport(Seq(bronzeRes, silverRes,
+        StageResult("silver_to_gold", 0, "skipped")))
     val (goldRes, _) = runStage("silver_to_gold", GoldRetry, sleep) {
       Gold.registerAll(spark.read.parquet(cfg.silverDir))
     }

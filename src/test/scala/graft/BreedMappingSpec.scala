@@ -29,6 +29,11 @@ class BreedMappingSpec extends AnyFunSuite {
     assert(rows("DSH") == "DOMESTIC SHORTHAIR")
     assert(rows("GERMANSHEPARD") == "GERMAN SHEPHERD DOG")
     assert(rows("CIRNECO") == "CIRNECO DELL'ETNA")
+    // conflicting duplicates resolve by max(breed_standard) — the
+    // reference's OWN dedup rule (breed_mapping.py:590-593): the curated
+    // list maps SHIHTZU to both 'SHIHTZU' and 'SHIH TZU', and max picks
+    // 'SHIHTZU' there exactly as the reference deployment does
+    assert(rows("SHIHTZU") == "SHIHTZU")
   }
 
   test("runbook coverage arithmetic reproduces over a fixture silver") {

@@ -252,4 +252,16 @@ class PipelineSpec extends AnyFunSuite {
       assert(bad.stages.tail.map(_.outcome) == Seq("skipped", "skipped"))
     }
   }
+
+  test("orchestrator: a no-drop day before first load skips cleanly, no retries burned") {
+    withPipelineDirs { (_, cfg) =>
+      // no CSV drop written, bronze table never created: bronze reports
+      // success (SkippedNoFiles) and silver/gold must SKIP, not crash on
+      // the missing bronze dir and burn 2 x 10-minute retries
+      val report = Orchestrator.runAll(spark, cfg, sleep = _ => ())
+      assert(report.succeeded)
+      assert(report.stages.map(_.outcome) == Seq("success", "skipped", "skipped"))
+      assert(report.stages.map(_.attempts) == Seq(1, 0, 0))
+    }
+  }
 }
