@@ -16,11 +16,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: initializes codegen, parquet readers, and shuffle
-    // machinery so the first timed query isn't charged for session startup.
+    // Untimed warmup: initializes codegen, parquet readers, shuffle,
+    // hash-aggregate, distinct-expand and decimal-sum machinery so the
+    // first timed query isn't charged for session startup.
     try {
+      import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)), countDistinct(col("l_suppkey")),
+          sum(col("l_tax").cast("decimal(18,2)")))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
