@@ -425,6 +425,30 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.35, dim = 64)
     }),
 
+    // End-to-end corpus curation through the SQL-expressible stages:
+    // annotate (lang ID, token stats, quality) → language+quality gate →
+    // exact dedup keep-smallest-id. The full chain incl. MinHash near-dedup
+    // is CorpusPipelineSpec's job; this registers the composed pipeline
+    // under the DuckDB oracle.
+    "q37_corpus_curation" -> ((s, dir) => {
+      val cfg = graft.pipeline.CorpusPipeline.Config(
+        langs = Seq("en"), minQuality = 0.5, minTokens = 10)
+      val annotated = graft.pipeline.CorpusPipeline.annotate(Tables.documents(s, dir))
+      val filtered = graft.pipeline.CorpusPipeline.qualityFilter(annotated, cfg)
+      graft.pipeline.CorpusPipeline.exactDedup(filtered)
+        .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality"))
+    }),
+
+    // Transitive duplicate clusters: SimHash near-dup pairs → distributed
+    // connected components (min-label propagation) → (id, cluster_id).
+    // Not SQL-expressible (iterative); ComponentsSpec proves it against a
+    // driver-side union-find oracle.
+    "q38_dup_clusters" -> ((s, dir) => {
+      val pairs = graft.dedup.Dedup.simHashPairs(
+        Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      graft.dedup.Components.connectedComponents(pairs)
+    }),
+
     // Sketch aggregates — the 100 TB scale path where exact distinct /
     // exact percentiles would shuffle every value: HLL++ and a quantile
     // sketch keep constant state per group. No SQL oracle (sketch values
@@ -748,6 +772,43 @@ object SparkEntry {
         |  CAST(len(list_distinct(toks)) AS INT) AS n_bpe_distinct,
         |  toks[1] AS first_token
         |FROM t""".stripMargin,
+
+    "q37_corpus_curation" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, text, toks,
+        |  (CAST(list_contains(toks,'the') AS INT) + CAST(list_contains(toks,'and') AS INT)
+        |   + CAST(list_contains(toks,'of') AS INT) + CAST(list_contains(toks,'to') AS INT)
+        |   + CAST(list_contains(toks,'a') AS INT) + CAST(list_contains(toks,'in') AS INT)
+        |   + CAST(list_contains(toks,'is') AS INT)) AS s_en,
+        |  (CAST(list_contains(toks,'el') AS INT) + CAST(list_contains(toks,'la') AS INT)
+        |   + CAST(list_contains(toks,'de') AS INT) + CAST(list_contains(toks,'que') AS INT)
+        |   + CAST(list_contains(toks,'y') AS INT) + CAST(list_contains(toks,'en') AS INT)) AS s_es,
+        |  (CAST(list_contains(toks,'le') AS INT) + CAST(list_contains(toks,'les') AS INT)
+        |   + CAST(list_contains(toks,'des') AS INT) + CAST(list_contains(toks,'et') AS INT)
+        |   + CAST(list_contains(toks,'une') AS INT) + CAST(list_contains(toks,'dans') AS INT)) AS s_fr,
+        |  (CAST(list_contains(toks,'der') AS INT) + CAST(list_contains(toks,'die') AS INT)
+        |   + CAST(list_contains(toks,'und') AS INT) + CAST(list_contains(toks,'das') AS INT)
+        |   + CAST(list_contains(toks,'ist') AS INT) + CAST(list_contains(toks,'nicht') AS INT)) AS s_de,
+        |  (CAST(list_contains(toks,'的') AS INT) + CAST(list_contains(toks,'了') AS INT)
+        |   + CAST(list_contains(toks,'是') AS INT)) AS s_zh,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(toks) AS DOUBLE) AS n,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+        |  FROM t),
+        |p AS (SELECT *,
+        |  CASE WHEN s_en = GREATEST(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+        |       WHEN s_es = GREATEST(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+        |       WHEN s_fr = GREATEST(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+        |       WHEN s_de = GREATEST(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+        |       ELSE 'zh' END AS pred_lang,
+        |  0.3 * LEAST((CAST(s_en AS DOUBLE) / 7.0) * 2.0, 1.0)
+        |  + 0.4 * (nd / n) + 0.3 * LEAST(n / 100.0, 1.0) AS quality
+        |  FROM s),
+        |f AS (SELECT * FROM p
+        |  WHERE pred_lang = 'en' AND quality >= 0.5 AND n_tokens >= 10),
+        |k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text)
+        |SELECT f.doc_id, f.pred_lang, f.n_tokens, f.quality
+        |FROM f JOIN k USING (doc_id)""".stripMargin,
 
     "q31_pivot_native" ->
       """SELECT user_id % 10 AS bucket,

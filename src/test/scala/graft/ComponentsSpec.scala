@@ -9,21 +9,27 @@ class ComponentsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("connectedComponents labels a chain, a clique, and an isolated pair") {
+  test("connectedComponents labels a chain, a clique, and an isolated pair (both paths)") {
     // chain 1-2-3-4, pair 10-11, clique 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
-    val comps = Components.connectedComponents(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    val driver = Components.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(driver == expected)
+    // maxDriverEdges = 0 forces the distributed label-propagation path
+    val distributed = Components.connectedComponents(pairs, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == expected)
   }
 
-  test("connectedComponents matches driver-side union-find on random graphs") {
+  test("distributed connectedComponents matches driver-side union-find on random graphs") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
       .filter(e => e._1 != e._2)
-    val got = Components.connectedComponents(edges.toDF("id_a", "id_b"))
+    val got = Components.connectedComponents(edges.toDF("id_a", "id_b"),
+        maxDriverEdges = 0)
       .as[(Long, Long)].collect().toMap
 
     // driver-side union-find oracle
@@ -46,12 +52,12 @@ class ComponentsSpec extends AnyFunSuite {
     assert(canon(got) == canon(expected))
   }
 
-  test("connectedComponents converges on a path longer than the checkpoint interval") {
-    // diameter 12: min-label propagation needs 12 rounds, crossing two
-    // checkpointInterval=5 boundaries — exercises the persist/checkpoint
-    // alternation and the superseded-cache release
+  test("distributed path converges on a chain longer than the checkpoint interval") {
+    // diameter 12: min-label propagation needs 12 rounds, crossing
+    // several checkpointInterval=3 boundaries — exercises the
+    // persist/checkpoint alternation and the superseded-cache release
     val pairs = (1L until 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comps = Components.connectedComponents(pairs)
+    val comps = Components.connectedComponents(pairs, maxDriverEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(comps.size == 13 && comps.values.forall(_ == 1L))
   }
