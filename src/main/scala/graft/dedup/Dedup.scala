@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.HashExpressions
@@ -53,10 +52,10 @@ object Dedup {
     val bounded =
       if (maxBucketSize <= 0) exploded
       else {
-        val w = Window.partitionBy("block_idx", "block_value")
-        exploded.withColumn("__bucket_n", count(lit(1)).over(w))
-          .filter(col("__bucket_n") <= maxBucketSize)
-          .drop("__bucket_n")
+        val hot = exploded.groupBy("block_idx", "block_value")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+          .select("block_idx", "block_value")
+        exploded.join(broadcast(hot), Seq("block_idx", "block_value"), "left_anti")
       }
     val a = bounded.select(col("block_idx"), col("block_value"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
@@ -142,10 +141,11 @@ object Dedup {
     val bounded =
       if (maxBucketSize <= 0) exploded
       else {
-        val w = Window.partitionBy("table_idx", "bucket")
-        exploded.withColumn("__bucket_n", count(lit(1)).over(w))
-          .filter(col("__bucket_n") <= maxBucketSize)
-          .drop("__bucket_n")
+        val hot = exploded.select(col("table_idx"), col("bucket"))
+          .groupBy("table_idx", "bucket")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+          .select("table_idx", "bucket")
+        exploded.join(broadcast(hot), Seq("table_idx", "bucket"), "left_anti")
       }
     val a = bounded.select(col("table_idx"), col("bucket"),
       col(idCol).as("id_a"), col(vecCol).as("v_a"))

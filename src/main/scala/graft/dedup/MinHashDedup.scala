@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -99,12 +98,13 @@ object MinHashDedup {
     val bounded =
       if (maxBucketSize <= 0) exploded
       else {
-        // bucket size via unordered window count: ONE shuffle on the same
-        // (band_idx, band_hash) key the join needs anyway
-        val w = Window.partitionBy("band_idx", "band_hash")
-        exploded.withColumn("__bucket_n", count(lit(1)).over(w))
-          .filter(col("__bucket_n") <= maxBucketSize)
-          .drop("__bucket_n")
+        // hot keys are FEW by construction (buckets above the cap), so a
+        // partial-combined count + broadcast anti-join beats a window
+        // guard, which would sort the entire banded relation per side
+        val hot = exploded.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+          .select("band_idx", "band_hash")
+        exploded.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
       }
     val a = bounded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
     val b = bounded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
