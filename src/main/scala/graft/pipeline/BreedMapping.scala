@@ -28,7 +28,7 @@ object BreedMapping {
     try
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.stripSuffix("\r")) // tolerate a CRLF checkout
-        .filter(_.nonEmpty)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { line =>
           val Array(k, v) = line.split("\t", 2)
           (k, v)
