@@ -39,6 +39,8 @@ object SparkEntry {
   private def decSum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType)
 
+  private lazy val jvmId: String = java.util.UUID.randomUUID().toString.take(8)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q02_top_parts_per_flag")(spark, "/root/testdata/sf0.001")
@@ -238,8 +240,9 @@ object SparkEntry {
     // asserts the plan) — the write-time-shuffle amortization story for a
     // recurring 100 TB fact join. Results identical to the plain join.
     "q36_bucketed_join" -> ((s, dir) => {
-      // fixed location + Overwrite: repeated runs replace, never accumulate
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q36_bucketed"
+      // per-JVM location + Overwrite: repeated runs in one process replace
+      // (no accumulation), concurrent processes never clobber each other
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q36_$jvmId"
       Bucketing.writeBucketed(Tables.orders(s, dir), "q36_orders", 8,
         Seq("o_custkey"), Seq("o_custkey"), Some(s"$tmp/orders"))
       Bucketing.writeBucketed(

@@ -15,13 +15,15 @@ import org.apache.spark.storage.StorageLevel
   * 3-5 rounds settle real corpora.
   *
   * Two execution paths, picked by pair-list size:
-  *   - **Driver union-find** when the pair list fits under
-  *     `maxDriverEdges` (default 5M edges ≈ 80 MB on the driver). The
-  *     pair list is the OUTPUT of an LSH verify — tiny relative to the
-  *     corpus — so this is the overwhelmingly common case, and iterative
-  *     Spark jobs on a small graph are pure scheduling overhead
-  *     (measured: 7-13 s for a 753-node graph vs milliseconds on the
-  *     driver). Bounded, like the IVF quantizer's collect.
+  *   - **Driver union-find** when ids are integral AND the pair list
+  *     fits under `maxDriverEdges` (default 1M edges — a few hundred MB
+  *     of collected Rows at the worst, bounded; size the flag to your
+  *     driver heap). The pair list is the OUTPUT of an LSH verify —
+  *     tiny relative to the corpus — so this is the overwhelmingly
+  *     common case, and iterative Spark jobs on a small graph are pure
+  *     scheduling overhead (measured: 7-13 s for a 753-node graph vs
+  *     milliseconds on the driver). Bounded, like the IVF quantizer's
+  *     collect.
   *   - **Distributed min-label propagation** beyond the bound: each
   *     round is one join edges⋈labels + one groupBy-min — both shuffle
   *     only (id, label) longs. The convergence signal is a `__changed`
@@ -31,7 +33,10 @@ import org.apache.spark.storage.StorageLevel
   *     `localCheckpoint` every `checkpointInterval` rounds; superseded
   *     round caches are released as soon as the next round materializes.
   *
-  * Ids are returned as longs on both paths.
+  * Integral ids come back as longs (driver path) or their input type
+  * (distributed); non-integral ids (string/UUID keys) always take the
+  * distributed path, whose min-label semantics work for any orderable
+  * type.
   */
 object Components {
 
@@ -47,21 +52,36 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20,
-      checkpointInterval: Int = 3, maxDriverEdges: Int = 5000000): DataFrame = {
+      checkpointInterval: Int = 3, maxDriverEdges: Int = 1000000): DataFrame = {
     val spark = pairs.sparkSession
-    val pairList = pairs.select(col(idA).cast("long").as("src"),
-      col(idB).cast("long").as("dst"))
-
-    if (maxDriverEdges > 0) {
-      // limit+collect: if we get fewer than the cap we already hold the
-      // whole edge list — one job, no separate count
-      val sample = pairList.limit(maxDriverEdges + 1).collect()
-      if (sample.length <= maxDriverEdges)
-        return driverUnionFind(spark,
-          sample.map(r => (r.getLong(0), r.getLong(1))))
+    val integralIds = Seq(idA, idB).forall { c =>
+      pairs.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
     }
 
-    // symmetric edge list
+    // un-cast: the distributed path's min-label propagation works for any
+    // orderable id type (strings included); only the driver path needs longs
+    val pairList = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (maxDriverEdges > 0 && integralIds) {
+      // limit+collect: if we get fewer than the cap we already hold the
+      // whole edge list — one job, no separate count
+      val sample = pairList.select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(maxDriverEdges + 1).collect()
+      if (sample.length <= maxDriverEdges) {
+        pairList.unpersist()
+        return driverUnionFind(spark,
+          sample.map(r => (r.getLong(0), r.getLong(1))))
+      }
+    }
+
+    // symmetric edge list; pairList stays cached so the (possibly
+    // expensive) upstream pair computation runs once, not once per
+    // union branch
     val edges = pairList
       .union(pairList.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -69,7 +89,8 @@ object Components {
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .localCheckpoint() // eager: also materializes the edges cache
+    pairList.unpersist()
     var superseded: DataFrame = null // previous round's persist, to release
 
     var iter = 0

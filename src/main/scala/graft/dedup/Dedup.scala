@@ -46,27 +46,27 @@ object Dedup {
       struct(lit(j).as("block_idx"),
         shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)).as("block_value"))
     }
+    // persisted: the hot-key count + both self-join sides would otherwise
+    // each re-fingerprint the whole corpus; released after the (small)
+    // pair list is materialized
     val exploded = sigs.select(col(idCol), col("sig"),
       explode(array(blocks: _*)).as("b"))
       .select(col(idCol), col("sig"), col("b.block_idx"), col("b.block_value"))
-    val bounded =
-      if (maxBucketSize <= 0) exploded
-      else {
-        val hot = exploded.groupBy("block_idx", "block_value")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
-          .select("block_idx", "block_value")
-        exploded.join(broadcast(hot), Seq("block_idx", "block_value"), "left_anti")
-      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounded = LshGuards.dropHotKeys(exploded, Seq("block_idx", "block_value"), maxBucketSize)
     val a = bounded.select(col("block_idx"), col("block_value"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = bounded.select(col("block_idx"), col("block_value"),
       col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("block_idx", "block_value"))
+    val result = a.join(b, Seq("block_idx", "block_value"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         HashExpressions.hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+    val out = result.localCheckpoint() // eager
+    exploded.unpersist()
+    out
   }
 
   /** Brute-force SimHash pairs (test oracle for simHashPairs recall). */
@@ -135,27 +135,26 @@ object Dedup {
         VectorFunctions.hyperplaneSignature(col(vecCol), dim, nPlanes, seed + t)
           .as("bucket"))
     }
+    // persisted: the hot-key count + both self-join sides would otherwise
+    // each recompute nPlanes×nTables hyperplane signatures over the whole
+    // corpus; released after the (small) pair list is materialized
     val exploded = embs
       .select(col(idCol), col(vecCol), explode(array(tables: _*)).as("tb"))
       .select(col(idCol), col(vecCol), col("tb.table_idx"), col("tb.bucket"))
-    val bounded =
-      if (maxBucketSize <= 0) exploded
-      else {
-        val hot = exploded.select(col("table_idx"), col("bucket"))
-          .groupBy("table_idx", "bucket")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
-          .select("table_idx", "bucket")
-        exploded.join(broadcast(hot), Seq("table_idx", "bucket"), "left_anti")
-      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounded = LshGuards.dropHotKeys(exploded, Seq("table_idx", "bucket"), maxBucketSize)
     val a = bounded.select(col("table_idx"), col("bucket"),
       col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = bounded.select(col("table_idx"), col("bucket"),
       col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("table_idx", "bucket"))
+    val result = a.join(b, Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") > threshold)
       .select("id_a", "id_b")
       .dropDuplicates()
+    val out = result.localCheckpoint() // eager
+    exploded.unpersist()
+    out
   }
 }

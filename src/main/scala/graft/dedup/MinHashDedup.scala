@@ -95,17 +95,7 @@ object MinHashDedup {
   def candidatePairs(signatures: DataFrame, idCol: String,
       bands: Int = 16, rowsPerBand: Int = 4, maxBucketSize: Int = 0): DataFrame = {
     val exploded = bandedRows(signatures, idCol, bands, rowsPerBand)
-    val bounded =
-      if (maxBucketSize <= 0) exploded
-      else {
-        // hot keys are FEW by construction (buckets above the cap), so a
-        // partial-combined count + broadcast anti-join beats a window
-        // guard, which would sort the entire banded relation per side
-        val hot = exploded.groupBy("band_idx", "band_hash")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
-          .select("band_idx", "band_hash")
-        exploded.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
-      }
+    val bounded = LshGuards.dropHotKeys(exploded, Seq("band_idx", "band_hash"), maxBucketSize)
     val a = bounded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
     val b = bounded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
     a.join(b, Seq("band_idx", "band_hash"))

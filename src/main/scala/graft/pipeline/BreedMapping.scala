@@ -30,8 +30,10 @@ object BreedMapping {
         .map(_.stripSuffix("\r")) // tolerate a CRLF checkout
         .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { line =>
-          val Array(k, v) = line.split("\t", 2)
-          (k, v)
+          val parts = line.split("\t", 2)
+          require(parts.length == 2 && parts.forall(_.trim.nonEmpty),
+            s"breed_mapping_pairs.tsv: malformed line '$line' (want variant<TAB>standard)")
+          (parts(0), parts(1))
         }.toVector
     finally in.close()
   }

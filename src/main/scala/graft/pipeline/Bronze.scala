@@ -89,13 +89,13 @@ object Bronze {
 
   private def parsesAsDate(spark: SparkSession, s: String): Boolean = {
     import spark.implicits._
-    Seq(s).toDF("d").select(to_date(col("d"), "yyyy-MM-dd")).first().get(0) != null
+    // try_to_date: ANSI-mode to_date would THROW on a malformed date
+    // instead of letting the guard produce its IllegalArgumentException
+    Seq(s).toDF("d").select(try_to_date(col("d"), "yyyy-MM-dd"))
+      .first().get(0) != null
   }
 
   /** Object-store-safe existence probe (Hadoop FS, not java.io.File). */
-  private[pipeline] def tableExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
-  }
+  private[pipeline] def tableExists(spark: SparkSession, dir: String): Boolean =
+    graft.sources.Sources.dirNonEmpty(spark, dir)
 }

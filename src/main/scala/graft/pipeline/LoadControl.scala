@@ -12,11 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object LoadControl {
 
-  private def exists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
-  }
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    graft.sources.Sources.dirNonEmpty(spark, dir)
 
   /** True iff (dataset, ingestionDate) was already loaded. Cheap probe —
     * the ledger has one row per run (reference uses limit(1).count()).

@@ -48,6 +48,11 @@ object Orchestrator {
         val a = body
         return (StageResult(name, attempt, "success"), Some(a))
       } catch {
+        // validation/guard failures (require) are deterministic over the
+        // same input — retrying burns up to an hour of backoff on an
+        // error that can never succeed; fail immediately
+        case e: IllegalArgumentException =>
+          return (StageResult(name, attempt, s"failed: ${e.getMessage}"), None)
         // NonFatal only: an interrupt (operator cancel) or a control
         // throwable must propagate, not trigger a 30-minute backoff retry
         case scala.util.control.NonFatal(e) =>

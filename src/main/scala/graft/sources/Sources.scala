@@ -78,4 +78,13 @@ object Sources {
   /** Register a parquet directory as a queryable table name. */
   def registerParquetTable(spark: SparkSession, name: String, dir: String): Unit =
     spark.read.parquet(dir).createOrReplaceTempView(name)
+
+  /** Object-store-safe "table exists and has files" probe — the one
+    * definition behind the pipeline's existence checks.
+    */
+  def dirNonEmpty(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
 }

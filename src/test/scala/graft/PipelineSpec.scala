@@ -243,11 +243,13 @@ class PipelineSpec extends AnyFunSuite {
       assert(rerun.succeeded)
       assert(spark.read.parquet(cfg.silverDir).count() == silverCount)
 
-      // a stage failing past its retries aborts the run, downstream skipped
+      // a deterministic validation failure (bad date) fails FAST — no
+      // retries burned on an error that can never succeed — and aborts
+      // the run with downstream stages skipped
       val bad = Orchestrator.runAll(
         spark, cfg.copy(ingestionDate = "not-a-date"), sleep = _ => ())
       assert(!bad.succeeded)
-      assert(bad.stages.head.attempts == 3
+      assert(bad.stages.head.attempts == 1
         && bad.stages.head.outcome.startsWith("failed"))
       assert(bad.stages.tail.map(_.outcome) == Seq("skipped", "skipped"))
     }
