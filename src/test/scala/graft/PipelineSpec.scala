@@ -229,6 +229,22 @@ class PipelineSpec extends AnyFunSuite {
       assert(doomed.attempts == 3 && doomed.outcome.startsWith("failed")
         && none.isEmpty && n == 3)
 
+      // deterministic validation failures are NOT retried
+      var g = 0
+      val (guard, _) = Orchestrator.runStage[Int](
+        "guard", Orchestrator.Retry(2, 0L), _ => ()) {
+        g += 1; throw new IllegalArgumentException("requirement failed")
+      }
+      assert(guard.attempts == 1 && guard.outcome.startsWith("failed") && g == 1)
+
+      // an interrupt (operator cancel) propagates instead of backing off
+      intercept[InterruptedException] {
+        Orchestrator.runStage[Int]("cancelled", Orchestrator.BronzeRetry,
+          _ => fail("must not sleep on interrupt")) {
+          throw new InterruptedException("cancel")
+        }
+      }
+
       // full DAG with the complete reference dim
       val report = Orchestrator.runAll(spark, cfg, sleep = _ => ())
       assert(report.succeeded)
