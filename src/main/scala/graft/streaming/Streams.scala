@@ -123,13 +123,29 @@ object Streams {
   }
 
   /** Run a streaming DataFrame to a named in-memory sink until all
-    * available input is processed — the local smoke path (a real
-    * deployment would use writeStream.format("parquet")/"kafka" with a
-    * checkpointLocation).
+    * available input is processed — the local smoke path.
     */
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append()): Unit = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Checkpointed parquet sink — the production ending of a streaming
+    * pipeline, and the durability contract at scale: the checkpoint
+    * records committed source offsets and the sink's transaction log
+    * records visible output files, so stopping and restarting the same
+    * (sink, checkpoint) pair resumes exactly-once — already-committed
+    * input is never reprocessed, half-written output never surfaces.
+    * Processes all currently-available input, then stops (a deployment
+    * would leave the query running on a trigger).
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
     try q.processAllAvailable() finally q.stop()
   }
 }

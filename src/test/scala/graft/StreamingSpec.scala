@@ -123,6 +123,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed parquet sink resumes exactly-once across restarts") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream")
+    val (src, out, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+    sampleEvents.take(3).toDF().write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    Streams.runToParquet(Streams.fileIngest(spark, src, schema), out, ckpt)
+    assert(spark.read.parquet(out).count() == 3)
+
+    // new source files arrive; a RESTARTED query on the same checkpoint
+    // must pick up only the new files — no reprocessing, no duplicates
+    sampleEvents.drop(3).toDF().write.mode("append").parquet(src)
+    Streams.runToParquet(Streams.fileIngest(spark, src, schema), out, ckpt)
+    val rows = spark.read.parquet(out).as[Event].collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.event_id).toSet == (1L to 6L).toSet)
+  }
+
   test("file-source streaming reads the real events parquet") {
     // events.parquet carries TIMESTAMP(NANOS); read nanos as long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
