@@ -62,6 +62,21 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("property: hot-bucket cap never invents candidates (capped subset of uncapped)") {
+    val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val docGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 50L), Gen.listOfN(8, word).map(_.mkString(" "))))
+    checkProp("hotcap")(Prop.forAll(docGen) { docs =>
+      val df = docs.distinctBy(_._1).toDF("doc_id", "text")
+      val sigs = graft.dedup.MinHashDedup.withSignatures(df, "doc_id", "text")
+      val uncapped = graft.dedup.MinHashDedup.candidatePairs(sigs, "doc_id")
+        .as[(Long, Long)].collect().toSet
+      val capped = graft.dedup.MinHashDedup.candidatePairs(sigs, "doc_id", maxBucketSize = 3)
+        .as[(Long, Long)].collect().toSet
+      capped.subsetOf(uncapped)
+    })
+  }
+
   test("property: Merge.upsert preserves key uniqueness and applies all updates") {
     checkProp("upsert")(Prop.forAll(batchGen, batchGen) { (targetRows, updateRows) =>
       val target = targetRows.toDF("id", "v").dropDuplicates("id")
