@@ -254,6 +254,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("sum_price"))
     }),
 
+    // As-of join: every event picks up the value of the user's latest
+    // prior (<=) purchase — the temporal feature-lookup join. Expressed
+    // as one union + sorted-window carry-forward (single shuffle on the
+    // key, no range join, no pair explosion); DuckDB's native ASOF JOIN
+    // is the oracle.
+    "q39_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = Dedup.latestPerKey(
+        Seq("user_id", "ts"), Seq(col("event_id").desc))(
+        ev.filter(col("event_type") === "purchase"))
+      AsOf.asOfJoin(
+        ev.select("event_id", "user_id", "ts"),
+        purchases.select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "ts", Seq("value"))
+    }),
+
     // §2.7: set operations (union / intersect / except)
     "q15_set_ops" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -612,6 +628,17 @@ object SparkEntry {
         |SELECT t.total_rows, u.unmatched_rows,
         |  100.0 * u.unmatched_rows / t.total_rows AS pct_unmatched
         |FROM total t CROSS JOIN unmatched u""".stripMargin,
+
+    "q39_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS rts, value FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') t WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+        |  p.value AS asof_value
+        |FROM events l ASOF LEFT JOIN p
+        |  ON l.user_id = p.user_id AND CAST(l.ts AS TIMESTAMP) >= p.rts""".stripMargin,
 
     "q36_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS cnt,

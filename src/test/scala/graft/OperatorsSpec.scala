@@ -67,4 +67,28 @@ class OperatorsSpec extends AnyFunSuite {
       .select(Standardize.normalizedKey($"s")).as[String].head()
     assert(out === "GOLDENRETR")
   }
+
+  test("AsOf.asOfJoin matches the latest right row at or before each left ts") {
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 5L), (3L, 2L, 7L), (4L, 3L, 2L))
+      .toDF("id", "k", "t")
+    val right = Seq((1L, 4L, "a"), (1L, 10L, "b"), (2L, 8L, "c"))
+      .toDF("k", "t", "v")
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      1L -> Some("b"), // right at t=10 matches left t=10 (<= semantics)
+      2L -> Some("a"), // latest right before t=5 is t=4
+      3L -> None,      // only right for k=2 is at t=8 > 7
+      4L -> None))     // no right rows for k=3 at all
+  }
+
+  test("AsOf.asOfJoin carries a matched-but-null right value (not an older row)") {
+    val left = Seq((1L, 1L, 10L)).toDF("id", "k", "t")
+    val right = Seq((1L, 4L, Some("old")), (1L, 9L, None: Option[String]))
+      .toDF("k", "t", "v")
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> None),
+      "the t=9 null-valued row is the as-of match; its null must not be skipped")
+  }
 }
