@@ -270,6 +270,21 @@ object SparkEntry {
         Seq("user_id"), "ts", "ts", Seq("value"))
     }),
 
+    // Range join: events landing inside the hour after any purchase by
+    // the same user. Bin-bucketed equi-join + exact containment filter —
+    // the scale path for a condition Spark would otherwise plan as a
+    // broadcast-nested-loop join (RangeJoinSpec asserts the plan).
+    "q40_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"),
+          col("event_id").as("interval_id"))
+      RangeJoin.pointsInIntervals(
+        ev.select("event_id", "user_id", "ts"), intervals,
+        Seq("user_id"), "ts", "start_ts", "end_ts", Seq("interval_id"))
+    }),
+
     // §2.7: set operations (union / intersect / except)
     "q15_set_ops" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -639,6 +654,16 @@ object SparkEntry {
         |  p.value AS asof_value
         |FROM events l ASOF LEFT JOIN p
         |  ON l.user_id = p.user_id AND CAST(l.ts AS TIMESTAMP) >= p.rts""".stripMargin,
+
+    "q40_range_join" ->
+      """WITH i AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS e,
+        |    event_id AS interval_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, i.interval_id
+        |FROM events l JOIN i ON l.user_id = i.user_id
+        |  AND CAST(l.ts AS TIMESTAMP) >= i.s AND CAST(l.ts AS TIMESTAMP) < i.e""".stripMargin,
 
     "q36_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS cnt,

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2025-06-01 10:$min%02d:00")
+
+  test("binned range join equals the naive inequality join, without a nested loop") {
+    val points = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(14)), (3L, 1L, ts(15)),
+      (4L, 2L, ts(5)), (5L, 3L, ts(30)))
+      .toDF("event_id", "user_id", "ts")
+    // [10:00, 10:15) for user 1; [10:04, 10:06) for user 2
+    val intervals = Seq(
+      (1L, ts(0), ts(15), 100L), (2L, ts(4), ts(6), 200L))
+      .toDF("user_id", "start_ts", "end_ts", "interval_id")
+
+    val binned = RangeJoin.pointsInIntervals(points, intervals,
+      Seq("user_id"), "ts", "start_ts", "end_ts", Seq("interval_id"),
+      binSeconds = 300L)
+    val got = binned.select("event_id", "interval_id")
+      .as[(Long, Long)].collect().toSet
+
+    val naive = points.join(intervals, Seq("user_id"))
+      .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .select("event_id", "interval_id").as[(Long, Long)].collect().toSet
+
+    assert(got == naive)
+    assert(got == Set((1L, 100L), (2L, 100L), (4L, 200L)))
+    // each true match appears exactly once (a point lives in ONE bin)
+    assert(binned.count() == got.size.toLong)
+
+    // the whole point: an equi-join plan, not a broadcast nested loop
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned range join must not fall back to a nested loop:\n$plan")
+  }
+
+  test("intervals spanning many bins still match each point once") {
+    val points = Seq((1L, 1L, ts(29))).toDF("event_id", "user_id", "ts")
+    // 55-minute interval spans 12 five-minute bins
+    val intervals = Seq((1L, ts(0), ts(55), 7L))
+      .toDF("user_id", "start_ts", "end_ts", "interval_id")
+    val out = RangeJoin.pointsInIntervals(points, intervals,
+      Seq("user_id"), "ts", "start_ts", "end_ts", Seq("interval_id"),
+      binSeconds = 300L)
+    assert(out.count() == 1L)
+  }
+}
