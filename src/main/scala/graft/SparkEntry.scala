@@ -323,12 +323,13 @@ object SparkEntry {
           size(toks).cast(DoubleType)).as("mean_token_len"))
     }),
 
-    // Heuristic quality scoring (stopword density / diversity / length)
+    // Heuristic quality scoring (stopword density / diversity / length);
+    // score computed once, bucket derived from the column
     "q18_quality_score" -> ((s, dir) => {
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("quality"),
-        floor(TextFunctions.qualityScore(col("text")) * 10).cast(IntegerType).as("quality_bucket"))
+      Tables.documents(s, dir)
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .select(col("doc_id"), col("quality"),
+          floor(col("quality") * 10).cast(IntegerType).as("quality_bucket"))
     }),
 
     // Stopword-hit language ID vs the labeled lang column (confusion counts)

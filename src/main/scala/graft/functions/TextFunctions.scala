@@ -62,8 +62,13 @@ object TextFunctions {
     * diversity, and length. Pure IEEE double arithmetic (no rounding) so
     * it reproduces bit-exactly in any engine.
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(tokens(text))
+
+  /** Same score over an already-tokenized column — callers computing
+    * several token-based annotations should tokenize ONCE and reuse
+    * (every `tokens(...)` use is a separate split pass in the plan).
+    */
+  def qualityScoreFromTokens(toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val stopRatio = stopwordHits(toks, "en").cast("double") / lit(7.0)
     val distinctRatio = size(array_distinct(toks)).cast("double") / nTok

@@ -28,14 +28,16 @@ object CorpusPipeline {
       minTokens: Int = 5,
       nearDupThreshold: Double = 0.8)
 
-  /** Stage 1: cheap per-doc annotations — one narrow pass. */
-  def annotate(docs: DataFrame): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
+  /** Stage 1: cheap per-doc annotations — one narrow pass, tokenizing
+    * once (each inline `tokens(...)` would be its own split pass).
+    */
+  def annotate(docs: DataFrame): DataFrame =
     docs
-      .withColumn("pred_lang", TextFunctions.langId(toks))
-      .withColumn("n_tokens", size(toks))
-      .withColumn("quality", TextFunctions.qualityScore(col("text")))
-  }
+      .withColumn("__toks", TextFunctions.tokens(col("text")))
+      .withColumn("pred_lang", TextFunctions.langId(col("__toks")))
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("quality", TextFunctions.qualityScoreFromTokens(col("__toks")))
+      .drop("__toks")
 
   /** Stage 2: language + quality gate (narrow filter; at scale this is
     * where most volume drops, before anything shuffles).
