@@ -261,8 +261,9 @@ object SparkEntry {
     // is the oracle.
     "q39_asof_join" -> ((s, dir) => {
       val ev = events(s, dir)
-      val purchases = Dedup.latestPerKey(
-        Seq("user_id", "ts"), Seq(col("event_id").desc))(
+      // hash-agg dedup form: single-column max ordering needs no sort-window
+      val purchases = Dedup.latestPerKeyAgg(
+        Seq("user_id", "ts"), Seq(col("event_id")))(
         ev.filter(col("event_type") === "purchase"))
       AsOf.asOfJoin(
         ev.select("event_id", "user_id", "ts"),

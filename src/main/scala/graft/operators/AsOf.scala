@@ -32,12 +32,21 @@ object AsOf {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val reserved = Seq("__ts", "__side", "__asof") ++ valueCols.map(c => s"__v_$c")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"asOfJoin reserves columns ${reserved.mkString(", ")}")
     val leftCols = left.columns.toSeq
     // right side: only keys + ts + values, tagged side=0 so it sorts
-    // BEFORE left rows at an identical timestamp (<= semantics)
-    val r = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    // BEFORE left rows at an identical timestamp (<= semantics). Null
+    // keys or timestamps never compare true in a join condition, so such
+    // right rows are unmatchable — drop them up front (a null ts would
+    // otherwise sort to the partition start and be carried into every
+    // row, and null keys would pair with null-key left rows).
+    val r = right
+      .filter((keys :+ rightTs).map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        (keys.map(col) :+ col(rightTs).as("__ts")) ++
+          valueCols.map(c => col(c).as(s"__v_$c")): _*)
       .withColumn("__side", lit(0))
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)

@@ -27,11 +27,18 @@ object RangeJoin {
       keys: Seq[String], pointTs: String, startCol: String, endCol: String,
       valueCols: Seq[String], binSeconds: Long = 3600L): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    val reserved = Seq("__bin", "__s", "__e")
+    require(!(points.columns ++ intervals.columns).exists(reserved.contains),
+      s"pointsInIntervals reserves columns ${reserved.mkString(", ")}")
     val p = points.withColumn("__bin",
       floor(col(pointTs).cast("long") / binSeconds))
     val i = intervals.select(
       (keys.map(col) :+ col(startCol).as("__s") :+ col(endCol).as("__e")) ++
         valueCols.map(col): _*)
+      // empty/inverted intervals match nothing — and an inverted one
+      // would make sequence() count DOWN, exploding |s-e|/binSeconds
+      // bin rows per bad row before the filter could discard them
+      .filter(col("__s") < col("__e"))
       .withColumn("__bin", explode(sequence(
         floor(col("__s").cast("long") / binSeconds),
         floor(col("__e").cast("long") / binSeconds))))

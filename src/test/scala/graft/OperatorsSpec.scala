@@ -82,6 +82,19 @@ class OperatorsSpec extends AnyFunSuite {
       4L -> None))     // no right rows for k=3 at all
   }
 
+  test("AsOf.asOfJoin never matches null-key or null-ts right rows (SQL semantics)") {
+    val left = Seq((1L, Some(1L), Some(10L)), (2L, None, Some(10L)))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (Some(1L), None: Option[Long], "null-ts"),  // unmatchable: null ts
+      (None: Option[Long], Some(5L), "null-key"), // unmatchable: null key
+      (Some(1L), Some(4L), "real"))
+      .toDF("k", "t", "v")
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> Some("real"), 2L -> None))
+  }
+
   test("AsOf.asOfJoin carries a matched-but-null right value (not an older row)") {
     val left = Seq((1L, 1L, 10L)).toDF("id", "k", "t")
     val right = Seq((1L, 4L, Some("old")), (1L, 9L, None: Option[String]))

@@ -45,6 +45,20 @@ class RangeJoinSpec extends AnyFunSuite {
       s"binned range join must not fall back to a nested loop:\n$plan")
   }
 
+  test("inverted and empty intervals are dropped, not exploded") {
+    val points = Seq((1L, 1L, ts(5))).toDF("event_id", "user_id", "ts")
+    val intervals = Seq(
+      (1L, ts(30), ts(0), 1L),  // inverted: sequence would count DOWN
+      (1L, ts(5), ts(5), 2L),   // empty: s == e contains nothing
+      (1L, ts(0), ts(10), 3L))
+      .toDF("user_id", "start_ts", "end_ts", "interval_id")
+    val out = RangeJoin.pointsInIntervals(points, intervals,
+      Seq("user_id"), "ts", "start_ts", "end_ts", Seq("interval_id"),
+      binSeconds = 300L)
+      .select("interval_id").as[Long].collect().toSeq
+    assert(out == Seq(3L))
+  }
+
   test("intervals spanning many bins still match each point once") {
     val points = Seq((1L, 1L, ts(29))).toDF("event_id", "user_id", "ts")
     // 55-minute interval spans 12 five-minute bins
