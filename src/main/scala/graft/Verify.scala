@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet is TIMESTAMP(NANOS); session-level, never set
+      // inside a query (see SparkEntry.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Same AQE posture as Bench: verify the plans we'd actually run.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

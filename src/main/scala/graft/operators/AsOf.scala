@@ -1,21 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of (point-in-time) join: each left row picks up the value columns
-  * of the LATEST right row with `right.ts <= left.ts` for the same key —
-  * the temporal join behind feature lookups and snapshot enrichment that
-  * Spark has no native operator for.
+  * of the temporally closest right row for the same key — the temporal
+  * join behind feature lookups and snapshot enrichment that Spark has no
+  * native operator for.
+  *
+  * Directions (pandas `merge_asof` / DuckDB ASOF semantics):
+  *   - `backward` (default): latest right row with `right.ts <= left.ts`
+  *   - `forward`:  earliest right row with `right.ts >= left.ts`
+  *   - `nearest`:  whichever of the two is closer in time (ties →
+  *     backward, the conventional pick)
+  * `tolerance` (seconds) nulls the match when the matched row is further
+  * than that from the left timestamp — max-staleness for feature
+  * pipelines.
   *
   * Spark-first formulation (composition beats a custom SparkPlan here):
   * tag and union both sides, then a single `last(struct, ignoreNulls)`
   * window over (key) ordered by (ts, side) carries the most recent right
   * ROW forward into each left row — the struct is non-null exactly for
   * right rows, so a right row whose value column is null still matches
-  * (its null is carried, not skipped). Cost: ONE shuffle on the key + a
-  * per-partition sort — no range-condition join (which Spark plans as a
+  * (its null is carried, not skipped). `forward` is the same carry with
+  * the ordering reversed; `nearest` evaluates both windows over the SAME
+  * key partitioning, so the plan still has ONE shuffle (two in-partition
+  * sorts). No range-condition join (which Spark plans as a
   * broadcast-nested-loop) and no pair explosion, regardless of how many
   * right rows precede a left row.
   *
@@ -26,22 +37,31 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** Left rows + `valueCols` from the as-of-matched right row (null when
-    * no right row precedes). `leftTs`/`rightTs` name each side's event
-    * time; output keeps all left columns plus one `asof_<c>` per value
-    * column.
+    * nothing matches within direction/tolerance). `leftTs`/`rightTs`
+    * name each side's event time; output keeps all left columns plus one
+    * `asof_<c>` per value column.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
-    val reserved = Seq("__ts", "__side", "__asof") ++ valueCols.map(c => s"__v_$c")
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Double] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
+    tolerance.foreach(t => require(t >= 0, "tolerance must be >= 0 seconds"))
+    val reserved = Seq("__ts", "__side", "__back", "__fwd", "__pick") ++
+      valueCols.map(c => s"__v_$c")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"asOfJoin reserves columns ${reserved.mkString(", ")}")
+    require(!valueCols.contains("__mts"),
+      "asOfJoin reserves the __mts struct field for the matched timestamp")
     val leftCols = left.columns.toSeq
     // right side: only keys + ts + values, tagged side=0 so it sorts
-    // BEFORE left rows at an identical timestamp (<= semantics). Null
-    // keys or timestamps never compare true in a join condition, so such
-    // right rows are unmatchable — drop them up front (a null ts would
-    // otherwise sort to the partition start and be carried into every
-    // row, and null keys would pair with null-key left rows).
+    // adjacent-BEFORE left rows at an identical timestamp in both
+    // orderings (<= / >= inclusive semantics). Null keys or timestamps
+    // never compare true in a join condition, so such right rows are
+    // unmatchable — drop them up front (a null ts would otherwise sort to
+    // the partition start and be carried into every row, and null keys
+    // would pair with null-key left rows).
     val r = right
       .filter((keys :+ rightTs).map(col(_).isNotNull).reduce(_ && _))
       .select(
@@ -51,14 +71,49 @@ object AsOf {
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the matched right ROW, with its own timestamp riding along so
+    // tolerance/nearest can measure the distance
     val rightRow = when(col("__side") === 0,
-      struct(valueCols.map(c => col(s"__v_$c").as(c)): _*))
-    unioned.withColumn("__asof", last(rightRow, ignoreNulls = true).over(w))
+      struct((col("__ts").as("__mts") +:
+        valueCols.map(c => col(s"__v_$c").as(c))): _*))
+    def carry(order: Seq[Column]): Column =
+      last(rightRow, ignoreNulls = true).over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val back = carry(Seq(col("__ts").asc, col("__side").asc))
+    val fwd = carry(Seq(col("__ts").desc, col("__side").asc))
+
+    // distances in seconds (double: exact for epoch-seconds + micros
+    // fractions, and works for plain numeric ts columns too)
+    def dist(m: Column): Column =
+      abs(col("__ts").cast("double") - m.getField("__mts").cast("double"))
+    def withinTol(m: Column): Column = tolerance match {
+      case Some(t) => m.isNotNull && dist(m) <= t
+      case None => m.isNotNull
+    }
+
+    val picked = direction match {
+      case "backward" =>
+        unioned.withColumn("__back", back)
+          .withColumn("__pick", when(withinTol(col("__back")), col("__back")))
+      case "forward" =>
+        unioned.withColumn("__fwd", fwd)
+          .withColumn("__pick", when(withinTol(col("__fwd")), col("__fwd")))
+      case "nearest" =>
+        unioned.withColumn("__back", back).withColumn("__fwd", fwd)
+          .withColumn("__pick", {
+            val b = when(withinTol(col("__back")), col("__back"))
+            val f = when(withinTol(col("__fwd")), col("__fwd"))
+            // both valid → closer wins, backward on ties; else whichever exists
+            when(b.isNotNull && f.isNotNull,
+              when(dist(col("__back")) <= dist(col("__fwd")), b).otherwise(f))
+              .otherwise(coalesce(b, f))
+          })
+    }
+    picked
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+        valueCols.map(c => col(s"__pick.$c").as(s"asof_$c")): _*)
   }
 }

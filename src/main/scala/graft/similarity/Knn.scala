@@ -112,21 +112,40 @@ object Knn {
     * of bucket collisions forms the candidate set, exact cosine ranks it.
     * Returns (query_id, neighbor_id, rnk) like bruteForce; rows may be
     * fewer than k when buckets are sparse.
+    *
+    * Multi-probe (the IVF-nprobe idea applied to LSH): each PROBE also
+    * visits the `multiProbe` buckets at Hamming distance 1 from its
+    * signature — the low-confidence sign bits are exactly the ones a true
+    * neighbor most likely landed across. Probe-side only: the corpus
+    * index stays one bucket per table per row, and the probe set is tiny
+    * and broadcast, so visiting (1 + multiProbe) buckets per table costs
+    * nothing at corpus scale but multiplies candidate recall. Default -1
+    * = flip every plane (multiProbe = nPlanes); 0 = exact buckets only
+    * (the pre-multi-probe behavior).
     */
   def lshBuckets(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, nPlanes: Int = 5,
-      tables: Int = 12, seed: Long = 42L): DataFrame = {
-    def sigs(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      tables: Int = 12, seed: Long = 42L, multiProbe: Int = -1): DataFrame = {
+    val flips = if (multiProbe < 0) nPlanes else math.min(multiProbe, nPlanes)
+    def sig(t: Int) =
+      VectorFunctions.hyperplaneSignature(col(vecCol), dim, nPlanes, seed + t)
+    val c = {
       val tableCols = (0 until tables).map { t =>
-        struct(lit(t).as("table_idx"),
-          VectorFunctions.hyperplaneSignature(col(vecCol), dim, nPlanes, seed + t).as("bucket"))
+        struct(lit(t).as("table_idx"), sig(t).as("bucket"))
       }
-      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         explode(array(tableCols: _*)).as("s"))
-        .select(col(idAs), col(vecAs), col("s.table_idx"), col("s.bucket"))
+        .select(col("neighbor_id"), col("c_vec"), col("s.table_idx"), col("s.bucket"))
     }
-    val c = sigs(corpus, "neighbor_id", "c_vec")
-    val p = sigs(probes, "query_id", "q_vec")
+    val p = {
+      // mask 0 = the exact bucket; 1<<b = bucket with plane b flipped
+      val masks = 0L +: (0 until flips).map(b => 1L << b)
+      val probeCols = for { t <- 0 until tables; m <- masks } yield
+        struct(lit(t).as("table_idx"), sig(t).bitwiseXOR(lit(m)).as("bucket"))
+      probes.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        explode(array(probeCols: _*)).as("s"))
+        .select(col("query_id"), col("q_vec"), col("s.table_idx"), col("s.bucket"))
+    }
     val candidates = c.join(broadcast(p), Seq("table_idx", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")

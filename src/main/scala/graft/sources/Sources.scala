@@ -79,6 +79,40 @@ object Sources {
   def registerParquetTable(spark: SparkSession, name: String, dir: String): Unit =
     spark.read.parquet(dir).createOrReplaceTempView(name)
 
+  /** Real SQL-catalog DDL registration (reference:
+    * sql/register_bronze.sql:2-4 and notebooks/bronze.py:132-146 —
+    * `CREATE TABLE ... PARTITIONED BY ... LOCATION ...`): an EXTERNAL
+    * partitioned parquet table in Spark's built-in catalog, so a user
+    * typing `INSERT INTO` / `SELECT` DDL-SQL exercises the same catalog
+    * path a warehouse deployment does. Partition columns must be part of
+    * `schema`; dropping the table never deletes `location`'s data
+    * (external semantics).
+    */
+  def createPartitionedTable(spark: SparkSession, name: String,
+      schema: StructType, partitionCols: Seq[String], location: String): Unit = {
+    require(partitionCols.forall(schema.fieldNames.contains),
+      s"partition columns ${partitionCols.mkString(", ")} must be in the schema")
+    val partDdl =
+      if (partitionCols.isEmpty) ""
+      else s" PARTITIONED BY (${partitionCols.map(c => s"`$c`").mkString(", ")})"
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) " +
+      s"USING PARQUET$partDdl LOCATION '$location'")
+  }
+
+  /** Sync catalog partition metadata with directories that appeared on
+    * disk outside INSERT INTO (an external writer, a re-registered
+    * location) — the OPTIMIZE-era `MSCK REPAIR TABLE`.
+    */
+  def recoverPartitions(spark: SparkSession, name: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE $name")
+
+  /** Append a DataFrame into a catalog table by POSITION (INSERT INTO
+    * semantics: the catalog schema, not the DataFrame's column names,
+    * decides the mapping).
+    */
+  def insertAppend(df: DataFrame, name: String): Unit =
+    df.write.mode("append").insertInto(name)
+
   /** Object-store-safe "table exists and has files" probe — the one
     * definition behind the pipeline's existence checks.
     */

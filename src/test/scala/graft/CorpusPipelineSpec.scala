@@ -50,6 +50,39 @@ class CorpusPipelineSpec extends AnyFunSuite {
       }
   }
 
+  test("full chain with transitive near-dedup equals brute-Jaccard + union-find oracle") {
+    // the q42 registration path: annotate → gate → exact dedup → MinHash
+    // near-dedup with transitive clustering — checked against an
+    // exhaustive O(n²) Jaccard pair scan + driver union-find
+    val cfg = CorpusPipeline.Config(
+      langs = Seq("en"), minQuality = 0.5, minTokens = 10, nearDupThreshold = 0.8)
+    val exact = CorpusPipeline.exactDedup(
+      CorpusPipeline.qualityFilter(CorpusPipeline.annotate(docs), cfg))
+    val got = CorpusPipeline.nearDedup(exact, cfg.nearDupThreshold, transitive = true)
+      .select("doc_id").as[Long].collect().toSet
+
+    val pairs = graft.dedup.MinHashDedup
+      .bruteForcePairs(exact, "doc_id", "text", cfg.nearDupThreshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = parent.keys.filter(k => find(k) != k).toSet
+    val expected = exact.select("doc_id").as[Long].collect().toSet -- losers
+    assert(pairs.nonEmpty, "testdata must contain near-duplicate clusters")
+    assert(got == expected,
+      s"transitive survivors diverge: missing=${expected -- got}, extra=${got -- expected}")
+  }
+
   test("run chains the stages and reports monotone retention") {
     val r = CorpusPipeline.run(docs,
       CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.2, minTokens = 5))

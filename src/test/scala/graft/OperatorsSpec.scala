@@ -104,4 +104,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map(1L -> None),
       "the t=9 null-valued row is the as-of match; its null must not be skipped")
   }
+
+  test("AsOf.asOfJoin forward matches the earliest right row at or after each left ts") {
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 5L), (3L, 2L, 7L), (4L, 3L, 2L))
+      .toDF("id", "k", "t")
+    val right = Seq((1L, 4L, "a"), (1L, 10L, "b"), (2L, 8L, "c"))
+      .toDF("k", "t", "v")
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+      direction = "forward")
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      1L -> Some("b"), // right at t=10 matches left t=10 (>= inclusive)
+      2L -> Some("b"), // earliest right after t=5 is t=10 (t=4 is behind)
+      3L -> Some("c"), // t=8 >= 7
+      4L -> None))     // no right rows for k=3
+  }
+
+  test("AsOf.asOfJoin nearest picks the closer side, backward on ties") {
+    val left = Seq((1L, 1L, 5L), (2L, 1L, 7L), (3L, 1L, 6L), (4L, 1L, 20L))
+      .toDF("id", "k", "t")
+    val right = Seq((1L, 4L, "a"), (1L, 8L, "b")).toDF("k", "t", "v")
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+      direction = "nearest")
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      1L -> Some("a"), // dist 1 back vs 3 fwd
+      2L -> Some("b"), // dist 3 back vs 1 fwd
+      3L -> Some("a"), // tie (2 vs 2) → backward
+      4L -> Some("b"))) // only backward exists
+  }
+
+  test("AsOf.asOfJoin tolerance nulls matches beyond max staleness, per direction") {
+    val left = Seq((1L, 1L, 6L), (2L, 1L, 10L)).toDF("id", "k", "t")
+    val right = Seq((1L, 4L, "a")).toDF("k", "t", "v")
+    val back = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+      tolerance = Some(3.0))
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(back == Map(
+      1L -> Some("a"), // dist 2 <= 3
+      2L -> None))     // dist 6 > 3: matched but too stale
+
+    // nearest + tolerance: an out-of-tolerance backward match must not
+    // shadow an in-tolerance forward match
+    val right2 = Seq((1L, 1L, "old"), (1L, 8L, "next")).toDF("k", "t", "v")
+    val near = AsOf.asOfJoin(
+      Seq((1L, 1L, 6L)).toDF("id", "k", "t"), right2,
+      Seq("k"), "t", "t", Seq("v"),
+      direction = "nearest", tolerance = Some(2.0))
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(near == Map(1L -> Some("next")),
+      "backward at dist 5 is outside tol 2; forward at dist 2 must win")
+  }
 }

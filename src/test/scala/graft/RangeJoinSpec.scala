@@ -69,4 +69,58 @@ class RangeJoinSpec extends AnyFunSuite {
       binSeconds = 300L)
     assert(out.count() == 1L)
   }
+
+  test("interval-overlap join equals the naive inequality join, once per pair, no nested loop") {
+    val a = Seq(
+      (1L, ts(0), ts(30), 1L),   // overlaps b_id 10
+      (1L, ts(40), ts(50), 2L),  // overlaps b_id 10; adjacent to b_id 11
+      (2L, ts(0), ts(10), 3L))   // adjacent to b_id 12 (half-open: no match)
+      .toDF("user_id", "a_start", "a_end", "a_id")
+    val b = Seq(
+      (1L, ts(25), ts(45), 10L),
+      (1L, ts(50), ts(55), 11L),
+      (2L, ts(10), ts(20), 12L))
+      .toDF("user_id", "b_start", "b_end", "b_id")
+    val out = RangeJoin.intervalsOverlap(a, b, Seq("user_id"),
+      "a_start", "a_end", "b_start", "b_end", Seq("b_id"), binSeconds = 300L)
+    val got = out.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    val naive = a.join(b, Seq("user_id"))
+      .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got == Set((1L, 10L), (2L, 10L)))
+    // first-shared-bin rule: each true pair emitted exactly once even
+    // though overlapping intervals share several bins
+    assert(out.count() == got.size.toLong)
+
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned interval-overlap join must not fall back to a nested loop:\n$plan")
+  }
+
+  test("interval-overlap: pair sharing many bins still emits exactly once") {
+    val a = Seq((1L, ts(0), ts(55), 1L)).toDF("user_id", "a_start", "a_end", "a_id")
+    val b = Seq((1L, ts(5), ts(50), 2L)).toDF("user_id", "b_start", "b_end", "b_id")
+    // 300 s bins: the two intervals share ~10 bins
+    val out = RangeJoin.intervalsOverlap(a, b, Seq("user_id"),
+      "a_start", "a_end", "b_start", "b_end", Seq("b_id"), binSeconds = 300L)
+    assert(out.count() == 1L)
+  }
+
+  test("interval-overlap: inverted and empty intervals on either side are dropped") {
+    val a = Seq(
+      (1L, ts(30), ts(0), 1L),  // inverted
+      (1L, ts(5), ts(5), 2L),   // empty
+      (1L, ts(0), ts(10), 3L))
+      .toDF("user_id", "a_start", "a_end", "a_id")
+    val b = Seq(
+      (1L, ts(9), ts(2), 20L),  // inverted
+      (1L, ts(4), ts(8), 21L))
+      .toDF("user_id", "b_start", "b_end", "b_id")
+    val out = RangeJoin.intervalsOverlap(a, b, Seq("user_id"),
+      "a_start", "a_end", "b_start", "b_end", Seq("b_id"), binSeconds = 300L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((3L, 21L)))
+  }
 }

@@ -54,6 +54,45 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.select("bucket").distinct().count() == 3)
   }
 
+  test("catalog DDL: CREATE TABLE ... PARTITIONED BY ... LOCATION round-trips with pruning") {
+    import org.apache.spark.sql.types._
+    val loc = tempDir() + "/pets_bronze"
+    // partition column last, matching the reference DDL layout
+    // (notebooks/bronze.py:132-146 declares data cols then partition cols)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("v", StringType),
+      StructField("part", StringType)))
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
+    Sources.createPartitionedTable(spark, "graft_ddl_t", schema, Seq("part"), loc)
+
+    // S9 through the real catalog path: SQL INSERT INTO VALUES
+    spark.sql("INSERT INTO graft_ddl_t VALUES (1, 'x', 'a'), (2, 'y', 'b')")
+    // and the DataFrame path (positional, INSERT INTO semantics)
+    Sources.insertAppend(Seq((3, "z", "a")).toDF("id", "v", "part"), "graft_ddl_t")
+    assert(spark.table("graft_ddl_t").count() == 3)
+
+    // partition pruning flows through the catalog table
+    val pruned = spark.table("graft_ddl_t").filter(col("part") === "a")
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("part"),
+      s"catalog scan must prune on the partition column:\n$plan")
+    // the data filter must NOT appear as a post-scan Filter on part
+    assert(new java.io.File(s"$loc/part=a").exists(),
+      "partition directories must use the declared layout")
+
+    // external-table semantics: DROP keeps the data; re-register + MSCK
+    // recovers the partitions from disk
+    spark.sql("DROP TABLE graft_ddl_t")
+    assert(new java.io.File(s"$loc/part=a").exists(), "DROP must not delete external data")
+    Sources.createPartitionedTable(spark, "graft_ddl_t", schema, Seq("part"), loc)
+    Sources.recoverPartitions(spark, "graft_ddl_t")
+    assert(spark.table("graft_ddl_t").count() == 3)
+    assert(spark.table("graft_ddl_t").filter(col("part") === "b").count() == 1)
+    spark.sql("DROP TABLE graft_ddl_t")
+  }
+
   test("readCsv applies the explicit schema without inference") {
     val dir = tempDir()
     val f = new java.io.PrintWriter(s"$dir/data.csv")

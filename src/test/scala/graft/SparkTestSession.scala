@@ -12,6 +12,9 @@ object SparkTestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet is TIMESTAMP(NANOS); session-level, never set
+      // inside a query (see SparkEntry.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // same AQE posture as Bench/Verify (asserted by PlansSpec)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
