@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   *     backward, the conventional pick)
   * `tolerance` (seconds) nulls the match when the matched row is further
   * than that from the left timestamp — max-staleness for feature
-  * pipelines.
+  * pipelines. `allowExactMatches = false` makes the comparison strict
+  * (`<` / `>`, pandas `allow_exact_matches=False`) — the equal-timestamp
+  * right row no longer matches.
   *
   * Spark-first formulation (composition beats a custom SparkPlan here):
   * tag and union both sides, then a single `last(struct, ignoreNulls)`
@@ -44,7 +46,8 @@ object AsOf {
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, valueCols: Seq[String],
       direction: String = "backward",
-      tolerance: Option[Double] = None): DataFrame = {
+      tolerance: Option[Double] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"direction must be backward|forward|nearest, got '$direction'")
     tolerance.foreach(t => require(t >= 0, "tolerance must be >= 0 seconds"))
@@ -81,8 +84,12 @@ object AsOf {
         Window.partitionBy(keys.map(col): _*)
           .orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val back = carry(Seq(col("__ts").asc, col("__side").asc))
-    val fwd = carry(Seq(col("__ts").desc, col("__side").asc))
+    // inclusive (<= / >=): right sorts BEFORE left at an identical ts so
+    // the equal-ts row is carried into the left row; strict (< / >,
+    // pandas allow_exact_matches=False): right sorts AFTER, so it isn't
+    val side = if (allowExactMatches) col("__side").asc else col("__side").desc
+    val back = carry(Seq(col("__ts").asc, side))
+    val fwd = carry(Seq(col("__ts").desc, side))
 
     // distances in seconds (double: exact for epoch-seconds + micros
     // fractions, and works for plain numeric ts columns too)

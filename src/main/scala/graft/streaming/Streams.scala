@@ -122,6 +122,39 @@ object Streams {
         })
   }
 
+  /** Stream-stream interval join: the streaming twin of the batch range
+    * join (q40 / `RangeJoin.pointsInIntervals` with intervals of length
+    * `maxDelay` anchored at the right rows): left rows pair with right
+    * rows of the same key where
+    * `right.ts <= left.ts < right.ts + maxDelay` — "events within the
+    * hour after a purchase", continuously.
+    *
+    * Both sides MUST be watermarked (done here): Spark sizes the join
+    * state from watermark + time-range bounds, so state for rows older
+    * than `watermark + maxDelay` is evicted instead of growing forever —
+    * the stream-stream-join analog of the batch bin-bucket trick's
+    * bounded shuffle. Inner join: results match the batch join exactly
+    * once both watermarks pass.
+    *
+    * `leftTs`/`rightTs` must be DISTINCT column names (the join output
+    * carries both).
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      maxDelay: String, watermark: String): DataFrame = {
+    require(leftTs != rightTs, "leftTs and rightTs must be distinct column names")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val rangeCond =
+      l(leftTs) >= r(rightTs) &&
+        l(leftTs) < r(rightTs) + expr(s"INTERVAL $maxDelay")
+    // drop the right side's duplicated key columns from the output
+    val out = l.join(r, keyCond && rangeCond, "inner")
+    out.select(left.columns.map(l(_)).toSeq ++
+      right.columns.filterNot(keys.contains).map(r(_)): _*)
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * available input is processed — the local smoke path.
     */

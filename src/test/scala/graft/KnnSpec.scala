@@ -88,9 +88,9 @@ class KnnSpec extends AnyFunSuite {
     val approxPairs = approx.map(r => (r._1, r._2)).toSet
     val recall = (approxPairs intersect exact).size.toDouble / exact.size
     info(f"IVF top-10 recall vs exact (nprobe=4/nlist=8): $recall%.2f")
-    // probing half the lists of a quantized space should recover well
-    // over half the true neighbors on this data
-    assert(recall > 0.4)
+    // deterministic quantizer (hash-seeded centroids) + fixed testdata:
+    // measured 0.68 — gate at 0.6 so a routing/assignment regression fails
+    assert(recall >= 0.6)
   }
 
   test("IVF with nprobe = nlist equals exact brute force") {

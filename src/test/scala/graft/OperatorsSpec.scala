@@ -105,6 +105,23 @@ class OperatorsSpec extends AnyFunSuite {
       "the t=9 null-valued row is the as-of match; its null must not be skipped")
   }
 
+  test("AsOf.asOfJoin allowExactMatches=false excludes the equal-timestamp row") {
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 5L)).toDF("id", "k", "t")
+    val right = Seq((1L, 10L, "same"), (1L, 4L, "older")).toDF("k", "t", "v")
+    val strictBack = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+      allowExactMatches = false)
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(strictBack == Map(
+      1L -> Some("older"), // t=10 row skipped under strict <
+      2L -> Some("older")))
+    val strictFwd = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+      direction = "forward", allowExactMatches = false)
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(strictFwd == Map(
+      1L -> None,          // t=10 is the only row >= 10; strict > excludes it
+      2L -> Some("same"))) // earliest strictly after 5 is t=10
+  }
+
   test("AsOf.asOfJoin forward matches the earliest right row at or after each left ts") {
     val left = Seq((1L, 1L, 10L), (2L, 1L, 5L), (3L, 2L, 7L), (4L, 3L, 2L))
       .toDF("id", "k", "t")

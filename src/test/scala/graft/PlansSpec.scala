@@ -40,4 +40,19 @@ class PlansSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "grouped agg should partial-combine before the shuffle")
   }
+
+  test("q41 interval-overlap runs as an equi-join, never a nested loop") {
+    val p = plan("q41_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bin-bucketed overlap join must stay an equi-join:\n$p")
+  }
+
+  test("q39/q43 as-of queries are join-free (union + window carry, one key shuffle)") {
+    // the as-of formulation has NO join operator at all — a regression
+    // to a range-condition join would reintroduce a nested-loop plan
+    Seq("q39_asof_join", "q43_asof_forward").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not contain any join operator:\n$p")
+    }
+  }
 }

@@ -88,4 +88,28 @@ class PropertiesSpec extends AnyFunSuite {
       out.select("id").distinct().count() == out.count() && outMap == (tMap ++ uMap)
     })
   }
+
+  test("property: binned interval-overlap equals the naive inequality join, once per pair") {
+    // random (key, start, len) intervals — len can be zero or negative so
+    // the empty/inverted-interval guard is exercised; bin width (700)
+    // deliberately misaligned with the value range to stress boundaries
+    val ivGen = Gen.listOf(Gen.zip(
+      Gen.choose(0, 3), Gen.choose(0L, 5000L), Gen.choose(-500L, 3000L)))
+    checkProp("intervalsOverlap")(Prop.forAll(ivGen, ivGen) { (as, bs) =>
+      val a = as.zipWithIndex.map { case ((k, s, len), i) =>
+        (k.toLong, s, s + len, i.toLong)
+      }.toDF("k", "s", "e", "a_id")
+      val b = bs.zipWithIndex.map { case ((k, s, len), i) =>
+        (k.toLong, s, s + len, i.toLong)
+      }.toDF("k", "bs", "be", "b_id")
+      val out = graft.operators.RangeJoin.intervalsOverlap(
+        a, b, Seq("k"), "s", "e", "bs", "be", Seq("b_id"), binSeconds = 700L)
+        .select("a_id", "b_id")
+      val got = out.as[(Long, Long)].collect()
+      val naive = a.filter($"s" < $"e").join(b.filter($"bs" < $"be"), Seq("k"))
+        .filter($"s" < $"be" && $"bs" < $"e")
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      got.toSet == naive && got.length == got.toSet.size
+    })
+  }
 }

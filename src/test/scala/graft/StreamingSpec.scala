@@ -61,6 +61,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(r => r._2 != "late" && r._2 != "later") == batch)
   }
 
+  test("streamIntervalJoin matches the batch range join on the same rows") {
+    implicit val sc = spark.sqlContext
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    val leftDf = lIn.toDF().select($"event_id", $"user_id", $"ts")
+    val rightDf = rIn.toDF()
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("p_id"))
+    val joined = Streams.streamIntervalJoin(leftDf, rightDf,
+      Seq("user_id"), "ts", "p_ts", maxDelay = "20 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("sij_out").start()
+    try {
+      lIn.addData(sampleEvents: _*)
+      // right side: events 1 (10:00, user 100) and 5 (10:30, user 200)
+      // act as "purchases" opening 20-minute windows
+      rIn.addData(sampleEvents.filter(e => e.event_id == 1L || e.event_id == 5L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sij_out")
+      .select("event_id", "p_id").as[(Long, Long)].collect().toSet
+
+    // batch twin: the SAME semantics via the bin-bucketed range join
+    val intervals = sampleEvents.filter(e => e.event_id == 1L || e.event_id == 5L)
+      .toDF().select($"user_id", $"ts".as("p_ts"),
+        ($"ts" + expr("INTERVAL 20 MINUTES")).as("p_end"), $"event_id".as("p_id"))
+    val batch = graft.operators.RangeJoin.pointsInIntervals(
+      sampleEvents.toDF().select($"event_id", $"user_id", $"ts"), intervals,
+      Seq("user_id"), "ts", "p_ts", "p_end", Seq("p_id"), binSeconds = 300L)
+      .select("event_id", "p_id").as[(Long, Long)].collect().toSet
+
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 1L), (2L, 1L), (4L, 1L), (5L, 5L)))
+  }
+
   test("dedupedIngest drops re-delivered keys within the watermark") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
