@@ -113,6 +113,20 @@ object Sources {
   def insertAppend(df: DataFrame, name: String): Unit =
     df.write.mode("append").insertInto(name)
 
+  /** Register an EXISTING partitioned parquet directory (e.g. a pipeline
+    * bronze/silver output) as a catalog table and sync its partitions —
+    * the catalog-backed twin of `registerParquetTable`, mirroring the
+    * reference's external-location registration
+    * (sql/register_bronze.sql:2-4). Schema is taken from the files
+    * (partition columns come back last, exactly the DDL layout).
+    */
+  def registerExternalPartitioned(spark: SparkSession, name: String,
+      dir: String, partitionCols: Seq[String]): Unit = {
+    val schema = spark.read.parquet(dir).schema
+    createPartitionedTable(spark, name, schema, partitionCols, dir)
+    recoverPartitions(spark, name)
+  }
+
   /** Object-store-safe "table exists and has files" probe — the one
     * definition behind the pipeline's existence checks.
     */

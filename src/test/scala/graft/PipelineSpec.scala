@@ -126,6 +126,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline output runs catalog-backed: DDL registration, SQL reads, pruning") {
+    withPipelineDirs { (_, cfg) =>
+      writeRawCsv(cfg.rawDir, cfg.ingestionDate, day1Rows)
+      assert(Bronze.run(spark, cfg) == Bronze.Loaded(5))
+
+      // the reference's register_bronze.sql path: external-location DDL
+      // over the bronze dir, partitions recovered from disk
+      spark.sql("DROP TABLE IF EXISTS pets_bronze")
+      graft.sources.Sources.registerExternalPartitioned(
+        spark, "pets_bronze", cfg.bronzeDir, Model.PartitionCols)
+      val viaSql = spark.sql("SELECT COUNT(*) AS n FROM pets_bronze").first().getLong(0)
+      assert(viaSql == spark.read.parquet(cfg.bronzeDir).count())
+
+      // a user's partition-filtered SQL prunes through the catalog
+      val pruned = spark.sql(
+        "SELECT _id FROM pets_bronze WHERE ANIMAL_TYPE = 'DOG'")
+      assert(pruned.count() ==
+        spark.read.parquet(cfg.bronzeDir)
+          .filter(col("ANIMAL_TYPE") === "DOG").count())
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("ANIMAL_TYPE"),
+        s"catalog read must prune on ANIMAL_TYPE:\n$plan")
+      spark.sql("DROP TABLE pets_bronze")
+    }
+  }
+
   test("gold views compute totals, ranks, shares, and quality over silver") {
     withPipelineDirs { (_, cfg) =>
       writeRawCsv(cfg.rawDir, cfg.ingestionDate, day1Rows)

@@ -95,6 +95,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Set((1L, 1L), (2L, 1L), (4L, 1L), (5L, 5L)))
   }
 
+  test("Enrich.fromDim applies unchanged to a stream (stream-static broadcast join)") {
+    // the J2 dim-enrichment operator needs no streaming twin at all: a
+    // stream-static left broadcast join is stateless, so the SAME batch
+    // operator runs per micro-batch — the payoff of declaring operators
+    // as DataFrame => DataFrame
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((100L, "gold"), (300L, "new")).toDF("user_id", "tier")
+    val enriched = graft.operators.Enrich.fromDim(
+      input.toDF().withColumn("fallback", lit("UNKNOWN")),
+      dim, "user_id", "tier", "resolved_tier", "fallback", "tier_mapped")
+    val q = enriched.writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      input.addData(sampleEvents: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enrich_out")
+      .select("event_id", "resolved_tier", "tier_mapped")
+      .as[(Long, String, Boolean)].collect().toSet
+    val expected = sampleEvents.map { e =>
+      if (e.user_id == 100L) (e.event_id, "gold", true)
+      else (e.event_id, "UNKNOWN", false)
+    }.toSet
+    assert(got == expected)
+  }
+
   test("dedupedIngest drops re-delivered keys within the watermark") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
