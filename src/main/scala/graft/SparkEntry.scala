@@ -559,6 +559,35 @@ object SparkEntry {
       graft.dedup.Components.connectedComponents(pairs)
     }),
 
+    // Token-budget capping: per language keep the longest docs while the
+    // running token total stays within budget — the data-mixing step of
+    // a corpus build (one window cumsum = one shuffle on the group key)
+    "q44_token_budget" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val annotated = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), size(toks).as("n_tokens"))
+      graft.pipeline.CorpusPipeline.tokenBudget(
+        annotated, "lang", "n_tokens", budget = 5000L,
+        Seq(col("n_tokens").desc, col("doc_id").asc))
+    }),
+
+    // Deterministic train/val/test split: md5-of-id vs fixed hex
+    // thresholds — engine-independent, RNG-free, re-run-stable (the
+    // no-test-leakage property); DuckDB computes the identical split
+    "q45_dataset_split" -> ((s, dir) => {
+      graft.pipeline.CorpusPipeline.datasetSplit(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", valFrac = 0.1, testFrac = 0.1)
+    }),
+
+    // Two-phase salted aggregation (the manual skew fallback) registered
+    // under the oracle: identical results to the plain GROUP BY, by
+    // construction (SkewHealthSpec proves the join twin)
+    "q46_salted_agg" -> ((s, dir) => {
+      Skew.saltedCount(Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus"), salt = 8)
+    }),
+
     // Sketch aggregates — the 100 TB scale path where exact distinct /
     // exact percentiles would shuffle every value: HLL++ and a quantile
     // sketch keep constant state per group. No SQL oracle (sketch values
@@ -981,6 +1010,29 @@ object SparkEntry {
     "q32_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q44_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY n_tokens DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens FROM c WHERE cum <= 5000""".stripMargin,
+
+    "q45_dataset_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '${graft.pipeline.CorpusPipeline.hexThreshold(0.1)}' THEN 'val'
+         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '${graft.pipeline.CorpusPipeline.hexThreshold(0.2)}' THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM documents""".stripMargin,
+
+    "q46_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup => DocDedup, MinHashDedup}
@@ -77,6 +78,52 @@ object CorpusPipeline {
       docs.join(losers, Seq("doc_id"), "left_anti")
     }
   }
+
+  /** Token-budget capping — the data-mixing step of a corpus build: per
+    * `groupCol` (language, source, domain...), keep docs in `orderCols`
+    * order while the RUNNING token total stays within `budget`; the doc
+    * that would cross the budget (and everything after it) is dropped.
+    *
+    * One window cumsum per group = one shuffle on the group key. Ties in
+    * `orderCols` must be pinned (include a unique id) or the kept set is
+    * nondeterministic.
+    */
+  def tokenBudget(annotated: DataFrame, groupCol: String, tokenCol: String,
+      budget: Long, orderCols: Seq[Column]): DataFrame = {
+    require(!annotated.columns.contains("__cum"), "tokenBudget reserves __cum")
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    annotated.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
+  /** Deterministic train/val/test split, reproducible in ANY engine: the
+    * split key is `md5(cast(id as string))` compared lexicographically
+    * against fixed hex thresholds — no RNG, no partition-order
+    * dependence, and the same row lands in the same split everywhere
+    * (the property a training pipeline needs so no example ever leaks
+    * from test into train across re-runs or engines). Adds a `split`
+    * column ('val' | 'test' | 'train').
+    */
+  def datasetSplit(docs: DataFrame, idCol: String,
+      valFrac: Double = 0.1, testFrac: Double = 0.1): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      "fractions must be nonnegative and sum below 1")
+    val key = md5(col(idCol).cast("string"))
+    docs.withColumn("split",
+      when(key < lit(hexThreshold(valFrac)), "val")
+        .when(key < lit(hexThreshold(valFrac + testFrac)), "test")
+        .otherwise("train"))
+  }
+
+  /** The 32-hex-char string below which a uniform md5 falls with
+    * probability `frac` (12 hex digits of precision, zero-padded).
+    * Public: external SQL (e.g. an oracle or another engine) reproduces
+    * the split by comparing against these exact thresholds.
+    */
+  def hexThreshold(frac: Double): String =
+    f"${(frac * math.pow(16, 12)).toLong}%012x" + "0" * 20
 
   case class Report(input: Long, afterFilter: Long, afterExact: Long,
       afterNear: Long, output: DataFrame)

@@ -83,6 +83,41 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"transitive survivors diverge: missing=${expected -- got}, extra=${got -- expected}")
   }
 
+  test("tokenBudget keeps the maximal in-order prefix within budget, per group") {
+    val df = Seq(
+      ("en", 1L, 400), ("en", 2L, 400), ("en", 3L, 400), // cum 400/800/1200
+      ("fr", 4L, 900), ("fr", 5L, 200))                  // cum 900/1100
+      .toDF("lang", "doc_id", "n_tokens")
+    val kept = CorpusPipeline.tokenBudget(df, "lang", "n_tokens", 1000L,
+      Seq(col("doc_id").asc))
+      .select("doc_id").as[Long].collect().toSet
+    // en: 1,2 fit (800), 3 crosses; fr: 4 fits (900), 5 crosses
+    assert(kept == Set(1L, 2L, 4L))
+    // per-group totals never exceed the budget
+    val sums = CorpusPipeline.tokenBudget(df, "lang", "n_tokens", 1000L,
+      Seq(col("doc_id").asc))
+      .groupBy("lang").agg(sum("n_tokens").as("s"))
+      .as[(String, Long)].collect()
+    assert(sums.forall(_._2 <= 1000L))
+  }
+
+  test("datasetSplit is deterministic, complete, and near the target fractions") {
+    val split = CorpusPipeline.datasetSplit(docs, "doc_id", 0.1, 0.1)
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == docs.count())
+    val n = docs.count().toDouble
+    // md5 is uniform; 500 ids at 10% → binomial sd ≈ 6.7, allow ±4 sd
+    assert(math.abs(counts.getOrElse("val", 0L) - 0.1 * n) < 27,
+      s"val fraction off: $counts")
+    assert(math.abs(counts.getOrElse("test", 0L) - 0.1 * n) < 27,
+      s"test fraction off: $counts")
+    // re-run gives the identical assignment (no RNG anywhere)
+    val again = CorpusPipeline.datasetSplit(docs, "doc_id", 0.1, 0.1)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again == split.select("doc_id", "split").as[(Long, String)].collect().toSet)
+  }
+
   test("run chains the stages and reports monotone retention") {
     val r = CorpusPipeline.run(docs,
       CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.2, minTokens = 5))
