@@ -46,6 +46,11 @@ object Bench {
             split(trim(col("text")), " ")).as("sh"),
           graft.expressions.HashExpressions.docFingerprint(col("text"), 8).as("fp"))
         .write.format("noop").mode("overwrite").save()
+      // minhash signature fold (q20/q42 machinery: shingle + aggregate
+      // over the coefficient literal array)
+      graft.dedup.MinHashDedup.withSignatures(
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(64), "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
       // embeddings: float-array cosine path (q22-q34 machinery)
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
       e.select(col("vec_id"),

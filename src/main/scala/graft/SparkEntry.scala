@@ -588,6 +588,13 @@ object SparkEntry {
         Seq("l_returnflag", "l_linestatus"), salt = 8)
     }),
 
+    // Skew diagnostic registered under the oracle: top-20 heaviest part
+    // keys with row share, tie-pinned on the key so the cutoff set is
+    // deterministic across engines
+    "q47_key_histogram" -> ((s, dir) => {
+      Skew.keyHistogram(Tables.lineitem(s, dir), Seq("l_partkey"), topN = 20)
+    }),
+
     // Sketch aggregates — the 100 TB scale path where exact distinct /
     // exact percentiles would shuffle every value: HLL++ and a quantile
     // sketch keep constant state per group. No SQL oracle (sketch values
@@ -1033,6 +1040,13 @@ object SparkEntry {
 
     "q46_salted_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
-        |FROM lineitem GROUP BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q47_key_histogram" ->
+      """WITH c AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lineitem)
+        |SELECT c.l_partkey, c.cnt, 100.0 * c.cnt / t.n AS share_pct
+        |FROM c CROSS JOIN t
+        |ORDER BY c.cnt DESC, c.l_partkey ASC LIMIT 20""".stripMargin
   )
 }

@@ -52,13 +52,15 @@ object Skew {
       .agg(sum("__partial").as(countName))
 
   /** Top-N heaviest keys with their row share — the skew diagnostic you
-    * run before choosing a mitigation.
+    * run before choosing a mitigation. Ties at the cutoff are pinned by
+    * the key columns ascending, so the reported set is deterministic
+    * (and engine-reproducible — oracle-checked as q47).
     */
   def keyHistogram(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
     val total = df.count()
     counts.withColumn("share_pct", lit(100.0) * col("cnt") / lit(total.toDouble))
-      .orderBy(col("cnt").desc)
+      .orderBy(col("cnt").desc +: keys.map(col(_).asc): _*)
       .limit(topN)
   }
 }
