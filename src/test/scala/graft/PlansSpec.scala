@@ -41,6 +41,19 @@ class PlansSpec extends AnyFunSuite {
       "grouped agg should partial-combine before the shuffle")
   }
 
+  test("q45 dataset split is a pure narrow map — zero exchanges") {
+    val p = plan("q45_dataset_split")
+    assert(!p.contains("Exchange"),
+      s"md5 split must not shuffle anything:\n$p")
+  }
+
+  test("q44 token budget runs as one window pass over one key shuffle") {
+    val p = plan("q44_token_budget")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"cumsum budget must shuffle once on the group key:\n$p")
+    assert(p.contains("Window"), "running total must be a window aggregate")
+  }
+
   test("q41 interval-overlap runs as an equi-join, never a nested loop") {
     val p = plan("q41_interval_overlap")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
