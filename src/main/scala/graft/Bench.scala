@@ -36,14 +36,14 @@ object Bench {
         .agg(count(lit(1)), countDistinct(col("l_suppkey")),
           sum(col("l_tax").cast("decimal(18,2)")))
         .write.format("noop").mode("overwrite").save()
-      // documents: tokenizer split + HOF aggregate/zip_with + the native
-      // fingerprint expressions (q16-q29 machinery)
+      // documents: tokenizer + HOF aggregate + the native fingerprint
+      // expressions (q16-q29 machinery) — via the SAME helpers the timed
+      // queries use, so this warms the actual code paths
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"),
-          aggregate(split(trim(col("text")), " "), lit(0L),
-            (acc, t) => acc + length(t)).as("hof"),
-          graft.expressions.HashExpressions.simHash64(
-            split(trim(col("text")), " ")).as("sh"),
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("hof"),
+          graft.expressions.HashExpressions.simHash64(toks).as("sh"),
           graft.expressions.HashExpressions.docFingerprint(col("text"), 8).as("fp"))
         .write.format("noop").mode("overwrite").save()
       // minhash signature fold (q20/q42 machinery: shingle + aggregate
@@ -56,9 +56,9 @@ object Bench {
       e.select(col("vec_id"),
         graft.functions.VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
         .write.format("noop").mode("overwrite").save()
-      // events: nanos-as-long read + window machinery
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // events: nanos-as-long read (the shared SparkEntry.events helper)
+      // + window machinery
+      SparkEntry.events(spark, sfDir)
         .groupBy(window(col("ts"), "6 hours")).agg(count(lit(1)))
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable =>
@@ -67,8 +67,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: evaluates every output column (unlike count(), which
       // lets the optimizer prune projection-only queries to a row count).
-      // A failed query records a -1 sentinel (never a fast-looking time)
-      // and fails the whole bench run via the exit code.
+      // ANY failed trial marks the query failed and fails the run via
+      // the exit code — best-of-N is noise robustness for TIMINGS, not a
+      // retry loop that would let a flaky OOM ship with a green bench.
       val ts = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -80,7 +81,8 @@ object Bench {
         }
       }
       val ok = ts.filter(_ >= 0)
-      (name, if (ok.nonEmpty) ok.min else -1.0, ts, ok.nonEmpty)
+      val allOk = ok.size == trials
+      (name, if (allOk) ok.min else -1.0, ts, allOk)
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -32,7 +32,7 @@ object SparkEntry {
     * never mutate shared session config (a concurrent user of the same
     * session reading nanos parquet would silently get longs).
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "events queries need spark.sql.legacy.parquet.nanosAsLong=true in the session builder")
     // Integral division: ts/1000 as double loses precision on epoch nanos

@@ -95,9 +95,14 @@ object AsOf {
     // fractions, and works for plain numeric ts columns too)
     def dist(m: Column): Column =
       abs(col("__ts").cast("double") - m.getField("__mts").cast("double"))
+    // a null left timestamp matches nothing in any direction (SQL
+    // comparison semantics). Backward gets this for free (asc = NULLS
+    // FIRST puts the row before every right row), but desc = NULLS LAST
+    // would hand the forward carry the minimum-ts right row — guard
+    // explicitly rather than rely on sort-order accidents.
     def withinTol(m: Column): Column = tolerance match {
-      case Some(t) => m.isNotNull && dist(m) <= t
-      case None => m.isNotNull
+      case Some(t) => col("__ts").isNotNull && m.isNotNull && dist(m) <= t
+      case None => col("__ts").isNotNull && m.isNotNull
     }
 
     val picked = direction match {

@@ -114,14 +114,17 @@ object Knn {
     * fewer than k when buckets are sparse.
     *
     * Multi-probe (the IVF-nprobe idea applied to LSH): each PROBE also
-    * visits the `multiProbe` buckets at Hamming distance 1 from its
-    * signature — the low-confidence sign bits are exactly the ones a true
-    * neighbor most likely landed across. Probe-side only: the corpus
-    * index stays one bucket per table per row, and the probe set is tiny
-    * and broadcast, so visiting (1 + multiProbe) buckets per table costs
-    * nothing at corpus scale but multiplies candidate recall. Default -1
-    * = flip every plane (multiProbe = nPlanes); 0 = exact buckets only
-    * (the pre-multi-probe behavior).
+    * visits buckets at Hamming distance 1 from its signature — a true
+    * neighbor that landed across one hyperplane is then still found.
+    * The flipped planes are a fixed prefix (planes 0..multiProbe-1), not
+    * margin-directed (query-adaptive flipping of the lowest-|dot| planes
+    * would rank the probes better at partial settings); the default
+    * flips EVERY plane, which subsumes the margin-directed choice at
+    * Hamming distance 1. Probe-side only: the corpus index stays one
+    * bucket per table per row, and the probe set is tiny and broadcast,
+    * so visiting (1 + multiProbe) buckets per table costs nothing at
+    * corpus scale but multiplies candidate recall. Default -1 = flip
+    * every plane (multiProbe = nPlanes); 0 = exact buckets only.
     */
   def lshBuckets(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, nPlanes: Int = 5,

@@ -89,9 +89,13 @@ object Sources {
     * (external semantics).
     */
   def createPartitionedTable(spark: SparkSession, name: String,
-      schema: StructType, partitionCols: Seq[String], location: String): Unit = {
+      schema: StructType, partitionCols: Seq[String], location: String,
+      replace: Boolean = false): Unit = {
     require(partitionCols.forall(schema.fieldNames.contains),
       s"partition columns ${partitionCols.mkString(", ")} must be in the schema")
+    // v1 datasource tables have no CREATE OR REPLACE; drop-first gives
+    // replace semantics (safe: external — data at `location` survives)
+    if (replace) spark.sql(s"DROP TABLE IF EXISTS $name")
     val partDdl =
       if (partitionCols.isEmpty) ""
       else s" PARTITIONED BY (${partitionCols.map(c => s"`$c`").mkString(", ")})"
@@ -123,7 +127,9 @@ object Sources {
   def registerExternalPartitioned(spark: SparkSession, name: String,
       dir: String, partitionCols: Seq[String]): Unit = {
     val schema = spark.read.parquet(dir).schema
-    createPartitionedTable(spark, name, schema, partitionCols, dir)
+    // replace: registration means "this name points at THIS directory" —
+    // like createOrReplaceTempView, never a stale no-op on a prior table
+    createPartitionedTable(spark, name, schema, partitionCols, dir, replace = true)
     recoverPartitions(spark, name)
   }
 

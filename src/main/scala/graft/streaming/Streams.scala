@@ -142,7 +142,12 @@ object Streams {
   def streamIntervalJoin(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
       maxDelay: String, watermark: String): DataFrame = {
-    require(leftTs != rightTs, "leftTs and rightTs must be distinct column names")
+    // the output carries every non-key column of both sides, so any
+    // shared non-key name (including the ts columns) would emit duplicate
+    // columns that fail with AMBIGUOUS_REFERENCE only when first selected
+    val shared = (left.columns.toSet intersect right.columns.toSet) -- keys
+    require(shared.isEmpty,
+      s"non-key columns shared by both sides must be renamed: ${shared.mkString(", ")}")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)

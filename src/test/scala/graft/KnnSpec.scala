@@ -68,7 +68,10 @@ class KnnSpec extends AnyFunSuite {
     val r0 = recallAt(0)
     val rAll = recallAt(5)
     info(f"recall exact-bucket=$r0%.2f multi-probe=$rAll%.2f")
-    assert(rAll >= r0, "multi-probe must never lose candidates")
+    // deterministic fixture (0.54 vs 0.98 measured): STRICT inequality,
+    // so a regression that silently ignores multiProbe fails here
+    assert(rAll > r0,
+      f"multi-probe must widen recall on this fixture: $rAll%.2f vs $r0%.2f")
   }
 
   test("IVF knn: valid shape, no self-match, useful recall vs exact") {

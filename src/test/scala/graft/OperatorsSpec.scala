@@ -137,6 +137,22 @@ class OperatorsSpec extends AnyFunSuite {
       4L -> None))     // no right rows for k=3
   }
 
+  test("AsOf.asOfJoin null left timestamps match nothing in every direction") {
+    // desc ordering puts NULLS LAST, so without an explicit guard the
+    // forward/nearest carry would hand a null-ts left row the minimum-ts
+    // right row (regression test for exactly that)
+    val left = Seq((1L, 1L, Some(5L)), (2L, 1L, None: Option[Long]))
+      .toDF("id", "k", "t")
+    val right = Seq((1L, 4L, "a"), (1L, 8L, "b")).toDF("k", "t", "v")
+    Seq("backward", "forward", "nearest").foreach { d =>
+      val out = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+        direction = d)
+        .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+      assert(out(2L).isEmpty, s"null left ts must not match (direction=$d)")
+      assert(out(1L).nonEmpty)
+    }
+  }
+
   test("AsOf.asOfJoin nearest picks the closer side, backward on ties") {
     val left = Seq((1L, 1L, 5L), (2L, 1L, 7L), (3L, 1L, 6L), (4L, 1L, 20L))
       .toDF("id", "k", "t")

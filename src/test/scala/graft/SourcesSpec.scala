@@ -93,6 +93,21 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_ddl_t")
   }
 
+  test("registerExternalPartitioned re-points an existing name, never a stale no-op") {
+    val locA = tempDir() + "/a"
+    val locB = tempDir() + "/b"
+    Seq((1, "a")).toDF("id", "part").write.partitionBy("part").parquet(locA)
+    Seq((2, "b"), (3, "b")).toDF("id", "part").write.partitionBy("part").parquet(locB)
+    spark.sql("DROP TABLE IF EXISTS graft_repoint_t")
+    Sources.registerExternalPartitioned(spark, "graft_repoint_t", locA, Seq("part"))
+    assert(spark.table("graft_repoint_t").count() == 1)
+    // re-register the SAME name at a new location: must read the new data
+    Sources.registerExternalPartitioned(spark, "graft_repoint_t", locB, Seq("part"))
+    assert(spark.table("graft_repoint_t").count() == 2,
+      "re-registration must replace the prior table, not silently keep it")
+    spark.sql("DROP TABLE graft_repoint_t")
+  }
+
   test("readCsv applies the explicit schema without inference") {
     val dir = tempDir()
     val f = new java.io.PrintWriter(s"$dir/data.csv")
