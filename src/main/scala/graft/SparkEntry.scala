@@ -580,6 +580,15 @@ object SparkEntry {
         "doc_id", valFrac = 0.1, testFrac = 0.1)
     }),
 
+    // Deterministic stratified downsampling — per-language mixing rates
+    // applied via the same md5-threshold trick as q45: RNG-free,
+    // engine-identical row selection, nested across rates
+    "q48_stratified_sample" -> ((s, dir) => {
+      graft.pipeline.CorpusPipeline.stratifiedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.25))
+    }),
+
     // Two-phase salted aggregation (the manual skew fallback) registered
     // under the oracle: identical results to the plain GROUP BY, by
     // construction (SkewHealthSpec proves the join twin)
@@ -1047,6 +1056,12 @@ object SparkEntry {
         |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lineitem)
         |SELECT c.l_partkey, c.cnt, 100.0 * c.cnt / t.n AS share_pct
         |FROM c CROSS JOIN t
-        |ORDER BY c.cnt DESC, c.l_partkey ASC LIMIT 20""".stripMargin
+        |ORDER BY c.cnt DESC, c.l_partkey ASC LIMIT 20""".stripMargin,
+
+    "q48_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (lang = 'en' AND md5(CAST(doc_id AS VARCHAR)) < '${graft.pipeline.CorpusPipeline.hexThreshold(0.5)}')
+         |   OR (lang = 'fr')
+         |   OR (lang = 'de' AND md5(CAST(doc_id AS VARCHAR)) < '${graft.pipeline.CorpusPipeline.hexThreshold(0.25)}')""".stripMargin
   )
 }

@@ -120,10 +120,35 @@ object CorpusPipeline {
   /** The 32-hex-char string below which a uniform md5 falls with
     * probability `frac` (12 hex digits of precision, zero-padded).
     * Public: external SQL (e.g. an oracle or another engine) reproduces
-    * the split by comparing against these exact thresholds.
+    * the split by comparing against these exact thresholds. Only valid
+    * for frac < 1 (at 1.0 the 13-hex-digit carry would compare BELOW
+    * every md5) — callers treat >= 1 as keep-all.
     */
-  def hexThreshold(frac: Double): String =
+  def hexThreshold(frac: Double): String = {
+    require(frac < 1.0, "hexThreshold is only defined for frac < 1 (>= 1 means keep-all)")
     f"${(frac * math.pow(16, 12)).toLong}%012x" + "0" * 20
+  }
+
+  /** Deterministic per-stratum downsampling — the data-mixing companion
+    * of [[datasetSplit]]: keep a row iff `md5(id)` falls below its
+    * stratum's threshold. Engine-independent and RNG-free, unlike
+    * `df.stat.sampleBy` (partition-order-dependent RNG), so re-runs and
+    * other engines keep EXACTLY the same rows; thresholds nest, so
+    * sampling a stratum at 0.25 yields a subset of sampling it at 0.5
+    * (stable corpus shrink/grow across mixing experiments). Strata
+    * absent from `fractions` are dropped; a fraction >= 1 keeps the
+    * stratum whole.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(_ >= 0), "fractions must be nonnegative")
+    val key = md5(col(idCol).cast("string"))
+    val cond = fractions.map { case (stratum, f) =>
+      if (f >= 1.0) col(strataCol) === stratum
+      else col(strataCol) === stratum && key < lit(hexThreshold(f))
+    }.reduce(_ || _)
+    docs.filter(cond)
+  }
 
   case class Report(input: Long, afterFilter: Long, afterExact: Long,
       afterNear: Long, output: DataFrame)

@@ -118,6 +118,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(again == split.select("doc_id", "split").as[(Long, String)].collect().toSet)
   }
 
+  test("stratifiedSample is deterministic, rate-accurate, and nested across rates") {
+    val base = docs.select(col("doc_id"), col("lang"))
+    val half = CorpusPipeline.stratifiedSample(base, "lang", "doc_id",
+      Map("en" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val quarter = CorpusPipeline.stratifiedSample(base, "lang", "doc_id",
+      Map("en" -> 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    val nEn = docs.filter(col("lang") === "en").count().toDouble
+    // md5 uniformity: binomial sd at 0.5 ≈ sqrt(n)/2; allow ±4 sd
+    assert(math.abs(half.size - 0.5 * nEn) < 2 * math.sqrt(nEn) + 1)
+    // thresholds nest: the 25% sample is a strict subset of the 50% one
+    assert(quarter.subsetOf(half))
+    assert(quarter.size < half.size)
+    // keep-all stratum and absent strata
+    val mixed = CorpusPipeline.stratifiedSample(base, "lang", "doc_id",
+      Map("fr" -> 1.0))
+    assert(mixed.count() == docs.filter(col("lang") === "fr").count())
+    assert(mixed.filter(col("lang") =!= "fr").isEmpty)
+    // determinism: identical set on re-run
+    val again = CorpusPipeline.stratifiedSample(base, "lang", "doc_id",
+      Map("en" -> 0.5)).select("doc_id").as[Long].collect().toSet
+    assert(again == half)
+  }
+
   test("run chains the stages and reports monotone retention") {
     val r = CorpusPipeline.run(docs,
       CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.2, minTokens = 5))
