@@ -493,6 +493,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), decSum("l_extendedprice").as("sum_price"))
     }),
 
+    // Cube: all grouping-set combinations in one pass (completes the
+    // grouping-sets family next to q32's rollup; same single-shuffle
+    // expand-side aggregation)
+    "q49_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), decSum("l_extendedprice").as("sum_price"))
+    }),
+
     // Embedding near-dup via multi-table hyperplane LSH — the 100 TB
     // scale path (q23 keeps the bounded brute-force oracle twin of the
     // same subset + threshold). Exact-cosine verify keeps precision 1.0.
@@ -1062,6 +1071,11 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE (lang = 'en' AND md5(CAST(doc_id AS VARCHAR)) < '${graft.pipeline.CorpusPipeline.hexThreshold(0.5)}')
          |   OR (lang = 'fr')
-         |   OR (lang = 'de' AND md5(CAST(doc_id AS VARCHAR)) < '${graft.pipeline.CorpusPipeline.hexThreshold(0.25)}')""".stripMargin
+         |   OR (lang = 'de' AND md5(CAST(doc_id AS VARCHAR)) < '${graft.pipeline.CorpusPipeline.hexThreshold(0.25)}')""".stripMargin,
+
+    "q49_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
   )
 }
