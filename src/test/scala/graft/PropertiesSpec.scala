@@ -89,6 +89,53 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("property: asOfJoin matches a brute-force per-row oracle in every mode") {
+    // left rows (id, key, ts), right rows (key, ts, value); right is
+    // deduped per (key, ts) as the operator contract requires
+    val leftGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 60L)))
+    val rightGen = Gen.listOf(
+      Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 60L), Gen.choose(0, 999)))
+    val modes = for {
+      dir <- Gen.oneOf("backward", "forward", "nearest")
+      tol <- Gen.oneOf(None, Some(5.0), Some(20.0))
+      exact <- Gen.oneOf(true, false)
+    } yield (dir, tol, exact)
+    checkProp("asOfJoin")(Prop.forAll(leftGen, rightGen, modes) { case (ls, rs, (dir, tol, exact)) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k.toLong, t) }
+        .toDF("id", "k", "t")
+      val rsDedup = rs.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val right = rsDedup.map { case (k, t, v) => (k.toLong, t, v) }.toDF("k", "t", "v")
+      val got = graft.operators.AsOf
+        .asOfJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+          direction = dir, tolerance = tol, allowExactMatches = exact)
+        .select("id", "asof_v").as[(Long, Option[Int])].collect().toMap
+
+      def ok(lt: Long, rt: Long): Boolean = {
+        val cmpB = if (exact) rt <= lt else rt < lt
+        val cmpF = if (exact) rt >= lt else rt > lt
+        val inTol = tol.forall(t => math.abs(lt - rt) <= t)
+        dir match {
+          case "backward" => cmpB && inTol
+          case "forward" => cmpF && inTol
+          case "nearest" => (cmpB || cmpF) && inTol
+        }
+      }
+      val expected = ls.zipWithIndex.map { case ((k, lt), i) =>
+        val cands = rsDedup.filter(r => r._1 == k && ok(lt, r._2))
+        val pick = dir match {
+          case "backward" => cands.sortBy(-_._2).headOption
+          case "forward" => cands.sortBy(_._2).headOption
+          case "nearest" =>
+            // closer wins; tie → backward (the at-or-before candidate)
+            cands.sortBy(r => (math.abs(r._2 - lt), r._2 > lt)).headOption
+        }
+        i.toLong -> pick.map(_._3)
+      }.toMap
+      got == expected
+    })
+  }
+
   test("property: binned interval-overlap equals the naive inequality join, once per pair") {
     // random (key, start, len) intervals — len can be zero or negative so
     // the empty/inverted-interval guard is exercised; bin width (700)
