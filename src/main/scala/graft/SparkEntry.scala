@@ -493,6 +493,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), decSum("l_extendedprice").as("sum_price"))
     }),
 
+    // Batch sessionization (gaps-and-islands): per-user sessions closed
+    // by 30 min of inactivity — LAG + running-sum session ids + one
+    // aggregate, one shuffle total; the batch twin of the streaming
+    // sessionize (StreamingSpec proves agreement on the same rows)
+    "q50_sessionize" -> ((s, dir) => {
+      Sessionize.sessions(
+        events(s, dir).select("user_id", "ts", "value"),
+        Seq("user_id"), "ts", gapSeconds = 1800L,
+        extraAggs = Seq(decSum("value").as("sum_value")))
+    }),
+
     // Cube: all grouping-set combinations in one pass (completes the
     // grouping-sets family next to q32's rollup; same single-shuffle
     // expand-side aggregation)
@@ -1076,6 +1087,18 @@ object SparkEntry {
     "q49_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q50_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+        |s AS (SELECT *, CAST(SUM(CASE WHEN prev IS NULL
+        |    OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM l)
+        |SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin
   )
 }

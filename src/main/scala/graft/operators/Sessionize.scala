@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization (gaps-and-islands): group each key's events into
+  * sessions closed by more than `gapSeconds` of inactivity — the batch
+  * twin of `streaming.Streams.sessionize` (StreamingSpec proves they
+  * agree on the same rows).
+  *
+  * Formulation: LAG over (key, ts) marks rows that open a new session
+  * (no predecessor, or a gap beyond the threshold); a running SUM of
+  * those markers over the SAME window numbers the sessions; then one
+  * hash aggregate per (key, session) computes the summary. Cost: ONE
+  * shuffle on the key (both window passes share partitioning+ordering =
+  * one sort) + the final aggregate's map-side combine.
+  *
+  * Tie semantics: both windows use the default RANGE frame, so
+  * same-timestamp events are peers — they always land in the same
+  * session regardless of their order within the tie, making the output
+  * deterministic (and engine-reproducible) even with duplicate
+  * timestamps.
+  */
+object Sessionize {
+
+  /** Events + a `session_id` column (1-based per key, in time order). */
+  def withSessionIds(events: DataFrame, keys: Seq[String], tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 0, "gapSeconds must be >= 0")
+    val reserved = Seq("__new", "session_id")
+    require(!events.columns.exists(reserved.contains),
+      s"withSessionIds reserves columns ${reserved.mkString(", ")}")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(prev.isNull ||
+      col(tsCol).cast("double") - prev.cast("double") > gapSeconds, 1).otherwise(0)
+    events.withColumn("__new", isNew)
+      .withColumn("session_id", sum(col("__new")).over(w))
+      .drop("__new")
+  }
+
+  /** One row per (keys, session): session_start, session_end, n_events,
+    * plus any extra aggregates (e.g. a decimal-cast value sum).
+    */
+  def sessions(events: DataFrame, keys: Seq[String], tsCol: String,
+      gapSeconds: Long, extraAggs: Seq[Column] = Seq.empty): DataFrame = {
+    val aggs = Seq(
+      min(col(tsCol)).as("session_start"),
+      max(col(tsCol)).as("session_end"),
+      count(lit(1)).as("n_events")) ++ extraAggs
+    withSessionIds(events, keys, tsCol, gapSeconds)
+      .groupBy((keys :+ "session_id").map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -68,6 +68,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === "GOLDENRETR")
   }
 
+  test("Sessionize groups events into inactivity-gapped sessions, ties stay together") {
+    // user 1: events at t=0,100,250 (one session, gaps <= 200), then
+    // t=1000 (new session); user 2: single event
+    val ev = Seq(
+      (1L, 0L, 1.0), (1L, 100L, 2.0), (1L, 250L, 3.0), (1L, 1000L, 4.0),
+      (2L, 50L, 5.0))
+      .toDF("user_id", "t", "value")
+    val out = Sessionize.sessions(ev, Seq("user_id"), "t", gapSeconds = 200L,
+      extraAggs = Seq(sum("value").as("sum_value")))
+      .select("user_id", "session_id", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 1L, 3L, 6.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 5.0)))
+
+    // duplicate timestamps are window PEERS: they can never split across
+    // sessions whatever their order within the tie
+    val ties = Seq((1L, 0L, 1.0), (1L, 300L, 1.0), (1L, 300L, 1.0))
+      .toDF("user_id", "t", "value")
+    val tieOut = Sessionize.sessions(ties, Seq("user_id"), "t", gapSeconds = 200L)
+      .select("session_id", "n_events").as[(Long, Long)].collect().toSet
+    assert(tieOut == Set((1L, 1L), (2L, 2L)))
+  }
+
   test("AsOf.asOfJoin matches the latest right row at or before each left ts") {
     val left = Seq((1L, 1L, 10L), (2L, 1L, 5L), (3L, 2L, 7L), (4L, 3L, 2L))
       .toDF("id", "k", "t")

@@ -61,6 +61,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(r => r._2 != "late" && r._2 != "later") == batch)
   }
 
+  test("sessionize streaming twin agrees with the batch gaps-and-islands operator") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val gapMs = 600000L // 10 minutes
+    val flushTs = Timestamp.valueOf("2025-07-01 00:00:00")
+    val sessions = Streams.sessionize(input.toDS(), gapMillis = gapMs)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_twin_out").start()
+    try {
+      input.addData(sampleEvents: _*)
+      q.processAllAvailable()
+      // a far-future flush event per user closes every open session so
+      // the streaming side emits them (its own sessions are filtered out)
+      input.addData(sampleEvents.map(_.user_id).distinct.map(u =>
+        Event(9000L + u, flushTs, u, "flush", 0.0, "{}")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_twin_out")
+      .filter(col("session_start") < lit(flushTs))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+
+    val batch = graft.operators.Sessionize.sessions(
+      sampleEvents.toDF().select($"user_id", $"ts", $"value"),
+      Seq("user_id"), "ts", gapSeconds = gapMs / 1000,
+      extraAggs = Seq(sum("value").as("sum_value")))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+
+    assert(streamed == batch)
+  }
+
   test("streamIntervalJoin matches the batch range join on the same rows") {
     implicit val sc = spark.sqlContext
     val lIn = MemoryStream[Event]
