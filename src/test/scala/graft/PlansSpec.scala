@@ -54,6 +54,15 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("Window"), "running total must be a window aggregate")
   }
 
+  test("q50 sessionization shares one sort across both windows and the aggregate") {
+    val p = plan("q50_sessionize")
+    // LAG and the running-sum session ids share partitioning+ordering →
+    // exactly one exchange on the key; a second would mean the windows
+    // stopped sharing their sort
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"sessionize must shuffle once on the key:\n$p")
+  }
+
   test("q41 interval-overlap runs as an equi-join, never a nested loop") {
     val p = plan("q41_interval_overlap")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
