@@ -136,6 +136,50 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("property: binned point-in-interval join equals the naive inequality join, once per match") {
+    val pGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 5000L)))
+    val iGen = Gen.listOf(Gen.zip(
+      Gen.choose(0, 3), Gen.choose(0L, 5000L), Gen.choose(-500L, 3000L)))
+    checkProp("pointsInIntervals")(Prop.forAll(pGen, iGen) { (ps, is) =>
+      val points = ps.zipWithIndex.map { case ((k, t), i) => (k.toLong, t, i.toLong) }
+        .toDF("k", "t", "p_id")
+      val intervals = is.zipWithIndex.map { case ((k, s, len), i) =>
+        (k.toLong, s, s + len, i.toLong)
+      }.toDF("k", "s", "e", "iv_id")
+      val out = graft.operators.RangeJoin.pointsInIntervals(
+        points, intervals, Seq("k"), "t", "s", "e", Seq("iv_id"), binSeconds = 700L)
+        .select("p_id", "iv_id")
+      val got = out.as[(Long, Long)].collect()
+      val naive = points.join(intervals, Seq("k"))
+        .filter($"t" >= $"s" && $"t" < $"e")
+        .select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+      got.toSet == naive && got.length == got.toSet.size
+    })
+  }
+
+  test("property: sessionize agrees with a sequential scan oracle") {
+    val evGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 500L)))
+    checkProp("sessionize")(Prop.forAll(evGen, Gen.choose(1L, 100L)) { (evs, gap) =>
+      val df = evs.zipWithIndex.map { case ((k, t), i) => (k.toLong, t, i.toLong) }
+        .toDF("k", "t", "ev_id")
+      val got = graft.operators.Sessionize
+        .sessions(df, Seq("k"), "t", gapSeconds = gap)
+        .select("k", "session_start", "session_end", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // oracle: walk each key's sorted timestamps, cutting on gap > g
+      val expected = evs.map { case (k, t) => (k.toLong, t) }
+        .groupBy(_._1).flatMap { case (k, rows) =>
+          val ts = rows.map(_._2).sorted
+          val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+            if (t - acc.head.head <= gap) (t :: acc.head) :: acc.tail
+            else List(t) :: acc
+          }
+          sessions.map(s => (k, s.min, s.max, s.size.toLong))
+        }.toSet
+      got == expected
+    })
+  }
+
   test("property: binned interval-overlap equals the naive inequality join, once per pair") {
     // random (key, start, len) intervals — len can be zero or negative so
     // the empty/inverted-interval guard is exercised; bin width (700)
