@@ -46,10 +46,14 @@ object Bench {
           graft.expressions.HashExpressions.simHash64(toks).as("sh"),
           graft.expressions.HashExpressions.docFingerprint(col("text"), 8).as("fp"))
         .write.format("noop").mode("overwrite").save()
-      // minhash signature fold (q20/q42 machinery: shingle + aggregate
-      // over the coefficient literal array)
-      graft.dedup.MinHashDedup.withSignatures(
-        spark.read.parquet(s"$sfDir/documents.parquet").limit(64), "doc_id", "text")
+      // the full near-dedup machinery on a small slice: minhash signature
+      // fold, banded self-join, exact-Jaccard verify, localCheckpoint and
+      // the connected-components path (q20/q38/q42 machinery) — the
+      // localCheckpoint + union-find classload/JIT otherwise lands in
+      // q42's first timed trial (measured 14.7 s cold vs 6.2 s warm)
+      graft.pipeline.CorpusPipeline.nearDedup(
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(96).localCheckpoint(),
+        threshold = 0.8, transitive = true)
         .write.format("noop").mode("overwrite").save()
       // embeddings: float-array cosine path (q22-q34 machinery)
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
@@ -91,7 +95,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
     val total = results.collect { case (_, v, _, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"n_trials":$trials,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"n_trials":$trials,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(json)
+    // the artifact must stand on its own: a log-tail capture truncated the
+    // round-3 JSON head, so the result also lands in a file
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

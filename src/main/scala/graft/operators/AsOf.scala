@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** As-of (point-in-time) join: each left row picks up the value columns
   * of the temporally closest right row for the same key — the temporal
@@ -42,6 +43,11 @@ object AsOf {
     * nothing matches within direction/tolerance). `leftTs`/`rightTs`
     * name each side's event time; output keeps all left columns plus one
     * `asof_<c>` per value column.
+    *
+    * PRECONDITION: right rows must be unique per (keys, rightTs). With
+    * duplicate right timestamps the ROW-frame carry picks an arbitrary
+    * one of the tied rows — pre-dedup with `Dedup.latestPerKeyAgg` (as
+    * q43 does) when the contract isn't guaranteed upstream.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, valueCols: Seq[String],
@@ -91,17 +97,28 @@ object AsOf {
     val back = carry(Seq(col("__ts").asc, side))
     val fwd = carry(Seq(col("__ts").desc, side))
 
-    // distances in seconds (double: exact for epoch-seconds + micros
-    // fractions, and works for plain numeric ts columns too)
+    // distances: timestamps subtract in exact integer MICROSECONDS
+    // (casting each operand to double seconds first rounds at ~2.4e-7 s
+    // near current epochs — enough to flip a match sitting exactly at
+    // the tolerance boundary, or an exact nearest tie, vs an engine
+    // doing interval arithmetic). Differences stay < 2^53 so the
+    // long-vs-tolerance*1e6 compare below is exact. Plain numeric ts
+    // columns keep the double-seconds path.
+    val tsType = left.schema(leftTs).dataType
+    val exactMicros = tsType == TimestampType || tsType == TimestampNTZType
     def dist(m: Column): Column =
-      abs(col("__ts").cast("double") - m.getField("__mts").cast("double"))
+      if (exactMicros)
+        abs(unix_micros(col("__ts").cast(TimestampType)) -
+          unix_micros(m.getField("__mts").cast(TimestampType)))
+      else abs(col("__ts").cast("double") - m.getField("__mts").cast("double"))
+    val tolBound = tolerance.map(t => if (exactMicros) lit(t * 1e6) else lit(t))
     // a null left timestamp matches nothing in any direction (SQL
     // comparison semantics). Backward gets this for free (asc = NULLS
     // FIRST puts the row before every right row), but desc = NULLS LAST
     // would hand the forward carry the minimum-ts right row — guard
     // explicitly rather than rely on sort-order accidents.
-    def withinTol(m: Column): Column = tolerance match {
-      case Some(t) => col("__ts").isNotNull && m.isNotNull && dist(m) <= t
+    def withinTol(m: Column): Column = tolBound match {
+      case Some(b) => col("__ts").isNotNull && m.isNotNull && dist(m) <= b
       case None => col("__ts").isNotNull && m.isNotNull
     }
 

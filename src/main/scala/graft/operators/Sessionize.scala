@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Batch sessionization (gaps-and-islands): group each key's events into
   * sessions closed by more than `gapSeconds` of inactivity — the batch
@@ -24,7 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Events + a `session_id` column (1-based per key, in time order). */
+  /** Events + a `session_id` column (1-based per key, in time order).
+    *
+    * Null-timestamp events have no position on the time axis and are
+    * DROPPED up front (same policy as `AsOf`): without the filter every
+    * null row would mark session-opening, all nulls would be RANGE peers
+    * sharing one inflated session, and Spark's NULLS FIRST sort would
+    * diverge from ANSI engines' NULLS LAST. Timestamp gaps compare in
+    * exact integer microseconds (a per-operand double cast rounds at
+    * ~2.4e-7 s near current epochs, enough to misclassify an
+    * exactly-gapSeconds gap); numeric ts columns keep the double path.
+    */
   def withSessionIds(events: DataFrame, keys: Seq[String], tsCol: String,
       gapSeconds: Long): DataFrame = {
     require(gapSeconds >= 0, "gapSeconds must be >= 0")
@@ -33,9 +44,15 @@ object Sessionize {
       s"withSessionIds reserves columns ${reserved.mkString(", ")}")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
     val prev = lag(col(tsCol), 1).over(w)
-    val isNew = when(prev.isNull ||
-      col(tsCol).cast("double") - prev.cast("double") > gapSeconds, 1).otherwise(0)
-    events.withColumn("__new", isNew)
+    val tsType = events.schema(tsCol).dataType
+    val gapExceeded =
+      if (tsType == TimestampType || tsType == TimestampNTZType)
+        unix_micros(col(tsCol).cast(TimestampType)) -
+          unix_micros(prev.cast(TimestampType)) > gapSeconds * 1000000L
+      else col(tsCol).cast("double") - prev.cast("double") > gapSeconds
+    val isNew = when(prev.isNull || gapExceeded, 1).otherwise(0)
+    events.filter(col(tsCol).isNotNull)
+      .withColumn("__new", isNew)
       .withColumn("session_id", sum(col("__new")).over(w))
       .drop("__new")
   }

@@ -88,6 +88,16 @@ object Sources {
     * `schema`; dropping the table never deletes `location`'s data
     * (external semantics).
     */
+  /** Backquote each dot-part of a table name (`` ` `` doubled inside) and
+    * backslash-escape a SQL string literal — interpolating raw user
+    * strings into DDL otherwise breaks on names needing quoting or paths
+    * containing a quote.
+    */
+  private[sources] def quoteIdent(name: String): String =
+    name.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+  private[sources] def sqlString(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   def createPartitionedTable(spark: SparkSession, name: String,
       schema: StructType, partitionCols: Seq[String], location: String,
       replace: Boolean = false): Unit = {
@@ -95,12 +105,12 @@ object Sources {
       s"partition columns ${partitionCols.mkString(", ")} must be in the schema")
     // v1 datasource tables have no CREATE OR REPLACE; drop-first gives
     // replace semantics (safe: external — data at `location` survives)
-    if (replace) spark.sql(s"DROP TABLE IF EXISTS $name")
+    if (replace) spark.sql(s"DROP TABLE IF EXISTS ${quoteIdent(name)}")
     val partDdl =
       if (partitionCols.isEmpty) ""
       else s" PARTITIONED BY (${partitionCols.map(c => s"`$c`").mkString(", ")})"
-    spark.sql(s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) " +
-      s"USING PARQUET$partDdl LOCATION '$location'")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS ${quoteIdent(name)} (${schema.toDDL}) " +
+      s"USING PARQUET$partDdl LOCATION ${sqlString(location)}")
   }
 
   /** Sync catalog partition metadata with directories that appeared on
@@ -108,7 +118,7 @@ object Sources {
     * location) — the OPTIMIZE-era `MSCK REPAIR TABLE`.
     */
   def recoverPartitions(spark: SparkSession, name: String): Unit =
-    spark.sql(s"MSCK REPAIR TABLE $name")
+    spark.sql(s"MSCK REPAIR TABLE ${quoteIdent(name)}")
 
   /** Append a DataFrame into a catalog table by POSITION (INSERT INTO
     * semantics: the catalog schema, not the DataFrame's column names,
@@ -131,6 +141,27 @@ object Sources {
     // like createOrReplaceTempView, never a stale no-op on a prior table
     createPartitionedTable(spark, name, schema, partitionCols, dir, replace = true)
     recoverPartitions(spark, name)
+  }
+
+  /** Partition-level restatement: overwrite ONLY the partitions present
+    * in `df`, leaving every other partition of the target directory
+    * untouched — the plain-Spark analog of the reference's partition
+    * backfill (reference: sql/breed_mapping.py:609-618, which restates
+    * one ingest_date at a time). Static overwrite mode would truncate
+    * the whole table first; `partitionOverwriteMode=dynamic` scopes the
+    * delete to partitions the incoming data actually names, which is the
+    * only sane restatement mode at 100 TB. The conf is set per-write via
+    * the DataFrameWriter option, so session state is never mutated.
+    */
+  def overwritePartitions(df: DataFrame, dir: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "overwritePartitions needs at least one partition column")
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(dir)
   }
 
   /** Object-store-safe "table exists and has files" probe — the one

@@ -107,6 +107,25 @@ class DedupSpec extends AnyFunSuite {
       s"recall ${lsh.size.toDouble / brute.size} below 0.9 (${lsh.size}/${brute.size})")
   }
 
+  test("q34 operating point: LSH at threshold 0.35 keeps precision 1.0 and its measured recall floor") {
+    // Regression floor for the REGISTERED q34 regime (documented in
+    // SparkEntry: threshold 0.35 sits far below the 16x5-bit S-curve knee,
+    // where LSH recovers only the closest pairs — 5 of q23's 13 at the
+    // gate data). Rows-only correctness would stay "green" on a silent
+    // drop to 0/13; this pins the measured floor so the low-threshold
+    // regime can't rot unnoticed.
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .filter(col("vec_id") % 5 === 0 && col("vec_id") < 500)
+    val brute = Dedup.embeddingPairsBrute(embs, "vec_id", "embedding", 0.35)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingPairsLsh(embs, "vec_id", "embedding", 0.35, dim = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(brute.size == 13, s"gate subset should hold 13 brute pairs, got ${brute.size}")
+    assert(lsh.subsetOf(brute), "exact-cosine verify must keep precision 1.0")
+    assert(lsh.size >= 5,
+      s"recovered pairs fell below the measured floor: ${lsh.size}/13 (was 5/13)")
+  }
+
   // Hot-bucket fixture: 1000 docs sharing one exact boilerplate text — one
   // degenerate bucket in EVERY band. Uncapped, that single key would emit
   // ~500k candidate pairs onto one reducer; the cap must drop it while

@@ -108,6 +108,42 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_repoint_t")
   }
 
+  test("overwritePartitions restates only the partitions present in the batch") {
+    val dir = tempDir() + "/table"
+    Seq((1, "a", "orig"), (2, "a", "orig"), (3, "b", "orig"), (4, "c", "orig"))
+      .toDF("id", "part", "v").write.partitionBy("part").parquet(dir)
+    // restate partition 'a' only (fewer rows, new values)
+    Sources.overwritePartitions(
+      Seq((10, "a", "restated")).toDF("id", "part", "v"), dir, Seq("part"))
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("part") === "a").select("v").as[String].collect().toSeq
+      == Seq("restated"), "named partition must be fully replaced")
+    assert(back.filter(col("part") =!= "a").count() == 2,
+      "partitions absent from the batch must survive untouched")
+    // static mode would have truncated them; prove the b/c data is original
+    assert(back.filter(col("part") === "b").select("id").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("DDL helpers quote identifiers and escape locations") {
+    import org.apache.spark.sql.types._
+    // a reserved-keyword table name (parse error unless backquoted; the
+    // catalog itself only allows [A-Za-z0-9_] names so a keyword is the
+    // quoting-sensitive case that can actually exist) and a location
+    // containing a single quote (malformed string literal unescaped)
+    val loc = tempDir() + "/it's data"
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("part", StringType)))
+    spark.sql("DROP TABLE IF EXISTS `table`")
+    Sources.createPartitionedTable(spark, "table", schema, Seq("part"), loc)
+    Sources.insertAppend(Seq((1, "a")).toDF("id", "part"), "`table`")
+    Sources.recoverPartitions(spark, "table")
+    assert(spark.table("`table`").count() == 1)
+    // replace path exercises the quoted DROP
+    Sources.createPartitionedTable(spark, "table", schema, Seq("part"),
+      loc, replace = true)
+    spark.sql("DROP TABLE `table`")
+  }
+
   test("readCsv applies the explicit schema without inference") {
     val dir = tempDir()
     val f = new java.io.PrintWriter(s"$dir/data.csv")
