@@ -624,6 +624,30 @@ object SparkEntry {
       Skew.keyHistogram(Tables.lineitem(s, dir), Seq("l_partkey"), topN = 20)
     }),
 
+    // Eval-set decontamination: per training doc, how many distinct
+    // 8-grams it shares with ANY benchmark doc (benchmark = every 10th
+    // doc, the q07-style derived split). Corpus side never shuffles —
+    // the distinct benchmark gram-hash set is broadcast; grams travel as
+    // 64-bit hashes, never text.
+    "q51_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.dedup.Decontaminate.overlapStats(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", "text", n = 8)
+    }),
+
+    // Gopher-style repetition/boilerplate signals: duplicate-2-gram
+    // fraction, top-2-gram fraction, top-token fraction — all narrow
+    // codegen'd array folds (sort + run-length scan), no explode/groupBy
+    // shuffle per doc
+    "q52_repetition_stats" -> ((s, dir) => {
+      graft.pipeline.CorpusPipeline.annotateRepetition(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+          col("dup_2gram_frac"), col("top_2gram_frac"), col("top_token_frac"))
+    }),
+
     // Sketch aggregates — the 100 TB scale path where exact distinct /
     // exact percentiles would shuffle every value: HLL++ and a quantile
     // sketch keep constant state per group. No SQL oracle (sketch values
@@ -1088,6 +1112,45 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q51_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(w) >= 8
+        |    THEN list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))
+        |    ELSE [] END) AS gs FROM t),
+        |tg AS (SELECT doc_id, gs FROM sh WHERE doc_id % 10 <> 7),
+        |bg AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(gs) AS g FROM sh WHERE doc_id % 10 = 7)),
+        |h AS (SELECT doc_id, COUNT(*) AS n_hits FROM (
+        |    SELECT doc_id, unnest(gs) AS g FROM tg) x
+        |  JOIN bg USING (g) GROUP BY doc_id)
+        |SELECT tg.doc_id, CAST(len(gs) AS INT) AS n_grams,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  COALESCE(h.n_hits, 0) >= 1 AS contaminated
+        |FROM tg LEFT JOIN h USING (doc_id)""".stripMargin,
+
+    "q52_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, w, CASE WHEN len(w) >= 2
+        |  THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |  ELSE [] END AS g2 FROM t),
+        |tm AS (SELECT doc_id, MAX(c) AS topt FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |      SELECT doc_id, unnest(w) AS tok FROM t) x GROUP BY 1, 2) y
+        |  GROUP BY 1),
+        |gm AS (SELECT doc_id, MAX(c) AS topg FROM (
+        |    SELECT doc_id, gr, COUNT(*) AS c FROM (
+        |      SELECT doc_id, unnest(g2) AS gr FROM g) x GROUP BY 1, 2) y
+        |  GROUP BY 1)
+        |SELECT g.doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |  CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+        |    / CAST(len(g2) AS DOUBLE) ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN len(g2) > 0 THEN CAST(COALESCE(gm.topg, 0) AS DOUBLE)
+        |    / CAST(len(g2) AS DOUBLE) ELSE 0.0 END AS top_2gram_frac,
+        |  CASE WHEN len(w) > 0 THEN CAST(COALESCE(tm.topt, 0) AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS top_token_frac
+        |FROM g LEFT JOIN gm USING (doc_id) LEFT JOIN tm USING (doc_id)""".stripMargin,
 
     "q50_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

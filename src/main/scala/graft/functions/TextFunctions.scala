@@ -58,6 +58,45 @@ object TextFunctions {
     }
   }
 
+  /** Highest multiplicity of any element in a string array, as one
+    * codegen'd fold: sort the array, then run-length scan via
+    * `aggregate` with a (prev, run, best) struct accumulator — no
+    * explode/groupBy shuffle, so per-doc repetition stats stay a narrow
+    * map over the scan. 0 for an empty array.
+    */
+  def topRunCount(arr: Column): Column = {
+    val sorted = sort_array(arr)
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Fraction of array positions occupied by repeats of an earlier
+    * element: (total - distinct) / total, 0 for an empty array. Applied
+    * to word n-grams this is the Gopher-style duplicate-n-gram
+    * boilerplate signal.
+    */
+  def dupFraction(arr: Column): Column =
+    when(size(arr) > 0,
+      (size(arr) - size(array_distinct(arr))).cast("double") /
+        size(arr).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Fraction of array positions taken by the single most frequent
+    * element (Gopher's top-n-gram signal; on raw tokens it catches
+    * single-token spam). 0 for an empty array.
+    */
+  def topElementFraction(arr: Column): Column =
+    when(size(arr) > 0,
+      topRunCount(arr).cast("double") / size(arr).cast("double"))
+      .otherwise(lit(0.0))
+
   /** Heuristic quality score in [0,1]: mixes stopword density, vocabulary
     * diversity, and length. Pure IEEE double arithmetic (no rounding) so
     * it reproduces bit-exactly in any engine.

@@ -23,11 +23,22 @@ import graft.functions.TextFunctions
   */
 object CorpusPipeline {
 
+  /** `benchmarks`: optional eval table for the decontamination gate
+    * (docs sharing >= `decontamMinHits` distinct `decontamNgram`-grams
+    * with it are dropped). `maxDupNgramFrac`/`maxTopNgramFrac` gate the
+    * Gopher-style repetition signals; 1.0 = gate off (every fraction
+    * is <= 1).
+    */
   case class Config(
       langs: Seq[String] = Seq("en"),
       minQuality: Double = 0.0,
       minTokens: Int = 5,
-      nearDupThreshold: Double = 0.8)
+      nearDupThreshold: Double = 0.8,
+      maxDupNgramFrac: Double = 1.0,
+      maxTopNgramFrac: Double = 1.0,
+      benchmarks: Option[DataFrame] = None,
+      decontamNgram: Int = 8,
+      decontamMinHits: Int = 1)
 
   /** Stage 1: cheap per-doc annotations — one narrow pass, tokenizing
     * once (each inline `tokens(...)` would be its own split pass).
@@ -40,6 +51,20 @@ object CorpusPipeline {
       .withColumn("quality", TextFunctions.qualityScoreFromTokens(col("__toks")))
       .drop("__toks")
 
+  /** Repetition/boilerplate annotations (Gopher-style quality signals,
+    * all narrow codegen'd array folds — no shuffle): fraction of 2-gram
+    * occurrences that are duplicates, fraction taken by the top 2-gram,
+    * and fraction taken by the top single token.
+    */
+  def annotateRepetition(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val g2 = TextFunctions.shingles(toks, 2)
+    docs
+      .withColumn("dup_2gram_frac", TextFunctions.dupFraction(g2))
+      .withColumn("top_2gram_frac", TextFunctions.topElementFraction(g2))
+      .withColumn("top_token_frac", TextFunctions.topElementFraction(toks))
+  }
+
   /** Stage 2: language + quality gate (narrow filter; at scale this is
     * where most volume drops, before anything shuffles).
     */
@@ -48,6 +73,17 @@ object CorpusPipeline {
       col("pred_lang").isin(cfg.langs: _*) &&
         col("quality") >= cfg.minQuality &&
         col("n_tokens") >= cfg.minTokens)
+
+  /** Stage 2b (optional): boilerplate gate on the repetition signals.
+    * Thresholds of 1.0 disable their clause (cheap no-op: the columns
+    * aren't even computed when both gates are off).
+    */
+  def repetitionFilter(docs: DataFrame, cfg: Config): DataFrame =
+    if (cfg.maxDupNgramFrac >= 1.0 && cfg.maxTopNgramFrac >= 1.0) docs
+    else annotateRepetition(docs)
+      .filter(col("dup_2gram_frac") <= cfg.maxDupNgramFrac &&
+        col("top_2gram_frac") <= cfg.maxTopNgramFrac)
+      .drop("dup_2gram_frac", "top_2gram_frac", "top_token_frac")
 
   /** Stage 3: exact dedup — keep the smallest doc_id per identical text
     * (hash-groupBy; shuffles (hash, id), not text).
@@ -150,25 +186,46 @@ object CorpusPipeline {
     docs.filter(cond)
   }
 
+  /** Stage 5 (optional): eval-set decontamination — drop docs sharing
+    * long n-grams with the benchmark table (see
+    * [[graft.dedup.Decontaminate]]; corpus side never shuffles — the
+    * distinct benchmark gram-hash set is broadcast).
+    */
+  def decontaminateAgainst(docs: DataFrame, cfg: Config): DataFrame =
+    cfg.benchmarks match {
+      case Some(bench) => graft.dedup.Decontaminate.decontaminate(
+        docs, bench, "doc_id", "text", "text",
+        cfg.decontamNgram, cfg.decontamMinHits)
+      case None => docs
+    }
+
   case class Report(input: Long, afterFilter: Long, afterExact: Long,
-      afterNear: Long, output: DataFrame)
+      afterNear: Long, output: DataFrame, afterDecontam: Option[Long] = None)
 
   /** Full chain with per-stage retention counts. Intermediate stages are
-    * persisted for the duration of the call so the four counts run the
-    * annotate/filter/dedup work once, not four times, then released.
+    * persisted for the duration of the call so the counts run the
+    * annotate/filter/dedup work once, not once per count, then released.
     * `Report.output` is returned still cached — the caller writes it out
     * (the normal 100 TB ending) or unpersists it when done.
     */
   def run(docs: DataFrame, cfg: Config = Config()): Report = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val annotated = annotate(docs)
-    val filtered = qualityFilter(annotated, cfg).persist(MEMORY_AND_DISK)
+    val filtered = repetitionFilter(qualityFilter(annotated, cfg), cfg)
+      .persist(MEMORY_AND_DISK)
     val exact = exactDedup(filtered).persist(MEMORY_AND_DISK)
     val near = nearDedup(exact, cfg.nearDupThreshold).persist(MEMORY_AND_DISK)
+    val (output, afterDecontam) = cfg.benchmarks match {
+      case Some(_) =>
+        val d = decontaminateAgainst(near, cfg).persist(MEMORY_AND_DISK)
+        (d, Some(d.count()))
+      case None => (near, None)
+    }
     val report = Report(docs.count(), filtered.count(), exact.count(),
-      near.count(), near)
+      near.count(), output, afterDecontam)
     filtered.unpersist()
     exact.unpersist()
+    if (afterDecontam.isDefined) near.unpersist()
     report
   }
 }

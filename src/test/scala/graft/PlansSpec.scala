@@ -69,6 +69,20 @@ class PlansSpec extends AnyFunSuite {
       s"bin-bucketed overlap join must stay an equi-join:\n$p")
   }
 
+  test("q51 decontamination probes via broadcast — the corpus side never shuffles") {
+    val p = plan("q51_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark gram-hash set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the contamination probe must not sort-merge the corpus grams:\n$p")
+  }
+
+  test("q52 repetition stats are a pure narrow map — zero exchanges") {
+    val p = plan("q52_repetition_stats")
+    assert(!p.contains("Exchange"),
+      s"per-doc array folds must not shuffle anything:\n$p")
+  }
+
   test("q39/q43 as-of queries are join-free (union + window carry, one key shuffle)") {
     // the as-of formulation has NO join operator at all — a regression
     // to a range-condition join would reintroduce a nested-loop plan
