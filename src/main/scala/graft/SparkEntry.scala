@@ -637,6 +637,24 @@ object SparkEntry {
         "doc_id", "text", "text", n = 8)
     }),
 
+    // Incremental cross-snapshot near-dedup: the new batch (doc_id >=
+    // 250) band-probes the PERSISTED signature store of the prior
+    // snapshot (doc_id < 250) — candidates are new×store + new×new
+    // bucket collisions only, the store never self-joins or reshuffles.
+    // The daily-100 TB posture: per-batch work scales with batch size,
+    // not corpus size. Oracle: brute-force 3-gram Jaccard restricted to
+    // pairs touching the batch (IncrementalDedupSpec proves incremental
+    // ≡ full-corpus LSH; at j >= 0.8 the 16x4 banding recovers every
+    // pair on the gate data, so the exhaustive SQL is a valid oracle).
+    "q53_incremental_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = graft.dedup.IncrementalDedup.signatureStore(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      graft.dedup.IncrementalDedup.incrementalPairs(
+        store, docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        threshold = 0.8)
+    }),
+
     // Gopher-style repetition/boilerplate signals: duplicate-2-gram
     // fraction, top-2-gram fraction, top-token fraction — all narrow
     // codegen'd array folds (sort + run-length scan), no explode/groupBy
@@ -1129,6 +1147,22 @@ object SparkEntry {
         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
         |  COALESCE(h.n_hits, 0) >= 1 AS contaminated
         |FROM tg LEFT JOIN h USING (doc_id)""".stripMargin,
+
+    // id_a < id_b always, so "pair touches the batch (ids >= 250)" is
+    // exactly id_b >= 250
+    "q53_incremental_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [] END) AS s FROM t)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE b.doc_id >= 250) x
+        |WHERE jaccard >= 0.8""".stripMargin,
 
     "q52_repetition_stats" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -1,0 +1,123 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental (cross-snapshot) near-deduplication: dedup a NEW batch of
+  * documents against a persisted MinHash signature store WITHOUT ever
+  * re-shuffling or self-joining the store — the near-dup extension of the
+  * reference's incremental ingestion posture (reference:
+  * notebooks/bronze.py:111-112, which anti-joins each batch on exact keys).
+  *
+  * A daily 100 TB pipeline cannot re-run `MinHashDedup.nearDuplicates`
+  * over the whole corpus per batch: signatures are computed once per doc
+  * at ingest and persisted (`signatureStore` output written as a table,
+  * in production partitioned/bucketed by band hash). Per batch:
+  *   - the batch computes its own signatures (narrow pass over NEW docs);
+  *   - banded candidates are (batch x store) + (batch x batch) bucket
+  *     collisions only — the store side streams through the band join but
+  *     never pairs with itself, so per-batch work scales with batch size
+  *     x collision rate, not corpus size;
+  *   - the hot-bucket cap is evaluated over the COMBINED (store + batch)
+  *     bucket population, exactly like a full-corpus run — so incremental
+  *     results match the full run (IncrementalDedupSpec proves it);
+  *   - exact-Jaccard verify fetches shingle sets by id for candidates
+  *     only, from either side.
+  *
+  * Winner rule: a batch doc near-dup of a STORE doc always loses (shipped
+  * data is immutable); within the batch the smaller id wins. With ids
+  * monotone over time (the normal snapshot layout) this is exactly the
+  * full-corpus keep-smallest rule. Re-ingesting identical content under
+  * fresh ids yields zero survivors (jaccard 1.0 against the store) — the
+  * re-run idempotency property; same-id redelivery is exact-key territory
+  * handled upstream by `Idempotency.newKeysOnly`.
+  */
+object IncrementalDedup {
+
+  /** The persisted per-snapshot signature state: (idCol, shingles, sig).
+    * Same signature parameters MUST be used for the store and every
+    * batch probed against it (enforced by callers passing one config).
+    */
+  def signatureStore(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame =
+    MinHashDedup.withSignatures(docs, idCol, textCol, shingleSize, numHashes, seed)
+
+  /** Near-duplicate pairs (id_a, id_b, jaccard) where at least one side
+    * is a batch doc: batch x store and batch x batch bucket collisions,
+    * never store x store. Ids must be disjoint between store and batch.
+    */
+  def incrementalPairs(storeSigs: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, rowsPerBand: Int = 4,
+      seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
+    require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must be <= numHashes")
+    val batchSigs = MinHashDedup.withSignatures(
+        batch, idCol, textCol, shingleSize, numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val storeBands = MinHashDedup.bandedRows(storeSigs, idCol, bands, rowsPerBand)
+      .withColumn("__new", lit(false))
+    val batchBands = MinHashDedup.bandedRows(batchSigs, idCol, bands, rowsPerBand)
+      .withColumn("__new", lit(true))
+    // cap over the combined bucket population — identical semantics to a
+    // full-corpus run on (store ∪ batch), which is what makes
+    // incremental ≡ full provable rather than approximate
+    val bounded = LshGuards.dropHotKeys(
+        storeBands.unionByName(batchBands),
+        Seq("band_idx", "band_hash"), maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = bounded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_x"))
+    val newOnly = bounded.filter(col("__new"))
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("id_y"))
+    val candidates = all.join(newOnly, Seq("band_idx", "band_hash"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .dropDuplicates()
+    val sets = storeSigs.select(col(idCol), col("shingles"))
+      .unionByName(batchSigs.select(col(idCol), col("shingles")))
+    val verified = candidates
+      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    val out = verified.localCheckpoint() // eager; then release the caches
+    batchSigs.unpersist()
+    bounded.unpersist()
+    out
+  }
+
+  /** Batch survivors and the updated store in one call.
+    *
+    * `survivors`: batch docs that near-dup neither a store doc nor a
+    * smaller-id batch doc. `updatedStore`: storeSigs plus the survivors'
+    * signatures — feed it to the next batch (in production: append the
+    * new signature partition to the store table).
+    */
+  case class BatchResult(survivors: DataFrame, updatedStore: DataFrame,
+      pairs: DataFrame)
+
+  def dedupBatch(storeSigs: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, rowsPerBand: Int = 4,
+      seed: Long = 42L, maxBucketSize: Int = 2000): BatchResult = {
+    val pairs = incrementalPairs(storeSigs, batch, idCol, textCol, threshold,
+      shingleSize, numHashes, bands, rowsPerBand, seed, maxBucketSize)
+    // Per-pair loser: every pair has >= 1 batch side by construction, so
+    // if id_b is a store doc then id_a is the batch doc and loses; else
+    // id_b loses (to a store id_a — store wins — or to a smaller batch
+    // id_a — keep-smallest). Store ids never lose.
+    val bStore = storeSigs.select(col(idCol).as("id_b"))
+      .withColumn("__b_store", lit(true))
+    val losers = pairs.join(bStore, Seq("id_b"), "left")
+      .select(when(col("__b_store").isNotNull, col("id_a"))
+        .otherwise(col("id_b")).as(idCol))
+      .distinct()
+    val survivors = batch.join(losers, Seq(idCol), "left_anti")
+    val survivorSigs = MinHashDedup.withSignatures(
+      survivors, idCol, textCol, shingleSize, numHashes, seed)
+    BatchResult(survivors, storeSigs.unionByName(survivorSigs), pairs)
+  }
+}

@@ -77,7 +77,7 @@ object MinHashDedup {
   }
 
   /** (id, band_idx, band_hash) — one row per band per doc. */
-  private def bandedRows(signatures: DataFrame, idCol: String,
+  private[dedup] def bandedRows(signatures: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band_idx"),

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.dedup.{IncrementalDedup, MinHashDedup}
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, SparkTestSession.sfTiny)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+  test("incremental band-probe equals the full-corpus run restricted to batch pairs") {
+    // snapshot split by id (ids are monotone over time in a real store)
+    val mid = 25L
+    val old = docs.filter(col("doc_id") < mid)
+    val batch = docs.filter(col("doc_id") >= mid)
+    val store = IncrementalDedup.signatureStore(old, "doc_id", "text")
+    val inc = pairSet(IncrementalDedup.incrementalPairs(
+      store, batch, "doc_id", "text", threshold = 0.8))
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val full = pairSet(MinHashDedup.nearDuplicates(docs, "doc_id", "text", 0.8))
+      .filter { case (a, b, _) => batchIds(a) || batchIds(b) }
+    assert(full.nonEmpty, "split must cut across planted near-dup clusters")
+    assert(inc == full,
+      s"incremental diverges: missing=${full -- inc}, extra=${inc -- full}")
+  }
+
+  test("re-ingesting the same content under fresh ids leaves zero survivors") {
+    val base = docs.filter(size(split(trim(col("text")), " ")) >= 3).limit(40)
+    val store = IncrementalDedup.signatureStore(base, "doc_id", "text")
+    val replay = base.withColumn("doc_id", col("doc_id") + 100000L)
+    val r = IncrementalDedup.dedupBatch(store, replay, "doc_id", "text", 0.8)
+    assert(r.survivors.isEmpty,
+      "every replayed doc has a jaccard-1.0 twin in the store and must lose")
+    assert(r.updatedStore.count() == store.count(), "the store must not grow")
+  }
+
+  test("store docs always win; within the batch the smaller id wins") {
+    val s1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val s2 = "one two three four five six seven eight nine ten"
+    val store = IncrementalDedup.signatureStore(
+      Seq((10L, s1)).toDF("doc_id", "text"), "doc_id", "text")
+    // batch: 5 dups the store doc (smaller id than store — store must STILL
+    // win), 20+21 dup each other (smaller batch id wins), 30 is clean
+    val batch = Seq(
+      (5L, s1 + " tail"), (20L, s2), (21L, s2 + " tail"),
+      (30L, "completely different text with no relation to anything else"))
+      .toDF("doc_id", "text")
+    val r = IncrementalDedup.dedupBatch(store, batch, "doc_id", "text", 0.5)
+    val kept = r.survivors.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(20L, 30L), s"got $kept")
+    // updated store carries the survivors' signatures for the next batch
+    assert(r.updatedStore.select("doc_id").as[Long].collect().toSet ==
+      Set(10L, 20L, 30L))
+  }
+
+  test("property: incremental pairs match the full run under random docs and splits") {
+    val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val docGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 60L), Gen.listOfN(6, word).map(_.mkString(" "))))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withInitialSeed(7L),
+      Prop.forAll(docGen, Gen.choose(0L, 60L)) { (rows, cut) =>
+        val df = rows.distinctBy(_._1).toDF("doc_id", "text")
+        val old = df.filter(col("doc_id") < cut)
+        val batch = df.filter(col("doc_id") >= cut)
+        val store = IncrementalDedup.signatureStore(old, "doc_id", "text")
+        val inc = pairSet(IncrementalDedup.incrementalPairs(
+          store, batch, "doc_id", "text", threshold = 0.5))
+        val batchIds = batch.select("doc_id").as[Long].collect().toSet
+        val full = pairSet(MinHashDedup.nearDuplicates(df, "doc_id", "text", 0.5))
+          .filter { case (a, b, _) => batchIds(a) || batchIds(b) }
+        inc == full
+      })
+    assert(res.passed, s"incremental≡full property: ${res.status}")
+  }
+}
