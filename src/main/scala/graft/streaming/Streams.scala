@@ -122,6 +122,36 @@ object Streams {
         })
   }
 
+  /** Watermarked NATIVE sessionization — the production shape: Spark's
+    * built-in `session_window` aggregation merges windows whose gap is
+    * within `gap`, keyed state is watermark-bounded, and event-time
+    * robustness is built in: an out-of-order event arriving in a later
+    * micro-batch still merges into its session as long as it beats the
+    * watermark, and events older than the watermark are dropped at the
+    * operator instead of corrupting state. (The
+    * [[sessionize flatMapGroupsWithState twin]] stays as the
+    * custom-state exemplar, but it processes batches in arrival order
+    * with no watermark — a late event there can split or distort a
+    * session.) Append mode emits a session once the watermark passes
+    * session end + gap; results then match the batch
+    * `operators.Sessionize.sessions` on the same rows exactly
+    * (session_start/session_end are min/max event time, like the batch
+    * operator — the window struct's padded end is dropped).
+    */
+  def sessionizeNative(stream: DataFrame, keys: Seq[String], tsCol: String,
+      gap: String, watermark: String,
+      extraAggs: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame = {
+    val aggs = Seq(
+      min(col(tsCol)).as("session_start"),
+      max(col(tsCol)).as("session_end"),
+      count(lit(1)).as("n_events")) ++ extraAggs
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("session_window")
+  }
+
   /** Stream-stream interval join: the streaming twin of the batch range
     * join (q40 / `RangeJoin.pointsInIntervals` with intervals of length
     * `maxDelay` anchored at the right rows): left rows pair with right

@@ -93,6 +93,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sessionizeNative (watermarked session_window) agrees with the batch operator") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val flushTs = Timestamp.valueOf("2025-07-01 00:00:00")
+    val native = Streams.sessionizeNative(input.toDF(), Seq("user_id"), "ts",
+      gap = "10 minutes", watermark = "10 minutes",
+      extraAggs = Seq(sum(col("value")).as("sum_value")))
+    val q = native.writeStream.outputMode("append").format("memory")
+      .queryName("sessnat_out").start()
+    try {
+      input.addData(sampleEvents: _*)
+      q.processAllAvailable()
+      // two watermark-advancing batches: the first raises the watermark
+      // past every sample session's end+gap, the second triggers their
+      // emission (batch N uses the watermark computed through N-1)
+      input.addData(Event(9001, flushTs, 300, "flush", 0.0, "{}"))
+      q.processAllAvailable()
+      input.addData(Event(9002, Timestamp.valueOf("2025-07-01 01:00:00"), 300, "flush", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sessnat_out")
+      .filter(col("session_start") < lit(flushTs))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+
+    val batch = graft.operators.Sessionize.sessions(
+      sampleEvents.toDF().select($"user_id", $"ts", $"value"),
+      Seq("user_id"), "ts", gapSeconds = 600L,
+      extraAggs = Seq(sum("value").as("sum_value")))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+
+    assert(streamed == batch)
+  }
+
+  test("sessionizeNative merges in-watermark late events and drops beyond-watermark ones") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val native = Streams.sessionizeNative(input.toDF(), Seq("user_id"), "ts",
+      gap = "10 minutes", watermark = "10 minutes")
+    val q = native.writeStream.outputMode("append").format("memory")
+      .queryName("sessnat_late").start()
+    try {
+      // batch 1: user 100 at 10:00 and 10:05
+      input.addData(Event(1, ts(0), 100, "click", 1.0, "{}"),
+        Event(2, ts(5), 100, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: out-of-order 10:03 event — the watermark is only
+      // 09:55 (10:05 - 10m), so it MUST merge into the open session
+      // (the arrival-order flatMapGroupsWithState twin has no such
+      // guarantee)
+      input.addData(Event(3, ts(3), 100, "late-ok", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 3: 11:00 advances the watermark to 10:50, sealing the
+      // 10:00-10:05 session (end+gap 10:15 < 10:50)
+      input.addData(Event(4, Timestamp.valueOf("2025-06-01 11:00:00"), 100, "adv", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 4: 10:02 is older than the 10:50 watermark → dropped at
+      // the operator; a second far-future event flushes remaining state
+      input.addData(Event(5, ts(2), 100, "too-late", 1.0, "{}"),
+        Event(6, Timestamp.valueOf("2025-06-01 12:00:00"), 100, "flush", 1.0, "{}"))
+      q.processAllAvailable()
+      input.addData(Event(7, Timestamp.valueOf("2025-06-01 13:00:00"), 100, "flush", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("sessnat_late")
+      .select("session_start", "session_end", "n_events")
+      .as[(Timestamp, Timestamp, Long)].collect().toSet
+    // the morning session holds exactly events 1-3 (the in-watermark
+    // late event merged; the beyond-watermark one did not resurrect it)
+    assert(sessions.contains((ts(0), ts(5), 3L)),
+      s"expected merged 3-event session, got $sessions")
+    assert(!sessions.exists(s => s._3 == 1L && s._1 == ts(2)),
+      "the beyond-watermark event must be dropped, not become its own session")
+  }
+
   test("streamIntervalJoin matches the batch range join on the same rows") {
     implicit val sc = spark.sqlContext
     val lIn = MemoryStream[Event]
