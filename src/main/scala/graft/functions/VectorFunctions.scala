@@ -46,4 +46,17 @@ object VectorFunctions {
     aggregate(planesLit, lit(0L), (acc, p) =>
       acc * 2 + when(dot(v, p) > 0.0, lit(1L)).otherwise(lit(0L)))
   }
+
+  /** Per-plane dot products of `v` against the SAME planes as
+    * [[hyperplaneSignature]] for the same (dim, nPlanes, seed) —
+    * element i is the margin to the plane behind signature bit i. A
+    * small |dot| means the vector sits near that boundary, i.e. a true
+    * neighbor most plausibly landed on the other side — the ranking a
+    * margin-directed multi-probe flips first.
+    */
+  def hyperplaneDots(v: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    transform(typedLit(planes.map(_.toSeq).toSeq), p => dot(v, p))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -116,19 +116,23 @@ object Knn {
     * Multi-probe (the IVF-nprobe idea applied to LSH): each PROBE also
     * visits buckets at Hamming distance 1 from its signature — a true
     * neighbor that landed across one hyperplane is then still found.
-    * The flipped planes are a fixed prefix (planes 0..multiProbe-1), not
-    * margin-directed (query-adaptive flipping of the lowest-|dot| planes
-    * would rank the probes better at partial settings); the default
-    * flips EVERY plane, which subsumes the margin-directed choice at
-    * Hamming distance 1. Probe-side only: the corpus index stays one
-    * bucket per table per row, and the probe set is tiny and broadcast,
-    * so visiting (1 + multiProbe) buckets per table costs nothing at
-    * corpus scale but multiplies candidate recall. Default -1 = flip
-    * every plane (multiProbe = nPlanes); 0 = exact buckets only.
+    * At partial settings (`multiProbe < nPlanes`) the flipped planes are
+    * MARGIN-DIRECTED by default: each query flips the planes where its
+    * own |dot| margin is smallest — exactly the boundaries a true
+    * neighbor most plausibly crossed — rather than a fixed plane prefix
+    * (`marginDirected = false` keeps the fixed-prefix strategy; KnnSpec
+    * proves the margin choice recalls at least as much on the fixture).
+    * The default flips EVERY plane, where the two strategies coincide.
+    * Probe-side only: the corpus index stays one bucket per table per
+    * row, and the probe set is tiny and broadcast, so visiting
+    * (1 + multiProbe) buckets per table costs nothing at corpus scale
+    * but multiplies candidate recall. Default -1 = flip every plane
+    * (multiProbe = nPlanes); 0 = exact buckets only.
     */
   def lshBuckets(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, nPlanes: Int = 5,
-      tables: Int = 12, seed: Long = 42L, multiProbe: Int = -1): DataFrame = {
+      tables: Int = 12, seed: Long = 42L, multiProbe: Int = -1,
+      marginDirected: Boolean = true): DataFrame = {
     val flips = if (multiProbe < 0) nPlanes else math.min(multiProbe, nPlanes)
     def sig(t: Int) =
       VectorFunctions.hyperplaneSignature(col(vecCol), dim, nPlanes, seed + t)
@@ -141,13 +145,30 @@ object Knn {
         .select(col("neighbor_id"), col("c_vec"), col("s.table_idx"), col("s.bucket"))
     }
     val p = {
-      // mask 0 = the exact bucket; 1<<b = bucket with plane b flipped
-      val masks = 0L +: (0 until flips).map(b => 1L << b)
-      val probeCols = for { t <- 0 until tables; m <- masks } yield
-        struct(lit(t).as("table_idx"), sig(t).bitwiseXOR(lit(m)).as("bucket"))
+      // per-table XOR masks: 0 = the exact bucket; 1<<b = plane b flipped
+      val maskByPlane = typedLit((0 until nPlanes).map(b => 1L << b))
+      def masks(t: Int): Column =
+        if (!marginDirected || flips == nPlanes || flips == 0)
+          // static: full flip / no flip — plane order is irrelevant
+          typedLit(0L +: (0 until flips).map(b => 1L << b))
+        else {
+          // query-adaptive: rank this table's planes by |margin| asc
+          // (ties by index) and flip the `flips` closest boundaries
+          val dots = VectorFunctions.hyperplaneDots(col(vecCol), dim, nPlanes, seed + t)
+          val ranked = slice(sort_array(
+            transform(dots, (d, i) => struct(abs(d).as("a"), i.as("idx")))), 1, flips)
+          concat(array(lit(0L)),
+            transform(ranked, s => element_at(maskByPlane, s.getField("idx") + 1)))
+        }
+      val tableCols = (0 until tables).map { t =>
+        struct(lit(t).as("table_idx"), sig(t).as("sig"), masks(t).as("masks"))
+      }
       probes.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        explode(array(probeCols: _*)).as("s"))
-        .select(col("query_id"), col("q_vec"), col("s.table_idx"), col("s.bucket"))
+        explode(array(tableCols: _*)).as("s"))
+        .select(col("query_id"), col("q_vec"), col("s.table_idx"),
+          col("s.sig"), explode(col("s.masks")).as("mask"))
+        .select(col("query_id"), col("q_vec"), col("table_idx"),
+          col("sig").bitwiseXOR(col("mask")).as("bucket"))
     }
     val candidates = c.join(broadcast(p), Seq("table_idx", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -74,6 +74,32 @@ class KnnSpec extends AnyFunSuite {
       f"multi-probe must widen recall on this fixture: $rAll%.2f vs $r0%.2f")
   }
 
+  test("partial multi-probe: margin-directed flipping recalls >= the fixed prefix") {
+    val embs = Tables.embeddings(spark, SparkTestSession.sfTiny)
+    val probes = embs.filter($"vec_id" < 5)
+    val exact = Knn.bruteForce(embs, probes, "vec_id", "embedding", k = 10)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    def recallAt(flips: Int, margin: Boolean): Double = {
+      val got = Knn.lshBuckets(embs, probes, "vec_id", "embedding",
+        k = 10, dim = 64, multiProbe = flips, marginDirected = margin)
+        .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val results = (1 to 3).map { flips =>
+      val (m, p) = (recallAt(flips, margin = true), recallAt(flips, margin = false))
+      info(f"flips=$flips margin=$m%.2f prefix=$p%.2f")
+      (flips, m, p)
+    }
+    results.foreach { case (flips, m, p) =>
+      assert(m >= p,
+        f"margin-directed must not lose to the fixed prefix at flips=$flips: $m%.2f < $p%.2f")
+    }
+    // the query-adaptive choice must actually pay somewhere on this
+    // fixture — all-equal would mean the margins are being ignored
+    assert(results.exists { case (_, m, p) => m > p },
+      "margin-directed flipping should beat the prefix for some partial setting")
+  }
+
   test("IVF knn: valid shape, no self-match, useful recall vs exact") {
     val embs = Tables.embeddings(spark, SparkTestSession.sfTiny)
     val probes = embs.filter($"vec_id" < 5)
