@@ -666,6 +666,29 @@ object SparkEntry {
           col("dup_2gram_frac"), col("top_2gram_frac"), col("top_token_frac"))
     }),
 
+    // Sequence packing: concatenate-and-chunk into 2048-token training
+    // sequences per language — each doc tagged with the sequence it
+    // starts in and its offset (one window cumsum = one shuffle; pure
+    // integer arithmetic, so the packing is engine-reproducible like the
+    // q45 split)
+    "q54_sequence_pack" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val annotated = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), size(toks).as("n_tokens"))
+      graft.pipeline.CorpusPipeline.packSequences(
+        annotated, "lang", "n_tokens", seqLen = 2048L, Seq(col("doc_id").asc))
+    }),
+
+    // Corpus-frequency familiarity (CCNet-style quality signal without a
+    // pretrained LM): mean corpus frequency of each doc's tokens —
+    // formulated as one exact long sum + one double division so it
+    // hash-matches across engines (a mean of ln() probs would differ in
+    // the last ulp)
+    "q55_familiarity" -> ((s, dir) => {
+      graft.pipeline.CorpusPipeline.familiarityScore(
+        Tables.documents(s, dir), "doc_id", "text")
+    }),
+
     // Sketch aggregates — the 100 TB scale path where exact distinct /
     // exact percentiles would shuffle every value: HLL++ and a quantile
     // sketch keep constant state per group. No SQL oracle (sketch values
@@ -1147,6 +1170,28 @@ object SparkEntry {
         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
         |  COALESCE(h.n_hits, 0) >= 1 AS contaminated
         |FROM tg LEFT JOIN h USING (doc_id)""".stripMargin,
+
+    "q54_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens FROM documents),
+        |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
+        |  ORDER BY doc_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
+
+    "q55_familiarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM f),
+        |d AS (SELECT doc_id, CAST(SUM(f.freq) AS BIGINT) AS sum_freq,
+        |    COUNT(*) AS n FROM tok JOIN f USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, sum_freq, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(sum_freq AS DOUBLE) / (CAST(n AS DOUBLE) * tot.total) AS familiarity
+        |FROM d CROSS JOIN tot""".stripMargin,
 
     // id_a < id_b always, so "pair touches the batch (ids >= 250)" is
     // exactly id_b >= 250

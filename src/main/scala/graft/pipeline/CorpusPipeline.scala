@@ -134,6 +134,69 @@ object CorpusPipeline {
       .drop("__cum")
   }
 
+  /** Sequence packing — the concatenate-and-chunk step between a curated
+    * corpus and a training run: documents are (conceptually) concatenated
+    * per `groupCol` in `orderCols` order and cut into fixed
+    * `seqLen`-token training sequences. Each doc gets the `seq_id` of the
+    * sequence where it STARTS and its `seq_offset` within it (a doc
+    * straddling a boundary spills into the next sequence; the offset
+    * lets the consumer split or pad — policy stays downstream).
+    *
+    * One window cumsum per group = one shuffle on the group key, exactly
+    * like [[tokenBudget]]. All arithmetic is integer (cumsum, mod) plus
+    * one exact sub-2^53 floor-division, so any engine reproduces the
+    * identical packing — same determinism contract as [[datasetSplit]].
+    * Ties in `orderCols` must be pinned with a unique id.
+    */
+  def packSequences(annotated: DataFrame, groupCol: String, tokenCol: String,
+      seqLen: Long, orderCols: Seq[Column]): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(!annotated.columns.contains("__cum"), "packSequences reserves __cum")
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    annotated.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("seq_id",
+        floor((col("__cum") - col(tokenCol)).cast("double") / seqLen))
+      .withColumn("seq_offset", (col("__cum") - col(tokenCol)) % seqLen)
+      .drop("__cum")
+  }
+
+  /** Corpus-frequency familiarity score (a CCNet-style quality signal
+    * without a pretrained LM): mean corpus frequency of a doc's tokens,
+    * `sum(freq(tok)) / (n_tokens * total_tokens)`. Low = rare/garbled
+    * vocabulary, high = stopword-ish boilerplate; both tails are filter
+    * candidates.
+    *
+    * Deliberately NOT a mean of per-token log-probs: summing doubles is
+    * addition-order-dependent and `ln` differs in the last ulp across
+    * engines, while this formulation is one exact LONG sum per doc and a
+    * single double division — bit-identical everywhere (the determinism
+    * ground rule behind every oracle query).
+    *
+    * Scale: token counting shuffles (token, 1) pairs with map-side
+    * combine (per-partition state ~= vocab size); the vocabulary is
+    * capped to `topK` by frequency (bounded driver/broadcast state, like
+    * the IVF quantizer) and broadcast for the per-doc join — tokens
+    * outside the cap contribute frequency 0.
+    */
+  def familiarityScore(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 100000): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+    val freqs = toks.groupBy("__tok").agg(count(lit(1)).as("__freq"))
+    val capped = freqs.orderBy(col("__freq").desc, col("__tok").asc).limit(topK)
+    val total = freqs.agg(sum("__freq").cast("double").as("__total"))
+    toks.join(broadcast(capped), Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__freq"), lit(0L))).as("sum_freq"),
+        count(lit(1)).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("familiarity",
+        col("sum_freq").cast("double") /
+          (col("n_tokens").cast("double") * col("__total")))
+      .drop("__total")
+  }
+
   /** Deterministic train/val/test split, reproducible in ANY engine: the
     * split key is `md5(cast(id as string))` compared lexicographically
     * against fixed hex thresholds — no RNG, no partition-order

@@ -143,6 +143,47 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(again == half)
   }
 
+  test("packSequences assigns starting sequence and offset per doc, greedy in order") {
+    val df = Seq(
+      ("en", 1L, 1000), ("en", 2L, 1000), ("en", 3L, 500), ("en", 4L, 100),
+      ("fr", 5L, 3000))
+      .toDF("lang", "doc_id", "n_tokens")
+    val out = CorpusPipeline.packSequences(df, "lang", "n_tokens", 2048L,
+      Seq(col("doc_id").asc))
+      .select("doc_id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // en start offsets: 0, 1000, 2000, 2500 → seqs 0,0,0,1
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((0L, 1000L)))
+    assert(out(3L) == ((0L, 2000L))) // straddles the 2048 boundary: starts in seq 0
+    assert(out(4L) == ((1L, 452L)))  // 2500 - 2048
+    // groups pack independently
+    assert(out(5L) == ((0L, 0L)))
+    // determinism: re-run identical
+    val again = CorpusPipeline.packSequences(df, "lang", "n_tokens", 2048L,
+      Seq(col("doc_id").asc)).select("doc_id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == out)
+  }
+
+  test("familiarityScore is the exact mean corpus frequency; topK caps the vocab") {
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // freqs: a=3, b=1, c=1; total=5
+    val full = CorpusPipeline.familiarityScore(df, "doc_id", "text")
+      .select("doc_id", "sum_freq", "n_tokens", "familiarity")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(full(1L) == ((7L, 3L, 7.0 / 15.0)))
+    assert(full(2L) == ((4L, 2L, 4.0 / 10.0)))
+    // topK=1 keeps only 'a'; out-of-vocab tokens contribute 0 but the
+    // total stays the full corpus count
+    val capped = CorpusPipeline.familiarityScore(df, "doc_id", "text", topK = 1)
+      .select("doc_id", "sum_freq", "familiarity")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(capped(1L) == ((6L, 6.0 / 15.0)))
+    assert(capped(2L) == ((3L, 3.0 / 10.0)))
+  }
+
   test("run chains the stages and reports monotone retention") {
     val r = CorpusPipeline.run(docs,
       CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.2, minTokens = 5))

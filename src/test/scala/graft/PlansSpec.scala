@@ -54,6 +54,13 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("Window"), "running total must be a window aggregate")
   }
 
+  test("q54 sequence packing runs as one window pass over one key shuffle") {
+    val p = plan("q54_sequence_pack")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"packing cumsum must shuffle once on the group key:\n$p")
+    assert(p.contains("Window"), "running total must be a window aggregate")
+  }
+
   test("q50 sessionization shares one sort across both windows and the aggregate") {
     val p = plan("q50_sessionize")
     // LAG and the running-sum session ids share partitioning+ordering →
