@@ -446,6 +446,20 @@ object SparkEntry {
       graft.multimodal.Media.featureSummary(Tables.documents(s, dir))
     }),
 
+    // REAL media-header decode round trip: payloads carry a valid PNG
+    // signature + IHDR built from id-derived dims; headerDims parses the
+    // dimensions BACK out of the bytes with codegen'd byte arithmetic
+    // (substring/hex/conv — no codec, dims are plain bytes). The oracle
+    // recomputes the expected dims arithmetically, so a parse bug on
+    // either side (encode or decode) breaks the hash match.
+    "q56_media_dims" -> ((s, dir) => {
+      val media = graft.multimodal.Media.fromDocumentsPng(Tables.documents(s, dir))
+      media.toDF().select(col("media_id"), col("kind"),
+          graft.multimodal.Media.headerDims(col("content")).as("h"))
+        .select(col("media_id"), col("kind"), col("h.format").as("format"),
+          col("h.width").as("width"), col("h.height").as("height"))
+    }),
+
     // LSH-bucketed ANN (the sub-linear scale path; probabilistic recall,
     // spec-verified against bruteForce overlap)
     "q28_knn_lsh" -> ((s, dir) => {
@@ -1170,6 +1184,15 @@ object SparkEntry {
         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
         |  COALESCE(h.n_hits, 0) >= 1 AS contaminated
         |FROM tg LEFT JOIN h USING (doc_id)""".stripMargin,
+
+    "q56_media_dims" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  'png' AS format,
+        |  CAST(64 + doc_id % 512 AS BIGINT) AS width,
+        |  CAST(64 + (doc_id % 7) * 64 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
 
     "q54_sequence_pack" ->
       """WITH t AS (SELECT doc_id, lang,

@@ -58,16 +58,20 @@ object TextFunctions {
     }
   }
 
-  /** Highest multiplicity of any element in a string array, as one
-    * codegen'd fold: sort the array, then run-length scan via
-    * `aggregate` with a (prev, run, best) struct accumulator — no
-    * explode/groupBy shuffle, so per-doc repetition stats stay a narrow
-    * map over the scan. 0 for an empty array.
+  /** Highest multiplicity of any element in an array, as one codegen'd
+    * fold: sort the array, then run-length scan via `aggregate` with a
+    * (prev, run, best) struct accumulator — no explode/groupBy shuffle,
+    * so per-doc repetition stats stay a narrow map over the scan. 0 for
+    * an empty array. `init` must be typed like the elements; its VALUE
+    * is irrelevant (run starts at 0, so the first element scores 1
+    * whether or not it equals the sentinel). Callers counting string
+    * multiplicities should hash to longs first — sorting and comparing
+    * longs is several times cheaper than strings.
     */
-  def topRunCount(arr: Column): Column = {
+  def topRunCount(arr: Column, init: Column = lit(0L)): Column = {
     val sorted = sort_array(arr)
     aggregate(sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      struct(init.as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
         val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
           .otherwise(lit(1L))
@@ -92,9 +96,9 @@ object TextFunctions {
     * element (Gopher's top-n-gram signal; on raw tokens it catches
     * single-token spam). 0 for an empty array.
     */
-  def topElementFraction(arr: Column): Column =
+  def topElementFraction(arr: Column, init: Column = lit(0L)): Column =
     when(size(arr) > 0,
-      topRunCount(arr).cast("double") / size(arr).cast("double"))
+      topRunCount(arr, init).cast("double") / size(arr).cast("double"))
       .otherwise(lit(0.0))
 
   /** Heuristic quality score in [0,1]: mixes stopword density, vocabulary

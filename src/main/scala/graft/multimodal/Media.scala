@@ -1,17 +1,24 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-wise with mapPartitions.
   *
-  * The DECODE STEP IS A STUB — this container ships no image/audio codecs,
-  * so `decodeStub` derives deterministic fake features from the bytes.
-  * Everything around it is the real Spark shape a production pipeline
-  * needs: binary column + metadata struct schema, per-partition batch
-  * iteration (amortizes codec init, the expensive part of real decoders),
-  * and a bounded-width feature output schema.
+  * Two decode tiers, honestly separated:
+  *   - CONTAINER-HEADER metadata ([[headerDims]]) is REAL: image
+  *     dimensions live at fixed byte offsets (PNG IHDR, GIF logical
+  *     screen, BMP info header) and need no codec — parsed with pure
+  *     codegen'd byte arithmetic (substring/hex/conv) as a narrow map
+  *     over the scan.
+  *   - PIXEL decode ([[decodeStub]]) IS A STUB — this container ships no
+  *     image/audio codecs, so it derives deterministic fake features
+  *     from the bytes. Everything around it is the real Spark shape a
+  *     production pipeline needs: binary column + metadata struct
+  *     schema, per-partition batch iteration (amortizes codec init, the
+  *     expensive part of real decoders), and a bounded-width feature
+  *     output schema.
   *
   * Scale notes: binary payloads dominate I/O at 100 TB — the media table
   * should be partitioned by kind and bucketed by media_id so feature
@@ -19,6 +26,51 @@ import org.apache.spark.sql.functions._
   * (small) join back to metadata by id.
   */
 object Media {
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  /** REAL container-header decode: struct(format, width, height) parsed
+    * from the leading bytes of PNG (big-endian u32 dims in IHDR), GIF
+    * (little-endian u16 logical-screen dims) or BMP (little-endian dims
+    * in BITMAPINFOHEADER); null for unrecognized bytes. Codecs are only
+    * needed for PIXELS — dimension metadata is plain bytes, so this path
+    * is genuinely decoded, not stubbed, and stays in WholeStageCodegen.
+    */
+  def headerDims(content: Column): Column = {
+    def u8(pos: Int): Column =
+      conv(hex(substring(content, pos, 1)), 16, 10).cast("long")
+    def be32(pos: Int): Column =
+      conv(hex(substring(content, pos, 4)), 16, 10).cast("long")
+    def le16(pos: Int): Column = u8(pos) + u8(pos + 1) * 256L
+    def le32(pos: Int): Column =
+      u8(pos) + u8(pos + 1) * 256L + u8(pos + 2) * 65536L + u8(pos + 3) * 16777216L
+    val isPng = substring(content, 1, 8) === lit(PngSig) &&
+      substring(content, 13, 4) === lit("IHDR".getBytes("US-ASCII"))
+    val isGif = substring(content, 1, 4) === lit("GIF8".getBytes("US-ASCII"))
+    val isBmp = substring(content, 1, 2) === lit("BM".getBytes("US-ASCII"))
+    when(isPng, struct(lit("png").as("format"),
+        be32(17).as("width"), be32(21).as("height")))
+      .when(isGif, struct(lit("gif").as("format"),
+        le16(7).as("width"), le16(9).as("height")))
+      .when(isBmp, struct(lit("bmp").as("format"),
+        le32(19).as("width"), le32(23).as("height")))
+      .otherwise(lit(null).cast("struct<format:string,width:bigint,height:bigint>"))
+  }
+
+  /** A minimal-but-valid PNG prefix (signature + IHDR with the given
+    * dims) wrapping an arbitrary body — the synthetic payload generator
+    * for this container (and the write side of the [[headerDims]]
+    * round-trip, which q56's oracle checks arithmetically).
+    */
+  def pngPayload(width: Column, height: Column, body: Column): Column =
+    concat(
+      lit(PngSig),
+      lit(Array[Byte](0, 0, 0, 13)),             // IHDR chunk length
+      lit("IHDR".getBytes("US-ASCII")),
+      unhex(lpad(hex(width), 8, "0")),           // big-endian u32
+      unhex(lpad(hex(height), 8, "0")),
+      lit(Array[Byte](8, 6, 0, 0, 0)),           // depth/color/etc
+      body.cast("binary"))
 
   case class MediaRecord(
       media_id: Long,
@@ -49,6 +101,26 @@ object Media {
       element_at(typedLit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("content"),
+      col("source"),
+      length(col("text")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+  }
+
+  /** Like [[fromDocuments]] but each payload carries a VALID PNG header
+    * with deterministic id-derived dims (width = 64 + id % 512,
+    * height = 64 + (id % 7) * 64) in front of the text bytes — so
+    * [[headerDims]] has something real to parse and an external oracle
+    * can recompute the expected dims arithmetically (q56).
+    */
+  def fromDocumentsPng(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      pngPayload(lit(64L) + col("doc_id") % 512L,
+        lit(64L) + (col("doc_id") % 7L) * 64L, col("text")).as("content"),
       col("source"),
       length(col("text")).cast("long").as("n_bytes"))
       .as[MediaRecord]

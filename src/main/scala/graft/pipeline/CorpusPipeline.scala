@@ -55,14 +55,33 @@ object CorpusPipeline {
     * all narrow codegen'd array folds — no shuffle): fraction of 2-gram
     * occurrences that are duplicates, fraction taken by the top 2-gram,
     * and fraction taken by the top single token.
+    *
+    * Everything runs in HASH space: tokens hash to longs once, 2-gram
+    * identities are `xxhash64(h_i, h_i+1)` built by `zip_with` against
+    * the shifted array (no gram strings are ever materialized), and the
+    * sort+run-length folds compare longs — measured several times faster
+    * than the string formulation at sf0.1, identical fractions up to a
+    * ~2^-64 in-doc hash collision.
     */
   def annotateRepetition(docs: DataFrame): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
-    val g2 = TextFunctions.shingles(toks, 2)
+    require(!docs.columns.exists(Seq("__toksh", "__g2h").contains),
+      "annotateRepetition reserves __toksh and __g2h")
+    val toksh = transform(TextFunctions.tokens(col("text")), t => xxhash64(t))
+    val n = size(col("__toksh"))
+    // pair h_i with h_i+1: zip against the tail, drop the (last, null) pad
+    val g2h = when(n >= 2,
+      slice(zip_with(col("__toksh"),
+          slice(col("__toksh"), lit(2), greatest(n - 1, lit(1))),
+          (a, b) => xxhash64(a, b)),
+        lit(1), n - 1))
+      .otherwise(array().cast("array<bigint>"))
     docs
-      .withColumn("dup_2gram_frac", TextFunctions.dupFraction(g2))
-      .withColumn("top_2gram_frac", TextFunctions.topElementFraction(g2))
-      .withColumn("top_token_frac", TextFunctions.topElementFraction(toks))
+      .withColumn("__toksh", toksh)
+      .withColumn("__g2h", g2h)
+      .withColumn("dup_2gram_frac", TextFunctions.dupFraction(col("__g2h")))
+      .withColumn("top_2gram_frac", TextFunctions.topElementFraction(col("__g2h")))
+      .withColumn("top_token_frac", TextFunctions.topElementFraction(col("__toksh")))
+      .drop("__toksh", "__g2h")
   }
 
   /** Stage 2: language + quality gate (narrow filter; at scale this is

@@ -33,4 +33,45 @@ class MediaSpec extends AnyFunSuite {
     assert(out.count() === 3)
     assert(out.columns.toSet === Set("kind", "n_media", "sum_width", "sum_frames", "min_id"))
   }
+
+  test("headerDims parses real PNG/GIF/BMP headers and nulls unknown bytes") {
+    import org.apache.spark.sql.functions.col
+    // handcrafted REAL format headers with known dimensions
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    val gif = "GIF89a".getBytes("US-ASCII") ++ le16(320) ++ le16(200) ++
+      Array[Byte](0, 0, 0)
+    val bmp = "BM".getBytes("US-ASCII") ++ le32(9999) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(1024) ++ le32(768)
+    val junk = "just some text".getBytes("US-ASCII")
+    val df = Seq((1L, png), (2L, gif), (3L, bmp), (4L, junk)).toDF("id", "content")
+      .select(col("id"), Media.headerDims(col("content")).as("h"))
+      .select(col("id"), col("h.format"), col("h.width"), col("h.height"))
+    val got = df.as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Some("png"), Some(640L), Some(480L))))
+    assert(got(2L) == ((Some("gif"), Some(320L), Some(200L))))
+    assert(got(3L) == ((Some("bmp"), Some(1024L), Some(768L))))
+    assert(got(4L) == ((None, None, None)))
+  }
+
+  test("pngPayload -> headerDims round-trips the id-derived dimensions") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, SparkTestSession.sfTiny)
+    val parsed = Media.fromDocumentsPng(docs).toDF()
+      .select(col("media_id"), Media.headerDims(col("content")).as("h"))
+      .select(col("media_id"), col("h.format"), col("h.width"), col("h.height"))
+      .as[(Long, String, Long, Long)].collect()
+    assert(parsed.nonEmpty)
+    parsed.foreach { case (id, fmt, w, h) =>
+      assert(fmt == "png")
+      assert(w == 64L + id % 512L, s"width mismatch for $id")
+      assert(h == 64L + (id % 7L) * 64L, s"height mismatch for $id")
+    }
+  }
 }
