@@ -92,12 +92,13 @@ object IncrementalDedup {
   /** Batch survivors and the updated store in one call.
     *
     * `survivors`: batch docs that near-dup neither a store doc nor a
-    * smaller-id batch doc. `updatedStore`: storeSigs plus the survivors'
-    * signatures — feed it to the next batch (in production: append the
-    * new signature partition to the store table).
+    * smaller-id batch doc. `survivorSigs`: just their signatures (the
+    * store DELTA — what an append-only store table writes per batch).
+    * `updatedStore`: storeSigs plus that delta — feed it to the next
+    * batch when chaining in memory.
     */
   case class BatchResult(survivors: DataFrame, updatedStore: DataFrame,
-      pairs: DataFrame)
+      pairs: DataFrame, survivorSigs: DataFrame)
 
   def dedupBatch(storeSigs: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double, shingleSize: Int = 3,
@@ -118,6 +119,6 @@ object IncrementalDedup {
     val survivors = batch.join(losers, Seq(idCol), "left_anti")
     val survivorSigs = MinHashDedup.withSignatures(
       survivors, idCol, textCol, shingleSize, numHashes, seed)
-    BatchResult(survivors, storeSigs.unionByName(survivorSigs), pairs)
+    BatchResult(survivors, storeSigs.unionByName(survivorSigs), pairs, survivorSigs)
   }
 }

@@ -190,6 +190,48 @@ object Streams {
       right.columns.filterNot(keys.contains).map(r(_)): _*)
   }
 
+  /** Continuous corpus ingestion with near-dedup: every micro-batch of
+    * documents dedups against the PERSISTED signature store via
+    * `foreachBatch` + [[graft.dedup.IncrementalDedup]] — the streaming
+    * face of the incremental posture. Survivors append to `outDir`;
+    * their signatures append to `storeDir`, so the store is the
+    * cross-batch state. Deliberately a TABLE, not Spark state-store
+    * state: signatures must outlive the query, be shared with batch
+    * jobs, and never be replayed into memory on restart (state-store
+    * near-dup state would grow with the corpus — the 100 TB failure
+    * mode; a parquet store is scan-pruned by the band-probe join
+    * instead).
+    *
+    * Exactly-once caveat, stated honestly: the two appends inside one
+    * `foreachBatch` are not atomic — production would write batchId
+    * into both tables and dedup on restart (the standard foreachBatch
+    * idempotency pattern); the checkpoint already prevents reprocessing
+    * committed batches in normal operation.
+    *
+    * Processes all currently-available input, then stops (a deployment
+    * would leave the query running on a trigger).
+    */
+  def nearDedupIngest(stream: DataFrame, idCol: String, textCol: String,
+      threshold: Double, storeDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    import graft.dedup.IncrementalDedup
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val store =
+          if (graft.sources.Sources.dirNonEmpty(spark, storeDir))
+            spark.read.parquet(storeDir)
+          else IncrementalDedup.signatureStore(batch.limit(0), idCol, textCol)
+        val r = IncrementalDedup.dedupBatch(store, batch, idCol, textCol, threshold)
+        r.survivors.write.mode("append").parquet(outDir)
+        r.survivorSigs.write.mode("append").parquet(storeDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * available input is processed — the local smoke path.
     */

@@ -292,6 +292,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDedupIngest dedups each micro-batch against the persisted signature store") {
+    val root = java.nio.file.Files.createTempDirectory("graft-neardedup")
+    val (src, store, out, ckpt) = (s"$root/src", s"$root/store", s"$root/out", s"$root/ckpt")
+    val s1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val s2 = "one two three four five six seven eight nine ten"
+    // batch 1: doc 3 near-dups doc 1 (smaller id wins within the batch)
+    Seq((1L, s1), (2L, s2), (3L, s1 + " tail")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Streams.nearDedupIngest(Streams.fileIngest(spark, src, schema),
+      "doc_id", "text", threshold = 0.5, store, out, ckpt)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L))
+    // batch 2 arrives: 10 near-dups store doc 2, 12 near-dups store doc 1
+    // (store always wins), 11 is novel — the restarted query picks up
+    // only the new file via the checkpoint
+    Seq((10L, s2 + " extra"), (12L, s1 + " suffix"),
+      (11L, "completely novel text nothing shared with anything else at all"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    Streams.nearDedupIngest(Streams.fileIngest(spark, src, schema),
+      "doc_id", "text", threshold = 0.5, store, out, ckpt)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 11L))
+    // the persisted store carries exactly the survivors' signatures
+    assert(spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 11L))
+  }
+
   test("checkpointed parquet sink resumes exactly-once across restarts") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream")
     val (src, out, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
