@@ -35,9 +35,8 @@ import graft.functions.TextFunctions
 object Decontaminate {
 
   private def gramHashes(textCol: Column, n: Int): Column =
-    transform(
-      array_distinct(TextFunctions.shingles(TextFunctions.tokens(textCol), n)),
-      g => xxhash64(g))
+    array_distinct(TextFunctions.ngramHashes(
+      TextFunctions.tokenHashes(TextFunctions.tokens(textCol)), n))
 
   /** Per training doc: `n_grams` (its distinct n-gram count), `n_hits`
     * (how many of those appear in ANY benchmark doc), and `contaminated`

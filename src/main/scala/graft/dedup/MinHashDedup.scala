@@ -48,22 +48,30 @@ object MinHashDedup {
       (rnd.nextLong() & Long.MaxValue) % PRIME))
   }
 
-  /** id, shingles(array<string>), sig(array<long> length k).
+  /** id, shingles(array<long> of n-gram identity hashes), sig(array<long>
+    * length k).
+    *
+    * Shingles live in HASH space (`TextFunctions.ngramHashes`): gram
+    * strings are never built or compared, which measured ~2x on the
+    * whole signature pass at sf0.1; Jaccard on the hash sets equals
+    * string Jaccard up to a ~2^-64 in-pair collision (and the minhash
+    * family just needs iid-ish 64-bit gram identities).
     *
     * The k mins are folded in ONE `aggregate` pass with a k-slot
     * accumulator and the (a, b) coefficients as a literal array — k
     * unrolled `array_min(transform(...))` expressions generate ~k large
     * codegen methods whose compile/JIT time dwarfed the arithmetic
-    * (measured: 6.2 s cold vs 2.3 s warm on 5k docs). Values are
-    * identical: sig[i] = min over shingle hashes h of (a_i*h+b_i) mod P
-    * (empty shingle set ⇒ sig[i] = P, a constant, where the unrolled
-    * form gave null — both make empty docs mutual band-collisions that
-    * the exact-Jaccard verify then rejects).
+    * (measured: 6.2 s cold vs 2.3 s warm on 5k docs). sig[i] = min over
+    * gram hashes h of (a_i*h+b_i) mod P (empty shingle set ⇒ sig[i] = P,
+    * a constant — empty docs become mutual band-collisions that the
+    * exact-Jaccard verify then rejects).
     */
   def withSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
-    val sh = array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize))
-    val base = transform(col("shingles"), s => pmod(xxhash64(s), lit(PRIME)))
+    require(shingleSize >= 2, "shingleSize must be >= 2")
+    val sh = array_distinct(TextFunctions.ngramHashes(
+      TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), shingleSize))
+    val base = transform(col("shingles"), s => pmod(s, lit(PRIME)))
     val coeffArr = typedLit(coeffs(numHashes, seed))
     val sig = aggregate(
       col("__h"),
@@ -154,12 +162,15 @@ object MinHashDedup {
   }
 
   /** Brute-force exact Jaccard over all pairs — the correctness oracle for
-    * tests; O(n^2), never use at scale.
+    * tests; O(n^2), never use at scale. Same hash-space shingles as
+    * [[withSignatures]] so per-pair Jaccard values are computed over the
+    * identical sets.
     */
   def bruteForcePairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol),
-      array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize)).as("sh"))
+      array_distinct(TextFunctions.ngramHashes(
+        TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), shingleSize)).as("sh"))
     val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))

@@ -29,6 +29,32 @@ object TextFunctions {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Per-token 64-bit hashes — the input to [[ngramHashes]]. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /** Word n-gram IDENTITY hashes built from per-token hashes: element i
+    * is `xxhash64(...xxhash64(h_i, h_i+1)..., h_i+n-1)` — equal n-grams
+    * get equal hashes, distinct ones collide with prob ~2^-64. This is
+    * the hash-space twin of [[shingles]]: set operations (distinct,
+    * intersect, union sizes — Jaccard) give the same answers as on the
+    * gram strings, but nothing ever materializes or compares strings —
+    * measured severalfold faster on the minhash and decontamination
+    * paths. Built as n-1 chained `zip_with`s against shifted views (the
+    * null-padded tail is sliced off); empty when the doc is shorter
+    * than n.
+    */
+  def ngramHashes(toksh: Column, n: Int): Column = {
+    require(n >= 2, "ngramHashes needs n >= 2 (use tokenHashes for unigrams)")
+    val sz = size(toksh)
+    val rolled = (2 to n).foldLeft(toksh) { (acc, j) =>
+      // acc(i) covers tokens i..i+j-2; fold in token i+j-1
+      zip_with(acc, slice(toksh, lit(j), greatest(sz - (j - 1), lit(1))),
+        (a, b) => xxhash64(a, b))
+    }
+    when(sz >= n, slice(rolled, lit(1), sz - (n - 1)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Token count of whitespace tokenization. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -66,18 +66,9 @@ object CorpusPipeline {
   def annotateRepetition(docs: DataFrame): DataFrame = {
     require(!docs.columns.exists(Seq("__toksh", "__g2h").contains),
       "annotateRepetition reserves __toksh and __g2h")
-    val toksh = transform(TextFunctions.tokens(col("text")), t => xxhash64(t))
-    val n = size(col("__toksh"))
-    // pair h_i with h_i+1: zip against the tail, drop the (last, null) pad
-    val g2h = when(n >= 2,
-      slice(zip_with(col("__toksh"),
-          slice(col("__toksh"), lit(2), greatest(n - 1, lit(1))),
-          (a, b) => xxhash64(a, b)),
-        lit(1), n - 1))
-      .otherwise(array().cast("array<bigint>"))
     docs
-      .withColumn("__toksh", toksh)
-      .withColumn("__g2h", g2h)
+      .withColumn("__toksh", TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))))
+      .withColumn("__g2h", TextFunctions.ngramHashes(col("__toksh"), 2))
       .withColumn("dup_2gram_frac", TextFunctions.dupFraction(col("__g2h")))
       .withColumn("top_2gram_frac", TextFunctions.topElementFraction(col("__g2h")))
       .withColumn("top_token_frac", TextFunctions.topElementFraction(col("__toksh")))
