@@ -555,7 +555,14 @@ object SparkEntry {
       val cfg = graft.pipeline.CorpusPipeline.Config(
         langs = Seq("en"), minQuality = 0.5, minTokens = 10)
       val annotated = graft.pipeline.CorpusPipeline.annotate(Tables.documents(s, dir))
+      // eager barrier after the gate: without it the filter predicate and
+      // BOTH sides of exactDedup's semi-join re-expand the full
+      // tokenize+langId+quality expression chain (~4 corpus passes,
+      // measured 4.6 -> ~1.5 s at sf0.1). The standard 100 TB shape:
+      // annotate+gate once, materialize the (much smaller) survivor set,
+      // dedup over that.
       val filtered = graft.pipeline.CorpusPipeline.qualityFilter(annotated, cfg)
+        .localCheckpoint()
       graft.pipeline.CorpusPipeline.exactDedup(filtered)
         .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality"))
     }),
@@ -570,13 +577,17 @@ object SparkEntry {
         langs = Seq("en"), minQuality = 0.5, minTokens = 10,
         nearDupThreshold = 0.8)
       val annotated = graft.pipeline.CorpusPipeline.annotate(Tables.documents(s, dir))
+      // first barrier: run annotate+gate ONCE (the filter predicate and
+      // both semi-join branches would otherwise re-expand the expression
+      // chain — see q37)
       val filtered = graft.pipeline.CorpusPipeline.qualityFilter(annotated, cfg)
-      // eager materialize: the gated/deduped (small) survivor set feeds
+        .localCheckpoint()
+      // second barrier: the gated/deduped (small) survivor set feeds
       // THREE consumers downstream — minhash signatures, the pair-verify
       // join, and the final cluster anti-join. Without it each consumer
-      // re-runs the whole annotate+gate+dedup lineage (measured 9.7 s →
-      // 4.4 s at sf0.1). At 100 TB this is the standard
-      // "checkpoint-after-the-big-filter" step.
+      // re-runs the dedup lineage (measured 9.7 s → 4.4 s at sf0.1). At
+      // 100 TB this is the standard "checkpoint-after-the-big-filter"
+      // step.
       val exact = graft.pipeline.CorpusPipeline.exactDedup(filtered).localCheckpoint()
       graft.pipeline.CorpusPipeline
         .nearDedup(exact, cfg.nearDupThreshold, transitive = true)

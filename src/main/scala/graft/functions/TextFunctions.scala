@@ -67,10 +67,14 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
     "zh" -> Seq("的", "了", "是"))
 
-  /** Number of distinct stopwords of `lang` present in the token array. */
+  /** Number of distinct stopwords of `lang` present in the token array.
+    * ONE `array_intersect` pass against the stopword literal (returns the
+    * distinct members of `toks` that are stopwords) — identical value to
+    * summing per-word `array_contains` probes, at 1 array scan per
+    * language instead of 6-7.
+    */
   def stopwordHits(toks: Column, lang: String): Column =
-    stopwords(lang).map(w => when(array_contains(toks, w), 1).otherwise(0))
-      .reduce(_ + _)
+    size(array_intersect(toks, typedLit(stopwords(lang)))).cast("int")
 
   /** Predicted language by max stopword hits; ties broken by the fixed
     * order en > es > fr > de > zh (deterministic, oracle-reproducible).
