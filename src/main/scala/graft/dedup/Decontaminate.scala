@@ -42,6 +42,12 @@ object Decontaminate {
     * (how many of those appear in ANY benchmark doc), and `contaminated`
     * (`n_hits >= minHits`). Docs shorter than `n` tokens have zero grams
     * and are never contaminated.
+    *
+    * ONE corpus pass: grams explode_outer (gram-less docs keep a null
+    * row), left-broadcast-join the benchmark gram set, and a single
+    * per-doc aggregation counts grams and hits together — no second
+    * corpus scan for the totals, no post-join fill. Per-doc grams are
+    * already distinct, so plain counts are distinct counts.
     */
   def overlapStats(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, benchTextCol: String, n: Int = 8,
@@ -49,18 +55,15 @@ object Decontaminate {
     require(n >= 2, "decontamination n-grams must be at least 2 tokens")
     require(minHits >= 1, "minHits must be >= 1")
     val trainGrams = train
-      .select(col(idCol), explode(gramHashes(col(textCol), n)).as("__gh"))
+      .select(col(idCol), explode_outer(gramHashes(col(textCol), n)).as("__gh"))
     val benchGrams = bench
       .select(explode(gramHashes(col(benchTextCol), n)).as("__gh"))
       .distinct()
-    val hits = trainGrams.join(broadcast(benchGrams), Seq("__gh"))
+      .withColumn("__hit", lit(true))
+    trainGrams.join(broadcast(benchGrams), Seq("__gh"), "left")
       .groupBy(col(idCol))
-      .agg(countDistinct(col("__gh")).as("n_hits"))
-    train
-      .select(col(idCol), size(array_distinct(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n))).as("n_grams"))
-      .join(hits, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_hits"))
+      .agg(count(col("__gh")).cast("int").as("n_grams"),
+        count(col("__hit")).as("n_hits"))
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
 

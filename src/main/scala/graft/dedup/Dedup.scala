@@ -84,11 +84,14 @@ object Dedup {
 
   /** n-gram Jaccard similarity of every doc against one probe doc —
     * a linear scan (no pair explosion), useful for "find docs like X".
+    * Shingles live in hash space (`TextFunctions.ngramHashes`): identical
+    * set sizes, no gram strings built or compared.
     */
   def jaccardToProbe(docs: DataFrame, idCol: String, textCol: String,
       probeId: Long, shingleSize: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol),
-      array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize)).as("sh"))
+      array_distinct(TextFunctions.ngramHashes(
+        TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), shingleSize)).as("sh"))
     val probe = sh.filter(col(idCol) === probeId)
       .select(col("sh").as("probe_sh"))
     sh.filter(col(idCol) =!= probeId)
