@@ -446,18 +446,23 @@ object SparkEntry {
       graft.multimodal.Media.featureSummary(Tables.documents(s, dir))
     }),
 
-    // REAL media-header decode round trip: payloads carry a valid PNG
-    // signature + IHDR built from id-derived dims; headerDims parses the
-    // dimensions BACK out of the bytes with codegen'd byte arithmetic
-    // (substring/hex/conv — no codec, dims are plain bytes). The oracle
-    // recomputes the expected dims arithmetically, so a parse bug on
-    // either side (encode or decode) breaks the hash match.
+    // REAL media-header decode round trip: image/video payloads carry a
+    // valid PNG signature + IHDR, audio payloads a valid WAV/RIFF fmt
+    // chunk, all built from id-derived metadata; headerDims/audioMeta
+    // parse the values BACK out of the bytes with codegen'd byte
+    // arithmetic (substring/hex/conv — no codec, metadata is plain
+    // bytes). The oracle recomputes the expected values arithmetically,
+    // so a parse bug on either side (encode or decode) breaks the hash
+    // match.
     "q56_media_dims" -> ((s, dir) => {
       val media = graft.multimodal.Media.fromDocumentsPng(Tables.documents(s, dir))
       media.toDF().select(col("media_id"), col("kind"),
-          graft.multimodal.Media.headerDims(col("content")).as("h"))
-        .select(col("media_id"), col("kind"), col("h.format").as("format"),
-          col("h.width").as("width"), col("h.height").as("height"))
+          graft.multimodal.Media.headerDims(col("content")).as("h"),
+          graft.multimodal.Media.audioMeta(col("content")).as("a"))
+        .select(col("media_id"), col("kind"),
+          coalesce(col("h.format"), col("a.format")).as("format"),
+          col("h.width").as("width"), col("h.height").as("height"),
+          col("a.sample_rate").as("sample_rate"), col("a.channels").as("channels"))
     }),
 
     // LSH-bucketed ANN (the sub-linear scale path; probabilistic recall,
@@ -1200,9 +1205,11 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS kind,
-        |  'png' AS format,
-        |  CAST(64 + doc_id % 512 AS BIGINT) AS width,
-        |  CAST(64 + (doc_id % 7) * 64 AS BIGINT) AS height
+        |  CASE WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'png' END AS format,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(64 + doc_id % 512 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(64 + (doc_id % 7) * 64 AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels
         |FROM documents""".stripMargin,
 
     "q54_sequence_pack" ->

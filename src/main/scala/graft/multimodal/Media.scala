@@ -57,6 +57,39 @@ object Media {
       .otherwise(lit(null).cast("struct<format:string,width:bigint,height:bigint>"))
   }
 
+  /** REAL audio-container header decode (WAV/RIFF): struct(format,
+    * sample_rate, channels) from the canonical fmt-chunk offsets —
+    * little-endian u32 sample rate at byte 25, u16 channel count at 23.
+    * Same tier as [[headerDims]]: metadata is plain bytes, only PCM
+    * decode would need a codec.
+    */
+  def audioMeta(content: Column): Column = {
+    def u8(pos: Int): Column =
+      conv(hex(substring(content, pos, 1)), 16, 10).cast("long")
+    def le16(pos: Int): Column = u8(pos) + u8(pos + 1) * 256L
+    def le32(pos: Int): Column =
+      u8(pos) + u8(pos + 1) * 256L + u8(pos + 2) * 65536L + u8(pos + 3) * 16777216L
+    val isWav = substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+      substring(content, 9, 4) === lit("WAVE".getBytes("US-ASCII"))
+    when(isWav, struct(lit("wav").as("format"),
+        le32(25).as("sample_rate"), le16(23).as("channels")))
+      .otherwise(lit(null)
+        .cast("struct<format:string,sample_rate:bigint,channels:bigint>"))
+  }
+
+  // big-endian byte images of a column value, for header construction
+  private def be32Bytes(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+  private def be16Bytes(v: Column): Column = unhex(lpad(hex(v), 4, "0"))
+  // little-endian = the big-endian bytes reversed (substring on binary)
+  private def le32Bytes(v: Column): Column = {
+    val b = be32Bytes(v)
+    concat(substring(b, 4, 1), substring(b, 3, 1), substring(b, 2, 1), substring(b, 1, 1))
+  }
+  private def le16Bytes(v: Column): Column = {
+    val b = be16Bytes(v)
+    concat(substring(b, 2, 1), substring(b, 1, 1))
+  }
+
   /** A minimal-but-valid PNG prefix (signature + IHDR with the given
     * dims) wrapping an arbitrary body — the synthetic payload generator
     * for this container (and the write side of the [[headerDims]]
@@ -67,9 +100,25 @@ object Media {
       lit(PngSig),
       lit(Array[Byte](0, 0, 0, 13)),             // IHDR chunk length
       lit("IHDR".getBytes("US-ASCII")),
-      unhex(lpad(hex(width), 8, "0")),           // big-endian u32
-      unhex(lpad(hex(height), 8, "0")),
+      be32Bytes(width),
+      be32Bytes(height),
       lit(Array[Byte](8, 6, 0, 0, 0)),           // depth/color/etc
+      body.cast("binary"))
+
+  /** A minimal-but-valid WAV prefix (RIFF/WAVE + fmt chunk with the given
+    * sample rate and channel count) wrapping an arbitrary body — the
+    * audio twin of [[pngPayload]].
+    */
+  def wavPayload(sampleRate: Column, channels: Column, body: Column): Column =
+    concat(
+      lit("RIFF".getBytes("US-ASCII")),
+      lit(Array[Byte](0, 0, 0, 0)),              // riff size (unused here)
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")),
+      lit(Array[Byte](16, 0, 0, 0)),             // fmt chunk size 16, LE
+      lit(Array[Byte](1, 0)),                    // PCM
+      le16Bytes(channels),
+      le32Bytes(sampleRate),
       body.cast("binary"))
 
   case class MediaRecord(
@@ -106,21 +155,29 @@ object Media {
       .as[MediaRecord]
   }
 
-  /** Like [[fromDocuments]] but each payload carries a VALID PNG header
-    * with deterministic id-derived dims (width = 64 + id % 512,
-    * height = 64 + (id % 7) * 64) in front of the text bytes — so
-    * [[headerDims]] has something real to parse and an external oracle
-    * can recompute the expected dims arithmetically (q56).
+  /** Like [[fromDocuments]] but each payload carries a VALID format
+    * header with deterministic id-derived metadata: audio docs get a
+    * WAV/RIFF prefix (sample_rate = 8000 + (id % 8) * 4000,
+    * channels = 1 + id % 2), image/video docs get a PNG prefix
+    * (width = 64 + id % 512, height = 64 + (id % 7) * 64) — so
+    * [[headerDims]]/[[audioMeta]] have something real to parse and an
+    * external oracle can recompute the expected values arithmetically
+    * (q56).
     */
   def fromDocumentsPng(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val kind = element_at(typedLit(Seq("image", "audio", "video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val content = when(kind === "audio",
+      wavPayload(lit(8000L) + (col("doc_id") % 8L) * 4000L,
+        lit(1L) + col("doc_id") % 2L, col("text")))
+      .otherwise(pngPayload(lit(64L) + col("doc_id") % 512L,
+        lit(64L) + (col("doc_id") % 7L) * 64L, col("text")))
     docs.select(
       col("doc_id").as("media_id"),
-      element_at(typedLit(Seq("image", "audio", "video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      pngPayload(lit(64L) + col("doc_id") % 512L,
-        lit(64L) + (col("doc_id") % 7L) * 64L, col("text")).as("content"),
+      kind.as("kind"),
+      content.as("content"),
       col("source"),
       length(col("text")).cast("long").as("n_bytes"))
       .as[MediaRecord]

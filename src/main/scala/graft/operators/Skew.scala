@@ -58,8 +58,13 @@ object Skew {
     */
   def keyHistogram(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
-    val total = df.count()
-    counts.withColumn("share_pct", lit(100.0) * col("cnt") / lit(total.toDouble))
+    // total via a broadcast 1-row cross join, not a driver-side
+    // df.count(): ONE job instead of two, and the (tiny) per-key counts
+    // feed both the total and the histogram without a second scan
+    val total = counts.agg(sum("cnt").cast("double").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_pct", lit(100.0) * col("cnt") / col("__total"))
+      .drop("__total")
       .orderBy(col("cnt").desc +: keys.map(col(_).asc): _*)
       .limit(topN)
   }

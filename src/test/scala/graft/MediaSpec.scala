@@ -60,18 +60,45 @@ class MediaSpec extends AnyFunSuite {
     assert(got(4L) == ((None, None, None)))
   }
 
-  test("pngPayload -> headerDims round-trips the id-derived dimensions") {
+  test("audioMeta parses a real WAV/RIFF fmt chunk and nulls non-audio bytes") {
+    import org.apache.spark.sql.functions.col
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(1234) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16)
+    val junk = "RIFFbut not a wave file".getBytes("US-ASCII")
+    val got = Seq((1L, wav), (2L, junk)).toDF("id", "content")
+      .select(col("id"), Media.audioMeta(col("content")).as("a"))
+      .select(col("id"), col("a.format"), col("a.sample_rate"), col("a.channels"))
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Some("wav"), Some(44100L), Some(2L))))
+    assert(got(2L) == ((None, None, None)))
+  }
+
+  test("payload -> header-parse round-trips the id-derived metadata per kind") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, SparkTestSession.sfTiny)
     val parsed = Media.fromDocumentsPng(docs).toDF()
-      .select(col("media_id"), Media.headerDims(col("content")).as("h"))
-      .select(col("media_id"), col("h.format"), col("h.width"), col("h.height"))
-      .as[(Long, String, Long, Long)].collect()
+      .select(col("media_id"), col("kind"),
+        Media.headerDims(col("content")).as("h"),
+        Media.audioMeta(col("content")).as("a"))
+      .select(col("media_id"), col("kind"), col("h.format"), col("h.width"),
+        col("h.height"), col("a.format"), col("a.sample_rate"), col("a.channels"))
+      .as[(Long, String, Option[String], Option[Long], Option[Long],
+        Option[String], Option[Long], Option[Long])].collect()
     assert(parsed.nonEmpty)
-    parsed.foreach { case (id, fmt, w, h) =>
-      assert(fmt == "png")
-      assert(w == 64L + id % 512L, s"width mismatch for $id")
-      assert(h == 64L + (id % 7L) * 64L, s"height mismatch for $id")
+    parsed.foreach { case (id, kind, pf, w, h, af, sr, ch) =>
+      if (kind == "audio") {
+        assert(pf.isEmpty && af == Some("wav"))
+        assert(sr == Some(8000L + (id % 8L) * 4000L), s"rate mismatch for $id")
+        assert(ch == Some(1L + id % 2L), s"channels mismatch for $id")
+      } else {
+        assert(af.isEmpty && pf == Some("png"))
+        assert(w == Some(64L + id % 512L), s"width mismatch for $id")
+        assert(h == Some(64L + (id % 7L) * 64L), s"height mismatch for $id")
+      }
     }
   }
 }

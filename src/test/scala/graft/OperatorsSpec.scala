@@ -210,4 +210,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(near == Map(1L -> Some("next")),
       "backward at dist 5 is outside tol 2; forward at dist 2 must win")
   }
+
+  test("AsOf.asOfJoin timestamp tolerance is exact at the boundary (integer micros)") {
+    import java.sql.Timestamp
+    // a match sitting EXACTLY at the tolerance boundary must be kept: in
+    // integer microseconds 3600s is exactly 3.6e9, while the old
+    // per-operand double-seconds cast rounded at ~2.4e-7 s near current
+    // epochs and could flip this row either way
+    val t0 = Timestamp.valueOf("2026-01-01 12:00:00")
+    val exact = Timestamp.valueOf("2026-01-01 11:00:00")         // dist = 3600 s
+    val over = Timestamp.valueOf("2026-01-01 10:59:59.999999")   // 3600.000001 s
+    val left = Seq((1L, 1L, t0)).toDF("id", "k", "t")
+    val keep = AsOf.asOfJoin(left,
+      Seq((1L, exact, "edge")).toDF("k", "t", "v"),
+      Seq("k"), "t", "t", Seq("v"), tolerance = Some(3600.0))
+      .select("asof_v").as[Option[String]].head()
+    assert(keep == Some("edge"), "exactly-at-tolerance match must be kept")
+    val drop = AsOf.asOfJoin(left,
+      Seq((1L, over, "late")).toDF("k", "t", "v"),
+      Seq("k"), "t", "t", Seq("v"), tolerance = Some(3600.0))
+      .select("asof_v").as[Option[String]].head()
+    assert(drop.isEmpty, "one microsecond beyond tolerance must be null")
+  }
+
+  test("Sessionize drops null-timestamp events; exact-gap timestamps stay exact") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2026-01-01 12:00:00")
+    def plus(sec: Double) = new Timestamp(base.getTime + (sec * 1000).toLong)
+    val ev = Seq(
+      (1L, Some(base), 1.0),
+      (1L, Some(plus(1800.0)), 2.0),      // gap EXACTLY 1800s → same session
+      (1L, Some(plus(3600.001)), 3.0),    // gap 1800.001s → new session
+      (1L, None, 9.0),                     // null ts → dropped, not a session
+      (2L, None, 9.0))                     // whole-key nulls → key disappears
+      .toDF("user_id", "ts", "value")
+    val out = Sessionize.sessions(ev, Seq("user_id"), "ts", gapSeconds = 1800L)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L)),
+      s"exact-gap must not split, nulls must vanish; got $out")
+  }
 }
