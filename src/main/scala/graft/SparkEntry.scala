@@ -685,6 +685,18 @@ object SparkEntry {
         threshold = 0.8)
     }),
 
+    // The benchmark-side contamination report (the reverse of q51): per
+    // eval item, how many distinct training docs share an 8-gram with it
+    // and the largest overlap — what an eval owner reads to retire
+    // compromised items
+    "q57_benchmark_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.dedup.Decontaminate.benchmarkReport(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", "doc_id", "text", n = 8)
+    }),
+
     // Gopher-style repetition/boilerplate signals: duplicate-2-gram
     // fraction, top-2-gram fraction, top-token fraction — all narrow
     // codegen'd array folds (sort + run-length scan), no explode/groupBy
@@ -1249,6 +1261,25 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE b.doc_id >= 250) x
         |WHERE jaccard >= 0.8""".stripMargin,
+
+    "q57_benchmark_report" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(w) >= 8
+        |    THEN list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))
+        |    ELSE [] END) AS gs FROM t),
+        |tg AS (SELECT doc_id AS tid, unnest(gs) AS g FROM sh WHERE doc_id % 10 <> 7),
+        |bg AS (SELECT doc_id AS bench_id, unnest(gs) AS g FROM sh WHERE doc_id % 10 = 7),
+        |p AS (SELECT bench_id, tid, COUNT(*) AS shared
+        |  FROM tg JOIN bg USING (g) GROUP BY 1, 2),
+        |r AS (SELECT bench_id, COUNT(*) AS n_contaminating_docs,
+        |    MAX(shared) AS max_shared_grams
+        |  FROM p WHERE shared >= 1 GROUP BY 1)
+        |SELECT b.doc_id AS bench_id,
+        |  CAST(COALESCE(r.n_contaminating_docs, 0) AS BIGINT) AS n_contaminating_docs,
+        |  CAST(COALESCE(r.max_shared_grams, 0) AS BIGINT) AS max_shared_grams
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) b
+        |LEFT JOIN r ON b.doc_id = r.bench_id""".stripMargin,
 
     "q52_repetition_stats" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -67,6 +67,35 @@ object Decontaminate {
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
 
+  /** The benchmark's view of contamination — the report an eval owner
+    * reads to decide which items to retire: per benchmark doc, how many
+    * distinct training docs share >= `minHits` n-grams with it, and the
+    * largest such overlap. Zero-hit benchmark docs are kept (count 0).
+    * Same broadcast shape as [[overlapStats]], but the benchmark gram
+    * set keeps its doc ids instead of collapsing to a distinct set.
+    */
+  def benchmarkReport(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, benchIdCol: String, benchTextCol: String, n: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    require(n >= 2, "decontamination n-grams must be at least 2 tokens")
+    require(minHits >= 1, "minHits must be >= 1")
+    val trainGrams = train
+      .select(col(idCol).as("__tid"), explode(gramHashes(col(textCol), n)).as("__gh"))
+    val benchGrams = bench
+      .select(col(benchIdCol).as("bench_id"),
+        explode(gramHashes(col(benchTextCol), n)).as("__gh"))
+    val perPair = trainGrams.join(broadcast(benchGrams), Seq("__gh"))
+      .groupBy(col("bench_id"), col("__tid"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minHits)
+    val report = perPair.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_contaminating_docs"),
+        max(col("__shared")).as("max_shared_grams"))
+    bench.select(col(benchIdCol).as("bench_id"))
+      .join(report, Seq("bench_id"), "left")
+      .na.fill(0L, Seq("n_contaminating_docs", "max_shared_grams"))
+  }
+
   /** The training table minus contaminated docs (left-anti on the flagged
     * id set). `minHits` = how many shared distinct n-grams convict.
     */

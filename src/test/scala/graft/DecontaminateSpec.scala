@@ -53,6 +53,24 @@ class DecontaminateSpec extends AnyFunSuite {
       "exactly the flagged docs are dropped")
   }
 
+  test("benchmarkReport counts contaminating train docs per eval item") {
+    val long1 = "one two three four five six seven eight nine ten eleven twelve"
+    val long2 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo"
+    val train = Seq((1L, long1), (2L, long1 + " extra tail"), (3L, long2))
+      .toDF("doc_id", "text")
+    // bench 100 leaks long1 (train docs 1 and 2 both share its grams);
+    // bench 101 is clean
+    val bench = Seq((100L, long1),
+      (101L, "totally unrelated benchmark item with no shared grams at all here"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.benchmarkReport(train, bench,
+      "doc_id", "text", "doc_id", "text", n = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // long1 has 5 8-grams, all shared with train docs 1 and 2
+    assert(got(100L) == ((2L, 5L)), s"got $got")
+    assert(got(101L) == ((0L, 0L)))
+  }
+
   test("docs shorter than the n-gram length are never contaminated") {
     val train = Seq((1L, "too short"), (2L, "a b c d e f g")).toDF("doc_id", "text")
     val bench = Seq("too short and also a b c d e f g padded out to eight tokens easily")
