@@ -731,6 +731,15 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text")
     }),
 
+    // ANALYZE-style table profiling: per-column rows/nulls/distincts/
+    // min/max in ONE aggregation job (stacked to a long report) — the
+    // data-quality health report a pipeline publishes next to every
+    // table it writes
+    "q58_profile" -> ((s, dir) => {
+      Profiling.profile(Tables.documents(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))
+    }),
+
     // Sketch aggregates — the 100 TB scale path where exact distinct /
     // exact percentiles would shuffle every value: HLL++ and a quantile
     // sketch keep constant state per group. No SQL oracle (sketch values
@@ -1261,6 +1270,20 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE b.doc_id >= 250) x
         |WHERE jaccard >= 0.8""".stripMargin,
+
+    "q58_profile" ->
+      """SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(doc_id) AS n_nulls,
+        |  COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+        |  CAST(MAX(doc_id) AS VARCHAR) AS max_value FROM documents
+        |UNION ALL SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+        |  COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+        |UNION ALL SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+        |  COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+        |UNION ALL SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+        |  COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+        |  CAST(MAX(n_chars) AS VARCHAR) FROM documents""".stripMargin,
 
     "q57_benchmark_report" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -211,6 +211,17 @@ class OperatorsSpec extends AnyFunSuite {
       "backward at dist 5 is outside tol 2; forward at dist 2 must win")
   }
 
+  test("Profiling.profile reports rows, nulls, distincts and min/max per column") {
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None), (Some(3L), Some("a")))
+      .toDF("id", "tag")
+    val got = Profiling.profile(df, Seq("id", "tag"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("id") == ((3L, 0L, 2L, Some("1"), Some("3"))))
+    assert(got("tag") == ((3L, 1L, 2L, Some("a"), Some("b"))))
+  }
+
   test("AsOf.asOfJoin timestamp tolerance is exact at the boundary (integer micros)") {
     import java.sql.Timestamp
     // a match sitting EXACTLY at the tolerance boundary must be kept: in
