@@ -727,8 +727,11 @@ object SparkEntry {
     // hash-matches across engines (a mean of ln() probs would differ in
     // the last ulp)
     "q55_familiarity" -> ((s, dir) => {
+      // topK = 0 (no vocabulary cap): the oracle computes full-vocab
+      // frequencies, so the registered path must too — a finite cap
+      // would silently diverge once the corpus vocabulary outgrows it
       graft.pipeline.CorpusPipeline.familiarityScore(
-        Tables.documents(s, dir), "doc_id", "text")
+        Tables.documents(s, dir), "doc_id", "text", topK = 0)
     }),
 
     // ANALYZE-style table profiling: per-column rows/nulls/distincts/

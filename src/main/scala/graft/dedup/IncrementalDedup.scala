@@ -49,11 +49,24 @@ object IncrementalDedup {
   def incrementalPairs(storeSigs: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16, rowsPerBand: Int = 4,
-      seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame =
+    incrementalPairsAndSigs(storeSigs, batch, idCol, textCol, threshold,
+      shingleSize, numHashes, bands, rowsPerBand, seed, maxBucketSize)._1
+
+  /** Also hands back the batch's (materialized) signatures so callers
+    * like [[dedupBatch]] derive survivor signatures by semi-join instead
+    * of re-running the shingle + k-minhash pass.
+    */
+  private def incrementalPairsAndSigs(storeSigs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double, shingleSize: Int,
+      numHashes: Int, bands: Int, rowsPerBand: Int,
+      seed: Long, maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must be <= numHashes")
+    // localCheckpoint (not persist/unpersist): the signatures outlive this
+    // call — dedupBatch reuses them for the survivor delta
     val batchSigs = MinHashDedup.withSignatures(
         batch, idCol, textCol, shingleSize, numHashes, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val storeBands = MinHashDedup.bandedRows(storeSigs, idCol, bands, rowsPerBand)
       .withColumn("__new", lit(false))
     val batchBands = MinHashDedup.bandedRows(batchSigs, idCol, bands, rowsPerBand)
@@ -83,29 +96,33 @@ object IncrementalDedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    val out = verified.localCheckpoint() // eager; then release the caches
-    batchSigs.unpersist()
+    val out = verified.localCheckpoint() // eager; then release the band cache
     bounded.unpersist()
-    out
+    (out, batchSigs)
   }
 
   /** Batch survivors and the updated store in one call.
     *
     * `survivors`: batch docs that near-dup neither a store doc nor a
     * smaller-id batch doc. `survivorSigs`: just their signatures (the
-    * store DELTA — what an append-only store table writes per batch).
-    * `updatedStore`: storeSigs plus that delta — feed it to the next
+    * store DELTA — what an append-only store table writes per batch),
+    * semi-joined out of the batch signatures already computed for the
+    * band probe — the shingle + k-minhash pass runs ONCE per batch.
+    * `batchSigs`: the full (materialized) batch signature set, for
+    * callers that re-derive the delta from their own survivor handle.
+    * `updatedStore`: storeSigs plus the delta — feed it to the next
     * batch when chaining in memory.
     */
   case class BatchResult(survivors: DataFrame, updatedStore: DataFrame,
-      pairs: DataFrame, survivorSigs: DataFrame)
+      pairs: DataFrame, survivorSigs: DataFrame, batchSigs: DataFrame)
 
   def dedupBatch(storeSigs: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16, rowsPerBand: Int = 4,
       seed: Long = 42L, maxBucketSize: Int = 2000): BatchResult = {
-    val pairs = incrementalPairs(storeSigs, batch, idCol, textCol, threshold,
-      shingleSize, numHashes, bands, rowsPerBand, seed, maxBucketSize)
+    val (pairs, batchSigs) = incrementalPairsAndSigs(storeSigs, batch, idCol,
+      textCol, threshold, shingleSize, numHashes, bands, rowsPerBand, seed,
+      maxBucketSize)
     // Per-pair loser: every pair has >= 1 batch side by construction, so
     // if id_b is a store doc then id_a is the batch doc and loses; else
     // id_b loses (to a store id_a — store wins — or to a smaller batch
@@ -117,8 +134,9 @@ object IncrementalDedup {
         .otherwise(col("id_b")).as(idCol))
       .distinct()
     val survivors = batch.join(losers, Seq(idCol), "left_anti")
-    val survivorSigs = MinHashDedup.withSignatures(
-      survivors, idCol, textCol, shingleSize, numHashes, seed)
-    BatchResult(survivors, storeSigs.unionByName(survivorSigs), pairs, survivorSigs)
+    val survivorSigs = batchSigs
+      .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
+    BatchResult(survivors, storeSigs.unionByName(survivorSigs), pairs,
+      survivorSigs, batchSigs)
   }
 }

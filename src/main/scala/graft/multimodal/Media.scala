@@ -36,14 +36,21 @@ object Media {
     * needed for PIXELS — dimension metadata is plain bytes, so this path
     * is genuinely decoded, not stubbed, and stays in WholeStageCodegen.
     */
+  // shared byte-decode helpers (one definition for both decode tiers)
+  private def u8(content: Column, pos: Int): Column =
+    conv(hex(substring(content, pos, 1)), 16, 10).cast("long")
+  private def be32(content: Column, pos: Int): Column =
+    conv(hex(substring(content, pos, 4)), 16, 10).cast("long")
+  private def le16(content: Column, pos: Int): Column =
+    u8(content, pos) + u8(content, pos + 1) * 256L
+  private def le32(content: Column, pos: Int): Column =
+    u8(content, pos) + u8(content, pos + 1) * 256L +
+      u8(content, pos + 2) * 65536L + u8(content, pos + 3) * 16777216L
+
   def headerDims(content: Column): Column = {
-    def u8(pos: Int): Column =
-      conv(hex(substring(content, pos, 1)), 16, 10).cast("long")
-    def be32(pos: Int): Column =
-      conv(hex(substring(content, pos, 4)), 16, 10).cast("long")
-    def le16(pos: Int): Column = u8(pos) + u8(pos + 1) * 256L
-    def le32(pos: Int): Column =
-      u8(pos) + u8(pos + 1) * 256L + u8(pos + 2) * 65536L + u8(pos + 3) * 16777216L
+    def be32(pos: Int): Column = Media.be32(content, pos)
+    def le16(pos: Int): Column = Media.le16(content, pos)
+    def le32(pos: Int): Column = Media.le32(content, pos)
     val isPng = substring(content, 1, 8) === lit(PngSig) &&
       substring(content, 13, 4) === lit("IHDR".getBytes("US-ASCII"))
     val isGif = substring(content, 1, 4) === lit("GIF8".getBytes("US-ASCII"))
@@ -64,22 +71,22 @@ object Media {
     * decode would need a codec.
     */
   def audioMeta(content: Column): Column = {
-    def u8(pos: Int): Column =
-      conv(hex(substring(content, pos, 1)), 16, 10).cast("long")
-    def le16(pos: Int): Column = u8(pos) + u8(pos + 1) * 256L
-    def le32(pos: Int): Column =
-      u8(pos) + u8(pos + 1) * 256L + u8(pos + 2) * 65536L + u8(pos + 3) * 16777216L
     val isWav = substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
       substring(content, 9, 4) === lit("WAVE".getBytes("US-ASCII"))
     when(isWav, struct(lit("wav").as("format"),
-        le32(25).as("sample_rate"), le16(23).as("channels")))
+        le32(content, 25).as("sample_rate"), le16(content, 23).as("channels")))
       .otherwise(lit(null)
         .cast("struct<format:string,sample_rate:bigint,channels:bigint>"))
   }
 
-  // big-endian byte images of a column value, for header construction
-  private def be32Bytes(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
-  private def be16Bytes(v: Column): Column = unhex(lpad(hex(v), 4, "0"))
+  // big-endian byte images of a column value, for header construction —
+  // masked to the field width first (lpad would otherwise TRUNCATE an
+  // over-wide hex string from the right, keeping the HIGH-order digits:
+  // a >= 2^32 value would silently encode garbage dims)
+  private def be32Bytes(v: Column): Column =
+    unhex(lpad(hex(pmod(v, lit(4294967296L))), 8, "0"))
+  private def be16Bytes(v: Column): Column =
+    unhex(lpad(hex(pmod(v, lit(65536L))), 4, "0"))
   // little-endian = the big-endian bytes reversed (substring on binary)
   private def le32Bytes(v: Column): Column = {
     val b = be32Bytes(v)
@@ -150,8 +157,10 @@ object Media {
       element_at(typedLit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("content"),
-      col("source"),
-      length(col("text")).cast("long").as("n_bytes"))
+      col("source"))
+      // byte length of the PAYLOAD (length() on binary counts bytes;
+      // length(text) counts characters and diverges on multibyte text)
+      .withColumn("n_bytes", length(col("content")).cast("long"))
       .as[MediaRecord]
   }
 
@@ -178,8 +187,9 @@ object Media {
       col("doc_id").as("media_id"),
       kind.as("kind"),
       content.as("content"),
-      col("source"),
-      length(col("text")).cast("long").as("n_bytes"))
+      col("source"))
+      // real payload size, header included
+      .withColumn("n_bytes", length(col("content")).cast("long"))
       .as[MediaRecord]
   }
 

@@ -106,6 +106,14 @@ object AsOf {
     // columns keep the double-seconds path.
     val tsType = left.schema(leftTs).dataType
     val exactMicros = tsType == TimestampType || tsType == TimestampNTZType
+    // the NTZ->instant cast applies the SESSION timezone; across a DST
+    // transition wall-clock differences then map nonlinearly to instant
+    // differences (a 100-min wall gap can become 40 min), so NTZ inputs
+    // demand a DST-free zone — require the unambiguous one
+    if (tsType == TimestampNTZType)
+      require(left.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+        "asOfJoin on TIMESTAMP_NTZ requires spark.sql.session.timeZone=UTC " +
+          "(DST transitions would distort tolerance/nearest distances)")
     def dist(m: Column): Column =
       if (exactMicros)
         abs(unix_micros(col("__ts").cast(TimestampType)) -

@@ -24,16 +24,21 @@ object Profiling {
     require(cols.nonEmpty, "profile needs at least one column")
     require(cols.forall(df.columns.contains),
       s"unknown columns: ${cols.filterNot(df.columns.contains).mkString(", ")}")
-    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+    // internal aliases are POSITIONAL (__nn_0, __nn_1, ...) so arbitrary
+    // user column names never leak into generated identifiers; the one
+    // place a name appears in SQL is the stack label literal, escaped
+    val aggs = count(lit(1)).as("__rows") +: cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"__nn_$c"), // non-null count
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        count(col(c)).as(s"__nn_$i"), // non-null count
+        countDistinct(col(c)).as(s"__nd_$i"),
+        min(col(c)).cast("string").as(s"__min_$i"),
+        max(col(c)).cast("string").as(s"__max_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', __rows - `__nn_$c`, `__nd_$c`, `__min_$c`, `__max_$c`").mkString(", ")
+    def lab(c: String) = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"${lab(c)}, __rows - __nn_$i, __nd_$i, __min_$i, __max_$i"
+    }.mkString(", ")
     wide.selectExpr(
       "__rows as n_rows",
       s"stack(${cols.size}, $stackArgs) as (col_name, n_nulls, n_distinct, min_value, max_value)")

@@ -45,6 +45,12 @@ object Sessionize {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
     val prev = lag(col(tsCol), 1).over(w)
     val tsType = events.schema(tsCol).dataType
+    // NTZ->instant casting applies the session timezone; a DST jump would
+    // warp wall-clock gaps (see AsOf) — require the unambiguous zone
+    if (tsType == TimestampNTZType)
+      require(events.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+        "withSessionIds on TIMESTAMP_NTZ requires spark.sql.session.timeZone=UTC " +
+          "(DST transitions would distort inactivity gaps)")
     val gapExceeded =
       if (tsType == TimestampType || tsType == TimestampNTZType)
         unix_micros(col(tsCol).cast(TimestampType)) -

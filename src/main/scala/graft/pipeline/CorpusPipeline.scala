@@ -193,8 +193,16 @@ object CorpusPipeline {
       topK: Int = 100000): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+    // one materialized frequency pass: the cap, the total and the probe
+    // join all read it — without the checkpoint each would re-run the
+    // token-count aggregation (vocab-sized output, cheap to pin)
     val freqs = toks.groupBy("__tok").agg(count(lit(1)).as("__freq"))
-    val capped = freqs.orderBy(col("__freq").desc, col("__tok").asc).limit(topK)
+      .localCheckpoint()
+    // topK <= 0 = no cap (the registered q55 path: its oracle computes
+    // the full vocabulary, so the demo must too)
+    val capped =
+      if (topK <= 0) freqs
+      else freqs.orderBy(col("__freq").desc, col("__tok").asc).limit(topK)
     val total = freqs.agg(sum("__freq").cast("double").as("__total"))
     toks.join(broadcast(capped), Seq("__tok"), "left")
       .groupBy(col(idCol))

@@ -225,8 +225,13 @@ object Streams {
             spark.read.parquet(storeDir)
           else IncrementalDedup.signatureStore(batch.limit(0), idCol, textCol)
         val r = IncrementalDedup.dedupBatch(store, batch, idCol, textCol, threshold)
-        r.survivors.write.mode("append").parquet(outDir)
-        r.survivorSigs.write.mode("append").parquet(storeDir)
+        // materialize survivors once; both writes (and the signature
+        // delta's semi-join) read the checkpoint instead of re-running
+        // the anti-join per sink
+        val sv = r.survivors.localCheckpoint()
+        sv.write.mode("append").parquet(outDir)
+        r.batchSigs.join(sv.select(col(idCol)), Seq(idCol), "left_semi")
+          .write.mode("append").parquet(storeDir)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
