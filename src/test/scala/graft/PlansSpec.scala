@@ -90,6 +90,20 @@ class PlansSpec extends AnyFunSuite {
       s"per-doc array folds must not shuffle anything:\n$p")
   }
 
+  test("q56 media header decode is a pure narrow map — zero exchanges") {
+    val p = plan("q56_media_dims")
+    assert(!p.contains("Exchange"),
+      s"byte-arithmetic header parsing must not shuffle anything:\n$p")
+  }
+
+  test("q58 profiling runs as ONE aggregation job (Expand for the distincts, 2 exchanges)") {
+    val p = plan("q58_profile")
+    assert(p.contains("Expand"),
+      "multi-column distinct counts should plan as one Expand pass")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"profile must stay one aggregation pipeline (partial + distinct), not one job per column:\n$p")
+  }
+
   test("q39/q43 as-of queries are join-free (union + window carry, one key shuffle)") {
     // the as-of formulation has NO join operator at all — a regression
     // to a range-condition join would reintroduce a nested-loop plan
