@@ -166,6 +166,33 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("property: packSequences invariants hold on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowGen = Gen.zip(Gen.choose(0L, 100L), Gen.oneOf("en", "fr"), Gen.choose(1, 500))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withInitialSeed(5L),
+      Prop.forAll(Gen.nonEmptyListOf(rowGen), Gen.choose(64L, 1024L)) { (rows, seqLen) =>
+        val docs = rows.distinctBy(_._1)
+        val df = docs.toDF("doc_id", "lang", "n_tokens")
+        val got = CorpusPipeline.packSequences(df, "lang", "n_tokens", seqLen,
+          Seq(col("doc_id").asc))
+          .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+          .as[(Long, String, Int, Long, Long)].collect()
+        // per group in id order: each doc starts at the running token sum,
+        // seq_id/seq_offset are exactly its div/mod by seqLen
+        got.groupBy(_._2).forall { case (_, g) =>
+          var start = 0L
+          g.sortBy(_._1).forall { case (_, _, n, seqId, off) =>
+            val ok = seqId == start / seqLen && off == start % seqLen &&
+              off >= 0 && off < seqLen
+            start += n
+            ok
+          }
+        }
+      })
+    assert(res.passed, s"packSequences property: ${res.status}")
+  }
+
   test("familiarityScore is the exact mean corpus frequency; topK caps the vocab") {
     val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     // freqs: a=3, b=1, c=1; total=5

@@ -86,6 +86,33 @@ class DecontaminateSpec extends AnyFunSuite {
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
 
+  test("property: overlapStats matches a Scala-computed oracle on random docs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo")
+    val docGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 40L),
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withInitialSeed(11L),
+      Prop.forAll(docGen, Gen.choose(0L, 40L)) { (rows, cut) =>
+        val docs = rows.distinctBy(_._1)
+        val (trainRows, benchRows) = docs.partition(_._1 < cut)
+        def grams(t: String): Set[String] =
+          t.split(" ").toSeq.sliding(4).filter(_.size == 4).map(_.mkString(" ")).toSet
+        val benchSet = benchRows.flatMap(r => grams(r._2)).toSet
+        val expected = trainRows.map { case (id, t) =>
+          val g = grams(t); id -> ((g.size, g.count(benchSet.contains).toLong))
+        }.toMap
+        val train = trainRows.toDF("doc_id", "text")
+        val bench = benchRows.toDF("doc_id", "text")
+        val got = Decontaminate.overlapStats(train, bench, "doc_id", "text", "text", n = 4)
+          .select("doc_id", "n_grams", "n_hits").as[(Long, Int, Long)]
+          .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        got == expected
+      })
+    assert(res.passed, s"overlapStats property: ${res.status}")
+  }
+
   test("run with a benchmarks config decontaminates and reports the stage count") {
     val bench = docs.filter(col("doc_id") % 10 === 7).select(col("text"))
     val r = CorpusPipeline.run(docs.filter(col("doc_id") % 10 =!= 7),
