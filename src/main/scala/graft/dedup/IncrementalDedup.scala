@@ -101,6 +101,50 @@ object IncrementalDedup {
     (out, batchSigs)
   }
 
+  /** The store's banded representation with band identity collapsed into
+    * ONE join column — `band_key = xxhash64(band_idx, band_hash)` — so
+    * the table can be bucketed on it (a (band_idx, band_hash) collision
+    * across different bands needs a 64-bit hash collision; the exact
+    * verify downstream keeps precision regardless).
+    */
+  def bandedStoreRows(sigs: DataFrame, idCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    MinHashDedup.bandedRows(sigs, idCol, bands, rowsPerBand)
+      .select(xxhash64(col("band_idx"), col("band_hash")).as("band_key"), col(idCol))
+
+  /** Persist the banded store BUCKETED (and sorted) by band_key: every
+    * future batch probe then sort-merge-joins against it with NO
+    * exchange and NO sort on the store side — the write-time shuffle is
+    * paid once and amortized over every batch, making "the store never
+    * reshuffles" literal in the physical plan (IncrementalDedupSpec
+    * proves it). This is the production layout of the signature store at
+    * 100 TB; hot-bucket policy is applied when BUILDING the store (cap
+    * diagnostics via `MinHashDedup.hotBuckets`).
+    */
+  def writeBandedStore(sigs: DataFrame, table: String, idCol: String,
+      nBuckets: Int = 32, path: Option[String] = None,
+      bands: Int = 16, rowsPerBand: Int = 4): Unit =
+    graft.operators.Bucketing.writeBucketed(
+      bandedStoreRows(sigs, idCol, bands, rowsPerBand),
+      table, nBuckets, Seq("band_key"), Seq("band_key"), path)
+
+  /** Candidate (store_id, batch_id) pairs from probing the bucketed
+    * banded store table — the store side reads pre-partitioned, only the
+    * (small) batch side shuffles. Callers verify candidates with exact
+    * Jaccard exactly like the in-memory path.
+    */
+  def storeProbeCandidates(spark: org.apache.spark.sql.SparkSession,
+      storeTable: String, batchSigs: DataFrame, idCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val batchBands = bandedStoreRows(batchSigs, idCol, bands, rowsPerBand)
+      .withColumnRenamed(idCol, "batch_id")
+    graft.operators.Bucketing.table(spark, storeTable)
+      .withColumnRenamed(idCol, "store_id")
+      .join(batchBands, Seq("band_key"))
+      .select("store_id", "batch_id")
+      .dropDuplicates()
+  }
+
   /** Batch survivors and the updated store in one call.
     *
     * `survivors`: batch docs that near-dup neither a store doc nor a

@@ -237,6 +237,29 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Continuous eval-set decontamination: docs of each micro-batch that
+    * share n-grams with the STATIC benchmark table are dropped before the
+    * batch lands. Stateless across batches (the benchmark set is fixed),
+    * so the BATCH operator applies unchanged per micro-batch via
+    * foreachBatch — no store, no cross-batch state; the benchmark gram
+    * set broadcasts exactly as in the batch path. Processes all
+    * currently-available input, then stops.
+    */
+  def decontaminateIngest(stream: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, benchTextCol: String, outDir: String,
+      checkpointDir: String, n: Int = 8, minHits: Int = 1): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.dedup.Decontaminate
+          .decontaminate(batch, bench, idCol, textCol, benchTextCol, n, minHits)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * available input is processed — the local smoke path.
     */

@@ -60,6 +60,48 @@ class IncrementalDedupSpec extends AnyFunSuite {
       Set(10L, 20L, 30L))
   }
 
+  test("bucketed banded store: probe candidates match, store side never reshuffles") {
+    val mid = 25L
+    val old = docs.filter(col("doc_id") < mid)
+    val batch = docs.filter(col("doc_id") >= mid)
+    val storeSigs = IncrementalDedup.signatureStore(old, "doc_id", "text")
+    val batchSigs = IncrementalDedup.signatureStore(batch, "doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bandstore").toString
+    spark.sql("DROP TABLE IF EXISTS graft_band_store")
+    IncrementalDedup.writeBandedStore(storeSigs, "graft_band_store", "doc_id",
+      nBuckets = 8, path = Some(s"$tmp/store"))
+    val probed = IncrementalDedup.storeProbeCandidates(
+      spark, "graft_band_store", batchSigs, "doc_id")
+    // correctness: identical to recomputing the store bands in memory
+    val expected = IncrementalDedup.bandedStoreRows(storeSigs, "doc_id")
+      .withColumnRenamed("doc_id", "store_id")
+      .join(IncrementalDedup.bandedStoreRows(batchSigs, "doc_id")
+        .withColumnRenamed("doc_id", "batch_id"), Seq("band_key"))
+      .select("store_id", "batch_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    val got = probed.as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == expected)
+    // plan proof with broadcast disabled (a test-sized store would
+    // otherwise broadcast — at real store scale the join is sort-merge):
+    // the bucketed layout pre-partitions the store side, so the only
+    // Exchange below the join is the batch side's
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = IncrementalDedup.storeProbeCandidates(
+        spark, "graft_band_store", batchSigs, "doc_id")
+        .queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join against the bucketed store:\n$plan")
+      val joinSubtree = plan.substring(joinIdx)
+      assert("Exchange".r.findAllIn(joinSubtree).size <= 1,
+        s"only the batch side may shuffle below the join:\n$plan")
+      assert(joinSubtree.contains("Bucketed: true"),
+        s"store scan must be bucket-aware:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE graft_band_store")
+  }
+
   test("property: incremental pairs match the full run under random docs and splits") {
     val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
     val docGen = Gen.nonEmptyListOf(

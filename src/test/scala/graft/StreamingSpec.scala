@@ -320,6 +320,30 @@ class StreamingSpec extends AnyFunSuite {
       == Set(1L, 2L, 11L))
   }
 
+  test("decontaminateIngest drops benchmark leaks from each micro-batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft-decontam")
+    val (src, out, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+    val leak = "one two three four five six seven eight nine ten eleven twelve"
+    val bench = Seq(leak).toDF("text")
+    // batch 1: doc 1 is a verbatim leak, doc 2 is clean
+    Seq((1L, leak),
+      (2L, "clean first-batch document with entirely original content here okay"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Streams.decontaminateIngest(Streams.fileIngest(spark, src, schema),
+      bench, "doc_id", "text", "text", out, ckpt)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet == Set(2L))
+    // batch 2: another leak (prefixed — still shares 8-grams) + a clean doc;
+    // the restarted query picks up only the new file
+    Seq((10L, "prefix " + leak),
+      (11L, "another clean document in the second batch with fresh words entirely"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    Streams.decontaminateIngest(Streams.fileIngest(spark, src, schema),
+      bench, "doc_id", "text", "text", out, ckpt)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      == Set(2L, 11L))
+  }
+
   test("checkpointed parquet sink resumes exactly-once across restarts") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream")
     val (src, out, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
