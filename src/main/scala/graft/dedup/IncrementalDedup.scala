@@ -44,7 +44,11 @@ object IncrementalDedup {
 
   /** Near-duplicate pairs (id_a, id_b, jaccard) where at least one side
     * is a batch doc: batch x store and batch x batch bucket collisions,
-    * never store x store. Ids must be disjoint between store and batch.
+    * never store x store. Batch rows whose id already exists in the
+    * store are dropped up front (same-id redelivery is exact-key
+    * territory — earliest write wins, like `Idempotency.newKeysOnly`),
+    * so a redelivered doc can never slip past the id_x =!= id_y
+    * self-pair filter and survive as a duplicate.
     */
   def incrementalPairs(storeSigs: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double, shingleSize: Int = 3,
@@ -62,10 +66,29 @@ object IncrementalDedup {
       numHashes: Int, bands: Int, rowsPerBand: Int,
       seed: Long, maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must be <= numHashes")
+    // Guard the documented store/batch compatibility preconditions
+    // instead of trusting them: a store written with different signature
+    // params would produce silently-wrong jaccard values downstream.
+    val storeShape = storeSigs.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(storeShape.map(_._1).contains(idCol) &&
+      storeShape.exists(f => f._1 == "shingles") &&
+      storeShape.exists(f => f._1 == "sig"),
+      s"store signatures must carry ($idCol, shingles, sig); got " +
+        storeShape.map(_._1).mkString(", "))
+    // numHashes drift is detectable from data: one limit-1 probe job
+    storeSigs.select(size(col("sig"))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"store signatures have length ${r.getInt(0)} but batch uses " +
+          s"numHashes=$numHashes — store and batch must share signature params")
+    }
+    // Same-id redelivery: drop batch rows already in the store BEFORE
+    // signatures are computed (only the store's pruned id column joins).
+    val fresh = graft.operators.Idempotency.newKeysOnly(
+      batch, storeSigs.select(col(idCol)), Seq(idCol))
     // localCheckpoint (not persist/unpersist): the signatures outlive this
     // call — dedupBatch reuses them for the survivor delta
     val batchSigs = MinHashDedup.withSignatures(
-        batch, idCol, textCol, shingleSize, numHashes, seed)
+        fresh, idCol, textCol, shingleSize, numHashes, seed)
       .localCheckpoint()
     val storeBands = MinHashDedup.bandedRows(storeSigs, idCol, bands, rowsPerBand)
       .withColumn("__new", lit(false))
@@ -148,7 +171,8 @@ object IncrementalDedup {
   /** Batch survivors and the updated store in one call.
     *
     * `survivors`: batch docs that near-dup neither a store doc nor a
-    * smaller-id batch doc. `survivorSigs`: just their signatures (the
+    * smaller-id batch doc (batch rows whose id is already IN the store —
+    * same-id redelivery — are dropped up front and never survive). `survivorSigs`: just their signatures (the
     * store DELTA — what an append-only store table writes per batch),
     * semi-joined out of the batch signatures already computed for the
     * band probe — the shingle + k-minhash pass runs ONCE per batch.
@@ -177,7 +201,11 @@ object IncrementalDedup {
       .select(when(col("__b_store").isNotNull, col("id_a"))
         .otherwise(col("id_b")).as(idCol))
       .distinct()
-    val survivors = batch.join(losers, Seq(idCol), "left_anti")
+    // survivor base is the FRESH batch (same-id redeliveries were dropped
+    // up front and must not resurface here); batchSigs carries exactly
+    // the fresh ids and is already materialized
+    val freshBatch = batch.join(batchSigs.select(col(idCol)), Seq(idCol), "left_semi")
+    val survivors = freshBatch.join(losers, Seq(idCol), "left_anti")
     val survivorSigs = batchSigs
       .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
     BatchResult(survivors, storeSigs.unionByName(survivorSigs), pairs,

@@ -66,13 +66,19 @@ object Media {
 
   /** REAL audio-container header decode (WAV/RIFF): struct(format,
     * sample_rate, channels) from the canonical fmt-chunk offsets —
-    * little-endian u32 sample rate at byte 25, u16 channel count at 23.
-    * Same tier as [[headerDims]]: metadata is plain bytes, only PCM
-    * decode would need a codec.
+    * little-endian u32 sample rate at byte 25, u16 channel count at 23 —
+    * valid only when "fmt " is the first chunk (checked; WAVs leading
+    * with LIST/JUNK return null rather than garbage). Same tier as
+    * [[headerDims]]: metadata is plain bytes, only PCM decode would need
+    * a codec.
     */
   def audioMeta(content: Column): Column = {
+    // also require the FIRST chunk to be "fmt " — real-world WAVs whose
+    // first chunk is LIST/JUNK would otherwise parse garbage bytes at the
+    // fixed offsets as valid metadata; those return null instead
     val isWav = substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
-      substring(content, 9, 4) === lit("WAVE".getBytes("US-ASCII"))
+      substring(content, 9, 4) === lit("WAVE".getBytes("US-ASCII")) &&
+      substring(content, 13, 4) === lit("fmt ".getBytes("US-ASCII"))
     when(isWav, struct(lit("wav").as("format"),
         le32(content, 25).as("sample_rate"), le16(content, 23).as("channels")))
       .otherwise(lit(null)

@@ -64,8 +64,14 @@ object CorpusPipeline {
     * ~2^-64 in-doc hash collision.
     */
   def annotateRepetition(docs: DataFrame): DataFrame = {
-    require(!docs.columns.exists(Seq("__toksh", "__g2h").contains),
-      "annotateRepetition reserves __toksh and __g2h")
+    // reject both scratch names AND the output names: withColumn would
+    // silently overwrite a pre-existing dup_2gram_frac etc., and
+    // repetitionFilter then drops it — user data lost without an error
+    val reserved = Seq("__toksh", "__g2h",
+      "dup_2gram_frac", "top_2gram_frac", "top_token_frac")
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"annotateRepetition reserves columns ${clash.mkString(", ")}")
     docs
       .withColumn("__toksh", TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))))
       .withColumn("__g2h", TextFunctions.ngramHashes(col("__toksh"), 2))

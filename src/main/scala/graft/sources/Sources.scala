@@ -122,10 +122,13 @@ object Sources {
 
   /** Append a DataFrame into a catalog table by POSITION (INSERT INTO
     * semantics: the catalog schema, not the DataFrame's column names,
-    * decides the mapping).
+    * decides the mapping). Takes a RAW (unquoted) name like every other
+    * helper here — quoting is applied internally, so one name string
+    * flows through createPartitionedTable / insertAppend /
+    * recoverPartitions unchanged.
     */
   def insertAppend(df: DataFrame, name: String): Unit =
-    df.write.mode("append").insertInto(name)
+    df.write.mode("append").insertInto(quoteIdent(name))
 
   /** Register an EXISTING partitioned parquet directory (e.g. a pipeline
     * bronze/silver output) as a catalog table and sync its partitions —

@@ -202,39 +202,71 @@ object Streams {
     * mode; a parquet store is scan-pruned by the band-probe join
     * instead).
     *
-    * Exactly-once caveat, stated honestly: the two appends inside one
-    * `foreachBatch` are not atomic — production would write batchId
-    * into both tables and dedup on restart (the standard foreachBatch
-    * idempotency pattern); the checkpoint already prevents reprocessing
-    * committed batches in normal operation.
-    *
-    * Processes all currently-available input, then stops (a deployment
-    * would leave the query running on a trigger).
+    * Exactly-once across crashes/replays: both sinks are partitioned by
+    * batch_id and a sink whose batch_id partition already exists is
+    * skipped — see [[processNearDedupBatch]]. Processes all
+    * currently-available input, then stops (a deployment would leave the
+    * query running on a trigger).
     */
   def nearDedupIngest(stream: DataFrame, idCol: String, textCol: String,
       threshold: Double, storeDir: String, outDir: String,
       checkpointDir: String): Unit = {
-    import graft.dedup.IncrementalDedup
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val store =
-          if (graft.sources.Sources.dirNonEmpty(spark, storeDir))
-            spark.read.parquet(storeDir)
-          else IncrementalDedup.signatureStore(batch.limit(0), idCol, textCol)
-        val r = IncrementalDedup.dedupBatch(store, batch, idCol, textCol, threshold)
-        // materialize survivors once; both writes (and the signature
-        // delta's semi-join) read the checkpoint instead of re-running
-        // the anti-join per sink
-        val sv = r.survivors.localCheckpoint()
-        sv.write.mode("append").parquet(outDir)
-        r.batchSigs.join(sv.select(col(idCol)), Seq(idCol), "left_semi")
-          .write.mode("append").parquet(storeDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processNearDedupBatch(batch, batchId, idCol, textCol, threshold,
+          storeDir, outDir)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  /** One micro-batch of [[nearDedupIngest]], factored out so the
+    * replay/crash path is directly testable. The two appends are not
+    * atomic, so idempotency is per-sink (the standard foreachBatch
+    * pattern): each sink carries batch_id as a partition column, a sink
+    * whose `batch_id=<id>` directory already exists is skipped, and a
+    * replayed batch therefore re-writes only the sink(s) the crashed
+    * attempt missed — never appending twice. Write ORDER is load-bearing:
+    * survivors land before the signature delta, so a replay always
+    * recomputes against the same store state the original attempt saw
+    * (foreachBatch is serial — no later batch can have advanced the
+    * store); were the store written first, a replay would find the
+    * batch's own signatures in the store and dedup the batch against
+    * itself.
+    */
+  private[graft] def processNearDedupBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, threshold: Double,
+      storeDir: String, outDir: String): Unit = {
+    import graft.dedup.IncrementalDedup
+    import graft.sources.Sources
+    val spark = batch.sparkSession
+    def committed(dir: String): Boolean =
+      Sources.dirNonEmpty(spark, s"$dir/batch_id=$batchId")
+    if (committed(outDir) && committed(storeDir)) return
+    // "store exists" must mean COMMITTED partitions — a crashed write can
+    // leave _SUCCESS/_temporary debris with no data files, which
+    // dirNonEmpty would count and the parquet read would then choke on
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val storeHasData = fs.exists(storePath) && fs.listStatus(storePath)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    val store =
+      if (storeHasData) spark.read.parquet(storeDir).drop("batch_id")
+      else IncrementalDedup.signatureStore(batch.limit(0), idCol, textCol)
+    val r = IncrementalDedup.dedupBatch(store, batch, idCol, textCol, threshold)
+    // materialize survivors once; both writes (and the signature
+    // delta's semi-join) read the checkpoint instead of re-running
+    // the anti-join per sink
+    val sv = r.survivors.localCheckpoint()
+    if (!committed(outDir))
+      sv.withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id").parquet(outDir)
+    if (!committed(storeDir))
+      r.batchSigs.join(sv.select(col(idCol)), Seq(idCol), "left_semi")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id").parquet(storeDir)
   }
 
   /** Continuous eval-set decontamination: docs of each micro-batch that

@@ -147,4 +147,16 @@ class DecontaminateSpec extends AnyFunSuite {
     // thresholds at 1.0 disable the gate entirely
     assert(CorpusPipeline.repetitionFilter(df, CorpusPipeline.Config()).count() == 3)
   }
+
+  test("annotateRepetition rejects inputs already carrying its output columns") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .withColumn("dup_2gram_frac", lit(0.25))
+    // before the guard, withColumn silently overwrote the user's column
+    // and repetitionFilter then dropped it — data loss without an error
+    val ex = intercept[IllegalArgumentException] {
+      CorpusPipeline.annotateRepetition(df)
+    }
+    assert(ex.getMessage.contains("dup_2gram_frac"))
+  }
 }

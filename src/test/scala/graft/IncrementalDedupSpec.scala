@@ -41,6 +41,31 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(r.updatedStore.count() == store.count(), "the store must not grow")
   }
 
+  test("same-id redelivery is dropped up front, never a surviving duplicate") {
+    val base = docs.limit(20)
+    val store = IncrementalDedup.signatureStore(base, "doc_id", "text")
+    // redeliver the SAME ids (not fresh ids): before the guard these
+    // passed the id_x =!= id_y self-pair filter and survived silently
+    val r = IncrementalDedup.dedupBatch(store, base, "doc_id", "text", 0.8)
+    assert(r.survivors.isEmpty, "redelivered ids must not survive")
+    assert(r.updatedStore.count() == store.count(), "the store must not grow")
+  }
+
+  test("signature-param drift between store and batch is rejected, not silent") {
+    val base = docs.limit(10)
+    val store = IncrementalDedup.signatureStore(base, "doc_id", "text", numHashes = 32)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.incrementalPairs(store, base, "doc_id", "text", 0.8)
+    }
+    assert(ex.getMessage.contains("numHashes"))
+    // and a store missing the signature columns is rejected up front
+    val ex2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.incrementalPairs(
+        base.select("doc_id", "text"), base, "doc_id", "text", 0.8)
+    }
+    assert(ex2.getMessage.contains("shingles"))
+  }
+
   test("store docs always win; within the batch the smaller id wins") {
     val s1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
     val s2 = "one two three four five six seven eight nine ten"

@@ -68,13 +68,19 @@ class MediaSpec extends AnyFunSuite {
       "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++ le32(16) ++
       le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16)
     val junk = "RIFFbut not a wave file".getBytes("US-ASCII")
-    val got = Seq((1L, wav), (2L, junk)).toDF("id", "content")
+    // RIFF+WAVE but first chunk is LIST, not fmt : the fixed offsets hold
+    // other bytes, so parsing must refuse rather than emit garbage
+    val listFirst = "RIFF".getBytes("US-ASCII") ++ le32(1234) ++
+      "WAVE".getBytes("US-ASCII") ++ "LIST".getBytes("US-ASCII") ++ le32(4) ++
+      "INFO".getBytes("US-ASCII")
+    val got = Seq((1L, wav), (2L, junk), (3L, listFirst)).toDF("id", "content")
       .select(col("id"), Media.audioMeta(col("content")).as("a"))
       .select(col("id"), col("a.format"), col("a.sample_rate"), col("a.channels"))
       .as[(Long, Option[String], Option[Long], Option[Long])]
       .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got(1L) == ((Some("wav"), Some(44100L), Some(2L))))
     assert(got(2L) == ((None, None, None)))
+    assert(got(3L) == ((None, None, None)))
   }
 
   test("payload -> header-parse round-trips the id-derived metadata per kind") {

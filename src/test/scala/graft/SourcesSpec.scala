@@ -134,8 +134,10 @@ class SourcesSpec extends AnyFunSuite {
     val schema = StructType(Seq(
       StructField("id", IntegerType), StructField("part", StringType)))
     spark.sql("DROP TABLE IF EXISTS `table`")
+    // the SAME raw name string flows through every helper — quoting is
+    // internal, no caller pre-quotes
     Sources.createPartitionedTable(spark, "table", schema, Seq("part"), loc)
-    Sources.insertAppend(Seq((1, "a")).toDF("id", "part"), "`table`")
+    Sources.insertAppend(Seq((1, "a")).toDF("id", "part"), "table")
     Sources.recoverPartitions(spark, "table")
     assert(spark.table("`table`").count() == 1)
     // replace path exercises the quoted DROP

@@ -320,6 +320,32 @@ class StreamingSpec extends AnyFunSuite {
       == Set(1L, 2L, 11L))
   }
 
+  test("nearDedupIngest batch replay and mid-batch crash never duplicate output") {
+    val root = java.nio.file.Files.createTempDirectory("graft-neardedup-replay")
+    val (store, out) = (s"$root/store", s"$root/out")
+    val batch = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    def outIds = spark.read.parquet(out).select("doc_id").as[Long].collect().toList
+    def storeIds = spark.read.parquet(store).select("doc_id").as[Long].collect().toList
+
+    Streams.processNearDedupBatch(batch, 0L, "doc_id", "text", 0.5, store, out)
+    assert(outIds.sorted == List(1L, 2L) && storeIds.sorted == List(1L, 2L))
+    // full replay of a committed batch (restart before checkpoint commit):
+    // both sinks already carry batch_id=0 — a strict no-op
+    Streams.processNearDedupBatch(batch, 0L, "doc_id", "text", 0.5, store, out)
+    assert(outIds.sorted == List(1L, 2L), "replay duplicated survivors")
+    assert(storeIds.sorted == List(1L, 2L), "replay duplicated store sigs")
+    // crash BETWEEN the two appends: survivors landed, store delta lost —
+    // replay must repair the store without re-appending survivors
+    val fs = new java.io.File(s"$store/batch_id=0")
+    fs.listFiles().foreach(_.delete()); fs.delete()
+    Streams.processNearDedupBatch(batch, 0L, "doc_id", "text", 0.5, store, out)
+    assert(outIds.sorted == List(1L, 2L), "crash replay duplicated survivors")
+    assert(storeIds.sorted == List(1L, 2L), "crash replay did not repair the store")
+  }
+
   test("decontaminateIngest drops benchmark leaks from each micro-batch") {
     val root = java.nio.file.Files.createTempDirectory("graft-decontam")
     val (src, out, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
