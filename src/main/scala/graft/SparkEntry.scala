@@ -685,6 +685,27 @@ object SparkEntry {
         threshold = 0.8)
     }),
 
+    // q53's production LAYOUT: the store's banded rows live in a parquet
+    // table BUCKETED by band_key, so the batch probe sort-merge-joins
+    // against it with zero store-side exchange — the banding shuffle was
+    // paid once at store-write time and is amortized over every batch.
+    // Same pairs as q53 (same oracle); the timed body includes the store
+    // build, which is the amortized cost being demonstrated.
+    "q59_incremental_bucketed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q59_$jvmId"
+      // signatures feed both the banded-store write and the verify's
+      // shingle lookup — checkpoint so the minhash pass runs once
+      val store = graft.dedup.IncrementalDedup.signatureStore(
+        docs.filter(col("doc_id") < 250), "doc_id", "text").localCheckpoint()
+      graft.dedup.IncrementalDedup.writeBandedStore(
+        store, "q59_band_store", "doc_id", nBuckets = 8,
+        path = Some(s"$tmp/bands"))
+      graft.dedup.IncrementalDedup.incrementalPairsBucketed(
+        s, "q59_band_store", store, docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", threshold = 0.8)
+    }),
+
     // The benchmark-side contamination report (the reverse of q51): per
     // eval item, how many distinct training docs share an 8-gram with it
     // and the largest overlap — what an eval owner reads to retire
@@ -1261,6 +1282,22 @@ object SparkEntry {
     // id_a < id_b always, so "pair touches the batch (ids >= 250)" is
     // exactly id_b >= 250
     "q53_incremental_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [] END) AS s FROM t)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE b.doc_id >= 250) x
+        |WHERE jaccard >= 0.8""".stripMargin,
+
+    // identical semantics to q53 — the bucketed layout must not change
+    // the answer, only the physical plan
+    "q59_incremental_bucketed" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct(CASE WHEN len(w) >= 3

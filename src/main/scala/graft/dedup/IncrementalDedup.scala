@@ -66,25 +66,7 @@ object IncrementalDedup {
       numHashes: Int, bands: Int, rowsPerBand: Int,
       seed: Long, maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must be <= numHashes")
-    // Guard the documented store/batch compatibility preconditions
-    // instead of trusting them: a store written with different signature
-    // params would produce silently-wrong jaccard values downstream.
-    val storeShape = storeSigs.schema.fields.map(f => (f.name, f.dataType)).toSeq
-    require(storeShape.map(_._1).contains(idCol) &&
-      storeShape.exists(f => f._1 == "shingles") &&
-      storeShape.exists(f => f._1 == "sig"),
-      s"store signatures must carry ($idCol, shingles, sig); got " +
-        storeShape.map(_._1).mkString(", "))
-    // numHashes drift is detectable from data: one limit-1 probe job
-    storeSigs.select(size(col("sig"))).limit(1).collect().headOption.foreach { r =>
-      require(r.getInt(0) == numHashes,
-        s"store signatures have length ${r.getInt(0)} but batch uses " +
-          s"numHashes=$numHashes — store and batch must share signature params")
-    }
-    // Same-id redelivery: drop batch rows already in the store BEFORE
-    // signatures are computed (only the store's pruned id column joins).
-    val fresh = graft.operators.Idempotency.newKeysOnly(
-      batch, storeSigs.select(col(idCol)), Seq(idCol))
+    val fresh = guardedFreshBatch(storeSigs, batch, idCol, numHashes)
     // localCheckpoint (not persist/unpersist): the signatures outlive this
     // call — dedupBatch reuses them for the survivor delta
     val batchSigs = MinHashDedup.withSignatures(
@@ -111,7 +93,41 @@ object IncrementalDedup {
       .dropDuplicates()
     val sets = storeSigs.select(col(idCol), col("shingles"))
       .unionByName(batchSigs.select(col(idCol), col("shingles")))
-    val verified = candidates
+    val verified = verifyJaccard(candidates, sets, idCol, threshold)
+    val out = verified.localCheckpoint() // eager; then release the band cache
+    bounded.unpersist()
+    (out, batchSigs)
+  }
+
+  /** Guard the documented store/batch compatibility preconditions
+    * instead of trusting them — a store written with different signature
+    * params would produce silently-wrong jaccard values downstream — and
+    * drop same-id redeliveries BEFORE signatures are computed (only the
+    * store's pruned id column joins). Returns the fresh batch.
+    */
+  private def guardedFreshBatch(storeSigs: DataFrame, batch: DataFrame,
+      idCol: String, numHashes: Int): DataFrame = {
+    val storeCols = storeSigs.schema.fieldNames
+    require(storeCols.contains(idCol) && storeCols.contains("shingles") &&
+      storeCols.contains("sig"),
+      s"store signatures must carry ($idCol, shingles, sig); got " +
+        storeCols.mkString(", "))
+    // numHashes drift is detectable from data: one limit-1 probe job
+    storeSigs.select(size(col("sig"))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"store signatures have length ${r.getInt(0)} but batch uses " +
+          s"numHashes=$numHashes — store and batch must share signature params")
+    }
+    graft.operators.Idempotency.newKeysOnly(
+      batch, storeSigs.select(col(idCol)), Seq(idCol))
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * per-id shingle sets — the precision stage shared by every LSH path.
+    */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+      idCol: String, threshold: Double): DataFrame =
+    candidates
       .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -119,10 +135,6 @@ object IncrementalDedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    val out = verified.localCheckpoint() // eager; then release the band cache
-    bounded.unpersist()
-    (out, batchSigs)
-  }
 
   /** The store's banded representation with band identity collapsed into
     * ONE join column — `band_key = xxhash64(band_idx, band_hash)` — so
@@ -166,6 +178,55 @@ object IncrementalDedup {
       .join(batchBands, Seq("band_key"))
       .select("store_id", "batch_id")
       .dropDuplicates()
+  }
+
+  /** Full incremental near-dup pairs probing the PERSISTED bucketed
+    * banded store (see [[writeBandedStore]]): (batch x store) candidates
+    * read the store table pre-partitioned on band_key — zero store-side
+    * exchange — and (batch x batch) candidates band the batch in memory;
+    * both verify with exact Jaccard over shingles from `storeSigs` (the
+    * persisted [[signatureStore]] table) plus the batch's own.
+    *
+    * Same results as [[incrementalPairs]] (IncrementalDedupSpec proves
+    * pair-set equality); the difference is WHERE the banding shuffle
+    * happens: here it was paid once at store-write time, so a daily
+    * batch probe against a 100 TB store shuffles only batch-sized data.
+    * One honest semantic difference at the margins: [[incrementalPairs]]
+    * evaluates `maxBucketSize` over the COMBINED store+batch bucket
+    * population, while this layout makes hot-bucket policy a store-BUILD
+    * decision (cap before [[writeBandedStore]]) and applies
+    * `maxBucketSize` to the batch's internal bands only — a bucket that
+    * crosses the cap only when store and batch rows are summed is kept
+    * here. At production ratios (store >> batch) the store-side cap
+    * dominates and the two policies agree.
+    */
+  def incrementalPairsBucketed(spark: org.apache.spark.sql.SparkSession,
+      storeTable: String, storeSigs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      rowsPerBand: Int = 4, seed: Long = 42L,
+      maxBucketSize: Int = 2000): DataFrame = {
+    require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must be <= numHashes")
+    val fresh = guardedFreshBatch(storeSigs, batch, idCol, numHashes)
+    val batchSigs = MinHashDedup.withSignatures(
+        fresh, idCol, textCol, shingleSize, numHashes, seed)
+      .localCheckpoint()
+    val batchBands = LshGuards.dropHotKeys(
+      bandedStoreRows(batchSigs, idCol, bands, rowsPerBand),
+      Seq("band_key"), maxBucketSize)
+    val cross = graft.operators.Bucketing.table(spark, storeTable)
+      .withColumnRenamed(idCol, "store_id")
+      .join(batchBands.withColumnRenamed(idCol, "batch_id"), Seq("band_key"))
+      .select(least(col("store_id"), col("batch_id")).as("id_a"),
+        greatest(col("store_id"), col("batch_id")).as("id_b"))
+    val within = batchBands.select(col("band_key"), col(idCol).as("id_x"))
+      .join(batchBands.select(col("band_key"), col(idCol).as("id_y")), Seq("band_key"))
+      .filter(col("id_x") < col("id_y"))
+      .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
+    val candidates = cross.unionByName(within).dropDuplicates()
+    val sets = storeSigs.select(col(idCol), col("shingles"))
+      .unionByName(batchSigs.select(col(idCol), col("shingles")))
+    verifyJaccard(candidates, sets, idCol, threshold)
   }
 
   /** Batch survivors and the updated store in one call.

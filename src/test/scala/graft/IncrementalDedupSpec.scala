@@ -127,6 +127,25 @@ class IncrementalDedupSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_band_store")
   }
 
+  test("bucketed-store incremental pairs equal the in-memory path") {
+    val mid = 25L
+    val old = docs.filter(col("doc_id") < mid)
+    val batch = docs.filter(col("doc_id") >= mid)
+    val storeSigs = IncrementalDedup.signatureStore(old, "doc_id", "text")
+      .localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bandfull").toString
+    spark.sql("DROP TABLE IF EXISTS graft_band_full")
+    IncrementalDedup.writeBandedStore(storeSigs, "graft_band_full", "doc_id",
+      nBuckets = 8, path = Some(s"$tmp/store"))
+    val bucketed = pairSet(IncrementalDedup.incrementalPairsBucketed(
+      spark, "graft_band_full", storeSigs, batch, "doc_id", "text", 0.8))
+    val mem = pairSet(IncrementalDedup.incrementalPairs(
+      storeSigs, batch, "doc_id", "text", 0.8))
+    assert(bucketed.nonEmpty && bucketed == mem,
+      s"bucketed diverges: missing=${mem -- bucketed}, extra=${bucketed -- mem}")
+    spark.sql("DROP TABLE graft_band_full")
+  }
+
   test("property: incremental pairs match the full run under random docs and splits") {
     val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
     val docGen = Gen.nonEmptyListOf(
