@@ -706,6 +706,42 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.8)
     }),
 
+    // BM25 relevance of every doc against a fixed query-term bag: the
+    // query-term filter runs BEFORE the postings shuffle, so only |Q|
+    // terms' posting lists ever shuffle; df and corpus stats broadcast
+    // back as single rows. logIdf=false (rational idf core) because the
+    // gate compares doubles bit-exactly and JVM Math.log != glibc log in
+    // the last ulp — the log variant is RelevanceSpec-verified instead.
+    "q60_bm25" -> ((s, dir) => {
+      graft.functions.Relevance.bm25(Tables.documents(s, dir),
+        "doc_id", "text", Seq("join", "hash", "scan"), logIdf = false)
+    }),
+
+    // PII detect + redact: narrow codegen'd regex chain, zero shuffles.
+    // The synthetic corpus is PII-free word salad, so the query PLANTS
+    // deterministic id-derived PII first (the q56 pattern) and the
+    // oracle replays the same arithmetic; patterns live in the
+    // Java-regex ∩ RE2 subset so both engines match identically
+    "q61_pii_redact" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).withColumn("pii_text",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".25 logged"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" today"))).otherwise(lit(""))))
+      graft.functions.Pii.redact(
+          graft.functions.Pii.annotate(planted, "pii_text"),
+          "pii_text", "redacted")
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"),
+          col("n_phone"), col("redacted"))
+    }),
+
     // The benchmark-side contamination report (the reverse of q51): per
     // eval item, how many distinct training docs share an 8-gram with it
     // and the largest overlap — what an eval owner reads to retire
@@ -1294,6 +1330,72 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE b.doc_id >= 250) x
         |WHERE jaccard >= 0.8""".stripMargin,
+
+    // BM25 with the rational idf core; every constant is cast to DOUBLE
+    // (DuckDB parses bare decimals as DECIMAL) and the parenthesization
+    // mirrors the Spark expression operation-for-operation — IEEE
+    // +,-,*,/ are bit-deterministic given identical operand order
+    "q60_bm25" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  CAST(SUM(len(w)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM tok),
+        |t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM tok),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM t
+        |  WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, term),
+        |dfs AS (SELECT
+        |    MAX(CASE WHEN term = 'join' THEN df END) AS df0,
+        |    MAX(CASE WHEN term = 'hash' THEN df END) AS df1,
+        |    MAX(CASE WHEN term = 'scan' THEN df END) AS df2
+        |  FROM (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)),
+        |p AS (SELECT doc_id, MAX(dl) AS dl,
+        |    MAX(CASE WHEN term = 'join' THEN tf END) AS tf0,
+        |    MAX(CASE WHEN term = 'hash' THEN tf END) AS tf1,
+        |    MAX(CASE WHEN term = 'scan' THEN tf END) AS tf2
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN tf0 IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN tf1 IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN tf2 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_matched,
+        |  (CASE WHEN tf0 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE
+        |    ((n_docs - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)))
+        |    * ((CAST(tf0 AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |      / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |          * (CAST(dl AS DOUBLE) / avgdl)))) END
+        |  + CASE WHEN tf1 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE
+        |    ((n_docs - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)))
+        |    * ((CAST(tf1 AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |      / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |          * (CAST(dl AS DOUBLE) / avgdl)))) END
+        |  + CASE WHEN tf2 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE
+        |    ((n_docs - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)))
+        |    * ((CAST(tf2 AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |      / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |          * (CAST(dl AS DOUBLE) / avgdl)))) END) AS score
+        |FROM p CROSS JOIN dfs CROSS JOIN stats""".stripMargin,
+
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics; patterns are byte-identical to Pii.scala's
+    "q61_pii_redact" ->
+      """WITH aug AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@example.com now' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |       || '.25 logged' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM aug""".stripMargin,
 
     // identical semantics to q53 — the bucketed layout must not change
     // the answer, only the physical plan

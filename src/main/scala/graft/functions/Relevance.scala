@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance scoring — BM25 of every document against a fixed
+  * bag of query terms (reference has no search operator; this is part of
+  * the LLM-data extension surface: corpus triage, query-based subset
+  * selection, and boilerplate hunting all rank documents by term
+  * relevance).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *   - tokens explode ONCE and are filtered to the |Q| query terms
+  *     BEFORE the aggregation shuffle — the posting lists that shuffle
+  *     are query-term-only, a tiny fraction of the corpus token stream;
+  *   - document frequencies aggregate from those same per-(doc, term)
+  *     rows (|Q| result rows) and broadcast back as one pivoted row, as
+  *     does the (n_docs, avgdl) corpus statistic — no second pass over
+  *     text for either;
+  *   - the per-term score pivot keeps one row per MATCHING doc; docs
+  *     sharing no query term never leave their scan partition.
+  *
+  * Two idf variants, chosen by `logIdf`:
+  *   - `true` (default): the standard Robertson/Lucene idf
+  *     `ln(1 + (N - df + 0.5) / (df + 0.5))` — what a production ranker
+  *     wants; spec-verified against a Scala-computed oracle.
+  *   - `false`: the RATIONAL idf core `(N - df + 0.5) / (df + 0.5)`
+  *     without the log. This exists because the cross-engine correctness
+  *     gate compares doubles bit-exactly and JVM `Math.log` and glibc
+  *     `log` disagree in the last ulp (measured in this repo: hashed
+  *     outputs over the full idf domain differ, while DuckDB and CPython
+  *     — both glibc — agree bit-for-bit). Every other operation in the
+  *     score (+, -, *, /) is IEEE-deterministic given identical operand
+  *     order, which the oracle SQL mirrors parenthesis-for-parenthesis.
+  *     Per-term ranking order is identical to the log variant (ln is
+  *     monotone); only cross-term mixing differs.
+  */
+object Relevance {
+
+  /** One row per document containing at least one query term:
+    * `(idCol, n_matched, score)` — `n_matched` counts distinct query
+    * terms present, `score` sums the per-term BM25 contributions in
+    * query-term order (fixed order: bit-reproducible runs).
+    */
+  /** Per-(doc, term) postings for QUERY TERMS ONLY — the isin filter
+    * runs narrow, before anything shuffles, so the aggregation shuffle
+    * carries |Q| terms' postings rather than the corpus token stream;
+    * dl rides along (constant per doc) so no second tokenize pass or dl
+    * join is needed. Package-visible so the plan spec can assert the
+    * filter-below-shuffle shape (the checkpoint barrier in [[bm25]]
+    * hides this stage from the final plan).
+    */
+  private[graft] def postings(docs: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String]): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .select(col(idCol), size(toks).as("__dl"),
+        explode(toks).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+  }
+
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(queryTerms.distinct == queryTerms, "query terms must be distinct")
+    val toks = TextFunctions.tokens(col(textCol))
+
+    // corpus statistic: one partial-aggregated job, one broadcast row
+    val stats = docs
+      .select(size(toks).as("__dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("__dl")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+
+    val postings = Relevance.postings(docs, idCol, textCol, queryTerms)
+
+    // per-doc pivot: tf per query term (null = absent) + dl. Materialized
+    // (localCheckpoint) because TWO consumers read it — the final score
+    // row set and the df aggregate below; without the barrier each
+    // consumer would re-run the corpus explode (measured as a doubled
+    // shuffle count in RelevanceSpec's plan test)
+    val perDoc = postings.groupBy(col(idCol))
+      .agg(max(col("__dl")).as("__dl"),
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          max(when(col("__term") === t, col("__tf"))).as(s"tf_$i")
+        }: _*)
+      .localCheckpoint()
+
+    // document frequency per query term, derived from the pivot itself:
+    // df_i = docs where tf_i is non-null — one tiny agg over matching
+    // docs, no second pass over the token stream
+    val dfCols = queryTerms.indices.map { i =>
+      count(col(s"tf_$i")).cast("double").as(s"df_$i")
+    }
+    val dfRow = perDoc.agg(dfCols.head, dfCols.tail: _*)
+
+    val joined = perDoc
+      .crossJoin(broadcast(dfRow))
+      .crossJoin(broadcast(stats))
+
+    def idf(i: Int): Column = {
+      val rational = (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5))
+      if (logIdf) log(lit(1.0) + rational) else rational
+    }
+    // parenthesization mirrored exactly by the oracle SQL — do not
+    // "simplify" (1 - b) or (k1 + 1) into computed forms on one side only
+    def termScore(i: Int): Column = when(col(s"tf_$i").isNull, lit(0.0))
+      .otherwise(idf(i) * ((col(s"tf_$i").cast("double") * lit(k1 + 1.0)) /
+        (col(s"tf_$i").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / col("avgdl"))))))
+    val score = queryTerms.indices.map(termScore)
+      .reduceLeft[Column](_ + _)
+    val nMatched = queryTerms.indices
+      .map(i => when(col(s"tf_$i").isNull, lit(0L)).otherwise(lit(1L)))
+      .reduceLeft[Column](_ + _)
+
+    joined.select(col(idCol), nMatched.as("n_matched"), score.as("score"))
+  }
+}
