@@ -57,31 +57,43 @@ object MinHashDedup {
     * string Jaccard up to a ~2^-64 in-pair collision (and the minhash
     * family just needs iid-ish 64-bit gram identities).
     *
-    * The k mins are folded in ONE `aggregate` pass with a k-slot
-    * accumulator and the (a, b) coefficients as a literal array — k
-    * unrolled `array_min(transform(...))` expressions generate ~k large
-    * codegen methods whose compile/JIT time dwarfed the arithmetic
-    * (measured: 6.2 s cold vs 2.3 s warm on 5k docs). sig[i] = min over
-    * gram hashes h of (a_i*h+b_i) mod P (empty shingle set ⇒ sig[i] = P,
-    * a constant — empty docs become mutual band-collisions that the
-    * exact-Jaccard verify then rejects).
+    * The k mins run in a NATIVE codegen'd expression
+    * (`HashExpressions.minHashSig`): one long[k] accumulator, one tight
+    * k×|shingles| loop per row. The earlier declarative forms both lose:
+    * k unrolled `array_min(transform(...))` expressions generate ~k
+    * large codegen methods whose compile/JIT time dwarfed the arithmetic
+    * (measured: 6.2 s cold vs 2.3 s warm on 5k docs), and the
+    * `aggregate`+`zip_with` fold allocates a fresh k-element array per
+    * shingle per row (immutable accumulator) — DedupSpec proves the
+    * native loop bit-equals that fold. sig[i] = min over gram hashes h
+    * of (a_i*h+b_i) mod P (empty shingle set ⇒ sig[i] = P, a constant —
+    * empty docs become mutual band-collisions that the exact-Jaccard
+    * verify then rejects).
     */
   def withSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
     require(shingleSize >= 2, "shingleSize must be >= 2")
     val sh = array_distinct(TextFunctions.ngramHashes(
       TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), shingleSize))
-    val base = transform(col("shingles"), s => pmod(s, lit(PRIME)))
+    val cs = coeffs(numHashes, seed)
+    docs.select(col(idCol), sh.as("shingles"))
+      .withColumn("sig", graft.expressions.HashExpressions.minHashSig(
+        col("shingles"), cs.map(_._1).toArray, cs.map(_._2).toArray))
+  }
+
+  /** The declarative `aggregate`+`zip_with` formulation of the same
+    * signature — kept as the independently-derived oracle for
+    * MinHashSpec's bit-equality proof of the native expression (and as
+    * documentation of what the native loop computes).
+    */
+  private[graft] def foldSignature(shingles: Column, numHashes: Int,
+      seed: Long): Column = {
     val coeffArr = typedLit(coeffs(numHashes, seed))
-    val sig = aggregate(
-      col("__h"),
+    aggregate(
+      transform(shingles, s => pmod(s, lit(PRIME))),
       array_repeat(lit(PRIME), numHashes),
       (acc, h) => zip_with(acc, coeffArr, (m, c) =>
         least(m, pmod(h * c.getField("_1") + c.getField("_2"), lit(PRIME)))))
-    docs.select(col(idCol), sh.as("shingles"))
-      .withColumn("__h", base)
-      .withColumn("sig", sig)
-      .drop("__h")
   }
 
   /** (id, band_idx, band_hash) — one row per band per doc. */

@@ -18,4 +18,16 @@ object HashExpressions {
   /** Winnowing-style min-hash document fingerprint over byte windows. */
   def docFingerprint(text: Column, window: Int): Column =
     GraftExpressions.docFingerprint(text, window)
+
+  /** Full k-function MinHash signature of a shingle-hash array in one
+    * tight codegen'd loop (see GraftExpressions.minHashSig).
+    */
+  def minHashSig(shingles: Column, coeffA: Array[Long], coeffB: Array[Long]): Column =
+    GraftExpressions.minHashSig(shingles, coeffA, coeffB)
+
+  /** Dot product of two float/double arrays (native kernel). */
+  def vecDot(a: Column, b: Column): Column = GraftExpressions.vecDot(a, b)
+
+  /** One-pass cosine similarity of two float/double arrays. */
+  def vecCosine(a: Column, b: Column): Column = GraftExpressions.vecCosine(a, b)
 }

@@ -3,27 +3,46 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` embedding columns, built from
-  * `zip_with`/`aggregate`/`transform` so Catalyst codegens the loops —
-  * no UDF boxing. Accumulation is in double (left fold, deterministic
-  * order) so results reproduce exactly across engines.
+/** Dense-vector math over `array<float>` embedding columns. The hot
+  * scalar kernels (dot, cosine) are NATIVE Catalyst expressions
+  * (`GraftExpressions.VecDot`/`VecCosine`): one tight double-accumulator
+  * loop per row, bit-identical to the declarative `zip_with`/`aggregate`
+  * folds they replaced (same index-order accumulation, same IEEE ops —
+  * VectorsSpec proves equality). The declarative forms paid an
+  * interpreted expression-tree walk PER ELEMENT wherever they sat inside
+  * a higher-order function (the IVF quantizer argmax, the hyperplane
+  * signature fold) — HOF lambda bodies never reach codegen. Accumulation
+  * stays in double (left fold, deterministic order) so results reproduce
+  * exactly across engines.
   */
 object VectorFunctions {
 
-  /** Dot product with double accumulation. */
+  /** Dot product with double accumulation (native kernel). */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.HashExpressions.vecDot(a, b)
+
+  /** The declarative fold formulation — kept as the independently-derived
+    * oracle for VectorsSpec's bit-equality proof of the native kernel.
+    */
+  private[graft] def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double. */
+  /** Cosine similarity in double, one pass (native kernel). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.expressions.HashExpressions.vecCosine(a, b)
+
+  /** Declarative cosine — the bit-equality oracle twin of [[cosine]]. */
+  private[graft] def cosineFold(a: Column, b: Column): Column = {
+    def normFold(v: Column): Column =
+      sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, w) => acc + w))
+    dotFold(a, b) / (normFold(a) * normFold(b))
+  }
 
   /** Random-hyperplane LSH signature: packs `nPlanes` sign bits of
     * dot(v, plane_i) into a long (bit i = plane i). Planes are generated

@@ -43,6 +43,42 @@ object GraftExpressions {
   def docFingerprint(text: Column, window: Int): Column =
     ExpressionUtils.column(DocFingerprint(ExpressionUtils.expression(text), window))
 
+  /** Full k-function MinHash signature of a shingle-hash array in ONE
+    * tight loop: `sig[j] = min over shingles s of (pmod(s,P)*a[j]+b[j]) % P`.
+    * Semantically identical to the declarative
+    * `aggregate(..., zip_with(acc, coeffs, least(...)))` fold, but that
+    * shape allocates a fresh k-element array per shingle per row (the
+    * fold's accumulator is immutable); this expression keeps one long[k]
+    * accumulator per row. Coefficients must satisfy a in [1, P),
+    * b in [0, P) with P = 2^31-1 so products stay in 62 bits.
+    */
+  def minHashSig(shingles: Column, coeffA: Array[Long], coeffB: Array[Long]): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), coeffA, coeffB))
+
+  /** Dot product of two float/double arrays, accumulated in double in
+    * index order — bit-identical to the declarative
+    * `aggregate(zip_with(a, b, x*y), 0.0, +)` fold it replaces, but one
+    * tight loop instead of a per-element expression-tree walk (higher-
+    * order-function lambda bodies are INTERPRETED, so the declarative
+    * form paid tree-walk cost per element wherever a dot sat inside a
+    * `transform`/`aggregate`, as the quantizer argmax and hyperplane
+    * signatures do). Null when lengths differ or an element is null —
+    * the same result the zip_with form produced.
+    */
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Cosine similarity `dot/(|a|*|b|)` in ONE pass (three index-order
+    * double accumulators) — bit-identical to `dot(a,b)/(norm(a)*norm(b))`
+    * composed from the declarative folds (independent accumulators, same
+    * per-index operations, Math.sqrt is IEEE-correctly-rounded in both
+    * shapes).
+    */
+  def vecCosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecCosine(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   // ----- static helpers invoked from both eval and generated code -----
 
   def computeSimHash(arr: ArrayData): Long = {
@@ -70,6 +106,71 @@ object GraftExpressions {
     out
   }
 
+  private val MinHashPrime = 2147483647L // 2^31-1, matches MinHashDedup.PRIME
+
+  // boxed Double so codegen can branch on the null (length-mismatch /
+  // null-element) case — matching zip_with's null propagation
+  def computeVecDot(a: ArrayData, b: ArrayData,
+      aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  def computeVecCosine(a: ArrayData, b: ArrayData,
+      aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def computeMinHashSig(arr: ArrayData, coeffA: Array[Long],
+      coeffB: Array[Long]): ArrayData = {
+    val k = coeffA.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, MinHashPrime)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        // pmod(s, P): s may be any long (xxhash64 output)
+        val m = arr.getLong(i) % MinHashPrime
+        val h = if (m < 0) m + MinHashPrime else m
+        var j = 0
+        while (j < k) {
+          // h < P, a < P: product < 2^62 — no overflow, plain % is pmod
+          val v = (h * coeffA(j) + coeffB(j)) % MinHashPrime
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
   def computeFingerprint(s: UTF8String, window: Int): Long = {
     val bytes = s.getBytes
     if (bytes.length <= window) {
@@ -86,6 +187,83 @@ object GraftExpressions {
       min
     }
   }
+}
+
+abstract class VecBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  // force a mutable isNull slot in codegen: the result can be null (length
+  // mismatch) even when both children are non-null
+  override def nullable: Boolean = true
+
+  protected lazy val aFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected lazy val bFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double> inputs")
+    }
+
+  /** Fully-qualified static method computing the boxed result. */
+  protected def staticMethod: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("vecRes")
+      s"""
+      java.lang.Double $tmp = $staticMethod($a, $b, $aFloat, $bFloat);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
+}
+
+case class VecDot(left: Expression, right: Expression) extends VecBinaryExpression {
+  override def prettyName: String = "vec_dot"
+  override protected def staticMethod: String =
+    "org.apache.spark.sql.graft.GraftExpressions.computeVecDot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExpressions.computeVecDot(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+case class VecCosine(left: Expression, right: Expression) extends VecBinaryExpression {
+  override def prettyName: String = "vec_cosine"
+  override protected def staticMethod: String =
+    "org.apache.spark.sql.graft.GraftExpressions.computeVecCosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExpressions.computeVecCosine(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(left = l, right = r)
+}
+
+case class MinHashSig(child: Expression, coeffA: Array[Long], coeffB: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(coeffA.length == coeffB.length && coeffA.nonEmpty,
+    "coefficient arrays must be non-empty and equal-length")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.computeMinHashSig(input.asInstanceOf[ArrayData], coeffA, coeffB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashCoeffA", coeffA, "long[]")
+    val bRef = ctx.addReferenceObj("minhashCoeffB", coeffB, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GraftExpressions.computeMinHashSig($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {

@@ -24,6 +24,20 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === brute)
   }
 
+  test("native minhash_sig bit-equals the declarative fold formulation") {
+    // the codegen'd long[k] loop vs the aggregate+zip_with fold it
+    // replaced — same coefficients, same P, bitwise-identical output
+    // (including the empty-shingle all-P signature)
+    val base = docs.limit(120)
+      .union(Seq((999999L, "", "en", "s", 0L)).toDF(docs.columns: _*))
+    val sigs = MinHashDedup.withSignatures(base, "doc_id", "text")
+      .withColumn("fold_sig",
+        MinHashDedup.foldSignature(col("shingles"), 64, 42L))
+    assert(sigs.filter(col("sig") =!= col("fold_sig")).isEmpty,
+      "native expression diverged from the fold oracle")
+    assert(sigs.filter(size(col("sig")) =!= 64).isEmpty)
+  }
+
   test("MinHash jaccard values are exact (match brute force per pair)") {
     val lsh = MinHashDedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.8)
       .as[(Long, Long, Double)].collect().toMap2
