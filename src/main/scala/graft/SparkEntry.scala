@@ -717,6 +717,17 @@ object SparkEntry {
         "doc_id", "text", Seq("join", "hash", "scan"), logIdf = false)
     }),
 
+    // Exact substring-dedup signals: per doc, how many 8-token windows
+    // recur verbatim in ANOTHER doc (cross-doc boilerplate — the
+    // suffix-array dedup statistic as fixed windows). Windows shuffle as
+    // 64-bit hashes, one row per distinct (gram, doc); the oracle uses
+    // gram STRINGS (identical counts up to a ~2^-64 collision, the
+    // q20/q52 precedent)
+    "q62_substring_dup" -> ((s, dir) => {
+      graft.dedup.Substring.windowStats(Tables.documents(s, dir),
+        "doc_id", "text", n = 8)
+    }),
+
     // PII detect + redact: narrow codegen'd regex chain, zero shuffles.
     // The synthetic corpus is PII-free word salad, so the query PLANTS
     // deterministic id-derived PII first (the q56 pattern) and the
@@ -1375,6 +1386,24 @@ object SparkEntry {
         |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
         |          * (CAST(dl AS DOUBLE) / avgdl)))) END) AS score
         |FROM p CROSS JOIN dfs CROSS JOIN stats""".stripMargin,
+
+    "q62_substring_dup" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+        |    THEN list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))
+        |    ELSE [] END) AS gram FROM t),
+        |gid AS (SELECT doc_id, gram, COUNT(*) AS occ FROM g GROUP BY doc_id, gram),
+        |dupg AS (SELECT gram FROM gid GROUP BY gram HAVING COUNT(*) > 1),
+        |d AS (SELECT doc_id, SUM(occ) AS dup FROM gid
+        |  WHERE gram IN (SELECT gram FROM dupg) GROUP BY doc_id),
+        |n AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 8 THEN len(w) - 7 ELSE 0 END AS n_windows FROM t)
+        |SELECT n.doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(dup, 0) AS BIGINT) AS dup_windows,
+        |  CASE WHEN n_windows > 0
+        |    THEN CAST(COALESCE(dup, 0) AS DOUBLE) / CAST(n_windows AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS dup_frac
+        |FROM n LEFT JOIN d ON n.doc_id = d.doc_id""".stripMargin,
 
     // DuckDB regexp_replace needs the 'g' flag to match Spark's
     // replace-all semantics; patterns are byte-identical to Pii.scala's

@@ -1,0 +1,70 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Exact substring-duplication statistics — the "duplicated span"
+  * signal of suffix-array-style training-data dedup (find text regions
+  * that recur verbatim ACROSS documents), re-expressed as fixed-length
+  * token windows: a window is duplicated when its n-gram occurs in at
+  * least one OTHER document. Within-doc repetition is deliberately NOT
+  * counted here — that is the q52 repetition-signal family; this
+  * operator measures cross-doc boilerplate (licenses, headers, templated
+  * spans), the usual removal target.
+  *
+  * Scale shape: windows travel as 64-bit hashes (`ngramHashes` — gram
+  * strings never materialize), and the heavy shuffle carries one row per
+  * DISTINCT (gram, doc) pair, not per occurrence. This is inherently the
+  * most shuffle-intensive op in the dedup family (the suffix-array job
+  * it stands in for is a dedicated multi-hour pipeline stage at 100 TB);
+  * production would pre-filter with a doc-frequency sketch (CountMin /
+  * bloom of grams seen in >1 doc) so only plausibly-shared grams enter
+  * the exact count — the exact two-level aggregation here is the
+  * verifiable core that such a sketch would gate.
+  */
+object Substring {
+
+  /** Per-doc window statistics: `(idCol, n_windows, dup_windows,
+    * dup_frac)` where `dup_windows` counts window POSITIONS whose n-gram
+    * also appears in another doc, and `dup_frac` = dup_windows /
+    * n_windows (0 for docs shorter than n tokens).
+    */
+  def windowStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, "window length must be >= 2 tokens")
+    val gh = TextFunctions.ngramHashes(
+      TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), n)
+    val base = docs.select(col(idCol), gh.as("__g"))
+    // ngramHashes is null (not empty) below n tokens — count that as 0
+    val nWin = base.select(col(idCol),
+      coalesce(size(col("__g")), lit(0)).cast("long").as("n_windows"))
+
+    // one row per (gram, doc) with its occurrence count; materialized
+    // because BOTH the cross-doc gram filter and the per-doc rollup read
+    // it — without the barrier the corpus explode would run twice
+    val gid = base
+      .select(col(idCol), explode(col("__g")).as("__gram"))
+      .groupBy(col("__gram"), col(idCol))
+      .agg(count(lit(1)).as("__occ"))
+      .localCheckpoint()
+    // grams present in >1 distinct doc (gid is distinct per (gram, doc),
+    // so a plain count is the doc count)
+    val dupG = gid.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select("__gram")
+    val dup = gid.join(dupG, Seq("__gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sum(col("__occ")).as("__dup"))
+
+    nWin.join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("__dup"), lit(0L)).cast("long").as("dup_windows"),
+        when(col("n_windows") > 0,
+          coalesce(col("__dup"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Substring
+
+class SubstringSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cross-doc duplicated windows match hand-computed values") {
+    val shared = "one two three four five six seven eight" // exactly 8 tokens
+    val docs = Seq(
+      // doc 1: 10 tokens -> 3 windows; windows 1..3 all contain the
+      // shared span? No: only window 1 IS the shared 8-gram; the other
+      // two windows include tail tokens unique to doc 1
+      (1L, shared + " tail1 tail2"),
+      // doc 2: the same shared span verbatim -> its single window dups
+      (2L, shared),
+      // doc 3: unique content, 9 tokens -> 2 windows, none duplicated
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      // doc 4: too short for any window
+      (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val got = Substring.windowStats(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(got(2L) == ((1L, 1L, 1.0)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("within-doc repetition alone never counts as duplication") {
+    val span = "a b c d e f g h"
+    // the span occurs TWICE in one doc and nowhere else: both window
+    // positions hold the same gram, but no OTHER doc has it
+    val docs = Seq(
+      (1L, span + " " + span),
+      (2L, "totally different words that never collide with anything else"))
+      .toDF("doc_id", "text")
+    val got = Substring.windowStats(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(1L) == 0L, "within-doc repeats are q52's territory, not cross-doc dup")
+  }
+
+  test("every occurrence position of a shared gram counts, not just one") {
+    val span = "p q r s t u v w"
+    val docs = Seq(
+      (1L, span + " " + span), // span twice -> both positions duplicated
+      (2L, span))
+      .toDF("doc_id", "text")
+    val got = Substring.windowStats(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1 has 16 tokens -> 9 windows; the two span positions dup
+    assert(got(1L)._1 == 9L && got(1L)._2 == 2L)
+    assert(got(2L) == ((1L, 1L)))
+  }
+}
