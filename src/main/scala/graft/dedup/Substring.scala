@@ -41,25 +41,23 @@ object Substring {
     val nWin = base.select(col(idCol),
       coalesce(size(col("__g")), lit(0)).cast("long").as("n_windows"))
 
-    // one row per (gram, doc) with its occurrence count; materialized
-    // because BOTH the cross-doc gram filter and the per-doc rollup read
-    // it — without the barrier the corpus explode would run twice
-    val gid = base
+    // one row per (gram, doc) with its occurrence count, then the
+    // cross-doc doc-count as a WINDOW over the same rollup (gid is
+    // distinct per (gram, doc), so the partition row count IS the doc
+    // count) — no second aggregation branch, no semi-join, no barrier:
+    // one linear pipeline (gram,doc)-agg → gram-window → doc-agg
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__gram"))
+    val stats = base
       .select(col(idCol), explode(col("__g")).as("__gram"))
       .groupBy(col("__gram"), col(idCol))
       .agg(count(lit(1)).as("__occ"))
-      .localCheckpoint()
-    // grams present in >1 distinct doc (gid is distinct per (gram, doc),
-    // so a plain count is the doc count)
-    val dupG = gid.groupBy(col("__gram"))
-      .agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") > 1)
-      .select("__gram")
-    val dup = gid.join(dupG, Seq("__gram"), "left_semi")
+      .withColumn("__nd", count(lit(1)).over(w))
       .groupBy(col(idCol))
-      .agg(sum(col("__occ")).as("__dup"))
+      .agg(sum(when(col("__nd") > 1, col("__occ")).otherwise(lit(0L)))
+        .as("__dup"))
 
-    nWin.join(dup, Seq(idCol), "left")
+    // docs below n tokens never enter the rollup — restore them with 0s
+    nWin.join(stats, Seq(idCol), "left")
       .select(col(idCol), col("n_windows"),
         coalesce(col("__dup"), lit(0L)).cast("long").as("dup_windows"),
         when(col("n_windows") > 0,
