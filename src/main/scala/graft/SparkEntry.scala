@@ -717,6 +717,26 @@ object SparkEntry {
         "doc_id", "text", Seq("join", "hash", "scan"), logIdf = false)
     }),
 
+    // Top-100 corpus vocabulary with cumulative coverage: distributed
+    // TakeOrdered for the winners, narrow pass for the token total,
+    // single-partition window only over the 100 survivors
+    "q63_vocabulary" -> ((s, dir) => {
+      graft.pipeline.CorpusPipeline.vocabulary(
+        Tables.documents(s, dir), "text", topK = 100)
+    }),
+
+    // Temperature-reweighted source mixing at alpha=0.5: rates are
+    // targetFrac * sqrt(n_max/n_s) (sqrt is IEEE-correctly-rounded in
+    // every engine, and the relative-to-largest form needs no
+    // order-sensitive cross-source float sum), sampling is the md5
+    // hex-threshold rule — DuckDB reproduces the exact surviving rows
+    "q64_temperature_mix" -> ((s, dir) => {
+      graft.pipeline.CorpusPipeline.temperatureSample(
+          Tables.documents(s, dir), "source", "doc_id",
+          targetFrac = 0.5, alpha = 0.5)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Exact substring-dedup signals: per doc, how many 8-token windows
     // recur verbatim in ANOTHER doc (cross-doc boilerplate — the
     // suffix-array dedup statistic as fixed windows). Windows shuffle as
@@ -1386,6 +1406,32 @@ object SparkEntry {
         |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
         |          * (CAST(dl AS DOUBLE) / avgdl)))) END) AS score
         |FROM p CROSS JOIN dfs CROSS JOIN stats""".stripMargin,
+
+    "q63_vocabulary" ->
+      """WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+        |f AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+        |top AS (SELECT token, freq FROM f ORDER BY freq DESC, token LIMIT 100)
+        |SELECT token,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+        |  freq,
+        |  CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.total AS coverage
+        |FROM top CROSS JOIN tot""".stripMargin,
+
+    // rate = 0.5 * sqrt(nmax/ns) mirrored op-for-op; the 12-hex-digit
+    // threshold replays CorpusPipeline.hexThreshold (trunc before the
+    // BIGINT cast -- CAST alone rounds, Scala toLong truncates)
+    "q64_temperature_mix" ->
+      """WITH n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+        |mx AS (SELECT MAX(ns) AS nmax FROM n),
+        |r AS (SELECT source,
+        |  CAST(0.5 AS DOUBLE) * sqrt(CAST(nmax AS DOUBLE) / CAST(ns AS DOUBLE)) AS rate
+        |  FROM n CROSS JOIN mx)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE rate >= 1.0 OR md5(CAST(doc_id AS VARCHAR)) <
+        |  printf('%012x', CAST(trunc(rate * 281474976710656.0) AS BIGINT))
+        |    || '00000000000000000000'""".stripMargin,
 
     "q62_substring_dup" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

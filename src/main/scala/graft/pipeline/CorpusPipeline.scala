@@ -273,6 +273,76 @@ object CorpusPipeline {
     docs.filter(cond)
   }
 
+  /** Temperature-reweighted source mixing: downsample each stratum at
+    * `rate_s = targetFrac * (n_max / n_s)^(1-alpha)` capped at 1 — the
+    * relative-to-largest temperature formulation (alpha = 1 keeps natural
+    * proportions, alpha → 0 equalizes sources toward the largest one's
+    * rate). Rates feed [[stratifiedSample]], so the sample inherits its
+    * determinism and nesting contracts.
+    *
+    * Two determinism choices, deliberate: (1) the relative-to-largest
+    * form needs NO cross-source float summation — a Σ n_s^alpha
+    * normalizer would make every rate depend on a summation order no
+    * engine guarantees, while n_max is exact integer aggregation;
+    * (2) alpha = 0.5 computes via `sqrt` (IEEE-correctly-rounded in
+    * every engine — the oracle reproduces rates bit-exactly), other
+    * alphas via `pow`, whose last-ulp behavior is libm-specific (fine
+    * for the sample itself — thresholds serialize into the plan — but
+    * an external oracle may disagree on boundary docs; same reasoning
+    * as the BM25 rational-idf note).
+    *
+    * Per-source counts collect to the driver — bounded state, one row
+    * per source (the mixture table of a real corpus is dozens of rows).
+    */
+  def temperatureSample(docs: DataFrame, strataCol: String, idCol: String,
+      targetFrac: Double, alpha: Double = 0.5): DataFrame = {
+    require(targetFrac > 0, "targetFrac must be positive")
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no strata found")
+    val nMax = counts.values.max
+    val rates = counts.map { case (s, n) =>
+      val q = nMax.toDouble / n.toDouble
+      val scaled =
+        if (alpha == 0.5) math.sqrt(q)
+        else math.pow(q, 1.0 - alpha)
+      s -> (targetFrac * scaled)
+    }
+    stratifiedSample(docs, strataCol, idCol, rates)
+  }
+
+  /** Top-K corpus vocabulary with rank and cumulative coverage — the
+    * tokenizer-induction precursor (what fraction of the token stream a
+    * K-entry vocab explains, and where the long tail starts). Ties break
+    * lexicographically so the vocab is deterministic across runs and
+    * engines. The top-K itself is a distributed TakeOrdered (never a
+    * global sort); only the K winners enter the single-partition window
+    * that ranks them and accumulates coverage. The token total comes
+    * from a separate NARROW pass (sum of per-doc token counts — no
+    * explode, no second vocabulary aggregation).
+    */
+  def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val top = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topK)
+    val total = docs.agg(
+      sum(size(TextFunctions.tokens(col(textCol)))).cast("double").as("__total"))
+    val order = Seq(col("freq").desc, col("token").asc)
+    val rankW = Window.orderBy(order: _*)
+    val cumW = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .withColumn("coverage",
+        sum(col("freq")).over(cumW).cast("double") / col("__total"))
+      .select(col("token"), col("rank"), col("freq"), col("coverage"))
+  }
+
   /** Stage 5 (optional): eval-set decontamination — drop docs sharing
     * long n-grams with the benchmark table (see
     * [[graft.dedup.Decontaminate]]; corpus side never shuffles — the

@@ -211,6 +211,43 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(capped(2L) == ((3L, 3.0 / 10.0)))
   }
 
+  test("vocabulary ranks by frequency with lexicographic ties and exact coverage") {
+    val df = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a d b")).toDF("doc_id", "text")
+    // freqs: b=4, a=3, d=1, c=1 (9 tokens); ties d/c break lexicographically
+    val got = CorpusPipeline.vocabulary(df, "text", topK = 3)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got == List(
+      ("b", 1L, 4L, 4.0 / 9.0),
+      ("a", 2L, 3L, 7.0 / 9.0),
+      ("c", 3L, 1L, 8.0 / 9.0)))
+  }
+
+  test("temperatureSample upweights small sources, caps at 1, stays deterministic") {
+    // source A: ids 0..199 (200 docs), source B: ids 1000..1009 (10 docs)
+    val df = ((0L until 200L).map(i => (i, "A")) ++
+      (1000L until 1010L).map(i => (i, "B"))).toDF("doc_id", "source")
+    val s = CorpusPipeline.temperatureSample(df, "source", "doc_id",
+      targetFrac = 0.2, alpha = 0.5)
+    val bySource = s.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // rate_A = 0.2*sqrt(200/200) = 0.2; rate_B = 0.2*sqrt(200/10) ≈ 0.894
+    // -> B keeps far more than 20% of its docs
+    assert(bySource.getOrElse("B", 0L) >= 6L,
+      s"small source must be upweighted, got $bySource")
+    assert(bySource("A") < 80L, "large source must be near targetFrac")
+    // alpha=1 keeps natural proportions: every rate = targetFrac
+    val nat = CorpusPipeline.temperatureSample(df, "source", "doc_id",
+      targetFrac = 1.0, alpha = 1.0)
+    assert(nat.count() == 210L, "targetFrac=1, alpha=1 must keep everything")
+    // re-run = exact same rows (hash-threshold, no RNG)
+    val again = CorpusPipeline.temperatureSample(df, "source", "doc_id",
+      targetFrac = 0.2, alpha = 0.5)
+    assert(s.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("run chains the stages and reports monotone retention") {
     val r = CorpusPipeline.run(docs,
       CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.2, minTokens = 5))
