@@ -494,6 +494,18 @@ object SparkEntry {
         k = 10, nlist = 16, nprobe = 4)
     }),
 
+    // Product-quantization ANN: corpus compresses to 8 codebook codes
+    // per vector (the 100 TB exhaustive-scan path — ~32x less scan I/O),
+    // queries score exact-against-decoded (ADC). No SQL oracle (codebook
+    // training is iterative); KnnSpec proves degenerate exactness and a
+    // recall floor
+    "q65_knn_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.similarity.Knn.pq(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, blocks = 8, ksub = 16)
+    }),
+
     // Native pivot with pinned values (one-shuffle wide aggregation —
     // the declarative twin of q05's max(when) manual pivot)
     "q31_pivot_native" -> ((s, dir) => {

@@ -108,6 +108,125 @@ object Knn {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** Product-quantization ANN (PQ with ADC scoring): vectors are
+    * L2-normalized (cosine ≡ inner product on unit vectors), split into
+    * `blocks` subvectors, and each block is vector-quantized against its
+    * own `ksub`-centroid codebook (deterministic hash-seeded k-means,
+    * same protocol as [[ivf]]'s coarse quantizer). A corpus vector then
+    * compresses to `blocks` small codes — at 100 TB THIS is the point:
+    * a dim-64 float corpus (256 B/vector) becomes 8 codes (8 B packed),
+    * so the exhaustive compressed-domain scan reads ~32x less and stays
+    * a narrow map over the codes table. Queries score by asymmetric
+    * distance computation: the query stays exact, each code looks up its
+    * block's centroid, and because dot products are linear over
+    * concatenated blocks, `dot(q, decode(codes))` — what the expression
+    * below computes with one native-kernel dot against the flattened
+    * centroid lookup — IS the ADC sum Σ_b dot(q_b, C_b[code_b]); the
+    * per-query lookup-table trick is an executor-local micro-optimization
+    * of the same arithmetic, unnecessary at these dims.
+    *
+    * Driver-side state, bounded and deliberate (the [[ivf]] pattern):
+    * one limit-1 dim probe, `ksub` seed vectors, and the
+    * blocks × ksub × (dim/blocks) Lloyd means — the codebook an index
+    * build would persist alongside the codes table.
+    *
+    * Compressed-domain scores are a SHORTLIST, not a ranking: `refine`
+    * re-scores the top k*refine ADC candidates per probe with exact
+    * cosine and takes the final top-k from those — the standard PQ
+    * refinement stage. At 100 TB the re-rank fetches full vectors by id
+    * for only k*refine rows per probe (a point-lookup join against the
+    * uncompressed table); here the vector rides the frame. Quantization
+    * error on structure-free data otherwise dominates (measured on the
+    * fixture at 8x16: 0.32 shortlist-only vs 0.86 with refine = 8).
+    *
+    * KnnSpec proves the degenerate-exactness property (ksub >= corpus
+    * size ⇒ every vector is its own centroid ⇒ PQ top-k = exact top-k)
+    * and a recall floor at real compression.
+    */
+  def pq(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, blocks: Int = 8, ksub: Int = 16, lloydIters: Int = 2,
+      refine: Int = 8): DataFrame = {
+    import graft.expressions.HashExpressions.vecDot
+    val dim = corpus.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0, "pq needs a non-empty corpus")
+    require(dim % blocks == 0, s"dim $dim must divide into $blocks blocks")
+    val sub = dim / blocks
+
+    def normalize(v: Column): Column = {
+      val n = sqrt(vecDot(v, v))
+      transform(v, x => x.cast("double") / n)
+    }
+    val corp = corpus
+      .select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("c_vec"))
+
+    // nearest sub-centroid per block: argmin of ||x-c||^2, expanded to
+    // (dot(c,c) - 2*dot(x,c)) so the constant-foldable dot(c,c) term
+    // folds at optimize time; ties break on centroid index
+    def argBest(subv: Column, cents: Array[Array[Double]]): Column = {
+      val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+      val scored = transform(centsLit, (c, i) => struct(
+        (vecDot(c, c) - vecDot(subv, c) * lit(2.0)).as("d2"), i.as("idx")))
+      element_at(sort_array(scored), 1)("idx")
+    }
+    def codesExpr(cents: Array[Array[Array[Double]]]): Column =
+      array((0 until blocks).map { b =>
+        argBest(slice(col("c_vec"), b * sub + 1, sub), cents(b))
+      }: _*)
+
+    // deterministic seeds: the ksub smallest-xxhash64(id) vectors, block
+    // slices taken driver-side (one bounded collect covers all blocks)
+    val seedVecs = corp.withColumn("__h", xxhash64(col("neighbor_id")))
+      .orderBy(col("__h"), col("neighbor_id")).limit(ksub)
+      .select("c_vec").collect().map(_.getSeq[Double](0).toArray)
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(blocks) { b =>
+      seedVecs.map(v => v.slice(b * sub, (b + 1) * sub))
+    }
+
+    // Lloyd refinement: ONE aggregation per iter over (block, code, pos)
+    for (_ <- 0 until lloydIters) {
+      val means = corp.withColumn("__codes", codesExpr(cents))
+        .select(col("__codes"), posexplode(col("c_vec")).as(Seq("__p", "__x")))
+        .withColumn("__b", (col("__p") / sub).cast("int"))
+        .withColumn("__c", element_at(col("__codes"), col("__b") + 1))
+        .groupBy(col("__b"), col("__c"), col("__p"))
+        .agg(avg(col("__x")).as("m"))
+        .collect()
+      val byKey = means.map(r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      cents = Array.tabulate(blocks) { b =>
+        Array.tabulate(cents(b).length) { c =>
+          Array.tabulate(sub) { p =>
+            byKey.getOrElse((b, c, b * sub + p), cents(b)(c)(p)) // empty keeps seed
+          }
+        }
+      }
+    }
+
+    // encode once; score = native dot against the decoded (centroid
+    // lookup) vector — the ADC sum, see scaladoc
+    val centsLit3 = typedLit(cents.map(_.map(_.toSeq).toSeq).toSeq)
+    val encoded = corp.withColumn("codes", codesExpr(cents))
+    val decoded = flatten(transform(col("codes"),
+      (c, b) => element_at(element_at(centsLit3, b + 1), c + 1)))
+    val p = probes
+      .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("q_vec"))
+    val scored = encoded.crossJoin(broadcast(p))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", vecDot(col("q_vec"), decoded))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val shortlist = scored.withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= k * math.max(refine, 1))
+      .drop("rnk", "score")
+    // exact re-rank of the shortlist (both sides unit vectors: dot=cosine)
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(vecDot(col("q_vec"), col("c_vec")).desc, col("neighbor_id").asc)
+    shortlist.withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** LSH-bucketed ANN: `tables` independent hyperplane signatures; union
     * of bucket collisions forms the candidate set, exact cosine ranks it.
     * Returns (query_id, neighbor_id, rnk) like bruteForce; rows may be
