@@ -697,6 +697,30 @@ object SparkEntry {
         threshold = 0.8)
     }),
 
+    // Cross-snapshot cluster MAINTENANCE: the old snapshot's persisted
+    // (id, cluster_id) labeling extends with the new batch's incremental
+    // pairs — label merges collapse to a batch-bounded driver union-find
+    // and apply back as a broadcast remap; unbridged clusters never
+    // change. No SQL oracle (iterative); ComponentsSpec proves
+    // incremental ≡ full recompute
+    "q67_incremental_clusters" -> ((s, dir) => {
+      import graft.dedup.{Components, IncrementalDedup, MinHashDedup}
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      val oldPairs = MinHashDedup.nearDuplicates(old, "doc_id", "text", 0.8)
+      val cc = Components.connectedComponents(oldPairs)
+      // the persisted labeling covers every old id, paired or not
+      val labels = old.select(col("doc_id").as("id"))
+        .join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      val store = IncrementalDedup.signatureStore(old, "doc_id", "text")
+      val newPairs = IncrementalDedup.incrementalPairs(
+        store, batch, "doc_id", "text", threshold = 0.8)
+      Components.extendComponents(
+        labels, batch.select("doc_id"), "doc_id", newPairs)
+    }),
+
     // q53's production LAYOUT: the store's banded rows live in a parquet
     // table BUCKETED by band_key, so the batch probe sort-merge-joins
     // against it with zero store-side exchange — the banding shuffle was
@@ -735,6 +759,14 @@ object SparkEntry {
     "q63_vocabulary" -> ((s, dir) => {
       graft.pipeline.CorpusPipeline.vocabulary(
         Tables.documents(s, dir), "text", topK = 100)
+    }),
+
+    // Per-doc OOV rate vs the top-20 corpus vocab (tokenizer-fit
+    // metric): vocab broadcasts, one per-doc rollup shuffle, exact
+    // long/long fraction
+    "q66_oov_rate" -> ((s, dir) => {
+      graft.pipeline.CorpusPipeline.oovStats(
+        Tables.documents(s, dir), "doc_id", "text", topK = 20)
     }),
 
     // Temperature-reweighted source mixing at alpha=0.5: rates are
@@ -1430,6 +1462,18 @@ object SparkEntry {
         |  CAST(SUM(freq) OVER (ORDER BY freq DESC, token
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.total AS coverage
         |FROM top CROSS JOIN tot""".stripMargin,
+
+    "q66_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+        |top AS (SELECT token FROM f ORDER BY freq DESC, token LIMIT 20)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN token IN (SELECT token FROM top) THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN token IN (SELECT token FROM top) THEN 0 ELSE 1 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+        |FROM tok GROUP BY doc_id""".stripMargin,
 
     // rate = 0.5 * sqrt(nmax/ns) mirrored op-for-op; the 12-hex-digit
     // threshold replays CorpusPipeline.hexThreshold (trunc before the

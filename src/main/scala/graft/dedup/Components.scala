@@ -157,6 +157,74 @@ object Components {
       .toDF("id", "cluster_id")
   }
 
+  /** Incrementally extend a persisted (id, cluster_id) labeling with a
+    * NEW batch of ids and near-dup pairs — the cluster-maintenance twin
+    * of [[graft.dedup.IncrementalDedup]]: a daily pipeline keeps its
+    * transitive duplicate clusters current WITHOUT recomputing the pair
+    * graph of the whole corpus.
+    *
+    * Mechanics: each new pair's endpoints resolve to their CURRENT
+    * cluster labels (ids the store has never seen label themselves), so
+    * the transitive-merge problem collapses to a LABEL-level edge list
+    * bounded by the batch — at most one edge per new pair, regardless of
+    * corpus size. That bounded list runs through exact driver union-find
+    * (min-root, the same semantics and bounded-collect posture as
+    * [[connectedComponents]]' common path; `maxBatchEdges` guards the
+    * bound), and the resulting label→root remap applies back as a
+    * BROADCAST join: only clusters actually bridged by the batch change
+    * labels, every other store row passes through untouched
+    * (ComponentsSpec proves the untouched-cluster property and
+    * incremental ≡ full-recompute equality).
+    *
+    * `newIds` must carry every id of the new snapshot (paired or not);
+    * unpaired new ids become singleton clusters. Store ids and new ids
+    * must be disjoint. A new id smaller than an existing cluster's min
+    * relabels that cluster (the min-id canonical convention, applied
+    * honestly); with time-monotone ids this never happens.
+    */
+  def extendComponents(labels: DataFrame, newIds: DataFrame, idCol: String,
+      newPairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxBatchEdges: Int = 1000000): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val la = labels.select(col("id").as(idA), col("cluster_id").as("__la"))
+    val lb = labels.select(col("id").as(idB), col("cluster_id").as("__lb"))
+    val resolved = newPairs.select(col(idA), col(idB))
+      .join(la, Seq(idA), "left").join(lb, Seq(idB), "left")
+      .select(coalesce(col("__la"), col(idA)).cast("long").as("src"),
+        coalesce(col("__lb"), col(idB)).cast("long").as("dst"))
+      .limit(maxBatchEdges + 1).collect()
+    require(resolved.length <= maxBatchEdges,
+      s"extendComponents: batch resolves to more than $maxBatchEdges label " +
+        "edges — run the full connectedComponents recompute instead")
+
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    resolved.foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val remap = parent.keys.toSeq.map(k => (k, find(k)))
+      .toDF("__from", "__root")
+
+    val updatedStore = labels
+      .join(broadcast(remap.withColumnRenamed("__from", "cluster_id")),
+        Seq("cluster_id"), "left")
+      .select(col("id"),
+        coalesce(col("__root"), col("cluster_id")).as("cluster_id"))
+    // a new id's initial label is itself, so the same remap resolves it
+    val newLabels = newIds.select(col(idCol).as("id"))
+      .join(broadcast(remap.withColumnRenamed("__from", "id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("cluster_id"))
+    updatedStore.unionByName(newLabels)
+  }
+
   /** Transitive dedup: drop every member of each near-duplicate component
     * except its smallest id. Ids absent from `pairs` are untouched.
     */

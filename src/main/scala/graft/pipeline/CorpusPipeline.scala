@@ -343,6 +343,27 @@ object CorpusPipeline {
       .select(col("token"), col("rank"), col("freq"), col("coverage"))
   }
 
+  /** Per-doc out-of-vocabulary rate against the corpus top-K vocabulary
+    * (the tokenizer-fit metric behind [[vocabulary]]: how much of each
+    * doc a K-entry vocab fails to cover). The K-token vocab broadcasts;
+    * the per-doc rollup is the only shuffle. `oov_frac` is one exact
+    * long-over-long division — engine-reproducible like every fraction
+    * in this file.
+    */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    val vocab = vocabulary(docs, textCol, topK)
+      .select(col("token")).withColumn("__in", lit(1))
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov"))
+      .withColumn("oov_frac",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Stage 5 (optional): eval-set decontamination — drop docs sharing
     * long n-grams with the benchmark table (see
     * [[graft.dedup.Decontaminate]]; corpus side never shuffles — the

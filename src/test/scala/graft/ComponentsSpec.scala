@@ -71,6 +71,37 @@ class ComponentsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 5L, 7L, 8L))
   }
 
+  test("extendComponents: incremental labels equal a full recompute; untouched clusters keep labels") {
+    // store: clusters {1,2,3} (label 1), {10,11} (label 10), singleton 20
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Components.connectedComponents(oldPairs)
+    val labels = cc.unionByName(Seq((20L, 20L)).toDF("id", "cluster_id"))
+    // batch: 30 bridges the two clusters (1~30, 30~10); 31 pairs into
+    // {10,11}; 32 and 33 pair with each other; 40 is a singleton
+    val newIds = Seq(30L, 31L, 32L, 33L, 40L).toDF("doc_id")
+    val newPairs = Seq((1L, 30L), (30L, 10L), (11L, 31L), (32L, 33L))
+      .toDF("id_a", "id_b")
+    val inc = Components.extendComponents(labels, newIds, "doc_id", newPairs)
+      .as[(Long, Long)].collect().toMap
+    // full recompute over every pair, plus the singletons
+    val full = Components.connectedComponents(
+        oldPairs.unionByName(newPairs))
+      .as[(Long, Long)].collect().toMap ++ Map(20L -> 20L, 40L -> 40L)
+    assert(inc == full, s"incremental diverged: $inc vs $full")
+    // the untouched singleton keeps its label; merged mega-cluster is 1
+    assert(inc(20L) == 20L && inc(30L) == 1L && inc(31L) == 1L)
+    assert(inc(32L) == 32L && inc(33L) == 32L && inc(40L) == 40L)
+  }
+
+  test("extendComponents leaves unbridged store clusters bit-identical") {
+    val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L)).toDF("id", "cluster_id")
+    val out = Components.extendComponents(
+        labels, Seq(50L).toDF("doc_id"),
+        "doc_id", Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 50L -> 50L))
+  }
+
   test("custom SQL functions registered: simhash64 / hamming_distance / doc_fingerprint") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val row = spark.sql(

@@ -224,6 +224,19 @@ class CorpusPipelineSpec extends AnyFunSuite {
       ("c", 3L, 1L, 8.0 / 9.0)))
   }
 
+  test("oovStats computes exact out-of-vocab fractions vs the top-K vocab") {
+    val df = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a d b")).toDF("doc_id", "text")
+    // top-2 vocab = {b, a}; doc 1: 6 tokens, 1 OOV (c); doc 2: 3 tokens, 1 OOV (d)
+    val got = CorpusPipeline.oovStats(df, "doc_id", "text", topK = 2)
+      .select("doc_id", "n_tokens", "n_oov", "oov_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((6L, 1L, 1.0 / 6.0)))
+    assert(got(2L) == ((3L, 1L, 1.0 / 3.0)))
+  }
+
   test("temperatureSample upweights small sources, caps at 1, stays deterministic") {
     // source A: ids 0..199 (200 docs), source B: ids 1000..1009 (10 docs)
     val df = ((0L until 200L).map(i => (i, "A")) ++
