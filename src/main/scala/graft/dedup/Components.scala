@@ -184,7 +184,22 @@ object Components {
     */
   def extendComponents(labels: DataFrame, newIds: DataFrame, idCol: String,
       newPairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxBatchEdges: Int = 1000000): DataFrame = {
+      maxBatchEdges: Int = 1000000): DataFrame =
+    extendComponentsWithDelta(labels, newIds, idCol, newPairs, idA, idB,
+      maxBatchEdges).labels
+
+  /** [[extendComponents]]' full labeling plus the CHANGE DELTA — exactly
+    * the rows an append-only (CDC-style) labels table writes per batch:
+    * store rows whose cluster label was remapped by a merge, plus the
+    * new ids' labels. The delta join touches only remapped labels
+    * (broadcast inner join against the non-identity part of the remap),
+    * never the whole store.
+    */
+  case class ExtendResult(labels: DataFrame, delta: DataFrame)
+
+  def extendComponentsWithDelta(labels: DataFrame, newIds: DataFrame,
+      idCol: String, newPairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxBatchEdges: Int = 1000000): ExtendResult = {
     val spark = labels.sparkSession
     import spark.implicits._
     val la = labels.select(col("id").as(idA), col("cluster_id").as("__la"))
@@ -222,7 +237,15 @@ object Components {
     val newLabels = newIds.select(col(idCol).as("id"))
       .join(broadcast(remap.withColumnRenamed("__from", "id")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("cluster_id"))
-    updatedStore.unionByName(newLabels)
+    // changed store rows only: inner join against the remap entries that
+    // actually move a label
+    val moved = remap.filter(col("__from") =!= col("__root"))
+    val changedStore = labels
+      .join(broadcast(moved.withColumnRenamed("__from", "cluster_id")),
+        Seq("cluster_id"))
+      .select(col("id"), col("__root").as("cluster_id"))
+    ExtendResult(updatedStore.unionByName(newLabels),
+      changedStore.unionByName(newLabels))
   }
 
   /** Transitive dedup: drop every member of each near-duplicate component

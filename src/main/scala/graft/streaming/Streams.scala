@@ -245,15 +245,9 @@ object Streams {
     def committed(dir: String): Boolean =
       Sources.dirNonEmpty(spark, s"$dir/batch_id=$batchId")
     if (committed(outDir) && committed(storeDir)) return
-    // "store exists" must mean COMMITTED partitions — a crashed write can
-    // leave _SUCCESS/_temporary debris with no data files, which
-    // dirNonEmpty would count and the parquet read would then choke on
-    val storePath = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val storeHasData = fs.exists(storePath) && fs.listStatus(storePath)
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
     val store =
-      if (storeHasData) spark.read.parquet(storeDir).drop("batch_id")
+      if (hasBatchPartitions(spark, storeDir))
+        spark.read.parquet(storeDir).drop("batch_id")
       else IncrementalDedup.signatureStore(batch.limit(0), idCol, textCol)
     val r = IncrementalDedup.dedupBatch(store, batch, idCol, textCol, threshold)
     // materialize survivors once; both writes (and the signature
@@ -266,6 +260,89 @@ object Streams {
     if (!committed(storeDir))
       r.batchSigs.join(sv.select(col(idCol)), Seq(idCol), "left_semi")
         .withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id").parquet(storeDir)
+  }
+
+  /** "Table exists" for a batch_id-partitioned sink must mean COMMITTED
+    * partitions — a crashed write can leave _SUCCESS/_temporary debris
+    * with no data files, which a bare existence probe would count and
+    * the parquet read would then choke on.
+    */
+  private def hasBatchPartitions(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+  }
+
+  /** Continuous cluster maintenance — the streaming face of
+    * [[graft.dedup.Components.extendComponents]], completing the
+    * incremental-dedup state machine: per micro-batch, the batch probes
+    * the persisted signature store for near-dup pairs
+    * (`IncrementalDedup.dedupBatch` — store never self-joins), the
+    * persisted LABELS table extends with the batch-bounded label merge,
+    * and both tables append the batch's delta. Nothing is dropped in
+    * this mode: every doc enters the store and gets a cluster label
+    * (downstream consumers pick winners per cluster when they need
+    * dedup).
+    *
+    * The labels table is append-only CDC: each batch appends ONLY the
+    * changed/new (id, cluster_id) rows under its batch_id partition, and
+    * readers resolve current labels as latest-batch-wins per id
+    * (`Dedup.latestPerKeyAgg`) — so a cluster merge that relabels an old
+    * cluster writes rows proportional to that cluster, never a store
+    * rewrite. Same per-sink batch_id idempotency as
+    * [[processNearDedupBatch]]; labels write FIRST so a replay always
+    * recomputes against the pre-batch signature store (sigs-first would
+    * make the replayed batch self-filter against its own store copies).
+    */
+  def clusterIngest(stream: DataFrame, idCol: String, textCol: String,
+      threshold: Double, storeDir: String, labelsDir: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processClusterBatch(batch, batchId, idCol, textCol, threshold,
+          storeDir, labelsDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private[graft] def processClusterBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, threshold: Double,
+      storeDir: String, labelsDir: String): Unit = {
+    import graft.dedup.{Components, IncrementalDedup}
+    import graft.sources.Sources
+    val spark = batch.sparkSession
+    def committed(dir: String): Boolean =
+      Sources.dirNonEmpty(spark, s"$dir/batch_id=$batchId")
+    if (committed(labelsDir) && committed(storeDir)) return
+    val store =
+      if (hasBatchPartitions(spark, storeDir))
+        spark.read.parquet(storeDir).drop("batch_id")
+      else IncrementalDedup.signatureStore(batch.limit(0), idCol, textCol)
+    val labels =
+      if (hasBatchPartitions(spark, labelsDir))
+        graft.operators.Dedup.latestPerKeyAgg(Seq("id"), Seq(col("batch_id")))(
+          spark.read.parquet(labelsDir)).select("id", "cluster_id")
+      else batch.limit(0).select(col(idCol).cast("long").as("id"),
+        col(idCol).cast("long").as("cluster_id"))
+    // dedupBatch supplies the pairs AND the (fresh-ids-only) signatures;
+    // survivors are ignored — cluster mode keeps every doc
+    val r = IncrementalDedup.dedupBatch(store, batch, idCol, textCol, threshold)
+    val ext = Components.extendComponentsWithDelta(
+      labels, r.batchSigs.select(col(idCol)), idCol, r.pairs)
+    // materialize the delta BEFORE appending: it lazily reads the very
+    // labels files the append below grows
+    val delta = ext.delta.localCheckpoint()
+    if (!committed(labelsDir))
+      delta.withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id").parquet(labelsDir)
+    if (!committed(storeDir))
+      r.batchSigs.withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id").parquet(storeDir)
   }
 

@@ -320,6 +320,40 @@ class StreamingSpec extends AnyFunSuite {
       == Set(1L, 2L, 11L))
   }
 
+  test("clusterIngest maintains cross-batch duplicate clusters; replay is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-clusteringest")
+    val (src, store, labels, ckpt) =
+      (s"$root/src", s"$root/store", s"$root/labels", s"$root/ckpt")
+    val s1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val s2 = "one two three four five six seven eight nine ten"
+    def currentLabels: Map[Long, Long] =
+      graft.operators.Dedup.latestPerKeyAgg(Seq("id"),
+          Seq(org.apache.spark.sql.functions.col("batch_id")))(
+        spark.read.parquet(labels))
+        .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+
+    // batch 1: 1~2 near-dup, 3 unique
+    Seq((1L, s1), (2L, s1 + " tail"), (3L, s2)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Streams.clusterIngest(Streams.fileIngest(spark, src, schema),
+      "doc_id", "text", threshold = 0.5, store, labels, ckpt)
+    assert(currentLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // batch 2: 10 joins {3}'s cluster, 11 is novel
+    Seq((10L, s2 + " extra"), (11L, "entirely novel words nothing shared whatsoever here"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    Streams.clusterIngest(Streams.fileIngest(spark, src, schema),
+      "doc_id", "text", threshold = 0.5, store, labels, ckpt)
+    assert(currentLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 10L -> 3L, 11L -> 11L))
+    // the store carries EVERY doc's signatures (cluster mode drops nothing)
+    assert(spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 10L, 11L))
+    // replaying batch 1 against the final state is a strict no-op
+    val b1 = Seq((1L, s1), (2L, s1 + " tail"), (3L, s2)).toDF("doc_id", "text")
+    Streams.processClusterBatch(b1, 0L, "doc_id", "text", 0.5, store, labels)
+    assert(currentLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 10L -> 3L, 11L -> 11L))
+  }
+
   test("nearDedupIngest batch replay and mid-batch crash never duplicate output") {
     val root = java.nio.file.Files.createTempDirectory("graft-neardedup-replay")
     val (store, out) = (s"$root/store", s"$root/out")
