@@ -112,4 +112,24 @@ class PlansSpec extends AnyFunSuite {
       assert(!p.contains("Join"), s"$q must not contain any join operator:\n$p")
     }
   }
+
+  test("q63 vocabulary selects top-K via TakeOrdered, never a global sort") {
+    val p = plan("q63_vocabulary")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as a distributed TakeOrdered:\n$p")
+  }
+
+  test("q64 temperature sampling is a narrow filter (zero exchanges)") {
+    // rates are driver-computed from a bounded collect; the SAMPLE itself
+    // must be a pure map-side md5-threshold filter over the scan
+    val p = plan("q64_temperature_mix")
+    assert(!p.contains("Exchange"),
+      s"hash-threshold sampling must not shuffle:\n$p")
+  }
+
+  test("q66 OOV rollup broadcasts the vocab (no shuffled join side)") {
+    val p = plan("q66_oov_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the K-token vocab must broadcast:\n$p")
+  }
 }
