@@ -202,6 +202,18 @@ object Components {
       idB: String = "id_b", maxBatchEdges: Int = 1000000): ExtendResult = {
     val spark = labels.sparkSession
     import spark.implicits._
+    // the union-find runs on longs; a string id would cast to null and
+    // silently collapse into one bogus component — refuse instead
+    (newPairs.schema(idA).dataType +: newPairs.schema(idB).dataType +:
+      labels.schema.fields.map(_.dataType).toSeq).foreach {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"extendComponents needs integral ids/labels, got $other — " +
+          "run the full connectedComponents (its distributed path handles any orderable id)")
+    }
     val la = labels.select(col("id").as(idA), col("cluster_id").as("__la"))
     val lb = labels.select(col("id").as(idB), col("cluster_id").as("__lb"))
     val resolved = newPairs.select(col(idA), col(idB))

@@ -153,12 +153,15 @@ object Knn {
     require(dim % blocks == 0, s"dim $dim must divide into $blocks blocks")
     val sub = dim / blocks
 
-    def normalize(v: Column): Column = {
-      val n = sqrt(vecDot(v, v))
-      transform(v, x => x.cast("double") / n)
-    }
-    val corp = corpus
-      .select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("c_vec"))
+    // norm computed ONCE per row as its own column: referencing the
+    // norm expression inside the transform lambda would re-evaluate it
+    // per ELEMENT (O(dim^2) per row — measured as a real cost here)
+    def normalized(df: DataFrame, outId: String, outVec: String): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).as("__v"))
+        .withColumn("__n", sqrt(vecDot(col("__v"), col("__v"))))
+        .select(col(outId),
+          transform(col("__v"), x => x.cast("double") / col("__n")).as(outVec))
+    val corp = normalized(corpus, "neighbor_id", "c_vec")
 
     // nearest sub-centroid per block: argmin of ||x-c||^2, expanded to
     // (dot(c,c) - 2*dot(x,c)) so the constant-foldable dot(c,c) term
@@ -209,8 +212,7 @@ object Knn {
     val encoded = corp.withColumn("codes", codesExpr(cents))
     val decoded = flatten(transform(col("codes"),
       (c, b) => element_at(element_at(centsLit3, b + 1), c + 1)))
-    val p = probes
-      .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("q_vec"))
+    val p = normalized(probes, "query_id", "q_vec")
     val scored = encoded.crossJoin(broadcast(p))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", vecDot(col("q_vec"), decoded))

@@ -352,6 +352,18 @@ class StreamingSpec extends AnyFunSuite {
     val b1 = Seq((1L, s1), (2L, s1 + " tail"), (3L, s2)).toDF("doc_id", "text")
     Streams.processClusterBatch(b1, 0L, "doc_id", "text", 0.5, store, labels)
     assert(currentLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 10L -> 3L, 11L -> 11L))
+    // crash BETWEEN the two appends (labels committed, sigs lost): replay
+    // must repair the store without perturbing labels — the recomputed
+    // delta is discarded (its sink is committed), only the sig append runs
+    val sp = new java.io.File(s"$store/batch_id=1")
+    sp.listFiles().foreach(_.delete()); sp.delete()
+    val b2 = Seq((10L, s2 + " extra"),
+      (11L, "entirely novel words nothing shared whatsoever here"))
+      .toDF("doc_id", "text")
+    Streams.processClusterBatch(b2, 1L, "doc_id", "text", 0.5, store, labels)
+    assert(currentLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 10L -> 3L, 11L -> 11L))
+    assert(spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 10L, 11L), "crash replay did not repair the store")
   }
 
   test("nearDedupIngest batch replay and mid-batch crash never duplicate output") {
