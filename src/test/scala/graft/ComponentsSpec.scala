@@ -102,6 +102,38 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 50L -> 50L))
   }
 
+  test("property: incremental extension equals full recompute on random graphs and splits") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L)))
+      .map(_.filter(e => e._1 != e._2))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withInitialSeed(13L),
+      Prop.forAll(edgeGen, Gen.choose(0L, 40L)) { (edges, cut) =>
+        // ids < cut form the "old snapshot"; pairs touching a new id are
+        // the incremental batch, old-only pairs build the store labeling
+        val oldPairs = edges.filter(e => e._1 < cut && e._2 < cut)
+        val newPairs = edges.filterNot(e => e._1 < cut && e._2 < cut)
+        val oldIds = (0L until cut)
+        val newIds = (cut to 40L)
+        val ccOld =
+          if (oldPairs.isEmpty) Map.empty[Long, Long]
+          else Components.connectedComponents(oldPairs.toDF("id_a", "id_b"))
+            .as[(Long, Long)].collect().toMap
+        val labels = oldIds.map(i => (i, ccOld.getOrElse(i, i))).toDF("id", "cluster_id")
+        val inc = Components.extendComponents(labels,
+            newIds.toDF("doc_id"), "doc_id",
+            newPairs.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        val ccFull =
+          if (edges.isEmpty) Map.empty[Long, Long]
+          else Components.connectedComponents(edges.toDF("id_a", "id_b"))
+            .as[(Long, Long)].collect().toMap
+        val full = (0L to 40L).map(i => i -> ccFull.getOrElse(i, i)).toMap
+        inc == full
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("custom SQL functions registered: simhash64 / hamming_distance / doc_fingerprint") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val row = spark.sql(

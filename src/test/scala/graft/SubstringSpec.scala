@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.dedup.Substring
 
@@ -57,5 +58,34 @@ class SubstringSpec extends AnyFunSuite {
     // doc 1 has 16 tokens -> 9 windows; the two span positions dup
     assert(got(1L)._1 == 9L && got(1L)._2 == 2L)
     assert(got(2L) == ((1L, 1L)))
+  }
+
+  test("property: window stats match a Scala brute oracle on random corpora") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 30L), Gen.choose(1, 10).flatMap(Gen.listOfN(_, word))))
+    val n = 3
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withInitialSeed(11L),
+      Prop.forAll(docGen) { rows =>
+        val docs = rows.distinctBy(_._1).map { case (id, ws) => (id, ws.mkString(" ")) }
+        val grams = docs.map { case (id, t) =>
+          id -> t.split(" ").sliding(n).filter(_.length == n)
+            .map(_.mkString(" ")).toList
+        }.toMap
+        val expected = docs.map { case (id, _) =>
+          val mine = grams(id)
+          val dup = mine.count(g =>
+            grams.exists { case (oid, gs) => oid != id && gs.contains(g) })
+          id -> ((mine.length.toLong, dup.toLong))
+        }.toMap
+        val got = Substring.windowStats(docs.toDF("doc_id", "text"),
+            "doc_id", "text", n)
+          .select("doc_id", "n_windows", "dup_windows")
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        got == expected
+      })
+    assert(res.passed, res.status.toString)
   }
 }
