@@ -29,6 +29,10 @@ object CorpusPipeline {
     * Gopher-style repetition signals; 1.0 = gate off (every fraction
     * is <= 1).
     */
+  /** `mixTargetFrac`: when set, a final temperature-reweighted source
+    * mixing stage downsamples the curated corpus (see
+    * [[temperatureSample]]; `mixStrataCol`/`mixAlpha` parameterize it).
+    */
   case class Config(
       langs: Seq[String] = Seq("en"),
       minQuality: Double = 0.0,
@@ -38,7 +42,10 @@ object CorpusPipeline {
       maxTopNgramFrac: Double = 1.0,
       benchmarks: Option[DataFrame] = None,
       decontamNgram: Int = 8,
-      decontamMinHits: Int = 1)
+      decontamMinHits: Int = 1,
+      mixTargetFrac: Option[Double] = None,
+      mixAlpha: Double = 0.5,
+      mixStrataCol: String = "source")
 
   /** Stage 1: cheap per-doc annotations — one narrow pass, tokenizing
     * once (each inline `tokens(...)` would be its own split pass).
@@ -378,7 +385,8 @@ object CorpusPipeline {
     }
 
   case class Report(input: Long, afterFilter: Long, afterExact: Long,
-      afterNear: Long, output: DataFrame, afterDecontam: Option[Long] = None)
+      afterNear: Long, output: DataFrame, afterDecontam: Option[Long] = None,
+      afterMix: Option[Long] = None)
 
   /** Full chain with per-stage retention counts. Intermediate stages are
     * persisted for the duration of the call so the counts run the
@@ -393,17 +401,25 @@ object CorpusPipeline {
       .persist(MEMORY_AND_DISK)
     val exact = exactDedup(filtered).persist(MEMORY_AND_DISK)
     val near = nearDedup(exact, cfg.nearDupThreshold).persist(MEMORY_AND_DISK)
-    val (output, afterDecontam) = cfg.benchmarks match {
+    val (decontamed, afterDecontam) = cfg.benchmarks match {
       case Some(_) =>
         val d = decontaminateAgainst(near, cfg).persist(MEMORY_AND_DISK)
         (d, Some(d.count()))
       case None => (near, None)
     }
+    val (output, afterMix) = cfg.mixTargetFrac match {
+      case Some(f) =>
+        val m = temperatureSample(decontamed, cfg.mixStrataCol, "doc_id",
+          f, cfg.mixAlpha).persist(MEMORY_AND_DISK)
+        (m, Some(m.count()))
+      case None => (decontamed, None)
+    }
     val report = Report(docs.count(), filtered.count(), exact.count(),
-      near.count(), output, afterDecontam)
+      near.count(), output, afterDecontam, afterMix)
     filtered.unpersist()
     exact.unpersist()
-    if (afterDecontam.isDefined) near.unpersist()
+    if (afterDecontam.isDefined || afterMix.isDefined) near.unpersist()
+    if (afterMix.isDefined && afterDecontam.isDefined) decontamed.unpersist()
     report
   }
 }

@@ -261,6 +261,16 @@ class CorpusPipelineSpec extends AnyFunSuite {
       again.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("run with mixTargetFrac applies the final mixing stage and reports it") {
+    val r = CorpusPipeline.run(docs,
+      CorpusPipeline.Config(mixTargetFrac = Some(0.5)))
+    assert(r.afterMix.isDefined)
+    assert(r.afterMix.get <= r.afterNear)
+    assert(r.afterMix.get > 0, "mixing at 0.5 must keep a nonempty corpus")
+    assert(r.output.count() == r.afterMix.get)
+    r.output.unpersist()
+  }
+
   test("run chains the stages and reports monotone retention") {
     val r = CorpusPipeline.run(docs,
       CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.2, minTokens = 5))
