@@ -13,7 +13,8 @@ object Plans {
     val names =
       if (args.length > 1) args.tail.toSeq
       else Seq("q01_pricing_summary", "q02_top_parts_per_flag",
-        "q07_incremental_antijoin", "q08_enrich_parts", "q22_knn_brute")
+        "q07_incremental_antijoin", "q08_enrich_parts", "q22_knn_brute",
+        "q60_bm25", "q62_substring_dup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

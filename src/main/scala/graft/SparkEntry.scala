@@ -753,6 +753,25 @@ object SparkEntry {
         "doc_id", "text", Seq("join", "hash", "scan"), logIdf = false)
     }),
 
+    // Exact discrete percentiles per group — the exact twin of q33's
+    // sketches: percentile_disc returns an ACTUAL data element (lowest
+    // value with cumulative distribution >= p, the ANSI definition both
+    // engines share), so unlike interpolated percentiles it is
+    // bit-comparable across engines
+    "q68_percentiles" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          // Spark returns DOUBLE; the value is an actual element of the
+          // long column, so the cast back is lossless and matches the
+          // oracle's column type
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("long").as("p50"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("long").as("p95"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     // Top-100 corpus vocabulary with cumulative coverage: distributed
     // TakeOrdered for the winners, narrow pass for the token total,
     // single-partition window only over the 100 survivors
@@ -1462,6 +1481,13 @@ object SparkEntry {
         |  CAST(SUM(freq) OVER (ORDER BY freq DESC, token
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.total AS coverage
         |FROM top CROSS JOIN tot""".stripMargin,
+
+    "q68_percentiles" ->
+      """SELECT source,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS p50,
+        |  percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q66_oov_rate" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
