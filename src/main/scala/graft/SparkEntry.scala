@@ -753,6 +753,20 @@ object SparkEntry {
         "doc_id", "text", Seq("join", "hash", "scan"), logIdf = false)
     }),
 
+    // Incremental cardinality via a mergeable HLL sketch store: two
+    // snapshot halves sketch independently (what each ingest batch
+    // persists), the union-merge estimates corpus-wide distincts without
+    // rescanning history. Rows-only (sketches aren't SQL-expressible);
+    // AggregatesSpec proves merged == single-pass exactly
+    "q69_sketch_store" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = Aggregates.sketchBatch(
+        docs.filter(col("doc_id") < 250), Seq("source"), "text")
+      val b = Aggregates.sketchBatch(
+        docs.filter(col("doc_id") >= 250), Seq("source"), "text")
+      Aggregates.mergeSketchEstimate(a.unionByName(b), Seq("source"))
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both

@@ -34,4 +34,27 @@ object Aggregates {
     */
   def reAggregate(keys: Seq[String], src: String, out: String): DataFrame => DataFrame =
     _.groupBy(keys.map(col): _*).agg(sum(col(src)).as(out))
+
+  /** Mergeable distinct-count sketch STORE — incremental cardinality
+    * across snapshots, the sketch-family member of the incremental
+    * posture (signature store, label store, and now a cardinality
+    * store): each batch aggregates its own per-group HLL sketch once at
+    * ingest ([[sketchBatch]], one pass, binary sketch rows persisted);
+    * corpus-wide distinct counts then come from UNIONING stored sketches
+    * ([[mergeSketchEstimate]]) — history is never rescanned. Sound
+    * because HLL union is a pointwise register max: associative,
+    * commutative, order-independent, so merged-across-batches equals the
+    * single-pass sketch EXACTLY (AggregatesSpec proves estimate
+    * equality, not approximate agreement).
+    */
+  def sketchBatch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Union persisted sketches per group and estimate. */
+  def mergeSketchEstimate(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("approx_distinct"))
 }

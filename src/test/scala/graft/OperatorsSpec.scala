@@ -261,4 +261,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L)),
       s"exact-gap must not split, nulls must vanish; got $out")
   }
+
+  test("HLL sketch store: merged snapshot sketches equal the single-pass estimate exactly") {
+    val docs = Tables.documents(spark, SparkTestSession.sfTiny)
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.as[(String, Long)].collect().toMap
+    // single pass over the whole corpus
+    val full = estimates(Aggregates.mergeSketchEstimate(
+      Aggregates.sketchBatch(docs, Seq("source"), "text"), Seq("source")))
+    // two disjoint snapshot halves sketched independently, then merged —
+    // HLL union is a pointwise register max, so this must be EXACT
+    // equality with the single pass, not approximate agreement
+    val a = Aggregates.sketchBatch(docs.filter(col("doc_id") < 250), Seq("source"), "text")
+    val b = Aggregates.sketchBatch(docs.filter(col("doc_id") >= 250), Seq("source"), "text")
+    val merged = estimates(
+      Aggregates.mergeSketchEstimate(a.unionByName(b), Seq("source")))
+    assert(merged == full, "merged snapshot sketches diverged from single-pass")
+    // and the estimate is close to exact distinct counts (lgK=12 → ~1.6% rse)
+    val exact = docs.groupBy("source").agg(countDistinct(col("text")).as("d"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (srcName, d) =>
+      val est = merged(srcName).toDouble
+      assert(math.abs(est - d) / d.max(1L) <= 0.1,
+        s"estimate $est too far from exact $d for $srcName")
+    }
+  }
 }
