@@ -25,6 +25,10 @@ object HashExpressions {
   def minHashSig(shingles: Column, coeffA: Array[Long], coeffB: Array[Long]): Column =
     GraftExpressions.minHashSig(shingles, coeffA, coeffB)
 
+  /** Word n-gram identity hashes from per-token hashes (native kernel). */
+  def ngramHashes(toksh: Column, n: Int): Column =
+    GraftExpressions.ngramHashes(toksh, n)
+
   /** Dot product of two float/double arrays (native kernel). */
   def vecDot(a: Column, b: Column): Column = GraftExpressions.vecDot(a, b)
 

@@ -39,11 +39,23 @@ object TextFunctions {
     * intersect, union sizes — Jaccard) give the same answers as on the
     * gram strings, but nothing ever materializes or compares strings —
     * measured severalfold faster on the minhash and decontamination
-    * paths. Built as n-1 chained `zip_with`s against shifted views (the
-    * null-padded tail is sliced off); empty when the doc is shorter
-    * than n.
+    * paths. A NATIVE codegen'd expression (one loop per row) — the
+    * earlier n-1 chained `zip_with` formulation paid an interpreted
+    * lambda walk per element per level and allocated n-1 intermediate
+    * arrays; it survives as [[ngramHashesFold]], the bit-equality spec
+    * oracle. Empty when the doc is shorter than n.
     */
   def ngramHashes(toksh: Column, n: Int): Column = {
+    require(n >= 2, "ngramHashes needs n >= 2 (use tokenHashes for unigrams)")
+    graft.expressions.HashExpressions.ngramHashes(toksh, n)
+  }
+
+  /** The chained-`zip_with` formulation the native expression replaced —
+    * kept as the independently-derived oracle for its bit-equality spec
+    * (each fold step is `xxhash64(acc, next)` against a shifted view;
+    * the null-padded tail is cut by the final slice).
+    */
+  private[graft] def ngramHashesFold(toksh: Column, n: Int): Column = {
     require(n >= 2, "ngramHashes needs n >= 2 (use tokenHashes for unigrams)")
     val sz = size(toksh)
     val rolled = (2 to n).foldLeft(toksh) { (acc, j) =>

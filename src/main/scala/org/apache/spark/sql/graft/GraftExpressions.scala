@@ -55,6 +55,18 @@ object GraftExpressions {
   def minHashSig(shingles: Column, coeffA: Array[Long], coeffB: Array[Long]): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), coeffA, coeffB))
 
+  /** Word n-gram identity hashes from per-token hashes in one tight
+    * loop — bit-identical to the n-1 chained `zip_with(acc, shifted,
+    * xxhash64)` formulation it replaces (each step re-seeds at 42 and
+    * folds the accumulator as a value: `hashLong(b, hashLong(a, 42))`,
+    * with Spark's null-skip rule replicated), but without n-1 interpreted
+    * lambda walks and n-1 intermediate arrays per row. Empty array (not
+    * null) below n tokens and for null input, matching the declarative
+    * guard.
+    */
+  def ngramHashes(toksh: Column, n: Int): Column =
+    ExpressionUtils.column(NgramHashes(ExpressionUtils.expression(toksh), n))
+
   /** Dot product of two float/double arrays, accumulated in double in
     * index order — bit-identical to the declarative
     * `aggregate(zip_with(a, b, x*y), 0.0, +)` fold it replaces, but one
@@ -107,6 +119,36 @@ object GraftExpressions {
   }
 
   private val MinHashPrime = 2147483647L // 2^31-1, matches MinHashDedup.PRIME
+
+  private val EmptyLongArray =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+
+  // null input (or < n tokens) yields the EMPTY array, matching the
+  // declarative when(size >= n, ...).otherwise(array()) guard
+  def computeNgramHashes(arr: ArrayData, n: Int): ArrayData = {
+    if (arr == null) return EmptyLongArray
+    val len = arr.numElements()
+    if (len < n) return EmptyLongArray
+    val out = new Array[Long](len - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var accNull = arr.isNullAt(i)
+      var acc = if (accNull) 0L else arr.getLong(i)
+      var j = 1
+      while (j < n) {
+        // xxhash64(acc, b): seed 42, fold each NON-NULL input in order
+        var h = SEED
+        if (!accNull) h = XXH64.hashLong(acc, h)
+        if (!arr.isNullAt(i + j)) h = XXH64.hashLong(arr.getLong(i + j), h)
+        acc = h
+        accNull = false
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   // boxed Double so codegen can branch on the null (length-mismatch /
   // null-element) case — matching zip_with's null propagation
@@ -187,6 +229,37 @@ object GraftExpressions {
       min
     }
   }
+}
+
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 2, "ngramHashes needs n >= 2")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null input maps to the EMPTY array, so the result itself is never null
+  override def nullable: Boolean = false
+  override def prettyName: String = "ngram_hashes"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    GraftExpressions.computeNgramHashes(
+      if (v == null) null else v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        org.apache.spark.sql.graft.GraftExpressions.computeNgramHashes(
+          ${childGen.isNull} ? null : ${childGen.value}, $n);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
 }
 
 abstract class VecBinaryExpression extends BinaryExpression {

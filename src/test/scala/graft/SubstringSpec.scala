@@ -60,6 +60,24 @@ class SubstringSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 1L)))
   }
 
+  test("native ngram_hashes bit-equals the chained zip_with fold") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    val base = Tables.documents(spark, SparkTestSession.sfTiny).limit(150)
+    val docs = base.unionByName(
+      Seq((999990L, "a b", "en", "s", 0L),                        // < n for n=3,8
+        (999991L, "", "en", "s", 0L)).toDF(base.columns: _*))     // degenerate
+    for (n <- Seq(2, 3, 8)) {
+      val cmp = docs.select(
+        TextFunctions.ngramHashes(
+          TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))), n).as("native"),
+        TextFunctions.ngramHashesFold(
+          TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))), n).as("fold"))
+      assert(cmp.filter(col("native") =!= col("fold")).isEmpty,
+        s"native n=$n diverged from the zip_with fold")
+    }
+  }
+
   test("property: window stats match a Scala brute oracle on random corpora") {
     val word = Gen.oneOf("a", "b", "c", "d", "e")
     val docGen = Gen.nonEmptyListOf(Gen.zip(
