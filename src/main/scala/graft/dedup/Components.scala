@@ -178,7 +178,10 @@ object Components {
     *
     * `newIds` must carry every id of the new snapshot (paired or not);
     * unpaired new ids become singleton clusters. Store ids and new ids
-    * must be disjoint. A new id smaller than an existing cluster's min
+    * must be disjoint, and the store labeling must be CANONICAL
+    * (cluster_id = min member id — what [[connectedComponents]]
+    * produces); the merge preserves canonicality, so chained batches
+    * stay valid inputs. A new id smaller than an existing cluster's min
     * relabels that cluster (the min-id canonical convention, applied
     * honestly); with time-monotone ids this never happens.
     */

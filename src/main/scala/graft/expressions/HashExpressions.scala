@@ -34,4 +34,12 @@ object HashExpressions {
 
   /** One-pass cosine similarity of two float/double arrays. */
   def vecCosine(a: Column, b: Column): Column = GraftExpressions.vecCosine(a, b)
+
+  /** Per-plane dots of a float vector against a literal plane matrix. */
+  def vecDotMany(v: Column, planes: Array[Array[Double]]): Column =
+    GraftExpressions.vecDotMany(v, planes)
+
+  /** Packed sign-bit hyperplane LSH signature (plane i on bit i). */
+  def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
+    GraftExpressions.hyperplaneSig(v, planes)
 }

@@ -44,6 +44,15 @@ object VectorFunctions {
     dotFold(a, b) / (normFold(a) * normFold(b))
   }
 
+  /** The deterministic plane matrix behind a (dim, nPlanes, seed) triple —
+    * the single source of truth for signature and margin kernels, so the
+    * same seed always means the same planes on every executor.
+    */
+  private[graft] def planesFor(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Random-hyperplane LSH signature: packs `nPlanes` sign bits of
     * dot(v, plane_i) into a long (bit i = plane i). Planes are generated
     * deterministically from `seed` (same signature every run / every
@@ -51,17 +60,23 @@ object VectorFunctions {
     * signature bands, then verify exact cosine only within candidate
     * buckets.
     *
-    * One `aggregate` fold over the planes as a literal array — unrolling
-    * a `when(dot(...))` per plane generated a large codegen method per
-    * plane (compile/JIT dominated the arithmetic when callers stack
-    * nPlanes × nTables of these). Planes are traversed reversed so
-    * acc*2+bit lands plane 0 on the LSB, matching the unrolled values
-    * bit-for-bit.
+    * Native kernel (`HyperplaneSig`): ONE loop over planes × elements per
+    * row. The previous `aggregate` fold kept the plane walk itself
+    * interpreted (HOF lambda bodies never reach codegen), so callers that
+    * stack nPlanes × nTables of these paid tree-walk cost per plane;
+    * VectorsSpec proves the kernel bit-equal to that fold
+    * ([[hyperplaneSignatureFold]]).
     */
-  def hyperplaneSignature(v: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    val planesLit = typedLit(planes.reverse.map(_.toSeq).toSeq)
+  def hyperplaneSignature(v: Column, dim: Int, nPlanes: Int, seed: Long): Column =
+    graft.expressions.HashExpressions.hyperplaneSig(v, planesFor(dim, nPlanes, seed))
+
+  /** The declarative fold formulation — kept as the independently-derived
+    * oracle for VectorsSpec's bit-equality proof of the native kernel.
+    * Planes are traversed reversed so acc*2+bit lands plane 0 on the LSB,
+    * matching the kernel's `1L << i` packing bit-for-bit.
+    */
+  private[graft] def hyperplaneSignatureFold(v: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+    val planesLit = typedLit(planesFor(dim, nPlanes, seed).reverse.map(_.toSeq).toSeq)
     aggregate(planesLit, lit(0L), (acc, p) =>
       acc * 2 + when(dot(v, p) > 0.0, lit(1L)).otherwise(lit(0L)))
   }
@@ -71,11 +86,13 @@ object VectorFunctions {
     * element i is the margin to the plane behind signature bit i. A
     * small |dot| means the vector sits near that boundary, i.e. a true
     * neighbor most plausibly landed on the other side — the ranking a
-    * margin-directed multi-probe flips first.
+    * margin-directed multi-probe flips first. Native kernel
+    * (`VecDotMany`); bit-equal to the `transform` twin by VectorsSpec.
     */
-  def hyperplaneDots(v: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    transform(typedLit(planes.map(_.toSeq).toSeq), p => dot(v, p))
-  }
+  def hyperplaneDots(v: Column, dim: Int, nPlanes: Int, seed: Long): Column =
+    graft.expressions.HashExpressions.vecDotMany(v, planesFor(dim, nPlanes, seed))
+
+  /** Declarative twin of [[hyperplaneDots]] — the spec oracle. */
+  private[graft] def hyperplaneDotsFold(v: Column, dim: Int, nPlanes: Int, seed: Long): Column =
+    transform(typedLit(planesFor(dim, nPlanes, seed).map(_.toSeq).toSeq), p => dot(v, p))
 }

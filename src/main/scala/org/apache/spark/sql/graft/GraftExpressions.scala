@@ -81,6 +81,21 @@ object GraftExpressions {
     ExpressionUtils.column(VecDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Per-plane dot products of a float vector against a literal plane
+    * matrix in one loop — bit-identical to
+    * `transform(planesLit, p => vecDot(v, p))`, which evaluated the
+    * native dot through an interpreted lambda per plane.
+    */
+  def vecDotMany(v: Column, planes: Array[Array[Double]]): Column =
+    ExpressionUtils.column(VecDotMany(ExpressionUtils.expression(v), planes))
+
+  /** Packed sign-bit hyperplane signature: bit i = (dot(v, planes(i)) > 0).
+    * Bit-identical to the reversed `aggregate(planes, 0L, acc*2+bit)`
+    * fold (plane 0 on the LSB) with the same index-order dots.
+    */
+  def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
+    ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(v), planes))
+
   /** Cosine similarity `dot/(|a|*|b|)` in ONE pass (three index-order
     * double accumulators) — bit-identical to `dot(a,b)/(norm(a)*norm(b))`
     * composed from the declarative folds (independent accumulators, same
@@ -166,6 +181,40 @@ object GraftExpressions {
       i += 1
     }
     acc
+  }
+
+  // one float-vector x literal-double-plane dot, shared by the many-plane
+  // kernels; returns null-signal via NaN never — inputs are non-null by
+  // contract (planes are literals, v checked by the caller)
+  private def dotPlane(v: ArrayData, plane: Array[Double]): Double = {
+    val n = math.min(v.numElements(), plane.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += v.getFloat(i).toDouble * plane(i)
+      i += 1
+    }
+    acc
+  }
+
+  def computeVecDotMany(v: ArrayData, planes: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Double](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      out(t) = dotPlane(v, planes(t))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def computeHyperplaneSig(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var t = 0
+    while (t < planes.length) {
+      if (dotPlane(v, planes(t)) > 0.0) sig |= 1L << t
+      t += 1
+    }
+    sig
   }
 
   def computeVecCosine(a: ArrayData, b: ArrayData,
@@ -336,6 +385,55 @@ case class MinHashSig(child: Expression, coeffA: Array[Long], coeffB: Array[Long
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Shared shape of the literal-plane-matrix kernels: a float-vector child
+  * against `planes` held as a codegen reference object. Inputs are
+  * non-null-element `array<float>` by caller contract (embedding columns);
+  * a null vector propagates to a null result via the null-safe paths.
+  */
+abstract class PlanesExpression extends UnaryExpression with ExpectsInputTypes {
+  // NO statements in this body: the abstract base is not itself
+  // Serializable (scalac adds Serializable to the case classes only), so
+  // Java deserialization on executors runs THIS no-arg constructor with
+  // fields unset — any field-touching require here would NPE mid-task.
+  def planes: Array[Array[Double]]
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  /** Fully-qualified static compute method `(ArrayData, double[][]) => result`. */
+  protected def staticMethod: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c => s"$staticMethod($c, $planesRef)")
+  }
+}
+
+case class VecDotMany(child: Expression, planes: Array[Array[Double]])
+    extends PlanesExpression {
+  require(planes.nonEmpty, "planes must be non-empty")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_dot_many"
+  override protected def staticMethod: String =
+    "org.apache.spark.sql.graft.GraftExpressions.computeVecDotMany"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.computeVecDotMany(input.asInstanceOf[ArrayData], planes)
+  override protected def withNewChildInternal(newChild: Expression): VecDotMany =
+    copy(child = newChild)
+}
+
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+    extends PlanesExpression {
+  require(planes.nonEmpty && planes.length <= 64,
+    "need 1..64 planes to fit one long signature")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+  override protected def staticMethod: String =
+    "org.apache.spark.sql.graft.GraftExpressions.computeHyperplaneSig"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.computeHyperplaneSig(input.asInstanceOf[ArrayData], planes)
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
 }
 

@@ -47,6 +47,27 @@ class VectorsSpec extends AnyFunSuite {
     assert(dd == 1.0)
   }
 
+  test("hyperplane signature and margin kernels bit-equal their fold twins") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfTiny).limit(300)
+    val dim = emb.select(size(col("embedding"))).as[Int].head()
+    val diff = emb.select(
+        VectorFunctions.hyperplaneSignature(col("embedding"), dim, 16, seed = 7L).as("s_native"),
+        VectorFunctions.hyperplaneSignatureFold(col("embedding"), dim, 16, seed = 7L).as("s_fold"),
+        VectorFunctions.hyperplaneDots(col("embedding"), dim, 16, seed = 7L).as("d_native"),
+        VectorFunctions.hyperplaneDotsFold(col("embedding"), dim, 16, seed = 7L).as("d_fold"))
+      .filter(col("s_native") =!= col("s_fold") || col("d_native") =!= col("d_fold"))
+    assert(diff.isEmpty, "hyperplane kernels diverged from the fold oracles")
+  }
+
+  test("hyperplane kernels stay inside whole-stage codegen") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfTiny).limit(10)
+    val plan = emb.select(
+        VectorFunctions.hyperplaneSignature(col("embedding"), 16, 12, seed = 3L).as("s"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[hyperplane_sig""".r.findFirstIn(plan).isDefined,
+      s"hyperplane_sig must not break codegen:\n$plan")
+  }
+
   test("vec kernels run inside whole-stage codegen, not as fallback eval") {
     val emb = Tables.embeddings(spark, SparkTestSession.sfTiny).limit(10)
     val plan = emb.select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
