@@ -767,6 +767,65 @@ object SparkEntry {
       Aggregates.mergeSketchEstimate(a.unionByName(b), Seq("source"))
     }),
 
+    // SCD Type 2 dimension maintenance: the versioned form of q10's
+    // upsert. The dim is `part` seeded as all-current at 2020-01-01; the
+    // update batch (derived deterministically from the key) changes
+    // p_retailprice for keys ≡0 (mod 7), re-delivers identical rows for
+    // keys ≡1 (no-op proof in the result), and brings new keys (+10M
+    // offset) for keys ≡2. One full-outer shuffle; history never moves.
+    "q70_scd2" -> ((s, dir) => {
+      val part = Tables.part(s, dir)
+      val dim = part.select(
+        col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        lit("2020-01-01").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates =
+        part.filter(col("p_partkey") % 7 === 0)
+          .select(col("p_partkey"), col("p_brand"),
+            (col("p_retailprice") + 10.0).as("p_retailprice"))
+        .unionByName(part.filter(col("p_partkey") % 7 === 1)
+          .select("p_partkey", "p_brand", "p_retailprice"))
+        .unionByName(part.filter(col("p_partkey") % 7 === 2)
+          .select((col("p_partkey") + 10000000L).as("p_partkey"),
+            col("p_brand"), (col("p_retailprice") * 2.0).as("p_retailprice")))
+      Scd.applyType2(dim, updates, Seq("p_partkey"),
+          Seq("p_brand", "p_retailprice"),
+          lit("2021-06-01").cast("timestamp"))
+        .select("p_partkey", "p_brand", "p_retailprice",
+          "valid_from", "valid_to", "is_current")
+    }),
+
+    // Snapshot CDC diff: classify the delta between two deterministic
+    // snapshots of `orders` (new drops keys ≡0 mod 13, adds keys via
+    // +10M offset for ≡0 mod 17, bumps o_totalprice for ≡0 mod 7 and
+    // clears o_orderpriority for ≡0 mod 5). One full-outer shuffle;
+    // output is the delta only.
+    "q71_snapshot_cdc" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val newSnap = o.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(o.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority")))
+      Merge.snapshotDiff(o, newSnap, Seq("o_orderkey"))
+    }),
+
+    // Context-window chunking: 32-token windows every 24 tokens (8-token
+    // overlap) — the read-side twin of q54's sequence packing. Map-only
+    // plan (spec-proven), so it scales embarrassingly.
+    "q72_chunking" -> ((s, dir) => {
+      graft.pipeline.CorpusPipeline.chunk(
+        Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 32, stride = 24)
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both
@@ -1495,6 +1554,76 @@ object SparkEntry {
         |  CAST(SUM(freq) OVER (ORDER BY freq DESC, token
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.total AS coverage
         |FROM top CROSS JOIN tot""".stripMargin,
+
+    // replays applyType2's four outcome classes directly: closed old
+    // versions (%7=0), carried rows (everything else), reopened versions
+    // (+10.0), and brand-new offset keys (*2.0) — plain IEEE arithmetic,
+    // bit-identical across engines
+    "q70_scd2" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_retailprice FROM part)
+        |SELECT p_partkey, p_brand, p_retailprice,
+        |  TIMESTAMP '2020-01-01' AS valid_from,
+        |  TIMESTAMP '2021-06-01' AS valid_to, FALSE AS is_current
+        |FROM p WHERE p_partkey % 7 = 0
+        |UNION ALL
+        |SELECT p_partkey, p_brand, p_retailprice,
+        |  TIMESTAMP '2020-01-01', CAST(NULL AS TIMESTAMP), TRUE
+        |FROM p WHERE p_partkey % 7 <> 0
+        |UNION ALL
+        |SELECT p_partkey, p_brand, p_retailprice + 10.0,
+        |  TIMESTAMP '2021-06-01', CAST(NULL AS TIMESTAMP), TRUE
+        |FROM p WHERE p_partkey % 7 = 0
+        |UNION ALL
+        |SELECT p_partkey + 10000000, p_brand, p_retailprice * 2.0,
+        |  TIMESTAMP '2021-06-01', CAST(NULL AS TIMESTAMP), TRUE
+        |FROM p WHERE p_partkey % 7 = 2""".stripMargin,
+
+    // full-outer diff classification; concat_ws drops NULL branches so
+    // changed_cols matches Spark's filtered array_join in schema order
+    "q71_snapshot_cdc" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |           FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM o WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice, o_orderpriority
+        |  FROM o WHERE o_orderkey % 17 = 0),
+        |j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_orderkey IS NOT NULL AS in_old, n.o_orderkey IS NOT NULL AS in_new,
+        |    o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS c_status,
+        |    o.o_totalprice IS DISTINCT FROM n.o_totalprice AS c_price,
+        |    o.o_orderpriority IS DISTINCT FROM n.o_orderpriority AS c_prio
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_old THEN 'insert'
+        |       WHEN NOT in_new THEN 'delete' ELSE 'update' END AS change_type,
+        |  CASE WHEN in_old AND in_new THEN
+        |    concat_ws(',', CASE WHEN c_status THEN 'o_orderstatus' END,
+        |                   CASE WHEN c_price THEN 'o_totalprice' END,
+        |                   CASE WHEN c_prio THEN 'o_orderpriority' END)
+        |  ELSE '' END AS changed_cols
+        |FROM j
+        |WHERE NOT (in_old AND in_new) OR c_status OR c_price OR c_prio""".stripMargin,
+
+    // generate_series and Spark's sequence are both stop-INCLUSIVE;
+    // list_slice clamps past the end like Spark's slice
+    "q72_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n,
+        |        unnest(generate_series(0, len(toks) - 1, 24)) AS start
+        |      FROM t)
+        |SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+        |  CAST(LEAST(32, n - start) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+        |    AS chunk_text
+        |FROM s""".stripMargin,
 
     "q68_percentiles" ->
       """SELECT source,

@@ -36,6 +36,48 @@ object Merge {
     merged.select(keys.map(col) ++ valueCols.map(c => col(s"__m_$c").as(c)): _*)
   }
 
+  /** Snapshot diff (CDC classify): compare two snapshots of a table on a
+    * key and emit one row per differing key with `change_type` in
+    * {'insert','delete','update'} plus the changed column names
+    * (comma-joined, schema order) — the batch form of change-data-capture
+    * that the reference's incremental loads assume upstream
+    * (notebooks/bronze.py:111-112 anti-joins new files; this computes the
+    * full add/drop/change delta between two table states).
+    *
+    * Unchanged keys are omitted. Comparison is null-safe per column.
+    *
+    * Scale: one shuffle — a single full-outer join on the key; the
+    * per-column comparison is a codegen'd projection. The output is the
+    * delta, typically orders of magnitude smaller than the snapshots.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(oldSnap.columns.sameElements(newSnap.columns),
+      s"snapshotDiff requires identical schemas: " +
+        s"${oldSnap.columns.mkString(",")} vs ${newSnap.columns.mkString(",")}")
+    val valueCols = oldSnap.columns.filterNot(keys.contains).toSeq
+    val o = oldSnap.withColumn("__o_present", lit(true))
+      .select(keys.map(col) ++
+        valueCols.map(c => col(c).as(s"__o_$c")) :+ col("__o_present"): _*)
+    val n = newSnap.withColumn("__n_present", lit(true))
+      .select(keys.map(col) ++
+        valueCols.map(c => col(c).as(s"__n_$c")) :+ col("__n_present"): _*)
+    val joined = o.join(n, keys, "full_outer")
+    val changedNames = array(valueCols.map(c =>
+      when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*)
+    joined
+      .withColumn("change_type",
+        when(col("__o_present").isNull, lit("insert"))
+          .when(col("__n_present").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .withColumn("changed_cols",
+        when(col("change_type") === "update",
+          array_join(filter(changedNames, _.isNotNull), ","))
+          .otherwise(lit("")))
+      .filter(col("change_type") =!= "update" || col("changed_cols") =!= "")
+      .select(keys.map(col) :+ col("change_type") :+ col("changed_cols"): _*)
+  }
+
   /** WHEN MATCHED THEN UPDATE only (no insert) — the reference's silver
     * backfill (sql/breed_mapping.py:609-618): re-map already-written rows
     * from a refreshed dim, leaving non-matching rows untouched.

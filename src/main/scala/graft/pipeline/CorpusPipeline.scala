@@ -371,6 +371,36 @@ object CorpusPipeline {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Context-window chunking with overlap — the read-side twin of
+    * [[packSequences]]: split each doc into fixed-size token windows
+    * (`chunkTokens` wide, starting every `stride` tokens, so consecutive
+    * chunks overlap by `chunkTokens - stride`), the standard shape for
+    * feeding long documents to a bounded-context model. The final
+    * chunk(s) are shorter; every token lands in at least one chunk.
+    *
+    * Scale: zero shuffles — tokenize, explode the start offsets, slice.
+    * A map-only plan regardless of corpus size; output row count is
+    * `ceil(n_tokens / stride)` per doc.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(stride > 0 && stride <= chunkTokens,
+      "stride must be in [1, chunkTokens] (gaps would drop tokens)")
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), col("__n") - col("__start"))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Stage 5 (optional): eval-set decontamination — drop docs sharing
     * long n-grams with the benchmark table (see
     * [[graft.dedup.Decontaminate]]; corpus side never shuffles — the

@@ -280,4 +280,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(r.afterNear > 0)
     assert(r.output.count() == r.afterNear)
   }
+
+  test("chunk: hand-computed overlapping windows, short tail, full token coverage") {
+    val d = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val out = CorpusPipeline.chunk(d, "doc_id", "text", chunkTokens = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(out === Set(
+      (1L, 0L, 3L, "a b c"),
+      (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 1L, "e"),
+      (2L, 0L, 1L, "x")))
+    // stride == chunkTokens partitions the doc exactly (no overlap, no loss)
+    val exact = CorpusPipeline.chunk(d.filter($"doc_id" === 1), "doc_id", "text", 2, 2)
+      .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+    assert(exact === Array("a b", "c d", "e"))
+    assert(exact.mkString(" ") === "a b c d e", "concatenated chunks rebuild the doc")
+  }
+
+  test("chunk is a map-only plan (zero exchanges)") {
+    val d = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = CorpusPipeline.chunk(d, "doc_id", "text", 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunk must not shuffle:\n$plan")
+  }
 }

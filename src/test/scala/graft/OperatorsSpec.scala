@@ -286,4 +286,70 @@ class OperatorsSpec extends AnyFunSuite {
         s"estimate $est too far from exact $d for $srcName")
     }
   }
+
+  test("Scd.applyType2: close-changed / insert-new / carry-unchanged / keep-history") {
+    val ts0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2021-06-01 00:00:00")
+    val dim = Seq(
+      // key 1: closed history row + open current row (will change)
+      (1, "old-a", ts0, Option(ts1), false),
+      (1, "a", ts1, None: Option[java.sql.Timestamp], true),
+      // key 2: open, update carries identical value -> no-op
+      (2, "b", ts0, None, true),
+      // key 3: open, no update at all -> untouched
+      (3, "c", ts0, None, true)
+    ).toDF("k", "v", "valid_from", "valid_to", "is_current")
+    val updates = Seq((1, "a2"), (2, "b"), (4, "d")).toDF("k", "v")
+    val eff = lit("2022-03-01 00:00:00").cast("timestamp")
+    val out = Scd.applyType2(dim, updates, Seq("k"), Seq("v"), eff)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.getTimestamp(3)).map(_.toString).getOrElse("open"), r.getBoolean(4))).toSet
+    assert(out === Set(
+      (1, "old-a", ts1.toString, false),            // history untouched
+      (1, "a", "2022-03-01 00:00:00.0", false),     // changed row closed at eff
+      (1, "a2", "open", true),                      // new version opened
+      (2, "b", "open", true),                       // identical update: no-op
+      (3, "c", "open", true),                       // no update: untouched
+      (4, "d", "open", true)))                      // brand-new key inserted
+    // re-applying the same batch is a no-op (values now all match)
+    val again = Scd.applyType2(
+      Scd.applyType2(dim, updates, Seq("k"), Seq("v"), eff),
+      updates, Seq("k"), Seq("v"), lit("2023-01-01").cast("timestamp"))
+    assert(again.count() === 6, "re-applied batch must not open new versions")
+  }
+
+  test("Scd.snapshotAt picks the version whose interval contains the date") {
+    val dim = Seq(
+      (1, "v1", "2020-01-01", Option("2021-01-01"), false),
+      (1, "v2", "2021-01-01", None, true)
+    ).toDF("k", "v", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_from", $"valid_from".cast("timestamp"))
+      .withColumn("valid_to", $"valid_to".cast("timestamp"))
+    def at(d: String) = Scd.snapshotAt(dim, lit(d).cast("timestamp"))
+      .select("v").as[String].collect().toSeq
+    assert(at("2020-06-01") === Seq("v1"))
+    assert(at("2021-06-01") === Seq("v2"))
+    assert(at("2021-01-01") === Seq("v2"), "boundary belongs to the newer version")
+    assert(at("2019-06-01") === Seq.empty)
+  }
+
+  test("Merge.snapshotDiff classifies insert/delete/update with null-safe changed columns") {
+    val old = Seq(
+      (1, Option("a"), 10), (2, Option("b"), 20), (3, Option("c"), 30),
+      (5, None: Option[String], 50)
+    ).toDF("k", "s", "v")
+    val neu = Seq(
+      (1, Option("a"), 10),     // unchanged -> omitted
+      (2, Option("B"), 21),     // update, both cols
+      (4, Option("d"), 40),     // insert
+      (5, Option("e"), 50)      // update via null -> non-null (null-safe)
+    ).toDF("k", "s", "v")
+    val out = Merge.snapshotDiff(old, neu, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(out === Set(
+      (2, "update", "s,v"),
+      (3, "delete", ""),
+      (4, "insert", ""),
+      (5, "update", "s")))
+  }
 }
