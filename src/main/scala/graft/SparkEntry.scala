@@ -826,6 +826,50 @@ object SparkEntry {
         chunkTokens = 32, stride = 24)
     }),
 
+    // Bloom-pruned semi join: the dim's keys aggregate into one bloom
+    // (bounded driver collect, ~24 KB here) probed at the fact SCAN
+    // before the join shuffle; the exact semi join removes false
+    // positives so the answer never depends on the bloom (spec proves
+    // probe-below-join and exactness under a deliberately undersized
+    // bloom).
+    "q73_bloom_join" -> ((s, dir) => {
+      val dim = Tables.part(s, dir).filter(col("p_size") < 10)
+        .select(col("p_partkey").as("dk"))
+      BloomJoin.semiJoinPruned(Tables.lineitem(s, dir), dim,
+          "l_partkey", "dk", expectedItems = 20000)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          decSum("l_extendedprice").as("sum_price"))
+    }),
+
+    // Hybrid search: reciprocal-rank fusion of a BM25 top-50 (rational
+    // idf — the bit-exact form, q60) and an embedding-cosine top-50
+    // against query vector 0 over the doc-aligned slice (vec_id < 500,
+    // the q23 convention). Only the integer RANKS enter the fused
+    // score (1/(60+r), order-pinned two-term sum), so the oracle is
+    // bit-exact as long as both input orderings agree — which q60/q22
+    // already prove they do.
+    "q74_hybrid_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.functions.Relevance.bm25(Tables.documents(s, dir),
+        "doc_id", "text", Seq("join", "hash", "scan"), logIdf = false)
+      val lexTop = lex
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .filter(col("rnk") <= 50).select("doc_id", "rnk")
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__q"))
+      val cos = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          VectorFunctions.cosine(col("embedding"), col("__q")).as("cosine"))
+      val vecTop = cos
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cosine").desc, col("doc_id").asc)))
+        .filter(col("rnk") <= 50).select("doc_id", "rnk")
+      graft.functions.Relevance.rrf(Seq(lexTop, vecTop), "doc_id", "rnk", k = 60)
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both
@@ -1624,6 +1668,86 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, start + 1, start + 32), ' ')
         |    AS chunk_text
         |FROM s""".stripMargin,
+
+    // the bloom is a pure pruning device — the oracle is the plain
+    // semi-join aggregate
+    "q73_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // only integer ranks cross into the fusion, so this needs rank
+    // agreement (q60's bit-exact rational BM25, q22's bit-exact cosine)
+    // plus the order-pinned two-term 1/(60+r) sum mirrored exactly
+    "q74_hybrid_search" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  CAST(SUM(len(w)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM tok),
+        |t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM tok),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM t
+        |  WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, term),
+        |dfs AS (SELECT
+        |    MAX(CASE WHEN term = 'join' THEN df END) AS df0,
+        |    MAX(CASE WHEN term = 'hash' THEN df END) AS df1,
+        |    MAX(CASE WHEN term = 'scan' THEN df END) AS df2
+        |  FROM (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)),
+        |p AS (SELECT doc_id, MAX(dl) AS dl,
+        |    MAX(CASE WHEN term = 'join' THEN tf END) AS tf0,
+        |    MAX(CASE WHEN term = 'hash' THEN tf END) AS tf1,
+        |    MAX(CASE WHEN term = 'scan' THEN tf END) AS tf2
+        |  FROM tf GROUP BY doc_id),
+        |lexscore AS (SELECT doc_id,
+        |  (CASE WHEN tf0 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE
+        |    ((n_docs - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)))
+        |    * ((CAST(tf0 AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |      / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |          * (CAST(dl AS DOUBLE) / avgdl)))) END
+        |  + CASE WHEN tf1 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE
+        |    ((n_docs - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)))
+        |    * ((CAST(tf1 AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |      / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |          * (CAST(dl AS DOUBLE) / avgdl)))) END
+        |  + CASE WHEN tf2 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE
+        |    ((n_docs - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)))
+        |    * ((CAST(tf2 AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |      / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |          * (CAST(dl AS DOUBLE) / avgdl)))) END) AS score
+        |  FROM p, dfs, stats),
+        |lextop AS (SELECT doc_id, rnk FROM (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        |  FROM lexscore) WHERE rnk <= 50),
+        |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |qv AS (SELECT embedding AS q FROM e WHERE vec_id = 0),
+        |cosines AS (SELECT e.vec_id AS doc_id,
+        |  list_sum(list_transform(list_zip(qv.q, e.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(qv.q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM e, qv WHERE e.vec_id <> 0),
+        |vectop AS (SELECT doc_id, rnk FROM (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS rnk
+        |  FROM cosines) WHERE rnk <= 50),
+        |j AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.rnk AS r0, v.rnk AS r1
+        |  FROM lextop l FULL OUTER JOIN vectop v ON l.doc_id = v.doc_id),
+        |f AS (SELECT doc_id,
+        |  (CASE WHEN r0 IS NULL THEN CAST(0.0 AS DOUBLE)
+        |        ELSE CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(r0 AS DOUBLE)) END
+        |   + CASE WHEN r1 IS NULL THEN CAST(0.0 AS DOUBLE)
+        |        ELSE CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(r1 AS DOUBLE)) END)
+        |    AS rrf_score,
+        |  CAST(CASE WHEN r0 IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN r1 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_lists
+        | FROM j)
+        |SELECT doc_id, n_lists, rrf_score,
+        |  ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+        |FROM f""".stripMargin,
 
     "q68_percentiles" ->
       """SELECT source,

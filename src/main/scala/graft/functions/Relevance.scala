@@ -120,4 +120,39 @@ object Relevance {
 
     joined.select(col(idCol), nMatched.as("n_matched"), score.as("score"))
   }
+
+  /** Reciprocal-rank fusion of N top-k rankings (the standard hybrid
+    * lexical+vector search combiner): each list contributes
+    * `1/(k + rank)` for the ids it contains, 0 for the ones it misses;
+    * lists are summed in argument order (fixed — the two-or-three-term
+    * double sum is order-pinned, so the score is bit-reproducible and
+    * engine-comparable, unlike an aggregated SUM).
+    *
+    * Inputs are (idCol, rankCol) frames — TOP-K LISTS, i.e. bounded
+    * (≤ Σkᵢ rows reach the fusion), which is why the final global
+    * `fused_rank` window over one partition is safe; never feed a
+    * whole-corpus ranking through this.
+    */
+  def rrf(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrf needs at least one ranking")
+    val renamed = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"__r_$i"))
+    }
+    val joined = renamed.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val terms = rankings.indices.map { i =>
+      when(col(s"__r_$i").isNull, lit(0.0))
+        .otherwise(lit(1.0) / (lit(k.toDouble) + col(s"__r_$i").cast("double")))
+    }
+    val nLists = rankings.indices
+      .map(i => when(col(s"__r_$i").isNull, lit(0L)).otherwise(lit(1L)))
+      .reduceLeft[Column](_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    joined
+      .withColumn("rrf_score", terms.reduceLeft[Column](_ + _))
+      .withColumn("n_lists", nLists)
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("n_lists"), col("rrf_score"), col("fused_rank"))
+  }
 }

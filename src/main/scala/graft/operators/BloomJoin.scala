@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftBloom
+
+/** Bloom-pruned semi join — the manual form of Spark's runtime row-level
+  * filtering, for when the dim side is the result of computation AQE
+  * cannot see through (or the join spans two jobs, e.g. a persisted key
+  * set probed by a later pipeline stage).
+  *
+  * Shape: the dim's join keys aggregate into ONE bloom filter (driver
+  * collects `numBits/8` bytes — ~1.2 MB for 1M keys at 1% fpp, bounded
+  * and independent of the fact size), which ships back as a foldable
+  * BINARY literal inside a scan-level filter on the fact. False
+  * positives are then removed by the exact semi join — the bloom never
+  * changes the answer, only how many fact rows reach the shuffle.
+  *
+  * At 100 TB this is the difference between shuffling the whole fact
+  * table and shuffling the ~selectivity fraction that can possibly
+  * match: the probe is a codegen'd hash + bit test evaluated before the
+  * exchange (spec-proven below the join in the plan).
+  */
+object BloomJoin {
+
+  /** Optimal bloom sizing for `n` items at false-positive rate `fpp`:
+    * bits = -n·ln(fpp)/ln(2)², the standard formula.
+    */
+  def optimalNumBits(expectedItems: Long, fpp: Double): Long = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+  }
+
+  /** Fact rows whose `factKey` appears in `dim.dimKey` (exact left-semi
+    * semantics), with the bloom prefilter cutting the fact-side shuffle.
+    *
+    * @param expectedItems approximate count of DISTINCT dim keys (sizing
+    *                      only — correctness never depends on it)
+    */
+  def semiJoinPruned(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val numBits = optimalNumBits(expectedItems, fpp)
+    val bloom = dim
+      .agg(GraftBloom.bloomAgg(xxhash64(col(dimKey)), expectedItems, numBits)
+        .as("__bloom"))
+      .head.getAs[Array[Byte]](0)
+    // empty dim: the aggregate yields NULL — the exact join below returns
+    // the correct empty result, so skip the (null) prefilter entirely
+    val pruned =
+      if (bloom == null) fact
+      else fact.filter(GraftBloom.mightContain(bloom, xxhash64(col(factKey))))
+    val keys = dim.select(col(dimKey)).distinct()
+    pruned.join(keys, pruned(factKey) === keys(dimKey), "left_semi")
+  }
+}

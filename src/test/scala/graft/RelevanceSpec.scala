@@ -88,4 +88,25 @@ class RelevanceSpec extends AnyFunSuite {
     val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
     assert(shuffles <= 2, s"unexpected extra shuffle ($shuffles):\n$p")
   }
+
+  test("rrf: hand-computed fusion, missing ids contribute zero, ties pinned by id") {
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rnk")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rnk")
+    val out = Relevance.rrf(Seq(a, b), "doc_id", "rnk", k = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._4)
+    // scores: id2 = 1/62 + 1/61 (in both lists), id1 = 1/61, id4 = 1/62, id3 = 1/63
+    assert(out.map(_._1) === Array(2L, 1L, 4L, 3L))
+    assert(out.map(_._2) === Array(2L, 1L, 1L, 1L))
+    val eps = 1e-15
+    assert(math.abs(out(0)._3 - (1.0 / 62 + 1.0 / 61)) < eps)
+    assert(math.abs(out(1)._3 - 1.0 / 61) < eps)
+    // exact same-score tie between two single-list ids at the same rank
+    // breaks on the id
+    val c = Seq((9L, 1L)).toDF("doc_id", "rnk")
+    val d = Seq((5L, 1L)).toDF("doc_id", "rnk")
+    val tied = Relevance.rrf(Seq(c, d), "doc_id", "rnk")
+      .orderBy("fused_rank").select("doc_id").as[Long].collect()
+    assert(tied === Array(5L, 9L))
+  }
 }
