@@ -870,6 +870,27 @@ object SparkEntry {
       graft.functions.Relevance.rrf(Seq(lexTop, vecTop), "doc_id", "rnk", k = 60)
     }),
 
+    // Distributed BPE merge induction (rows-only: iterative, not
+    // SQL-expressible; BpeSpec proves exact agreement with a single-node
+    // Sennrich reference incl. tie-breaks). The corpus is scanned once
+    // for the word-frequency dictionary; 16 merge rounds then run over
+    // the dictionary alone.
+    "q75_bpe_merges" -> ((s, dir) => {
+      graft.functions.Bpe.learnMerges(Tables.documents(s, dir), "text", 16)
+    }),
+
+    // BPE compression stats under a fixed merge table: pieces are
+    // computed once per DISTINCT word (chained codegen'd pairMerge
+    // kernels) and broadcast back; corpus side is explode + rollup.
+    // Rows-only (greedy merge replay is not SQL-expressible);
+    // spec-verified against the reference tokenizer.
+    "q76_bpe_compression" -> ((s, dir) => {
+      graft.functions.Bpe.compressionStats(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq(("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+          ("an", "d"), ("o", "r"), ("e", "s"), ("s", "t"), ("o", "n")))
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both

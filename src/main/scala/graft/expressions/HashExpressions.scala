@@ -29,6 +29,10 @@ object HashExpressions {
   def ngramHashes(toksh: Column, n: Int): Column =
     GraftExpressions.ngramHashes(toksh, n)
 
+  /** One greedy left-to-right BPE merge step over a symbol array. */
+  def pairMerge(syms: Column, mergeLeft: String, mergeRight: String): Column =
+    GraftExpressions.pairMerge(syms, mergeLeft, mergeRight)
+
   /** Dot product of two float/double arrays (native kernel). */
   def vecDot(a: Column, b: Column): Column = GraftExpressions.vecDot(a, b)
 

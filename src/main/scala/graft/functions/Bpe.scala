@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.HashExpressions
+
+/** Distributed byte-pair-encoding merge induction — the tokenizer-TRAINING
+  * algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare
+  * Words with Subword Units"), the step [[graft.pipeline.CorpusPipeline
+  * .vocabulary]] stops short of: vocabulary ranks whole tokens; BPE learns
+  * the subword units a real tokenizer ships.
+  *
+  * Scale shape — the whole point of doing this in Spark:
+  *   - the corpus is touched ONCE, to build the word-frequency dictionary
+  *     (the classic BPE trick: identical words share one symbol sequence
+  *     weighted by frequency). At 100 TB the dictionary is the DISTINCT
+  *     vocabulary — orders of magnitude smaller, and the only thing the
+  *     iterations ever see;
+  *   - each merge round is one small aggregation over the dictionary
+  *     (explode adjacent pairs → sum weights → TakeOrdered 1) plus a
+  *     map-only rewrite with the codegen'd [[graft.expressions
+  *     .HashExpressions.pairMerge]] kernel — no corpus rescan, ever;
+  *   - the winning pair is a 1-row driver collect (bounded by
+  *     construction); the dictionary localCheckpoints each round so
+  *     lineage stays flat across iterations.
+  *
+  * Determinism: pair counts are exact integers; ties break
+  * lexicographically on (left, right), so the learned merge table is
+  * identical across runs, partitionings, and engines. Pair counting
+  * follows Sennrich: every adjacent position counts ("aaa" contributes
+  * (a,a) twice), while application is greedy left-to-right
+  * non-overlapping ("aaa" → ["aa","a"]).
+  */
+object Bpe {
+
+  /** Learn up to `numMerges` merges from the corpus; returns
+    * `(rank, merge_left, merge_right, pair_count)` ordered by rank.
+    * Stops early if no adjacent pair remains.
+    *
+    * Hybrid execution (the [[graft.dedup.Components]] pattern): when the
+    * dictionary holds at most `driverMaxWords` distinct words it collects
+    * once and the merge loop runs on the driver — bit-identical results
+    * (BpeSpec proves both paths against the same reference), none of the
+    * per-round job overhead. Above the threshold every round stays
+    * distributed: one small dictionary aggregation + a 1-row collect +
+    * a map-only rewrite, with localCheckpoint keeping lineage flat.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      driverMaxWords: Long = 1L << 17): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // the one corpus pass: word-frequency dictionary, words as char arrays
+    var dict = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .localCheckpoint()
+
+    val merges =
+      if (dict.count() <= driverMaxWords) {
+        // bounded driver path: one collect, the loop is pure Scala
+        learnOnDriver(
+          dict.as[(Seq[String], Long)].collect().map {
+            case (s, f) => (s.toVector, f) }.toSeq,
+          numMerges)
+      } else {
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+        var rank = 1
+        var exhausted = false
+        while (rank <= numMerges && !exhausted) {
+          val top = dict
+            .filter(size(col("syms")) >= 2)
+            .select(col("freq"), explode(arrays_zip(
+              slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+              slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("freq")).as("cnt"))
+            .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            acc += ((rank.toLong, l, r, c))
+            dict = dict
+              .select(HashExpressions.pairMerge(col("syms"), l, r).as("syms"), col("freq"))
+              .localCheckpoint()
+            rank += 1
+          }
+        }
+        acc.toSeq
+      }
+    merges.toDF("rank", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** The merge loop on a driver-local dictionary — the exact algorithm
+    * the distributed rounds implement (every adjacent position counts;
+    * ties lexicographic; greedy left-to-right application).
+    */
+  private def learnOnDriver(words: Seq[(Vector[String], Long)],
+      numMerges: Int): Seq[(Long, String, String, Long)] = {
+    def mergeOne(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var dict = words
+    val acc = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- dict; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        acc += ((rank.toLong, l, r, c))
+        dict = dict.map { case (s, f) => (mergeOne(s, l, r), f) }
+        rank += 1
+      }
+    }
+    acc.result()
+  }
+
+  /** Tokenize a word column into BPE pieces by replaying `merges` in rank
+    * order — a chain of codegen'd pairMerge kernels over the char split,
+    * map-only. Apply to the DISTINCT-word dictionary and broadcast-join
+    * back to the corpus (the scalable shape); never per-occurrence.
+    */
+  def pieces(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(word, "")) { case (acc, (l, r)) =>
+      HashExpressions.pairMerge(acc, l, r)
+    }
+
+  /** Per-doc BPE compression stats under a learned merge table:
+    * `(idCol, n_tokens, n_pieces)` — pieces are computed once per
+    * DISTINCT word and broadcast back, so the corpus-side plan is
+    * explode + broadcast-join + rollup regardless of merge count.
+    */
+  def compressionStats(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .select(col("w"), size(pieces(col("w"), merges)).cast("long").as("__np"))
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(words), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__np")).as("n_pieces"))
+  }
+}

@@ -43,6 +43,11 @@ object GraftExpressions {
   def docFingerprint(text: Column, window: Int): Column =
     ExpressionUtils.column(DocFingerprint(ExpressionUtils.expression(text), window))
 
+  /** One greedy left-to-right BPE merge step over a symbol array. */
+  def pairMerge(syms: Column, mergeLeft: String, mergeRight: String): Column =
+    ExpressionUtils.column(
+      PairMerge(ExpressionUtils.expression(syms), mergeLeft, mergeRight))
+
   /** Full k-function MinHash signature of a shingle-hash array in ONE
     * tight loop: `sig[j] = min over shingles s of (pmod(s,P)*a[j]+b[j]) % P`.
     * Semantically identical to the declarative
@@ -260,6 +265,35 @@ object GraftExpressions {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  /** Greedy left-to-right application of ONE BPE merge: every
+    * non-overlapping (left,right) adjacency concatenates. "aaa" under
+    * (a,a) → ["aa","a"]; "aaaa" → ["aa","aa"] (the scan resumes AFTER
+    * the merged pair — the Sennrich convention). Null elements never
+    * match and pass through.
+    */
+  def computePairMerge(arr: ArrayData, left: UTF8String,
+      right: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var len = 0
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && !arr.isNullAt(i) && !arr.isNullAt(i + 1) &&
+          arr.getUTF8String(i).equals(left) &&
+          arr.getUTF8String(i + 1).equals(right)) {
+        out(len) = UTF8String.concat(left, right)
+        len += 1
+        i += 2
+      } else {
+        out(len) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        len += 1
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (len == n) out else out.take(len))
   }
 
   def computeFingerprint(s: UTF8String, window: Int): Long = {
@@ -484,5 +518,35 @@ case class DocFingerprint(child: Expression, window: Int)
       c => s"org.apache.spark.sql.graft.GraftExpressions.computeFingerprint($c, $window)")
 
   override protected def withNewChildInternal(newChild: Expression): DocFingerprint =
+    copy(child = newChild)
+}
+
+/** One BPE merge step over a symbol array (see
+  * GraftExpressions.computePairMerge). The pair is held as plain Strings
+  * for serialization and converted once per codegen/eval setup, not per
+  * row.
+  */
+case class PairMerge(child: Expression, mergeLeft: String, mergeRight: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "pair_merge"
+
+  @transient private lazy val leftU = UTF8String.fromString(mergeLeft)
+  @transient private lazy val rightU = UTF8String.fromString(mergeRight)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.computePairMerge(input.asInstanceOf[ArrayData], leftU, rightU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("pmLeft", UTF8String.fromString(mergeLeft),
+      "org.apache.spark.unsafe.types.UTF8String")
+    val rRef = ctx.addReferenceObj("pmRight", UTF8String.fromString(mergeRight),
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GraftExpressions.computePairMerge($c, $lRef, $rRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairMerge =
     copy(child = newChild)
 }
