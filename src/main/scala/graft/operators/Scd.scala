@@ -44,7 +44,7 @@ object Scd {
       s"updates must carry ${(keys ++ tracked).mkString(", ")}")
 
     val history = dim.filter(!col("is_current"))
-    val current = dim.filter(col("is_current"))
+    val current = dim.filter(col("is_current")).withColumn("__t_present", lit(true))
 
     val u = updates
       .select((keys ++ tracked).map(col): _*)
@@ -53,33 +53,44 @@ object Scd {
         tracked.map(c => col(c).as(s"__u_$c")) :+ col("__u_present"): _*)
 
     val joined = current.join(u, keys, "full_outer")
-    val matched = col("__u_present").isNotNull && col("valid_from").isNotNull
+    val tPresent = col("__t_present").isNotNull
+    val uPresent = col("__u_present").isNotNull
     // null-safe "any tracked column differs"
     val changed = tracked.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
 
     val dimCols = dim.columns.toSeq
+    def asStruct(fields: Seq[(String, Column)]): Column =
+      struct(fields.map { case (n, c) => c.as(n) }: _*)
+    val oldFields = dimCols.map(c => c -> col(c))
+    val closedS = asStruct(dimCols.map {
+      case "valid_to"   => "valid_to" -> effTs.cast("timestamp")
+      case "is_current" => "is_current" -> lit(false)
+      case c            => c -> col(c)
+    })
+    val openedS = asStruct(dimCols.map {
+      case "valid_from" => "valid_from" -> effTs.cast("timestamp")
+      case "valid_to"   => "valid_to" -> lit(null).cast("timestamp")
+      case "is_current" => "is_current" -> lit(true)
+      case c if tracked.contains(c) => c -> col(s"__u_$c")
+      case c            => c -> col(c) // key columns (coalesced by the join)
+    })
 
-    // old version closes when its tracked values were superseded
-    val closed = joined.filter(matched && changed)
-      .withColumn("valid_to", effTs)
-      .withColumn("is_current", lit(false))
-      .select(dimCols.map(col): _*)
+    // Each joined row emits 1-2 output rows through ONE explode — never a
+    // union of filtered copies of the join, which Catalyst would rewrite
+    // into three separate joins, each rescanning both sides (observed;
+    // PlansSpec pins the single-join shape).
+    val emitted = joined
+      .select(explode(array(
+        // superseded current version closes at effTs
+        when(tPresent && uPresent && changed, closedS),
+        // unchanged-current and no-update-current pass through as-is
+        when(tPresent && !(uPresent && changed), asStruct(oldFields)),
+        // superseding values and brand-new keys open at effTs
+        when(uPresent && (!tPresent || changed), openedS))).as("__row"))
+      .filter(col("__row").isNotNull)
+      .select(dimCols.map(c => col(s"__row.$c").as(c)): _*)
 
-    // unchanged-current + no-update-current pass through as-is
-    val carried = joined.filter(col("valid_from").isNotNull && !(matched && changed))
-      .select(dimCols.map(col): _*)
-
-    // new open versions: superseding values and brand-new keys
-    val opened = joined.filter(col("__u_present").isNotNull &&
-        (col("valid_from").isNull || changed))
-      .withColumn("valid_from", effTs)
-      .withColumn("valid_to", lit(null).cast("timestamp"))
-      .withColumn("is_current", lit(true))
-      .select(keys.map(col) ++ tracked.map(c => col(s"__u_$c").as(c)) ++
-        meta.map(col): _*)
-      .select(dimCols.map(col): _*)
-
-    history.unionByName(closed).unionByName(carried).unionByName(opened)
+    history.unionByName(emitted)
   }
 
   /** Point-in-time lookup against a Type 2 dim: the version whose

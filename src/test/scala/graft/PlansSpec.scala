@@ -132,4 +132,40 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the K-token vocab must broadcast:\n$p")
   }
+
+  test("q70 SCD2 applies the batch in ONE join (explode fan-out, no join cloning)") {
+    val p = plan("q70_scd2")
+    assert("Join".r.findAllIn(p).size == 1,
+      s"Type 2 apply must be a single full-outer join — a union of filtered " +
+        s"join copies gets rewritten into one join per branch:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the 1-to-2 row fan-out must be a single explode pass:\n$p")
+  }
+
+  test("q71 snapshot CDC is one full-outer join on the key") {
+    val p = plan("q71_snapshot_cdc")
+    assert("Join".r.findAllIn(p).size == 1,
+      s"snapshot diff must be a single full-outer join:\n$p")
+  }
+
+  test("q72 chunking is a pure narrow map — zero exchanges") {
+    val p = plan("q72_chunking")
+    assert(!p.contains("Exchange"),
+      s"token chunking must not shuffle:\n$p")
+  }
+
+  test("q73 bloom probe filters the fact below the join") {
+    val p = plan("q73_bloom_join")
+    val lines = p.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe must evaluate on the scan side, below the join:\n$p")
+  }
+
+  test("q76 BPE compression broadcasts the word-piece dictionary") {
+    val p = plan("q76_bpe_compression")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the distinct-word pieces dict must broadcast:\n$p")
+  }
 }
