@@ -167,6 +167,51 @@ object Sources {
       .parquet(dir)
   }
 
+  /** Z-order clustering write — the plain-parquet analog of Delta's
+    * OPTIMIZE ZORDER BY (reference: docs/runbook.md:55-58's maintenance
+    * step is Delta-bound; the LAYOUT idea is engine-neutral): co-locate
+    * rows that are close in BOTH clustering dimensions into the same
+    * files, so parquet min/max file statistics bound every dimension and
+    * a 2-D box predicate prunes most files. A linear sort bounds only
+    * its leading column — the trailing column spans its full range in
+    * every file (SourcesSpec measures exactly this difference).
+    *
+    * Mechanics (the Delta OSS recipe, Spark-first):
+    *   1. per-column range bucketing by approx-quantile boundaries
+    *      (driver holds `buckets-1` doubles per column — bounded; skew
+    *      cannot starve buckets the way min/max scaling would);
+    *   2. Morton interleave of the two bucket ids (codegen'd kernel);
+    *   3. `repartitionByRange` on the z-value into `targetFiles` files
+    *      (range, not hash: contiguous z-runs stay together) with an
+    *      in-partition z-sort for row-group-level stats.
+    *
+    * The z-value is a write-time ordering device only — it is dropped
+    * from the written schema, and layout never affects query answers.
+    */
+  def zorderWrite(df: DataFrame, dir: String, zCols: (String, String),
+      targetFiles: Int, buckets: Int = 256): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    require(buckets > 1 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.GraftExpressions
+    val bits = java.lang.Integer.numberOfTrailingZeros(buckets)
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    // one pass per column, driver-bounded result (buckets-1 doubles)
+    val Seq(bx, by) = Seq(zCols._1, zCols._2).map { c =>
+      df.stat.approxQuantile(c, probes, 0.001)
+    }
+    df
+      .withColumn("__z", GraftExpressions.interleaveBits(
+        GraftExpressions.rangeBucket(col(zCols._1).cast("double"), bx).cast("long"),
+        GraftExpressions.rangeBucket(col(zCols._2).cast("double"), by).cast("long"),
+        bits))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Object-store-safe "table exists and has files" probe — the one
     * definition behind the pipeline's existence checks.
     */

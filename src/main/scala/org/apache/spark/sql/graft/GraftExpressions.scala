@@ -48,6 +48,21 @@ object GraftExpressions {
     ExpressionUtils.column(
       PairMerge(ExpressionUtils.expression(syms), mergeLeft, mergeRight))
 
+  /** Bucket index of a double under sorted range boundaries (binary
+    * search; index of the first boundary > value, so values ≤ b(0) map
+    * to 0 and values > b(last) map to boundaries.length).
+    */
+  def rangeBucket(value: Column, boundaries: Array[Double]): Column =
+    ExpressionUtils.column(
+      RangeBucket(ExpressionUtils.expression(value), boundaries))
+
+  /** Morton/Z-value: interleave the low `bits` bits of two bucket ids
+    * (x in the even positions, y in the odd).
+    */
+  def interleaveBits(x: Column, y: Column, bits: Int): Column =
+    ExpressionUtils.column(InterleaveBits(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits))
+
   /** Full k-function MinHash signature of a shingle-hash array in ONE
     * tight loop: `sig[j] = min over shingles s of (pmod(s,P)*a[j]+b[j]) % P`.
     * Semantically identical to the declarative
@@ -294,6 +309,33 @@ object GraftExpressions {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       if (len == n) out else out.take(len))
+  }
+
+  /** Binary search: index of the first boundary strictly greater than
+    * `v` (boundaries sorted ascending). NaN sorts above everything →
+    * last bucket.
+    */
+  def computeRangeBucket(v: Double, boundaries: Array[Double]): Int = {
+    if (v.isNaN) return boundaries.length
+    var lo = 0
+    var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      // NaN boundary compares false → treated as +infinity
+      if (boundaries(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  def computeInterleave(x: Long, y: Long, bits: Int): Long = {
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      out |= ((x >>> i) & 1L) << (2 * i)
+      out |= ((y >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
   }
 
   def computeFingerprint(s: UTF8String, window: Int): Long = {
@@ -549,4 +591,45 @@ case class PairMerge(child: Expression, mergeLeft: String, mergeRight: String)
 
   override protected def withNewChildInternal(newChild: Expression): PairMerge =
     copy(child = newChild)
+}
+
+/** Bucket index under sorted range boundaries — the quantile-bucket step
+  * of z-order clustering (see graft.sources.Sources.zorderWrite).
+  */
+case class RangeBucket(child: Expression, boundaries: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "range_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.computeRangeBucket(input.asInstanceOf[Double], boundaries)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("rangeBuckets", boundaries, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GraftExpressions.computeRangeBucket($c, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RangeBucket =
+    copy(child = newChild)
+}
+
+/** Morton/Z-value bit interleave of two bucket ids. */
+case class InterleaveBits(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "interleave_bits"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExpressions.computeInterleave(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.GraftExpressions.computeInterleave($a, $b, $bits)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): InterleaveBits =
+    copy(left = l, right = r)
 }

@@ -157,4 +157,63 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.schema == schema)
     assert(df.count() == 2)
   }
+
+  test("zorder kernels: range bucket binary search and Morton interleave") {
+    import org.apache.spark.sql.graft.GraftExpressions
+    val b = Array(10.0, 20.0, 30.0)
+    val vals = Seq(5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0)
+    val got = vals.map(Tuple1(_)).toDF("v")
+      .select(GraftExpressions.rangeBucket(col("v"), b).as("b"))
+      .as[Int].collect().toSeq
+    assert(got === Seq(0, 0, 1, 1, 2, 2, 3), "first-boundary->=v bucketing")
+    val z = Seq((3L, 1L)).toDF("x", "y")
+      .select(GraftExpressions.interleaveBits(col("x"), col("y"), 2).as("z"))
+      .as[Long].head()
+    // x=0b11 -> bits 0,2 ; y=0b01 -> bit 1  =>  0b111 = 7
+    assert(z === 7L)
+  }
+
+  test("zorderWrite bounds BOTH dimensions per file; linear sort bounds only one") {
+    // deterministic pseudo-random 2-D scatter over [0,1000)^2
+    val df = spark.range(4096).select(
+      ((col("id") * 7919) % 1000).cast("double").as("x"),
+      ((col("id") * 104729) % 1000).cast("double").as("y"))
+    val zDir = tempDir() + "/z"
+    val linDir = tempDir() + "/lin"
+    Sources.zorderWrite(df, zDir, ("x", "y"), targetFiles = 8)
+    df.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(linDir)
+
+    def fileStats(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("minx"), max("x").as("maxx"),
+        min("y").as("miny"), max("y").as("maxy"))
+      .collect()
+
+    val zs = fileStats(zDir)
+    val ls = fileStats(linDir)
+    assert(zs.length == 8 && ls.length == 8)
+
+    def avgSpan(rows: Array[org.apache.spark.sql.Row], lo: Int, hi: Int) =
+      rows.map(r => r.getDouble(hi) - r.getDouble(lo)).sum / rows.length
+    // linear layout: x tightly bounded, y spans ~the full range everywhere
+    assert(avgSpan(ls, 1, 2) < 300, "linear sort should bound its own column")
+    assert(avgSpan(ls, 3, 4) > 900, "linear sort cannot bound the second column")
+    // z-order: BOTH dimensions bounded
+    assert(avgSpan(zs, 1, 2) < 700, "zorder must bound x")
+    assert(avgSpan(zs, 3, 4) < 700, "zorder must bound y")
+
+    // file-stats pruning for a y-only predicate (y < 100): every linear
+    // file overlaps; z-order skips most
+    def hit(rows: Array[org.apache.spark.sql.Row]) =
+      rows.count(r => r.getDouble(3) < 100.0)
+    assert(hit(ls) == 8, "every linearly-sorted file matches y<100")
+    assert(hit(zs) <= 4, s"zorder should prune most files for y<100, hit ${hit(zs)}")
+
+    // layout never changes the data
+    val back = spark.read.parquet(zDir)
+    assert(back.count() === 4096)
+    assert(back.agg(sum("x"), sum("y")).head ===
+      df.agg(sum("x"), sum("y")).head)
+  }
 }
