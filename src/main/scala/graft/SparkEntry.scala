@@ -891,6 +891,23 @@ object SparkEntry {
           ("an", "d"), ("o", "r"), ("e", "s"), ("s", "t"), ("o", "n")))
     }),
 
+    // Mergeable count-min frequency store: two snapshot halves sketch
+    // independently (what each ingest batch persists), the cell-wise-
+    // addition merge estimates corpus-wide token frequencies without
+    // rescanning history — the heavy-hitter companion to q69's HLL
+    // store. Rows-only (sketch bytes aren't SQL-expressible); spec
+    // proves merged == single-pass and one-sided error.
+    "q77_cms_store" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      val a = Aggregates.cmsBatch(toks.filter(crc32(col("token")) % 2 === 0),
+        "source", "token")
+      val b = Aggregates.cmsBatch(toks.filter(crc32(col("token")) % 2 === 1),
+        "source", "token")
+      Aggregates.cmsMergeEstimate(a.unionByName(b), "source",
+        Seq("join", "hash", "scan", "filter", "merge"))
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both

@@ -57,4 +57,44 @@ object Aggregates {
     sketches.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
         .as("approx_distinct"))
+
+  /** Mergeable FREQUENCY sketch store (count-min) — the heavy-hitter
+    * companion to the HLL cardinality store: each ingest batch
+    * aggregates one count-min sketch per group in a single pass
+    * ([[cmsBatch]], binary rows persisted); corpus-wide frequency
+    * estimates for any probe set then come from merging the stored
+    * sketches ([[cmsMergeEstimate]]) — history is never rescanned.
+    * Count-min merge is CELL-WISE ADDITION: associative, commutative,
+    * exact — merged-across-batches equals the single-pass sketch
+    * bit-for-bit (AggregatesSpec proves estimate equality), and
+    * estimates never undercount (one-sided error ≤ eps·N with prob.
+    * `confidence`).
+    */
+  def cmsBatch(df: DataFrame, groupCol: String, valueCol: String,
+      eps: Double = 0.0001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
+        lit(seed)).as("cms"))
+
+  /** Merge persisted count-min sketches per group (driver-side: one
+    * bounded blob per (group, batch) — the same bounded-collect posture
+    * as the IVF quantizer) and estimate counts for `probes`.
+    */
+  def cmsMergeEstimate(sketches: DataFrame, groupCol: String,
+      probes: Seq[String]): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val blobs = sketches.select(col(groupCol).cast("string"), col("cms"))
+      .as[(String, Array[Byte])].collect()
+    val merged = blobs.groupBy(_._1).toSeq.map { case (g, rows) =>
+      val sk = CountMinSketch.readFrom(rows.head._2)
+      rows.tail.foreach(r => sk.mergeInPlace(CountMinSketch.readFrom(r._2)))
+      (g, sk)
+    }
+    val out = for ((g, sk) <- merged; p <- probes)
+      yield (g, p, sk.estimateCount(p))
+    out.toDF(groupCol, "token", "est_count")
+  }
 }

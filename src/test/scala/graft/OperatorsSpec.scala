@@ -287,6 +287,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min store: merged snapshot sketches equal the single pass; never undercount") {
+    val docs = Tables.documents(spark, SparkTestSession.sfTiny)
+      .select(col("source"), explode(split(trim(col("text")), " ")).as("token"))
+    val probes = Seq("join", "hash", "scan", "zzz_absent")
+    def estimates(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = estimates(Aggregates.cmsMergeEstimate(
+      Aggregates.cmsBatch(docs, "source", "token"), "source", probes))
+    // two disjoint halves sketched independently, then merged — count-min
+    // merge is cell-wise addition, so this must be EXACT equality
+    val h = docs.withColumn("__h", abs(hash(col("token"))) % 2)
+    val a = Aggregates.cmsBatch(h.filter(col("__h") === 0), "source", "token")
+    val b = Aggregates.cmsBatch(h.filter(col("__h") === 1), "source", "token")
+    val merged = estimates(Aggregates.cmsMergeEstimate(a.unionByName(b), "source", probes))
+    assert(merged == full, "merged snapshot sketches diverged from single-pass")
+    // one-sided error: estimates never undercount, and at eps=1e-4 on
+    // this tiny corpus they are exact
+    val exact = docs.groupBy("source", "token").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (((g, p), est) <- full) {
+      val truth = exact.getOrElse((g, p), 0L)
+      assert(est >= truth, s"count-min undercounted ($g,$p): $est < $truth")
+      assert(est == truth, s"eps=1e-4 should be exact here: ($g,$p) $est vs $truth")
+    }
+  }
+
   test("Scd.applyType2: close-changed / insert-new / carry-unchanged / keep-history") {
     val ts0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
     val ts1 = java.sql.Timestamp.valueOf("2021-06-01 00:00:00")
