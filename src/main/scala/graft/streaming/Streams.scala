@@ -346,6 +346,71 @@ object Streams {
         .write.mode("append").partitionBy("batch_id").parquet(storeDir)
   }
 
+  /** Streaming SCD Type 2 maintenance — CDC stream in, versioned
+    * dimension out, completing the incremental state-machine family
+    * (signature store, cluster labels, and now the dim itself): each
+    * micro-batch of updates applies [[graft.operators.Scd.applyType2]]
+    * against the latest persisted snapshot and writes the NEW snapshot
+    * under its batch_id partition. The batch's effective timestamp is
+    * its max `tsCol` (one bounded agg); within a batch the newest row
+    * per key wins ([[graft.operators.Dedup.latestPerKey]] — applyType2's
+    * one-update-per-key contract).
+    *
+    * Snapshots are immutable once written and readers take the max
+    * committed batch_id ([[currentDim]]), so idempotency is the standard
+    * skip-committed-partition check, and a replayed batch recomputes
+    * from exactly the snapshot its crashed attempt read. Full
+    * snapshot-per-batch is right for dimension-sized tables (dims are
+    * small next to facts); at 100 TB retention-compact old snapshots or
+    * restate only touched partitions via `Sources.overwritePartitions`.
+    */
+  def scdIngest(stream: DataFrame, keys: Seq[String], tracked: Seq[String],
+      tsCol: String, dimDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processScdBatch(batch, batchId, keys, tracked, tsCol, dimDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private[graft] def processScdBatch(batch: DataFrame, batchId: Long,
+      keys: Seq[String], tracked: Seq[String], tsCol: String,
+      dimDir: String): Unit = {
+    import graft.sources.Sources
+    val spark = batch.sparkSession
+    if (Sources.dirNonEmpty(spark, s"$dimDir/batch_id=$batchId")) return
+    if (batch.isEmpty) return
+    val dim = currentDim(spark, dimDir).getOrElse(
+      batch.limit(0).select((keys ++ tracked).map(col): _*)
+        .withColumn("valid_from", lit(null).cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true)))
+    val updates = graft.operators.Dedup.latestPerKey(keys,
+        col(tsCol).desc +: tracked.map(col(_).asc))(batch)
+      .select((keys ++ tracked).map(col): _*)
+    val eff = batch.agg(max(col(tsCol))).head.getTimestamp(0)
+    graft.operators.Scd.applyType2(dim, updates, keys, tracked, lit(eff))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id").parquet(dimDir)
+  }
+
+  /** The latest committed dim snapshot under `dimDir`, or None before the
+    * first batch.
+    */
+  def currentDim(spark: SparkSession, dimDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dimDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val ids = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(s"$dimDir/batch_id=${ids.max}"))
+  }
+
   /** Continuous eval-set decontamination: docs of each micro-batch that
     * share n-grams with the STATIC benchmark table are dropped before the
     * batch lands. Stateless across batches (the benchmark set is fixed),

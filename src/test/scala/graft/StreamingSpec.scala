@@ -434,6 +434,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.event_id).toSet == (1L to 6L).toSet)
   }
 
+  test("scdIngest maintains a versioned dim across batches; replay and batch-twin agree") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scdingest")
+    val (src, dim, ckpt) = (s"$root/src", s"$root/dim", s"$root/ckpt")
+    // batch 1: two keys appear (1 has an in-batch older duplicate that
+    // latestPerKey must discard)
+    Seq((1L, "a0", "2024-01-01 00:00:00"), (1L, "a1", "2024-01-02 00:00:00"),
+      (2L, "b1", "2024-01-02 00:00:00"))
+      .toDF("k", "v", "ts").withColumn("ts", to_timestamp(col("ts")))
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Streams.scdIngest(Streams.fileIngest(spark, src, schema),
+      Seq("k"), Seq("v"), "ts", dim, ckpt)
+    val snap1 = Streams.currentDim(spark, dim).get
+      .select("k", "v", "is_current").as[(Long, String, Boolean)].collect().toSet
+    assert(snap1 === Set((1L, "a1", true), (2L, "b1", true)))
+
+    // batch 2: key 1 changes, key 2 redelivers unchanged, key 3 is new
+    Seq((1L, "a2", "2024-02-01 00:00:00"), (2L, "b1", "2024-02-01 00:00:00"),
+      (3L, "c1", "2024-02-01 00:00:00"))
+      .toDF("k", "v", "ts").withColumn("ts", to_timestamp(col("ts")))
+      .write.mode("append").parquet(src)
+    Streams.scdIngest(Streams.fileIngest(spark, src, schema),
+      Seq("k"), Seq("v"), "ts", dim, ckpt)
+    val snap2 = Streams.currentDim(spark, dim).get
+    val cur = snap2.filter(col("is_current"))
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(cur === Set((1L, "a2"), (2L, "b1"), (3L, "c1")))
+    val closed = snap2.filter(!col("is_current"))
+      .select("k", "v", "valid_to").collect()
+    assert(closed.length == 1 && closed(0).getLong(0) == 1L
+      && closed(0).getString(1) == "a1"
+      && closed(0).getTimestamp(2).toString.startsWith("2024-02-01"),
+      "exactly the superseded version closes at the batch's max ts")
+
+    // replaying a committed batch is a no-op (snapshot partition exists)
+    val batch2 = Seq((1L, "a9", "2024-03-01 00:00:00")).toDF("k", "v", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val before = snap2.count()
+    Streams.processScdBatch(batch2, batchId = 1L, Seq("k"), Seq("v"), "ts", dim)
+    assert(Streams.currentDim(spark, dim).get.count() === before,
+      "replay of a committed batch_id must not write")
+
+    // batch-twin agreement: applying both batches with the batch operator
+    // yields the same final dim (modulo row order)
+    val b1 = Seq((1L, "a1"), (2L, "b1")).toDF("k", "v")
+    val b2 = Seq((1L, "a2"), (2L, "b1"), (3L, "c1")).toDF("k", "v")
+    val seed = b1.limit(0)
+      .withColumn("valid_from", lit(null).cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val twin = graft.operators.Scd.applyType2(
+      graft.operators.Scd.applyType2(seed, b1, Seq("k"), Seq("v"),
+        to_timestamp(lit("2024-01-02 00:00:00"))),
+      b2, Seq("k"), Seq("v"), to_timestamp(lit("2024-02-01 00:00:00")))
+    val twinSet = twin.collect().map(_.toString).toSet
+    val streamSet = Streams.currentDim(spark, dim).get
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .collect().map(_.toString).toSet
+    assert(streamSet === twinSet, "streaming dim must equal the batch twin")
+  }
+
   test("file-source streaming reads the real events parquet") {
     // events.parquet carries TIMESTAMP(NANOS); read nanos as long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
