@@ -908,6 +908,32 @@ object SparkEntry {
         Seq("join", "hash", "scan", "filter", "merge"))
     }),
 
+    // SemDeDup: k-means neighborhoods, within-cluster cosine pruning —
+    // the embedding-space dedup of the curation stack. Input pinned to
+    // the fixed vec_id<2000 slice (q23 convention: constant work at
+    // every sf). Rows-only (iterative k-means); KnnSpec proves nlist=1
+    // ≡ brute oracle and that clustering never invents drops.
+    "q78_semantic_dedup" -> ((s, dir) => {
+      graft.similarity.Knn.semanticDedup(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+          .select("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.5, nlist = 16)
+        .select("vec_id", "cluster_id")
+    }),
+
+    // Embedding outlier gate: cosine-to-own-centroid below threshold.
+    // Same pinned slice; narrow scoring pass after bounded quantizer
+    // training. Rows-only; KnnSpec plants an off-manifold vector in a
+    // clustered fixture and proves the flag is exactly the predicate.
+    "q79_embedding_outliers" -> ((s, dir) => {
+      graft.similarity.Knn.embeddingOutliers(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+          .select("vec_id", "embedding"),
+        "vec_id", "embedding", minCentroidCosine = 0.16, nlist = 16)
+        .filter(col("is_outlier"))
+        .select("vec_id", "cluster_id", "centroid_cosine")
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both

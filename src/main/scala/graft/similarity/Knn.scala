@@ -49,20 +49,28 @@ object Knn {
     * shuffles are the Lloyd mean re-computation (bounded: nlist × dim
     * rows) and the final per-probe top-k.
     */
-  def ivf(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
-    // centroid argmax as a codegen'd expression over the broadcast
-    // quantizer — one transform loop over the centroid literal array
-    // (an unrolled cosine per centroid bloats codegen nlist-fold)
-    def best(vec: org.apache.spark.sql.Column, cents: Array[Array[Float]], n: Int) = {
-      val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-      val sims = transform(centsLit, c => VectorFunctions.cosine(vec, c))
-      // (sim, idx) structs sorted desc by sim, idx asc on ties → top-n ids
-      val ranked = sort_array(
-        transform(sims, (s, i) => struct((-s).as("neg"), i.as("idx"))))
-      slice(ranked, 1, n)
-    }
+  /** Centroid top-n as a codegen'd expression over the broadcast
+    * quantizer — one transform loop over the centroid literal array (an
+    * unrolled cosine per centroid bloats codegen nlist-fold). Returns
+    * (neg-sim, idx) structs; `("idx")` extracts the list id.
+    */
+  private[graft] def centroidTop(vec: Column, cents: Array[Array[Float]],
+      n: Int): Column = {
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val sims = transform(centsLit, c => VectorFunctions.cosine(vec, c))
+    // (sim, idx) structs sorted desc by sim, idx asc on ties → top-n ids
+    val ranked = sort_array(
+      transform(sims, (s, i) => struct((-s).as("neg"), i.as("idx"))))
+    slice(ranked, 1, n)
+  }
 
+  /** Deterministic hash-seeded k-means (the coarse quantizer shared by
+    * [[ivf]], [[semanticDedup]] and [[embeddingOutliers]]): smallest
+    * xxhash64(id) rows seed, `lloydIters` distributed refinement passes.
+    * Driver state is nlist × dim floats — bounded and broadcast back.
+    */
+  private[graft] def trainQuantizer(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, lloydIters: Int): Array[Array[Float]] = {
     // 1. deterministic seed centroids: smallest xxhash64(id) wins
     var centroids: Array[Array[Float]] = corpus
       .select(col(idCol), col(vecCol))
@@ -74,7 +82,7 @@ object Knn {
     // 2. Lloyd refinement: assign → per-cluster elementwise mean
     for (_ <- 0 until lloydIters) {
       val assigned = corpus
-        .withColumn("__c", element_at(best(col(vecCol), centroids, 1), 1)("idx"))
+        .withColumn("__c", element_at(centroidTop(col(vecCol), centroids, 1), 1)("idx"))
       val means = assigned
         .select(col("__c"), posexplode(col(vecCol)).as(Seq("__p", "__v")))
         .groupBy("__c", "__p").agg(avg("__v").as("m"))
@@ -87,6 +95,15 @@ object Knn {
         }
       }.toArray
     }
+    centroids
+  }
+
+  def ivf(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
+    def best(vec: Column, cents: Array[Array[Float]], n: Int) =
+      centroidTop(vec, cents, n)
+
+    val centroids = trainQuantizer(corpus, idCol, vecCol, nlist, lloydIters)
 
     // 3. inverted lists + probe routing to nprobe lists
     val indexed = corpus
@@ -301,5 +318,56 @@ object Knn {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — the embedding-space dedup used for LAION/D4
+    * corpus pruning): k-means partitions the corpus into `nlist`
+    * semantic neighborhoods, and ONLY within-cluster pairs are cosine-
+    * compared — near-dups live inside neighborhoods, so the all-pairs
+    * blowup is bounded by the largest cluster instead of the corpus
+    * (size nlist ~ sqrt(n) at scale and the per-cluster work stays
+    * flat). Pairs at `cosine >= threshold` drop the LARGER id (the
+    * pipeline-wide survivor convention); survivors return with their
+    * cluster id.
+    *
+    * `nlist = 1` degenerates to exact brute-force dedup (every pair
+    * compared) — KnnSpec uses exactly this as the oracle, and proves
+    * clustered runs only ever MISS cross-cluster pairs (survivor
+    * superset), never invent drops.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, lloydIters: Int = 1): DataFrame = {
+    val centroids = trainQuantizer(corpus, idCol, vecCol, nlist, lloydIters)
+    val assigned = corpus.withColumn("cluster_id",
+      element_at(centroidTop(col(vecCol), centroids, 1), 1)("idx"))
+    val l = assigned.select(col("cluster_id"), col(idCol).as("__id_a"),
+      col(vecCol).as("__v_a"))
+    val r = assigned.select(col("cluster_id"), col(idCol).as("__id_b"),
+      col(vecCol).as("__v_b"))
+    val losers = l.join(r, Seq("cluster_id"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(VectorFunctions.cosine(col("__v_a"), col("__v_b")) >= threshold)
+      .select(col("__id_b").as(idCol)).distinct()
+    assigned.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Centroid-distance outliers — the embedding-space quality gate
+    * (off-manifold junk, mislabeled modalities, encoder failures sit far
+    * from every semantic neighborhood): assign each vector to its
+    * nearest k-means centroid and flag those whose cosine to their OWN
+    * centroid falls below `minCentroidCosine`. One narrow codegen'd map
+    * over the corpus after the bounded quantizer training — no shuffle
+    * at all on the scoring pass.
+    */
+  def embeddingOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+      minCentroidCosine: Double, nlist: Int = 16,
+      lloydIters: Int = 1): DataFrame = {
+    val centroids = trainQuantizer(corpus, idCol, vecCol, nlist, lloydIters)
+    val top = element_at(centroidTop(col(vecCol), centroids, 1), 1)
+    corpus
+      .withColumn("cluster_id", top("idx"))
+      .withColumn("centroid_cosine", -top("neg"))
+      .withColumn("is_outlier", col("centroid_cosine") < minCentroidCosine)
   }
 }

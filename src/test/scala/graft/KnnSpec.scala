@@ -154,6 +154,70 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"PQ recall regressed: $recall%.2f")
   }
 
+  test("semanticDedup with nlist=1 equals brute-force pair dedup; planted dup dropped") {
+    val embs = Tables.embeddings(spark, SparkTestSession.sfTiny)
+      .filter($"vec_id" < 300)
+    // brute oracle: loser = larger id of any pair with cosine >= t
+    val t = 0.35
+    val a = embs.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = embs.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val bruteLosers = a.crossJoin(b).filter($"ia" < $"ib")
+      .filter(VectorFunctions.cosine($"va", $"vb") >= t)
+      .select($"ib").distinct().as[Long].collect().toSet
+    val all = embs.select("vec_id").as[Long].collect().toSet
+    val flat = Knn.semanticDedup(embs, "vec_id", "embedding", t, nlist = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(flat === (all -- bruteLosers), "nlist=1 must equal the brute oracle")
+    // clustered: only cross-cluster pairs can be missed — survivors can
+    // only GROW, and never below the brute floor
+    val clustered = Knn.semanticDedup(embs, "vec_id", "embedding", t, nlist = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(flat.subsetOf(clustered), "clustering must never invent drops")
+    // identical vectors always share a cluster -> always deduped: plant an
+    // exact copy of vec 0 under a larger id
+    val v0 = embs.filter($"vec_id" === 0L).select($"embedding").as[Seq[Float]].head()
+    val planted = embs.select("vec_id", "embedding")
+      .unionByName(Seq((999999L, v0)).toDF("vec_id", "embedding"))
+    val sv = Knn.semanticDedup(planted, "vec_id", "embedding", 0.99, nlist = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!sv.contains(999999L), "an exact duplicate must be dropped")
+    assert(sv.contains(0L), "the smaller id survives")
+  }
+
+  test("embeddingOutliers flags a planted off-manifold vector in clustered data") {
+    // deterministic tight clusters: 3 axis-aligned centers + small
+    // hash-derived jitter on dims 3-6; the outlier is one-hot on dim 7,
+    // orthogonal to every center (the testdata embeddings are near-random
+    // — no vector can stand out there, so the detection fixture is
+    // synthetic; the real-table run below checks the contract instead)
+    val pts = for (i <- 0L until 180L) yield {
+      val c = (i % 3).toInt
+      val jitterDim = 3 + (i % 4).toInt
+      val jitter = 0.05f * ((i * 37 % 11).toFloat / 11f)
+      val v = Array.fill(8)(0.0f)
+      v(c) = 1.0f
+      v(jitterDim) = jitter
+      (i, v.toSeq)
+    }
+    val outlierVec = Seq.tabulate(8)(i => if (i == 7) 1.0f else 0.0f)
+    val df = (pts :+ ((888888L, outlierVec))).toDF("vec_id", "embedding")
+    val out = Knn.embeddingOutliers(df, "vec_id", "embedding",
+      minCentroidCosine = 0.5, nlist = 4, lloydIters = 3)
+    val flagged = out.filter($"is_outlier").select("vec_id").as[Long].collect().toSet
+    assert(flagged.contains(888888L), "planted off-manifold vector must be flagged")
+    assert(flagged.size <= 5, s"outlier gate should be selective, flagged ${flagged.size}")
+    assert(out.count() === 181, "scoring pass must keep every row")
+
+    // real-table contract: every row kept, flag ⇔ threshold comparison
+    val embs = Tables.embeddings(spark, SparkTestSession.sfTiny)
+      .filter($"vec_id" < 300)
+    val real = Knn.embeddingOutliers(embs, "vec_id", "embedding",
+      minCentroidCosine = 0.1, nlist = 8)
+    assert(real.count() === 300)
+    assert(real.filter($"is_outlier" =!= ($"centroid_cosine" < 0.1)).count() === 0,
+      "is_outlier must be exactly the threshold predicate")
+  }
+
   test("PQ with a codebook entry per corpus vector is exact") {
     // 16 corpus vectors, ksub = 16: every vector becomes its own
     // centroid in every block, decode is the identity, and the PQ
