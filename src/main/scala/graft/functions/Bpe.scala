@@ -96,9 +96,15 @@ object Bpe {
     merges.toDF("rank", "merge_left", "merge_right", "pair_count")
   }
 
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** The merge loop on a driver-local dictionary — the exact algorithm
     * the distributed rounds implement (every adjacent position counts;
-    * ties lexicographic; greedy left-to-right application).
+    * ties in UTF-8 binary order like Spark's orderBy; greedy
+    * left-to-right application).
     */
   private def learnOnDriver(words: Seq[(Vector[String], Long)],
       numMerges: Int): Seq[(Long, String, String, Long)] = {
@@ -123,7 +129,19 @@ object Bpe {
         counts((syms(i), syms(i + 1))) += f
       if (counts.isEmpty) exhausted = true
       else {
-        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        // ties break in UTF-8 BINARY order — what Spark's string orderBy
+        // compares — NOT Scala's UTF-16 code-unit order; the two disagree
+        // for non-BMP vs private-use-area symbols, and the driver path
+        // must pick the exact merge the distributed rounds would
+        val ((l, r), c) = counts.toSeq.reduceLeft { (x, y) =>
+          val cmp =
+            if (x._2 != y._2) java.lang.Long.compare(y._2, x._2)
+            else {
+              val lc = utf8Compare(x._1._1, y._1._1)
+              if (lc != 0) lc else utf8Compare(x._1._2, y._1._2)
+            }
+          if (cmp <= 0) x else y
+        }
         acc += ((rank.toLong, l, r, c))
         dict = dict.map { case (s, f) => (mergeOne(s, l, r), f) }
         rank += 1

@@ -41,7 +41,12 @@ object BloomJoin {
   def semiJoinPruned(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val numBits = optimalNumBits(expectedItems, fpp)
-    val bloom = dim
+    // materialize the distinct keys ONCE — the dim is typically the
+    // result of computation (that's the operator's reason to exist), and
+    // without the barrier its plan would run twice: once under the bloom
+    // aggregate's collect, again inside the returned join
+    val keys = dim.select(col(dimKey)).distinct().localCheckpoint()
+    val bloom = keys
       .agg(GraftBloom.bloomAgg(xxhash64(col(dimKey)), expectedItems, numBits)
         .as("__bloom"))
       .head.getAs[Array[Byte]](0)
@@ -50,7 +55,6 @@ object BloomJoin {
     val pruned =
       if (bloom == null) fact
       else fact.filter(GraftBloom.mightContain(bloom, xxhash64(col(factKey))))
-    val keys = dim.select(col(dimKey)).distinct()
     pruned.join(keys, pruned(factKey) === keys(dimKey), "left_semi")
   }
 }

@@ -100,19 +100,16 @@ object Knn {
 
   def ivf(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
-    def best(vec: Column, cents: Array[Array[Float]], n: Int) =
-      centroidTop(vec, cents, n)
-
     val centroids = trainQuantizer(corpus, idCol, vecCol, nlist, lloydIters)
 
     // 3. inverted lists + probe routing to nprobe lists
     val indexed = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("cluster_id", element_at(best(col("c_vec"), centroids, 1), 1)("idx"))
+      .withColumn("cluster_id", element_at(centroidTop(col("c_vec"), centroids, 1), 1)("idx"))
     val routed = probes
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cluster_id",
-        explode(transform(best(col("q_vec"), centroids, nprobe), s => s("idx"))))
+        explode(transform(centroidTop(col("q_vec"), centroids, nprobe), s => s("idx"))))
 
     // 4. exact cosine within the probed lists, per-probe top-k
     val scored = indexed.join(broadcast(routed), Seq("cluster_id"))

@@ -197,10 +197,10 @@ object Sources {
     import org.apache.spark.sql.graft.GraftExpressions
     val bits = java.lang.Integer.numberOfTrailingZeros(buckets)
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    // one pass per column, driver-bounded result (buckets-1 doubles)
-    val Seq(bx, by) = Seq(zCols._1, zCols._2).map { c =>
-      df.stat.approxQuantile(c, probes, 0.001)
-    }
+    // BOTH columns' boundaries from one scan (driver-bounded result:
+    // 2 × (buckets-1) doubles)
+    val Array(bx, by) =
+      df.stat.approxQuantile(Array(zCols._1, zCols._2), probes, 0.001)
     df
       .withColumn("__z", GraftExpressions.interleaveBits(
         GraftExpressions.rangeBucket(col(zCols._1).cast("double"), bx).cast("long"),

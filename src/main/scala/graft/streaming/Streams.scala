@@ -379,9 +379,11 @@ object Streams {
   private[graft] def processScdBatch(batch: DataFrame, batchId: Long,
       keys: Seq[String], tracked: Seq[String], tsCol: String,
       dimDir: String): Unit = {
-    import graft.sources.Sources
     val spark = batch.sparkSession
-    if (Sources.dirNonEmpty(spark, s"$dimDir/batch_id=$batchId")) return
+    // committed = the partition holds DATA FILES; crashed-write debris
+    // (empty dir / _temporary only) must be recomputed, not skipped —
+    // appending into a debris dir repairs it
+    if (committedBatchIds(spark, dimDir).contains(batchId)) return
     if (batch.isEmpty) return
     val dim = currentDim(spark, dimDir).getOrElse(
       batch.limit(0).select((keys ++ tracked).map(col): _*)
@@ -397,16 +399,29 @@ object Streams {
       .write.mode("append").partitionBy("batch_id").parquet(dimDir)
   }
 
+  /** batch_id partitions that hold at least one DATA file. Unlike the
+    * whole-table reads over the append-only stores (which tolerate an
+    * empty debris dir among committed ones), the SCD snapshot reader
+    * targets ONE partition — promoting a crashed write's empty or
+    * file-less `batch_id=` dir to "latest" would either fail the parquet
+    * read or resurrect a partial snapshot as truth.
+    */
+  private def committedBatchIds(spark: SparkSession, dir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Set.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .filter(s => fs.listStatus(s.getPath).exists(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+  }
+
   /** The latest committed dim snapshot under `dimDir`, or None before the
     * first batch.
     */
   def currentDim(spark: SparkSession, dimDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(dimDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val ids = fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    val ids = committedBatchIds(spark, dimDir)
     if (ids.isEmpty) None
     else Some(spark.read.parquet(s"$dimDir/batch_id=${ids.max}"))
   }

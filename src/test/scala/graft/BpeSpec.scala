@@ -116,6 +116,21 @@ class BpeSpec extends AnyFunSuite {
     assert(run(0) === run(Long.MaxValue))
   }
 
+  test("driver path breaks ties in UTF-8 binary order like Spark, not UTF-16") {
+    // (U+E000, x) ties (U+1F600, x) on count. Code points: E000 < 1F600
+    // (UTF-8 binary order, what Spark's orderBy compares), but in UTF-16
+    // code units the emoji's lead surrogate D83D < E000 — a naive Scala
+    // string minBy would pick the opposite winner on the driver path
+    val pua = "\uE000"
+    val emoji = new String(Character.toChars(0x1F600))
+    val docs = Seq((1L, s"${pua}x ${emoji}x")).toDF("doc_id", "text")
+    def first(threshold: Long) =
+      Bpe.learnMerges(docs, "text", 1, driverMaxWords = threshold)
+        .select("merge_left").as[String].head()
+    assert(first(Long.MaxValue) === pua, "driver path must pick the UTF-8-smaller pair")
+    assert(first(0) === first(Long.MaxValue), "paths must agree on the tie")
+  }
+
   test("learnMerges stops early when no pairs remain") {
     val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
     // single-char words: one merge of... none — no word has 2+ symbols

@@ -493,6 +493,22 @@ class StreamingSpec extends AnyFunSuite {
       .select("k", "v", "valid_from", "valid_to", "is_current")
       .collect().map(_.toString).toSet
     assert(streamSet === twinSet, "streaming dim must equal the batch twin")
+
+    // crashed-write debris: an empty batch_id dir (and one holding only a
+    // _temporary marker) must NOT be promoted to "latest snapshot" — and a
+    // replay of that batch id must recompute and repair it
+    val debris = new java.io.File(s"$dim/batch_id=99"); debris.mkdirs()
+    new java.io.File(debris, "_temporary").createNewFile()
+    val latest = Streams.currentDim(spark, dim).get
+      .filter(col("is_current")).select("k", "v").as[(Long, String)].collect().toSet
+    assert(latest === cur, "debris partition must not become the current snapshot")
+    val repair = Seq((1L, "a3", "2024-03-01 00:00:00")).toDF("k", "v", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    Streams.processScdBatch(repair, batchId = 99L, Seq("k"), Seq("v"), "ts", dim)
+    assert(Streams.currentDim(spark, dim).get
+      .filter(col("is_current") && col("k") === 1L)
+      .select("v").as[String].head() === "a3",
+      "a replayed batch must repair its debris partition")
   }
 
   test("file-source streaming reads the real events parquet") {
