@@ -934,6 +934,28 @@ object SparkEntry {
         .select("vec_id", "cluster_id", "centroid_cosine")
     }),
 
+    // SCD2 × as-of composition: facts resolve the dim version in effect
+    // at their ship date. Version intervals are contiguous (valid_to =
+    // successor's valid_from), so "the version at t" IS the backward
+    // as-of match on valid_from — the join-free union+window AsOf
+    // operator, no interval explosion on the open-ended current rows.
+    // Facts pinned to the multi-version keys (%7=0) keep the output
+    // meaningful: every key has a 2020 and a 2021 version.
+    "q80_scd2_asof" -> ((s, dir) => {
+      val dim = queries("q70_scd2")(s, dir)
+        .select("p_partkey", "p_retailprice", "valid_from")
+      val facts = Tables.lineitem(s, dir)
+        .filter(col("l_partkey") % 7 === 0)
+        .select(col("l_partkey").as("p_partkey"),
+          col("l_shipdate"), col("l_returnflag"))
+      AsOf.asOfJoin(facts, dim, Seq("p_partkey"),
+          "l_shipdate", "valid_from", Seq("p_retailprice"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("asof_p_retailprice")).as("n_matched"),
+          decSum("asof_p_retailprice").as("sum_price"))
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both
@@ -1812,6 +1834,34 @@ object SparkEntry {
         |SELECT doc_id, n_lists, rrf_score,
         |  ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
         |FROM f""".stripMargin,
+
+    // the dim CTE replays q70's Type 2 outcome; DuckDB's native ASOF
+    // LEFT JOIN picks the greatest valid_from <= l_shipdate per fact —
+    // the same version the contiguous-interval semantics define
+    "q80_scd2_asof" ->
+      """WITH p AS (SELECT p_partkey, p_retailprice FROM part),
+        |dim AS (
+        |  SELECT p_partkey, p_retailprice,
+        |    TIMESTAMP '2020-01-01' AS valid_from
+        |  FROM p WHERE p_partkey % 7 = 0
+        |  UNION ALL
+        |  SELECT p_partkey, p_retailprice, TIMESTAMP '2020-01-01'
+        |  FROM p WHERE p_partkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT p_partkey, p_retailprice + 10.0, TIMESTAMP '2021-06-01'
+        |  FROM p WHERE p_partkey % 7 = 0
+        |  UNION ALL
+        |  SELECT p_partkey + 10000000, p_retailprice * 2.0, TIMESTAMP '2021-06-01'
+        |  FROM p WHERE p_partkey % 7 = 2),
+        |f AS (SELECT l_partkey AS p_partkey, l_shipdate, l_returnflag
+        |      FROM lineitem WHERE l_partkey % 7 = 0)
+        |SELECT l_returnflag, COUNT(*) AS cnt,
+        |  COUNT(dim.p_retailprice) AS n_matched,
+        |  CAST(SUM(CAST(dim.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM f ASOF LEFT JOIN dim
+        |  ON f.p_partkey = dim.p_partkey AND f.l_shipdate >= dim.valid_from
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q68_percentiles" ->
       """SELECT source,
