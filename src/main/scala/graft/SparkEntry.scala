@@ -956,6 +956,26 @@ object SparkEntry {
           decSum("asof_p_retailprice").as("sum_price"))
     }),
 
+    // Z-order write round-trip under the oracle gate: lineitem clusters
+    // on (l_partkey, l_extendedprice), reads back through a 2-D box
+    // predicate, and must aggregate exactly like the original table —
+    // layout NEVER changes answers (SourcesSpec separately proves the
+    // layout actually bounds both dimensions per file). Same per-JVM
+    // tmp + overwrite convention as q36.
+    "q81_zorder_roundtrip" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q81_$jvmId"
+      graft.sources.Sources.zorderWrite(
+        Tables.lineitem(s, dir)
+          .select("l_partkey", "l_extendedprice", "l_returnflag", "l_quantity"),
+        tmp, ("l_partkey", "l_extendedprice"), targetFiles = 8)
+      s.read.parquet(tmp)
+        .filter(col("l_partkey") < 5000 && col("l_extendedprice") < 30000.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          decSum("l_extendedprice").as("sum_price"))
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both
@@ -1861,6 +1881,17 @@ object SparkEntry {
         |    AS sum_price
         |FROM f ASOF LEFT JOIN dim
         |  ON f.p_partkey = dim.p_partkey AND f.l_shipdate >= dim.valid_from
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // layout round-trip: the oracle is the SAME filter + aggregate over
+    // the original table — z-order must be answer-preserving
+    "q81_zorder_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey < 5000 AND l_extendedprice < 30000.0
         |GROUP BY l_returnflag""".stripMargin,
 
     "q68_percentiles" ->
