@@ -976,6 +976,24 @@ object SparkEntry {
           decSum("l_extendedprice").as("sum_price"))
     }),
 
+    // Bigram LM training (the CCNet quality-scoring model): two grouped
+    // counts + a distinct-count, one corpus pass; add-k probabilities
+    // are one IEEE division of exact integer terms — bit-reproducible,
+    // so the TRAINED TABLE is oracle-gated.
+    "q82_lm_train" -> ((s, dir) => {
+      graft.functions.LanguageModel.trainBigrams(
+        Tables.documents(s, dir), "text", k = 0.5)
+    }),
+
+    // Per-doc LM fluency under the self-trained model (avg negative
+    // log-prob; natural-log sums are JVM floating point → rows-only;
+    // LanguageModelSpec pins the backoff arithmetic exactly).
+    "q83_lm_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.LanguageModel.scoreDocs(docs, "doc_id", "text",
+        graft.functions.LanguageModel.trainBigrams(docs, "text", k = 0.5))
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both
@@ -1893,6 +1911,22 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey < 5000 AND l_extendedprice < 30000.0
         |GROUP BY l_returnflag""".stripMargin,
+
+    // parallel unnest zips the two shifted slices into bigram pairs;
+    // the add-k division mirrors Spark operand-for-operand
+    "q82_lm_train" ->
+      """WITH tok AS (SELECT string_split(trim(text), ' ') AS w FROM documents),
+        |big AS (SELECT unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+        |               unnest(list_slice(w, 2, len(w))) AS w2
+        |        FROM tok WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT t) AS v
+        |      FROM (SELECT unnest(w) AS t FROM tok))
+        |SELECT w1, w2, c12, c1, v,
+        |  (CAST(c12 AS DOUBLE) + 0.5) /
+        |    (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS prob
+        |FROM c12 JOIN c1 USING (w1), v""".stripMargin,
 
     "q68_percentiles" ->
       """SELECT source,

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed n-gram language-model quality scoring — the CCNet recipe
+  * (Wenzek et al. 2020: score web text by perplexity under an LM trained
+  * on a trusted corpus; keep the low-perplexity tail). The reference has
+  * nothing like it; it completes this engine's quality stack next to the
+  * heuristic scorer (`CorpusPipeline.annotate`) and the repetition
+  * signals: heuristics catch boilerplate, the LM catches fluency.
+  *
+  * The model is a bigram table with add-k smoothing:
+  * `p(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)` — two grouped counts and
+  * a distinct-count, one pass over the training corpus. Probabilities
+  * are one IEEE division of exact integer-derived terms, so the trained
+  * table is bit-reproducible across engines (DuckDB oracles it).
+  *
+  * Scoring joins each doc's bigrams against the model: seen bigrams take
+  * their table probability, unseen bigrams under a SEEN history word
+  * back off to `k / (c(w1) + k·V)` (the same smoothing mass), fully
+  * unseen histories to `1/V`. Per-doc output is the average negative
+  * natural-log probability — lower = more fluent under the training
+  * distribution.
+  *
+  * Scale: training is two grouped aggregations (map-side partial);
+  * scoring is two hash joins on token keys — the model shuffles once at
+  * its own (bounded: observed-bigram) size, docs shuffle only their
+  * exploded bigram keys. Log-sums are JVM floating point, so scoring is
+  * spec-verified (rows-only registration), while the TABLE is
+  * oracle-gated.
+  */
+object LanguageModel {
+
+  /** Bigram model: `(w1, w2, c12, c1, v, prob)` with add-k smoothing
+    * over the training corpus's observed vocabulary (V = distinct
+    * tokens, carried as a constant column so scoring backs off with the
+    * exact training denominator).
+    */
+  def trainBigrams(docs: DataFrame, textCol: String, k: Double = 0.5): DataFrame = {
+    require(k > 0, "add-k smoothing needs k > 0")
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("__t"))
+    val bigrams = toks
+      .select(posexplode(col("__t")).as(Seq("__i", "w1")),
+        col("__t"))
+      .withColumn("w2", get(col("__t"), col("__i") + 1))
+      .filter(col("w2").isNotNull)
+      .select("w1", "w2")
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("__t")).as("w"))
+      .agg(countDistinct(col("w"))).head.getLong(0)
+    c12.join(c1, Seq("w1"))
+      .withColumn("v", lit(v))
+      .withColumn("prob",
+        (col("c12").cast("double") + lit(k)) /
+          (col("c1").cast("double") + lit(k) * lit(v.toDouble)))
+  }
+
+  /** Per-doc LM fluency: `(idCol, n_bigrams, n_unseen, avg_neg_logp)`.
+    * Docs with fewer than 2 tokens produce no row (no bigrams). Pass the
+    * SAME k used at training.
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, k: Double = 0.5): DataFrame = {
+    val v = model.select(col("v")).head.getLong(0).toDouble
+    val docBigrams = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), posexplode(col("__t")).as(Seq("__i", "w1")), col("__t"))
+      .withColumn("w2", get(col("__t"), col("__i") + 1))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("w1"), col("w2"))
+    val withP = docBigrams
+      .join(model.select("w1", "w2", "prob"), Seq("w1", "w2"), "left")
+      .join(model.select(col("w1"), col("c1")).dropDuplicates("w1"), Seq("w1"), "left")
+      .withColumn("__p", coalesce(
+        col("prob"),                                           // seen bigram
+        lit(k) / (col("c1").cast("double") + lit(k) * lit(v)), // seen history
+        lit(1.0) / lit(v)))                                    // unseen history
+    withP.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("prob").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        (sum(-log(col("__p"))) / count(lit(1))).as("avg_neg_logp"))
+  }
+}
