@@ -851,22 +851,18 @@ object SparkEntry {
     // bit-exact as long as both input orderings agree — which q60/q22
     // already prove they do.
     "q74_hybrid_search" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val lex = graft.functions.Relevance.bm25(Tables.documents(s, dir),
         "doc_id", "text", Seq("join", "hash", "scan"), logIdf = false)
-      val lexTop = lex
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id").asc)))
-        .filter(col("rnk") <= 50).select("doc_id", "rnk")
+      // topKRanked plans as TakeOrderedAndProject (distributed partial
+      // top-k) — the whole-corpus scoring never crosses a
+      // single-partition window exchange; only the 50 survivors do
+      val lexTop = graft.functions.Relevance.topKRanked(lex, "score", "doc_id", 50)
       val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
       val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__q"))
       val cos = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
         .select(col("vec_id").as("doc_id"),
           VectorFunctions.cosine(col("embedding"), col("__q")).as("cosine"))
-      val vecTop = cos
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("cosine").desc, col("doc_id").asc)))
-        .filter(col("rnk") <= 50).select("doc_id", "rnk")
+      val vecTop = graft.functions.Relevance.topKRanked(cos, "cosine", "doc_id", 50)
       graft.functions.Relevance.rrf(Seq(lexTop, vecTop), "doc_id", "rnk", k = 60)
     }),
 

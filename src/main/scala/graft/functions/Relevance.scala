@@ -121,6 +121,25 @@ object Relevance {
     joined.select(col(idCol), nMatched.as("n_matched"), score.as("score"))
   }
 
+  /** Distributed top-k extraction with rank assignment: `(idCol, rnk)`
+    * for the k best rows by `scoreCol` desc (ties broken by `idCol`
+    * asc). `orderBy(...).limit(k)` plans as `TakeOrderedAndProject` —
+    * per-partition partial top-k merged on one reducer, so the
+    * whole-corpus scoring NEVER funnels through a single-partition
+    * window exchange (the classic `row_number().over(Window.orderBy)`
+    * anti-pattern this replaces). The rank window then runs over at
+    * most k rows — the bounded case [[rrf]]'s scaladoc blesses.
+    */
+  def topKRanked(scored: DataFrame, scoreCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "topKRanked needs k > 0")
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    scored.orderBy(order: _*).limit(k)
+      .withColumn("rnk", row_number().over(w))
+      .select(col(idCol), col("rnk"))
+  }
+
   /** Reciprocal-rank fusion of N top-k rankings (the standard hybrid
     * lexical+vector search combiner): each list contributes
     * `1/(k + rank)` for the ids it contains, 0 for the ones it misses;

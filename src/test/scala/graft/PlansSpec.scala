@@ -168,4 +168,39 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the distinct-word pieces dict must broadcast:\n$p")
   }
+
+  test("q74 hybrid search extracts top-50 via TakeOrdered, not whole-corpus windows") {
+    val p = plan("q74_hybrid_search")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"both score top-50 extractions must plan as distributed TakeOrdered:\n$p")
+  }
+
+  test("registry-wide: no query plan windows over an UNBOUNDED single-partition exchange") {
+    // The classic 100 TB funnel: row_number().over(Window.orderBy(...))
+    // with no partitionBy forces every row through one partition. A
+    // single-partition window is acceptable ONLY when its input is
+    // already bounded by a limit (TakeOrderedAndProject / GlobalLimit /
+    // CollectLimit somewhere beneath it — e.g. rrf's fused_rank over
+    // joined top-k lists). This sweeps EVERY registered query.
+    def indent(l: String): Int = {
+      val i = l.indexWhere(c => !(" +-:*".contains(c)))
+      if (i < 0) l.length else i
+    }
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val p = plan(q)
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("Window [")) {
+          val d = indent(l)
+          val subtree = lines.drop(i + 1).takeWhile(x => indent(x) > d)
+          val funnels = subtree.exists(_.contains("Exchange SinglePartition"))
+          val bounded = subtree.exists(x => x.contains("TakeOrderedAndProject")
+            || x.contains("GlobalLimit") || x.contains("CollectLimit"))
+          assert(!funnels || bounded,
+            s"$q: Window over an unbounded single-partition exchange " +
+              s"(whole-input funnel — would not survive 100x scale):\n$p")
+        }
+      }
+    }
+  }
 }
