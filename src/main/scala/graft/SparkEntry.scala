@@ -935,10 +935,31 @@ object SparkEntry {
     // successor's valid_from), so "the version at t" IS the backward
     // as-of match on valid_from — the join-free union+window AsOf
     // operator, no interval explosion on the open-ended current rows.
-    // Facts pinned to the multi-version keys (%7=0) keep the output
-    // meaningful: every key has a 2020 and a 2021 version.
+    // Version timestamps sit INSIDE the fact date range (base 1995-01-01,
+    // superseding update 1998-06-01; l_shipdate spans 1995-2001), so
+    // facts genuinely straddle versions — early ships resolve the base
+    // price, late ships the +10 update (OperatorsSpec proves both
+    // versions are exercised; an out-of-range dim would degenerate to an
+    // unmatched left join that the oracle could never catch).
     "q80_scd2_asof" -> ((s, dir) => {
-      val dim = queries("q70_scd2")(s, dir)
+      val part = Tables.part(s, dir)
+      val base = part.select(
+        col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        lit("1995-01-01").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates =
+        part.filter(col("p_partkey") % 7 === 0)
+          .select(col("p_partkey"), col("p_brand"),
+            (col("p_retailprice") + 10.0).as("p_retailprice"))
+        .unionByName(part.filter(col("p_partkey") % 7 === 1)
+          .select("p_partkey", "p_brand", "p_retailprice"))
+        .unionByName(part.filter(col("p_partkey") % 7 === 2)
+          .select((col("p_partkey") + 10000000L).as("p_partkey"),
+            col("p_brand"), (col("p_retailprice") * 2.0).as("p_retailprice")))
+      val dim = Scd.applyType2(base, updates, Seq("p_partkey"),
+          Seq("p_brand", "p_retailprice"),
+          lit("1998-06-01").cast("timestamp"))
         .select("p_partkey", "p_retailprice", "valid_from")
       val facts = Tables.lineitem(s, dir)
         .filter(col("l_partkey") % 7 === 0)
@@ -1869,23 +1890,25 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
         |FROM f""".stripMargin,
 
-    // the dim CTE replays q70's Type 2 outcome; DuckDB's native ASOF
-    // LEFT JOIN picks the greatest valid_from <= l_shipdate per fact —
-    // the same version the contiguous-interval semantics define
+    // the dim CTE replays the Type 2 outcome (base versions effective
+    // 1995-01-01, %7=0 updates superseding at 1998-06-01 — INSIDE the
+    // 1995-2001 shipdate range, so facts resolve both versions); DuckDB's
+    // native ASOF LEFT JOIN picks the greatest valid_from <= l_shipdate
+    // per fact — the same version the contiguous-interval semantics define
     "q80_scd2_asof" ->
       """WITH p AS (SELECT p_partkey, p_retailprice FROM part),
         |dim AS (
         |  SELECT p_partkey, p_retailprice,
-        |    TIMESTAMP '2020-01-01' AS valid_from
+        |    TIMESTAMP '1995-01-01' AS valid_from
         |  FROM p WHERE p_partkey % 7 = 0
         |  UNION ALL
-        |  SELECT p_partkey, p_retailprice, TIMESTAMP '2020-01-01'
+        |  SELECT p_partkey, p_retailprice, TIMESTAMP '1995-01-01'
         |  FROM p WHERE p_partkey % 7 <> 0
         |  UNION ALL
-        |  SELECT p_partkey, p_retailprice + 10.0, TIMESTAMP '2021-06-01'
+        |  SELECT p_partkey, p_retailprice + 10.0, TIMESTAMP '1998-06-01'
         |  FROM p WHERE p_partkey % 7 = 0
         |  UNION ALL
-        |  SELECT p_partkey + 10000000, p_retailprice * 2.0, TIMESTAMP '2021-06-01'
+        |  SELECT p_partkey + 10000000, p_retailprice * 2.0, TIMESTAMP '1998-06-01'
         |  FROM p WHERE p_partkey % 7 = 2),
         |f AS (SELECT l_partkey AS p_partkey, l_shipdate, l_returnflag
         |      FROM lineitem WHERE l_partkey % 7 = 0)

@@ -63,7 +63,19 @@ object LanguageModel {
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, k: Double = 0.5): DataFrame = {
-    val v = model.select(col("v")).head.getLong(0).toDouble
+    // Materialize the model ONCE. Three consumers read it — the V
+    // constant below (a driver action) and the two scoring joins —
+    // and without this barrier each one re-expands the model's full
+    // training lineage (two grouped aggregations over the training
+    // corpus), tripling training cost. The model is bounded at
+    // observed-bigram size, so the checkpoint is cheap; the spec
+    // asserts the scoring plan carries no training aggregates.
+    val m = model.localCheckpoint()
+    val vRow = m.select(col("v")).take(1)
+    if (vRow.isEmpty) throw new IllegalArgumentException(
+      "scoreDocs: model has no rows — the training corpus contained no " +
+        "document with 2+ tokens, so no bigram was ever observed")
+    val v = vRow.head.getLong(0).toDouble
     val docBigrams = docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
       .select(col(idCol), posexplode(col("__t")).as(Seq("__i", "w1")), col("__t"))
@@ -71,8 +83,8 @@ object LanguageModel {
       .filter(col("w2").isNotNull)
       .select(col(idCol), col("w1"), col("w2"))
     val withP = docBigrams
-      .join(model.select("w1", "w2", "prob"), Seq("w1", "w2"), "left")
-      .join(model.select(col("w1"), col("c1")).dropDuplicates("w1"), Seq("w1"), "left")
+      .join(m.select("w1", "w2", "prob"), Seq("w1", "w2"), "left")
+      .join(m.select(col("w1"), col("c1")).dropDuplicates("w1"), Seq("w1"), "left")
       .withColumn("__p", coalesce(
         col("prob"),                                           // seen bigram
         lit(k) / (col("c1").cast("double") + lit(k) * lit(v)), // seen history

@@ -41,20 +41,44 @@ object BloomJoin {
   def semiJoinPruned(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val numBits = optimalNumBits(expectedItems, fpp)
+    // The bloom compares xxhash64 values, and Spark hashes INT and
+    // BIGINT differently — so two integral key columns of different
+    // widths (which the equality join below would happily match via
+    // implicit cast) must hash through a COMMON type, or equal keys get
+    // different hashes and the bloom silently drops matching fact rows.
+    // Integral families widen to long for hashing; any other type pair
+    // must match exactly.
+    import org.apache.spark.sql.types._
+    def hashType(t: DataType): DataType = t match {
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case other => other
+    }
+    val ft = hashType(fact.schema(factKey).dataType)
+    val dt = hashType(dim.schema(dimKey).dataType)
+    require(ft == dt,
+      s"bloom join keys must share a hashable type: '$factKey' is " +
+        s"${fact.schema(factKey).dataType}, '$dimKey' is " +
+        s"${dim.schema(dimKey).dataType} — xxhash64 would disagree and " +
+        "the bloom would produce false NEGATIVES")
+    def hashed(c: org.apache.spark.sql.Column, orig: DataType) =
+      if (orig == ft) xxhash64(c) else xxhash64(c.cast(ft))
     // materialize the distinct keys ONCE — the dim is typically the
     // result of computation (that's the operator's reason to exist), and
     // without the barrier its plan would run twice: once under the bloom
     // aggregate's collect, again inside the returned join
     val keys = dim.select(col(dimKey)).distinct().localCheckpoint()
     val bloom = keys
-      .agg(GraftBloom.bloomAgg(xxhash64(col(dimKey)), expectedItems, numBits)
+      .agg(GraftBloom.bloomAgg(
+          hashed(col(dimKey), dim.schema(dimKey).dataType),
+          expectedItems, numBits)
         .as("__bloom"))
       .head.getAs[Array[Byte]](0)
     // empty dim: the aggregate yields NULL — the exact join below returns
     // the correct empty result, so skip the (null) prefilter entirely
     val pruned =
       if (bloom == null) fact
-      else fact.filter(GraftBloom.mightContain(bloom, xxhash64(col(factKey))))
+      else fact.filter(GraftBloom.mightContain(bloom,
+        hashed(col(factKey), fact.schema(factKey).dataType)))
     pruned.join(keys, pruned(factKey) === keys(dimKey), "left_semi")
   }
 }

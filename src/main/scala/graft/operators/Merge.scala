@@ -81,15 +81,31 @@ object Merge {
   /** WHEN MATCHED THEN UPDATE only (no insert) — the reference's silver
     * backfill (sql/breed_mapping.py:609-618): re-map already-written rows
     * from a refreshed dim, leaving non-matching rows untouched.
+    *
+    * SQL MERGE WHEN MATCHED semantics, like [[upsert]]: a matched row
+    * takes the update's value EVEN WHEN IT IS NULL (presence flag, not
+    * per-column coalesce — coalesce would silently keep the old value
+    * for null updates). MERGE also requires at most one update row per
+    * target key ("cannot update the same row twice"); duplicate update
+    * keys would silently fan target rows out through the join, so they
+    * fail fast here.
     */
   def updateMatched(target: DataFrame, updates: DataFrame, keys: Seq[String],
       setCols: Seq[String]): DataFrame = {
-    val u = updates.select((keys ++ setCols).map(c => col(c).as(s"__u_$c")): _*)
+    val dupKeys = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"updateMatched requires one update row per key (SQL MERGE rule); " +
+        s"duplicate key example: ${dupKeys.headOption.getOrElse("")}")
+    val u = updates
+      .select((keys ++ setCols).map(c => col(c).as(s"__u_$c")): _*)
+      .withColumn("__u_present", lit(true))
     val cond = keys.map(k => col(k) === col(s"__u_$k")).reduce(_ && _)
     val joined = target.join(u, cond, "left")
     val updated = setCols.foldLeft(joined) { (df, c) =>
-      df.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
+      df.withColumn(c,
+        when(col("__u_present").isNotNull, col(s"__u_$c")).otherwise(col(c)))
     }
-    updated.drop((keys ++ setCols).map(c => s"__u_$c"): _*)
+    updated.drop((keys ++ setCols).map(c => s"__u_$c") :+ "__u_present": _*)
   }
 }

@@ -56,4 +56,27 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(kept >= expected, "bloom must never drop true matches")
     assert(kept < total / 2, s"bloom kept $kept of $total rows — not pruning")
   }
+
+  test("mixed-width integral keys hash through a common type — zero false negatives") {
+    import spark.implicits._
+    // INT fact key vs BIGINT dim key: the equality join matches via
+    // implicit cast, so the bloom must too — un-reconciled xxhash64
+    // hashes INT and BIGINT differently and silently drops matches
+    val fact = (1 to 1000).map(i => (i, s"r$i")).toDF("k", "payload") // k: INT
+    val dim = Seq(10L, 500L, 999L).toDF("dk")                        // dk: BIGINT
+    val out = BloomJoin.semiJoinPruned(fact, dim, "k", "dk", expectedItems = 10)
+      .select("k").as[Int].collect().toSet
+    assert(out === Set(10, 500, 999),
+      s"every matching key must survive the bloom prefilter; got $out")
+  }
+
+  test("non-integral type mismatch fails fast instead of silently dropping rows") {
+    import spark.implicits._
+    val fact = Seq(("1", "a")).toDF("k", "payload") // STRING key
+    val dim = Seq(1L).toDF("dk")                    // BIGINT key
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoinPruned(fact, dim, "k", "dk", expectedItems = 10)
+    }
+    assert(e.getMessage.contains("false NEGATIVES"))
+  }
 }

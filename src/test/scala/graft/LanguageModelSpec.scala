@@ -53,4 +53,31 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(scores(1L) < scores(2L),
       s"in-distribution text must be more fluent: ${scores(1L)} vs ${scores(2L)}")
   }
+
+  test("scoreDocs materializes the model once — no training aggregates in the scoring plan") {
+    val train = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val model = LanguageModel.trainBigrams(train, "text", k = 0.5)
+    val probe = Seq((10L, "a b a")).toDF("doc_id", "text")
+    val out = LanguageModel.scoreDocs(probe, "doc_id", "text", model, k = 0.5)
+    val p = out.queryExecution.executedPlan.toString
+    // Without the checkpoint barrier the model's training lineage (two
+    // grouped aggregations) re-expands under EACH of the two scoring
+    // joins. With it, the model side is checkpoint scans; the only
+    // aggregates left are the per-doc rollup and the c1 dedup.
+    assert(p.contains("ExistingRDD"),
+      s"model side must be a checkpoint scan, not re-derived:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size <= 4,
+      s"scoring plan re-expands the training aggregations:\n$p")
+  }
+
+  test("scoreDocs on an empty model fails with a clear message") {
+    val train = Seq((1L, "solo")).toDF("doc_id", "text") // no 2+-token doc
+    val model = LanguageModel.trainBigrams(train, "text")
+    val probe = Seq((10L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.scoreDocs(probe, "doc_id", "text", model)
+    }
+    assert(e.getMessage.contains("no bigram"),
+      s"unhelpful empty-model failure: ${e.getMessage}")
+  }
 }

@@ -26,6 +26,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Set((1, "x"), (2, "Y2")))
   }
 
+  test("Merge.updateMatched: a NULL update value overwrites (SQL MERGE), never keeps the old value") {
+    val target = Seq((1, "x"), (2, "y")).toDF("k", "s")
+    val updates = Seq((2, null.asInstanceOf[String])).toDF("k", "s")
+    val out = Merge.updateMatched(target, updates, Seq("k"), Seq("s"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out === Set((1, "x"), (2, null)),
+      "matched row must take the update's NULL, not coalesce back to the old value")
+  }
+
+  test("Merge.updateMatched: duplicate update keys fail fast instead of fanning out rows") {
+    val target = Seq((1, "x")).toDF("k", "s")
+    val updates = Seq((1, "a"), (1, "b")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      Merge.updateMatched(target, updates, Seq("k"), Seq("s"))
+    }
+    assert(e.getMessage.contains("one update row per key"))
+  }
+
   test("Dedup.latestPerKey keeps exactly one newest row per key") {
     val df = Seq(
       (1, "2024-01-01 00:00:00", "old"),
@@ -377,5 +395,39 @@ class OperatorsSpec extends AnyFunSuite {
       (3, "delete", ""),
       (4, "insert", ""),
       (5, "update", "s")))
+  }
+
+  test("q80 is non-vacuous: facts resolve BOTH SCD2 versions, not an unmatched left join") {
+    import org.apache.spark.sql.functions._
+    // aggregate gate: something must match at all
+    val agg = SparkEntry.queries("q80_scd2_asof")(spark, SparkTestSession.sfTiny)
+      .collect()
+    assert(agg.map(_.getAs[Long]("n_matched")).sum > 0,
+      "q80's as-of join matched nothing — dim version timestamps have " +
+        "drifted outside the fact shipdate range again (vacuous query)")
+    // version gate: shipdates straddle the 1998-06-01 supersede point, so
+    // the resolved valid_from must include BOTH the base and the update
+    val part = Tables.part(spark, SparkTestSession.sfTiny)
+    val dim = graft.operators.Scd.applyType2(
+      part.select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        lit("1995-01-01").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current")),
+      part.filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey"), col("p_brand"),
+          (col("p_retailprice") + 10.0).as("p_retailprice")),
+      Seq("p_partkey"), Seq("p_brand", "p_retailprice"),
+      lit("1998-06-01").cast("timestamp"))
+      .select("p_partkey", "p_retailprice", "valid_from")
+    val facts = Tables.lineitem(spark, SparkTestSession.sfTiny)
+      .filter(col("l_partkey") % 7 === 0)
+      .select(col("l_partkey").as("p_partkey"),
+        col("l_shipdate"), col("l_returnflag"))
+    val resolved = graft.operators.AsOf.asOfJoin(facts, dim, Seq("p_partkey"),
+        "l_shipdate", "valid_from", Seq("p_retailprice", "valid_from"))
+      .select(col("asof_valid_from").cast("date").cast("string"))
+      .distinct().as[String].collect().toSet
+    assert(resolved.contains("1995-01-01") && resolved.contains("1998-06-01"),
+      s"facts must resolve both dim versions; got $resolved")
   }
 }
