@@ -202,9 +202,10 @@ object Streams {
     * mode; a parquet store is scan-pruned by the band-probe join
     * instead).
     *
-    * Exactly-once across crashes/replays: both sinks are partitioned by
-    * batch_id and a sink whose batch_id partition already exists is
-    * skipped — see [[processNearDedupBatch]]. Processes all
+    * Exactly-once across crashes/replays: each sink's batch publishes
+    * as an atomically-renamed batch_id partition via [[BatchLedger]],
+    * and an already-committed sink is skipped —
+    * see [[processNearDedupBatch]]. Processes all
     * currently-available input, then stops (a deployment would leave the
     * query running on a trigger).
     */
@@ -223,30 +224,28 @@ object Streams {
   }
 
   /** One micro-batch of [[nearDedupIngest]], factored out so the
-    * replay/crash path is directly testable. The two appends are not
-    * atomic, so idempotency is per-sink (the standard foreachBatch
-    * pattern): each sink carries batch_id as a partition column, a sink
-    * whose `batch_id=<id>` directory already exists is skipped, and a
-    * replayed batch therefore re-writes only the sink(s) the crashed
-    * attempt missed — never appending twice. Write ORDER is load-bearing:
-    * survivors land before the signature delta, so a replay always
-    * recomputes against the same store state the original attempt saw
-    * (foreachBatch is serial — no later batch can have advanced the
-    * store); were the store written first, a replay would find the
-    * batch's own signatures in the store and dedup the batch against
-    * itself.
+    * replay/crash path is directly testable. The two sink publications
+    * are not atomic TOGETHER, so idempotency is per-sink via
+    * [[BatchLedger]]: each sink's batch lands as an atomically-renamed
+    * `batch_id=<id>` partition, an already-committed sink is skipped,
+    * and a replayed batch therefore re-publishes only the sink(s) the
+    * crashed attempt missed — never twice, never partially. Publish
+    * ORDER is load-bearing: survivors land before the signature delta,
+    * so a replay always recomputes against the same store state the
+    * original attempt saw (foreachBatch is serial — no later batch can
+    * have advanced the store); were the store written first, a replay
+    * would find the batch's own signatures in the store and dedup the
+    * batch against itself.
     */
   private[graft] def processNearDedupBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, threshold: Double,
       storeDir: String, outDir: String): Unit = {
     import graft.dedup.IncrementalDedup
-    import graft.sources.Sources
     val spark = batch.sparkSession
-    def committed(dir: String): Boolean =
-      Sources.dirNonEmpty(spark, s"$dir/batch_id=$batchId")
-    if (committed(outDir) && committed(storeDir)) return
+    if (BatchLedger.isCommitted(spark, outDir, batchId) &&
+      BatchLedger.isCommitted(spark, storeDir, batchId)) return
     val store =
-      if (hasBatchPartitions(spark, storeDir))
+      if (BatchLedger.hasCommits(spark, storeDir))
         spark.read.parquet(storeDir).drop("batch_id")
       else IncrementalDedup.signatureStore(batch.limit(0), idCol, textCol)
     val r = IncrementalDedup.dedupBatch(store, batch, idCol, textCol, threshold)
@@ -254,26 +253,10 @@ object Streams {
     // delta's semi-join) read the checkpoint instead of re-running
     // the anti-join per sink
     val sv = r.survivors.localCheckpoint()
-    if (!committed(outDir))
-      sv.withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id").parquet(outDir)
-    if (!committed(storeDir))
-      r.batchSigs.join(sv.select(col(idCol)), Seq(idCol), "left_semi")
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id").parquet(storeDir)
-  }
-
-  /** "Table exists" for a batch_id-partitioned sink must mean COMMITTED
-    * partitions — a crashed write can leave _SUCCESS/_temporary debris
-    * with no data files, which a bare existence probe would count and
-    * the parquet read would then choke on.
-    */
-  private def hasBatchPartitions(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    BatchLedger.publish(sv, outDir, batchId)
+    BatchLedger.publish(
+      r.batchSigs.join(sv.select(col(idCol)), Seq(idCol), "left_semi"),
+      storeDir, batchId)
   }
 
   /** Continuous cluster maintenance — the streaming face of
@@ -315,17 +298,15 @@ object Streams {
       idCol: String, textCol: String, threshold: Double,
       storeDir: String, labelsDir: String): Unit = {
     import graft.dedup.{Components, IncrementalDedup}
-    import graft.sources.Sources
     val spark = batch.sparkSession
-    def committed(dir: String): Boolean =
-      Sources.dirNonEmpty(spark, s"$dir/batch_id=$batchId")
-    if (committed(labelsDir) && committed(storeDir)) return
+    if (BatchLedger.isCommitted(spark, labelsDir, batchId) &&
+      BatchLedger.isCommitted(spark, storeDir, batchId)) return
     val store =
-      if (hasBatchPartitions(spark, storeDir))
+      if (BatchLedger.hasCommits(spark, storeDir))
         spark.read.parquet(storeDir).drop("batch_id")
       else IncrementalDedup.signatureStore(batch.limit(0), idCol, textCol)
     val labels =
-      if (hasBatchPartitions(spark, labelsDir))
+      if (BatchLedger.hasCommits(spark, labelsDir))
         graft.operators.Dedup.latestPerKeyAgg(Seq("id"), Seq(col("batch_id")))(
           spark.read.parquet(labelsDir)).select("id", "cluster_id")
       else batch.limit(0).select(col(idCol).cast("long").as("id"),
@@ -335,15 +316,11 @@ object Streams {
     val r = IncrementalDedup.dedupBatch(store, batch, idCol, textCol, threshold)
     val ext = Components.extendComponentsWithDelta(
       labels, r.batchSigs.select(col(idCol)), idCol, r.pairs)
-    // materialize the delta BEFORE appending: it lazily reads the very
-    // labels files the append below grows
+    // materialize the delta BEFORE publishing: it lazily reads the very
+    // labels files the publication below grows
     val delta = ext.delta.localCheckpoint()
-    if (!committed(labelsDir))
-      delta.withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id").parquet(labelsDir)
-    if (!committed(storeDir))
-      r.batchSigs.withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id").parquet(storeDir)
+    BatchLedger.publish(delta, labelsDir, batchId)
+    BatchLedger.publish(r.batchSigs, storeDir, batchId)
   }
 
   /** Streaming SCD Type 2 maintenance — CDC stream in, versioned
@@ -380,10 +357,11 @@ object Streams {
       keys: Seq[String], tracked: Seq[String], tsCol: String,
       dimDir: String): Unit = {
     val spark = batch.sparkSession
-    // committed = the partition holds DATA FILES; crashed-write debris
-    // (empty dir / _temporary only) must be recomputed, not skipped —
-    // appending into a debris dir repairs it
-    if (committedBatchIds(spark, dimDir).contains(batchId)) return
+    // the SCD reader promotes ONE partition to "latest", so committedness
+    // must be airtight: BatchLedger's atomic rename guarantees a
+    // batch_id= partition is either absent or a COMPLETE snapshot — a
+    // crash mid job-commit can no longer surface a partial dim as truth
+    if (BatchLedger.isCommitted(spark, dimDir, batchId)) return
     if (batch.isEmpty) return
     val dim = currentDim(spark, dimDir).getOrElse(
       batch.limit(0).select((keys ++ tracked).map(col): _*)
@@ -394,34 +372,16 @@ object Streams {
         col(tsCol).desc +: tracked.map(col(_).asc))(batch)
       .select((keys ++ tracked).map(col): _*)
     val eff = batch.agg(max(col(tsCol))).head.getTimestamp(0)
-    graft.operators.Scd.applyType2(dim, updates, keys, tracked, lit(eff))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").partitionBy("batch_id").parquet(dimDir)
-  }
-
-  /** batch_id partitions that hold at least one DATA file. Unlike the
-    * whole-table reads over the append-only stores (which tolerate an
-    * empty debris dir among committed ones), the SCD snapshot reader
-    * targets ONE partition — promoting a crashed write's empty or
-    * file-less `batch_id=` dir to "latest" would either fail the parquet
-    * read or resurrect a partial snapshot as truth.
-    */
-  private def committedBatchIds(spark: SparkSession, dir: String): Set[Long] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Set.empty
-    fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      .filter(s => fs.listStatus(s.getPath).exists(f => f.isFile &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")))
-      .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+    BatchLedger.publish(
+      graft.operators.Scd.applyType2(dim, updates, keys, tracked, lit(eff)),
+      dimDir, batchId)
   }
 
   /** The latest committed dim snapshot under `dimDir`, or None before the
     * first batch.
     */
   def currentDim(spark: SparkSession, dimDir: String): Option[DataFrame] = {
-    val ids = committedBatchIds(spark, dimDir)
+    val ids = BatchLedger.committedIds(spark, dimDir)
     if (ids.isEmpty) None
     else Some(spark.read.parquet(s"$dimDir/batch_id=${ids.max}"))
   }
