@@ -1,0 +1,229 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned-table commit layer — the lakehouse ACID properties
+  * the reference outsources to Delta (`MERGE INTO` staging in
+  * sql/breed_mapping.py:596-618, `OPTIMIZE/VACUUM` in docs/runbook.md:
+  * 55-58, atomic appends in notebooks/bronze.py:118), re-expressed with
+  * nothing but parquet files and one filesystem invariant: rename is
+  * atomic and fails when the destination exists.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     data/v3_ab12cd34/part-*.parquet   ← immutable; one subdir per commit
+  *     _manifests/v00000003.manifest     ← file list + metadata, one per version
+  * }}}
+  *
+  * CREATING THE NEXT MANIFEST IS THE COMMIT. A writer stages data files
+  * in a fresh `data/v<N>_<rand>/` subdir (invisible: readers only look
+  * at manifests), writes the manifest body to a dot-temp, and renames it
+  * to `v<N>.manifest`. The rename either lands — the version exists,
+  * complete — or fails because a concurrent writer took version N first
+  * (optimistic concurrency: the loser's staged files become debris,
+  * never visible, and the caller retries on the new snapshot). There is
+  * no LATEST pointer to swap and therefore no pointer to corrupt:
+  * `latest = max(version among manifest files)`.
+  *
+  * This closes the reader-isolation gap of path-level tables: a reader
+  * resolves a manifest ONCE into an explicit file list, so a concurrent
+  * [[compact]] or [[overwrite]] (which writes NEW files and commits a
+  * new manifest, touching no old file) can never show it mixed state —
+  * it reads the complete old version or the complete new one. Old
+  * versions stay readable ([[snapshotAt]], [[snapshotAsOf]]) until
+  * [[vacuum]] reclaims their unreferenced files.
+  *
+  * Scale: a commit is one manifest write + one rename regardless of
+  * table size; manifests list files (not rows), bounded by file count —
+  * the same contract that lets Delta/Iceberg commit 100 TB tables in
+  * milliseconds. Readers plan from the explicit list, so partition
+  * pruning and pushdown work unchanged. Multi-writer safety is
+  * conflict-DETECTION (first manifest wins), matching the reference
+  * pipeline's effectively-serial orchestration; it is not a lock
+  * manager.
+  */
+object VersionedTable {
+
+  /** One committed version: `operation` ∈ create|append|overwrite|compact. */
+  final case class Snapshot(version: Long, timestampMs: Long,
+      operation: String, files: Seq[String])
+
+  private val ManifestDir = "_manifests"
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestName(v: Long) = f"v$v%08d.manifest"
+
+  /** All committed snapshots, ascending by version. */
+  def snapshots(spark: SparkSession, dir: String): Seq[Snapshot] = {
+    val (fs, _) = fsFor(spark, dir)
+    val mdir = new Path(dir, ManifestDir)
+    if (!fs.exists(mdir)) return Seq.empty
+    fs.listStatus(mdir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".manifest")
+        && !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        parseManifest(body)
+      }
+      .sortBy(_.version)
+  }
+
+  private def parseManifest(body: String): Snapshot = {
+    val lines = body.linesIterator.toSeq
+    def field(k: String) = lines.collectFirst {
+      case l if l.startsWith(s"$k=") => l.drop(k.length + 1)
+    }.getOrElse(sys.error(s"corrupt manifest: missing $k"))
+    Snapshot(field("version").toLong, field("timestamp").toLong,
+      field("operation"),
+      lines.filter(_.startsWith("file=")).map(_.drop(5)))
+  }
+
+  private def renderManifest(s: Snapshot): String =
+    (Seq(s"version=${s.version}", s"timestamp=${s.timestampMs}",
+      s"operation=${s.operation}") ++ s.files.map(f => s"file=$f"))
+      .mkString("", "\n", "\n")
+
+  /** The latest snapshot, or None for a table with no commits. */
+  def latest(spark: SparkSession, dir: String): Option[Snapshot] =
+    snapshots(spark, dir).lastOption
+
+  /** Stage `df`'s rows as immutable data files for version `v` and
+    * return their table-relative paths. The subdir is random-suffixed so
+    * a crashed or conflict-losing attempt leaves only invisible debris.
+    */
+  private def stageFiles(df: DataFrame, dir: String, v: Long): Seq[String] = {
+    val sub = s"data/v${v}_${java.util.UUID.randomUUID.toString.take(8)}"
+    df.write.mode("overwrite").parquet(s"$dir/$sub")
+    val (fs, _) = fsFor(df.sparkSession, dir)
+    fs.listStatus(new Path(s"$dir/$sub")).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$sub/${s.getPath.getName}")
+  }
+
+  /** Atomically commit `files` as manifest version `v`. Throws on a
+    * concurrent-writer conflict (version `v` already committed).
+    * Package-visible so the spec can drive the race window directly.
+    */
+  private[graft] def commit(spark: SparkSession, dir: String, v: Long,
+      operation: String, files: Seq[String]): Snapshot = {
+    val (fs, _) = fsFor(spark, dir)
+    val snap = Snapshot(v, System.currentTimeMillis(), operation, files)
+    val mdir = new Path(dir, ManifestDir)
+    fs.mkdirs(mdir)
+    val tmp = new Path(mdir, s".${manifestName(v)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(renderManifest(snap).getBytes("UTF-8")) finally out.close()
+    val dest = new Path(mdir, manifestName(v))
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"VersionedTable: version $v of $dir was committed by a " +
+          "concurrent writer; re-read the latest snapshot and retry")
+    }
+    snap
+  }
+
+  /** Create the table (version 1). Fails if commits already exist. */
+  def create(df: DataFrame, dir: String): Snapshot = {
+    require(latest(df.sparkSession, dir).isEmpty,
+      s"table $dir already has commits — use append/overwrite")
+    commit(df.sparkSession, dir, 1L, "create", stageFiles(df, dir, 1L))
+  }
+
+  /** Append `df` as a new version: previous files carry over, new files
+    * join them. Old versions remain readable.
+    */
+  def append(df: DataFrame, dir: String): Snapshot = {
+    val prev = latest(df.sparkSession, dir).getOrElse(
+      sys.error(s"table $dir has no commits — use create"))
+    val v = prev.version + 1
+    commit(df.sparkSession, dir, v, "append",
+      prev.files ++ stageFiles(df, dir, v))
+  }
+
+  /** Replace the table's contents as a new version. Old versions remain
+    * readable until [[vacuum]].
+    */
+  def overwrite(df: DataFrame, dir: String): Snapshot = {
+    val prev = latest(df.sparkSession, dir).getOrElse(
+      sys.error(s"table $dir has no commits — use create"))
+    val v = prev.version + 1
+    commit(df.sparkSession, dir, v, "overwrite", stageFiles(df, dir, v))
+  }
+
+  /** Rewrite the current contents into `targetFiles` files as a new
+    * version — answer-preserving OPTIMIZE. Readers of any version,
+    * including one resolving mid-compact, are untouched: no pre-existing
+    * file is modified or removed.
+    */
+  def compactTable(spark: SparkSession, dir: String,
+      targetFiles: Int): Snapshot = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    val v = prev.version + 1
+    val current = readSnapshot(spark, dir, prev)
+    commit(spark, dir, v, "compact",
+      stageFiles(current.repartition(targetFiles), dir, v))
+  }
+
+  private def readSnapshot(spark: SparkSession, dir: String,
+      s: Snapshot): DataFrame = {
+    if (s.files.isEmpty) sys.error(s"version ${s.version} of $dir is empty")
+    spark.read.parquet(s.files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** The latest version's contents. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readSnapshot(spark, dir, latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits")))
+
+  /** Time travel by version number. */
+  def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val s = snapshots(spark, dir).find(_.version == version).getOrElse(
+      sys.error(s"table $dir has no version $version"))
+    readSnapshot(spark, dir, s)
+  }
+
+  /** Time travel by wall clock: the newest version committed at or
+    * before `tsMs`.
+    */
+  def snapshotAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
+    val eligible = snapshots(spark, dir).filter(_.timestampMs <= tsMs)
+    require(eligible.nonEmpty,
+      s"table $dir has no version committed at or before $tsMs")
+    readSnapshot(spark, dir, eligible.last)
+  }
+
+  /** Drop data files referenced by NO retained version (the newest
+    * `retainVersions` manifests survive; older manifests are removed).
+    * The youngest retained boundary keeps time travel working for the
+    * retained window while reclaiming everything older — Delta VACUUM's
+    * contract. Returns the number of deleted data files.
+    */
+  def vacuum(spark: SparkSession, dir: String,
+      retainVersions: Int = 2): Int = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val (fs, _) = fsFor(spark, dir)
+    val all = snapshots(spark, dir)
+    if (all.isEmpty) return 0
+    val (drop, keep) = all.splitAt(math.max(0, all.size - retainVersions))
+    val live = keep.flatMap(_.files).toSet
+    var deleted = 0
+    drop.foreach { s =>
+      s.files.filterNot(live).foreach { f =>
+        if (fs.delete(new Path(s"$dir/$f"), false)) deleted += 1
+      }
+      fs.delete(new Path(new Path(dir, ManifestDir), manifestName(s.version)), false)
+    }
+    deleted
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VersionedTable
+
+/** Contract spec for the manifest-commit table layer: atomic versioned
+  * commits, time travel, reader isolation under compaction, optimistic
+  * concurrency, debris invisibility, vacuum retention.
+  */
+class VersionedTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft-vtable").toString
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
+
+  test("create/append/overwrite produce readable versions with recorded operations") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    VersionedTable.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    VersionedTable.overwrite(Seq((9L, "z")).toDF("id", "v"), dir)
+    val snaps = VersionedTable.snapshots(spark, dir)
+    assert(snaps.map(s => (s.version, s.operation)) ===
+      Seq((1L, "create"), (2L, "append"), (3L, "overwrite")))
+    assert(snaps.map(_.timestampMs).sorted === snaps.map(_.timestampMs),
+      "commit timestamps must be non-decreasing")
+    assert(ids(VersionedTable.read(spark, dir)) === Set(9L))
+  }
+
+  test("time travel by version and by timestamp") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    assert(ids(VersionedTable.snapshotAt(spark, dir, 1L)) === Set(1L))
+    assert(ids(VersionedTable.snapshotAt(spark, dir, 2L)) === Set(1L, 2L))
+    val snaps = VersionedTable.snapshots(spark, dir)
+    assert(ids(VersionedTable.snapshotAsOf(spark, dir, snaps.head.timestampMs))
+      === Set(1L) || snaps.head.timestampMs == snaps.last.timestampMs,
+      "asOf(v1's commit time) must see v1 (unless both landed in the same ms)")
+    assert(ids(VersionedTable.snapshotAsOf(spark, dir, snaps.last.timestampMs))
+      === Set(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.snapshotAsOf(spark, dir, snaps.head.timestampMs - 1)
+    }
+    assert(e.getMessage.contains("no version"))
+  }
+
+  test("compaction is answer-preserving and isolated from concurrent readers") {
+    val dir = tmp()
+    VersionedTable.create((1L to 500L).toDF("id"), dir)
+    VersionedTable.append((501L to 1000L).toDF("id"), dir)
+    // a reader resolves version 2's explicit file list BEFORE the compact
+    val preResolved = VersionedTable.snapshotAt(spark, dir, 2L)
+    val snap = VersionedTable.compactTable(spark, dir, targetFiles = 2)
+    assert(snap.operation === "compact" && snap.files.size === 2,
+      s"compact must rewrite into exactly 2 files: ${snap.files}")
+    // the pre-compact reader still sees complete version-2 state — no
+    // old file was touched
+    assert(ids(preResolved) === (1L to 1000L).toSet,
+      "reader resolved before compact must be untouched by it")
+    assert(ids(VersionedTable.read(spark, dir)) === (1L to 1000L).toSet,
+      "compaction must never change answers")
+  }
+
+  test("a concurrent writer taking the next version is detected, not overwritten") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    // the race: two writers both resolved latest=v1 and stage v2. The
+    // winner commits first; the loser's commit of the SAME version must
+    // fail, leaving the winner's manifest untouched.
+    VersionedTable.append(Seq((100L, "w")).toDF("id", "v"), dir) // winner: v2
+    val e = intercept[java.io.IOException] {
+      VersionedTable.commit(spark, dir, 2L, "append", Seq("data/v2_loser/x.parquet"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the winner's committed state is intact
+    assert(ids(VersionedTable.snapshotAt(spark, dir, 2L)) === Set(1L, 100L))
+  }
+
+  test("uncommitted data files and temp manifests are invisible to readers") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    // crash debris: staged data with no manifest + a torn temp manifest
+    Seq((666L, "debris")).toDF("id", "v")
+      .write.parquet(s"$dir/data/v9_deadbeef")
+    val torn = new java.io.FileWriter(s"$dir/_manifests/.v00000009.manifest.tmp")
+    torn.write("version=9\n"); torn.close()
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L),
+      "debris must never surface in reads")
+    assert(VersionedTable.snapshots(spark, dir).map(_.version) === Seq(1L))
+  }
+
+  test("vacuum reclaims unreferenced files but keeps the retained window readable") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)     // v1
+    VersionedTable.overwrite(Seq((2L, "b")).toDF("id", "v"), dir)  // v2: v1's files orphaned
+    VersionedTable.append(Seq((3L, "c")).toDF("id", "v"), dir)     // v3 shares v2's files
+    val deleted = VersionedTable.vacuum(spark, dir, retainVersions = 2)
+    assert(deleted >= 1, "v1's unreferenced files must be reclaimed")
+    assert(VersionedTable.snapshots(spark, dir).map(_.version) === Seq(2L, 3L))
+    // shared files survive: v2 is still fully readable
+    assert(ids(VersionedTable.snapshotAt(spark, dir, 2L)) === Set(2L))
+    assert(ids(VersionedTable.snapshotAt(spark, dir, 3L)) === Set(2L, 3L))
+    val e = intercept[RuntimeException] {
+      VersionedTable.snapshotAt(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("no version"))
+  }
+}
