@@ -1011,6 +1011,51 @@ object SparkEntry {
         graft.functions.LanguageModel.trainBigrams(docs, "text", k = 0.5))
     }),
 
+    // Versioned-table round-trip under the oracle gate: create (orders
+    // %3=0) → append (%3=1) → compact, then read version 1 via time
+    // travel and the post-compact latest. Both must aggregate exactly
+    // like the raw table slices — commits are atomic manifest renames,
+    // compaction is answer-preserving, and old versions stay readable
+    // (VersionedTableSpec proves isolation/conflict/vacuum separately).
+    // Fresh table per invocation so version numbers are pinned.
+    "q84_versioned_table" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q84_$jvmId"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      VersionedTable.create(o.filter(col("o_orderkey") % 3 === 0), tmp)
+      VersionedTable.append(o.filter(col("o_orderkey") % 3 === 1), tmp)
+      VersionedTable.compactTable(s, tmp, targetFiles = 4)
+      def summarize(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("sum_price"))
+          .withColumn("version", lit(tag))
+      summarize(VersionedTable.snapshotAt(s, tmp, 1L), "v1")
+        .unionByName(summarize(VersionedTable.read(s, tmp), "v3"))
+    }),
+
+    // JPEG header decode under the oracle gate: every doc wraps in a
+    // JPEG whose SOF sits at a VARIABLE offset (EXIF APP1 always first,
+    // a COM segment for %3=0 ids, SOF2 vs SOF0 by id parity), dims are
+    // id-derived — the native marker walk must recover exactly what the
+    // oracle recomputes arithmetically. MediaSpec adds handcrafted
+    // fixtures (fill bytes, SOS-before-SOF, truncation, DHT skipping).
+    "q85_jpeg_dims" -> ((s, dir) => {
+      import graft.multimodal.Media
+      val payload = Media.jpegPayload(
+        lit(64L) + col("doc_id") % 1024L,
+        lit(32L) + (col("doc_id") % 9L) * 32L,
+        col("doc_id") % 2 === 0,
+        col("doc_id") % 3 === 0,
+        col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Media.headerDims(payload).as("hd"))
+        .select(col("doc_id"), col("hd.format").as("format"),
+          col("hd.width").as("width"), col("hd.height").as("height"))
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both
@@ -1953,6 +1998,28 @@ object SparkEntry {
         |  percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY source""".stripMargin,
+
+    // version 1 is the create slice; version 3 (post-compact latest) is
+    // create+append — the layout machinery must be answer-invisible
+    "q84_versioned_table" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  'v1' AS version
+        |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  'v3' AS version
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // the oracle replays the planted id-derived dims arithmetically —
+    // the Spark side must recover them from bytes via the marker walk
+    "q85_jpeg_dims" ->
+      """SELECT doc_id, 'jpeg' AS format,
+        |  CAST(64 + doc_id % 1024 AS BIGINT) AS width,
+        |  CAST(32 + (doc_id % 9) * 32 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
 
     "q66_oov_rate" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token

@@ -48,6 +48,7 @@ object Media {
       u8(content, pos + 2) * 65536L + u8(content, pos + 3) * 16777216L
 
   def headerDims(content: Column): Column = {
+    import org.apache.spark.sql.graft.GraftExpressions
     def be32(pos: Int): Column = Media.be32(content, pos)
     def le16(pos: Int): Column = Media.le16(content, pos)
     def le32(pos: Int): Column = Media.le32(content, pos)
@@ -55,12 +56,19 @@ object Media {
       substring(content, 13, 4) === lit("IHDR".getBytes("US-ASCII"))
     val isGif = substring(content, 1, 4) === lit("GIF8".getBytes("US-ASCII"))
     val isBmp = substring(content, 1, 2) === lit("BM".getBytes("US-ASCII"))
+    // JPEG dims sit at a VARIABLE offset (behind EXIF/APPn/COM/DQT
+    // segments) — the native marker walk returns null for non-JPEG
+    // bytes, so nullability doubles as the format test
+    val jpeg = GraftExpressions.jpegDims(content)
     when(isPng, struct(lit("png").as("format"),
         be32(17).as("width"), be32(21).as("height")))
       .when(isGif, struct(lit("gif").as("format"),
         le16(7).as("width"), le16(9).as("height")))
       .when(isBmp, struct(lit("bmp").as("format"),
         le32(19).as("width"), le32(23).as("height")))
+      .when(jpeg.isNotNull, struct(lit("jpeg").as("format"),
+        shiftright(jpeg, 16).as("width"),
+        jpeg.bitwiseAND(lit(65535L)).as("height")))
       .otherwise(lit(null).cast("struct<format:string,width:bigint,height:bigint>"))
   }
 
@@ -116,6 +124,37 @@ object Media {
       be32Bytes(width),
       be32Bytes(height),
       lit(Array[Byte](8, 6, 0, 0, 0)),           // depth/color/etc
+      body.cast("binary"))
+
+  /** A minimal-but-valid JPEG prefix wrapping an arbitrary body — the
+    * variable-offset member of the payload-generator family. The SOF
+    * segment deliberately does NOT sit at a fixed offset: an 18-byte
+    * EXIF APP1 segment always precedes it, an optional COM segment
+    * (`withComment`) shifts it further, and `progressive` selects SOF2
+    * over SOF0 — so a decoder can only find the dims by genuinely
+    * walking the marker segments ([[headerDims]]'s jpeg branch; q85's
+    * oracle replays the planted dims arithmetically).
+    */
+  def jpegPayload(width: Column, height: Column, progressive: Column,
+      withComment: Column, body: Column): Column =
+    concat(
+      lit(Array(0xFF, 0xD8).map(_.toByte)),                 // SOI
+      // APP1/EXIF first: len 0x14 = 2 + "Exif\0\0" + 12 filler
+      lit(Array(0xFF, 0xE1, 0x00, 0x14).map(_.toByte)),
+      lit("Exif".getBytes("US-ASCII")),
+      lit(Array.fill[Byte](14)(0)),
+      // optional COM segment: len 9 = 2 + 7 comment bytes
+      when(withComment, concat(
+          lit(Array(0xFF, 0xFE, 0x00, 0x09).map(_.toByte)),
+          lit("graft!!".getBytes("US-ASCII"))))
+        .otherwise(lit(Array.empty[Byte])),
+      when(progressive, lit(Array(0xFF, 0xC2).map(_.toByte))) // SOF2
+        .otherwise(lit(Array(0xFF, 0xC0).map(_.toByte))),     // SOF0
+      lit(Array(0x00, 0x11, 0x08).map(_.toByte)),           // len 17, precision 8
+      be16Bytes(height),
+      be16Bytes(width),
+      // 3 components: (id, sampling, qtable) x3
+      lit(Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)),
       body.cast("binary"))
 
   /** A minimal-but-valid WAV prefix (RIFF/WAVE + fmt chunk with the given

@@ -48,6 +48,57 @@ object GraftExpressions {
     ExpressionUtils.column(
       PairMerge(ExpressionUtils.expression(syms), mergeLeft, mergeRight))
 
+  /** Packed JPEG dimensions `(width << 16) | height` from a JFIF/EXIF
+    * byte stream, or null when the bytes are not a JPEG or no
+    * start-of-frame precedes the scan data. Unlike the fixed-offset
+    * PNG/GIF/BMP/WAV headers, JPEG dimensions live in an SOF segment at
+    * a VARIABLE offset behind arbitrary APPn/COM/DQT/DHT segments (EXIF
+    * files lead with a large APP1), so this is a real marker-segment
+    * walk: skip fill bytes, hop segments by their big-endian lengths,
+    * stop at the first SOF0-SOF15 (excluding DHT/JPG/DAC, which share
+    * the 0xCn space). One tight loop over header bytes per row, inside
+    * WholeStageCodegen.
+    */
+  def jpegDims(bytes: Column): Column =
+    ExpressionUtils.column(JpegDims(ExpressionUtils.expression(bytes)))
+
+  /** The marker walk behind [[jpegDims]]; boxed so "no dims" is null. */
+  def computeJpegDims(bytes: Array[Byte]): java.lang.Long = {
+    val n = bytes.length
+    if (n < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return null
+    var i = 2
+    while (i + 1 < n) {
+      if ((bytes(i) & 0xFF) != 0xFF) return null // lost marker sync
+      // any number of 0xFF fill bytes may precede the marker id
+      var j = i + 1
+      while (j < n && (bytes(j) & 0xFF) == 0xFF) j += 1
+      if (j >= n) return null
+      val marker = bytes(j) & 0xFF
+      if (marker == 0x00) return null // stuffed byte — invalid before SOS
+      else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        i = j + 1 // standalone marker, no length field
+      } else if (marker == 0xD9 || marker == 0xDA) {
+        return null // EOI / start-of-scan reached without any SOF
+      } else {
+        if (j + 2 >= n) return null
+        val segLen = ((bytes(j + 1) & 0xFF) << 8) | (bytes(j + 2) & 0xFF)
+        if (segLen < 2) return null
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          // payload: precision u8, height u16be, width u16be
+          if (j + 7 >= n) return null
+          val h = ((bytes(j + 4) & 0xFF) << 8) | (bytes(j + 5) & 0xFF)
+          val w = ((bytes(j + 6) & 0xFF) << 8) | (bytes(j + 7) & 0xFF)
+          if (w == 0 || h == 0) return null
+          return java.lang.Long.valueOf((w.toLong << 16) | h.toLong)
+        }
+        i = j + 1 + segLen
+      }
+    }
+    null
+  }
+
   /** Bucket index of a double under sorted range boundaries (binary
     * search; index of the first boundary > value, so values ≤ b(0) map
     * to 0 and values > b(last) map to boundaries.length).
@@ -612,6 +663,32 @@ case class RangeBucket(child: Expression, boundaries: Array[Double])
   }
 
   override protected def withNewChildInternal(newChild: Expression): RangeBucket =
+    copy(child = newChild)
+}
+
+/** JPEG marker-segment walk to the first SOF's packed dimensions. */
+case class JpegDims(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  // force a mutable isNull slot: non-JPEG / SOF-less bytes yield null
+  // even when the child is non-null
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_dims"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.computeJpegDims(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("jpegDims")
+      s"""
+      java.lang.Long $tmp = org.apache.spark.sql.graft.GraftExpressions.computeJpegDims($c);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JpegDims =
     copy(child = newChild)
 }
 

@@ -107,4 +107,82 @@ class MediaSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("JPEG marker walk: handcrafted fixtures incl. SOF2, EXIF-first, fill bytes, decoys") {
+    import org.apache.spark.sql.graft.GraftExpressions.computeJpegDims
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def dims(packed: java.lang.Long): Option[(Long, Long)] =
+      Option(packed).map(p => (p >> 16, p & 0xFFFFL))
+
+    // 1. minimal baseline: SOI then SOF0 directly; h=0x0040=64, w=0x0080=128
+    val baseline = bytes(0xFF, 0xD8,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0x40, 0x00, 0x80,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    assert(dims(computeJpegDims(baseline)) === Some((128L, 64L)))
+
+    // 2. EXIF-segment-first (APP1 len 0x14) then progressive SOF2 —
+    //    the variable-offset case a fixed-offset parser gets wrong
+    val exifSof2 = bytes(0xFF, 0xD8,
+      0xFF, 0xE1, 0x00, 0x14) ++ "Exif".getBytes("US-ASCII") ++
+      Array.fill[Byte](14)(0) ++ bytes(
+      0xFF, 0xC2, 0x00, 0x11, 0x08, 0x01, 0x00, 0x02, 0x00,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    assert(dims(computeJpegDims(exifSof2)) === Some((512L, 256L)))
+
+    // 3. fill bytes (0xFF padding) before the SOF marker are legal
+    val filled = bytes(0xFF, 0xD8, 0xFF, 0xFF, 0xFF,
+      0xC0, 0x00, 0x11, 0x08, 0x00, 0x10, 0x00, 0x20,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    assert(dims(computeJpegDims(filled)) === Some((32L, 16L)))
+
+    // 4. DHT (0xC4) shares the 0xCn space but is NOT an SOF — must be
+    //    hopped over, not parsed as dims
+    val dhtFirst = bytes(0xFF, 0xD8,
+      0xFF, 0xC4, 0x00, 0x05, 0xAA, 0xBB, 0xCC,       // decoy "dims" bytes
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0x40, 0x00, 0x80,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    assert(dims(computeJpegDims(dhtFirst)) === Some((128L, 64L)))
+
+    // 5. SOS before any SOF → no dims (corrupt stream), not garbage
+    assert(computeJpegDims(bytes(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 1, 2)) == null)
+    // 6. truncated mid-SOF → null
+    assert(computeJpegDims(bytes(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00)) == null)
+    // 7. not a JPEG at all → null
+    assert(computeJpegDims("PNG-ish".getBytes("US-ASCII")) == null)
+    assert(computeJpegDims(Array.empty[Byte]) == null)
+
+    // headerDims integration: the jpeg branch surfaces format + dims,
+    // and the Column path (codegen) agrees with the static walk
+    val df = Seq((1L, exifSof2), (2L, baseline), (3L, "junk".getBytes("US-ASCII")))
+      .toDF("id", "content")
+      .select($"id", graft.multimodal.Media.headerDims($"content").as("h"))
+      .select($"id", $"h.format", $"h.width", $"h.height")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(df(1L) === ((Some("jpeg"), Some(512L), Some(256L))))
+    assert(df(2L) === ((Some("jpeg"), Some(128L), Some(64L))))
+    assert(df(3L) === ((None, None, None)))
+  }
+
+  test("jpegPayload -> marker walk round-trips planted dims across SOF0/SOF2 and COM layouts") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, SparkTestSession.sfTiny).limit(200)
+    val payload = graft.multimodal.Media.jpegPayload(
+      lit(64L) + col("doc_id") % 1024L,
+      lit(32L) + (col("doc_id") % 9L) * 32L,
+      col("doc_id") % 2 === 0,
+      col("doc_id") % 3 === 0,
+      col("text"))
+    val out = docs
+      .select(col("doc_id"), graft.multimodal.Media.headerDims(payload).as("h"))
+      .select(col("doc_id"), col("h.format"), col("h.width"), col("h.height"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === "jpeg", s"format for $id")
+      assert(r.getLong(2) === 64L + id % 1024L, s"width for $id")
+      assert(r.getLong(3) === 32L + (id % 9L) * 32L, s"height for $id")
+    }
+  }
 }
