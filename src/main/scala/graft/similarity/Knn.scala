@@ -133,11 +133,12 @@ object Knn {
     * a narrow map over the codes table. Queries score by asymmetric
     * distance computation: the query stays exact, each code looks up its
     * block's centroid, and because dot products are linear over
-    * concatenated blocks, `dot(q, decode(codes))` — what the expression
-    * below computes with one native-kernel dot against the flattened
-    * centroid lookup — IS the ADC sum Σ_b dot(q_b, C_b[code_b]); the
-    * per-query lookup-table trick is an executor-local micro-optimization
-    * of the same arithmetic, unnecessary at these dims.
+    * concatenated blocks, `dot(q, decode(codes))` IS the ADC sum
+    * Σ_b dot(q_b, C_b[code_b]) — computed below with the classic
+    * lookup-table trick: each probe precomputes its blocks × ksub
+    * query-centroid dot table once (a bounded column on the broadcast
+    * probe side), so scoring a corpus row is `blocks` table lookups
+    * instead of decoding a dim-length vector and re-dotting it.
     *
     * Driver-side state, bounded and deliberate (the [[ivf]] pattern):
     * one limit-1 dim probe, `ksub` seed vectors, and the
@@ -220,16 +221,25 @@ object Knn {
       }
     }
 
-    // encode once; score = native dot against the decoded (centroid
-    // lookup) vector — the ADC sum, see scaladoc
-    val centsLit3 = typedLit(cents.map(_.map(_.toSeq).toSeq).toSeq)
+    // encode once; score via classic ADC lookup tables: each probe
+    // precomputes T[b][c] = dot(q_block_b, cent[b][c]) ONCE (blocks*ksub
+    // doubles per probe, riding the broadcast), and a corpus row's score
+    // is then `blocks` table lookups + adds — instead of materializing
+    // the dim-length decoded vector and dotting it per (row x probe).
+    // Same ADC sum, grouped per block: Σ_b dot(q_b, cent[b][codes[b]]).
     val encoded = corp.withColumn("codes", codesExpr(cents))
-    val decoded = flatten(transform(col("codes"),
-      (c, b) => element_at(element_at(centsLit3, b + 1), c + 1)))
     val p = normalized(probes, "query_id", "q_vec")
+      .withColumn("__qt", array((0 until blocks).map { b =>
+        graft.expressions.HashExpressions.vecDotMany(
+          slice(col("q_vec"), b * sub + 1, sub), cents(b))
+      }: _*))
+    val adcScore = (0 until blocks).map { b =>
+      element_at(element_at(col("__qt"), b + 1),
+        element_at(col("codes"), b + 1) + 1)
+    }.reduceLeft[Column](_ + _)
     val scored = encoded.crossJoin(broadcast(p))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", vecDot(col("q_vec"), decoded))
+      .withColumn("score", adcScore)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     val shortlist = scored.withColumn("rnk", row_number().over(wAdc))

@@ -257,32 +257,35 @@ object GraftExpressions {
   // one float-vector x literal-double-plane dot, shared by the many-plane
   // kernels; returns null-signal via NaN never — inputs are non-null by
   // contract (planes are literals, v checked by the caller)
-  private def dotPlane(v: ArrayData, plane: Array[Double]): Double = {
+  private def dotPlane(v: ArrayData, plane: Array[Double],
+      vFloat: Boolean): Double = {
     val n = math.min(v.numElements(), plane.length)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += v.getFloat(i).toDouble * plane(i)
+      acc += (if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)) * plane(i)
       i += 1
     }
     acc
   }
 
-  def computeVecDotMany(v: ArrayData, planes: Array[Array[Double]]): ArrayData = {
+  def computeVecDotMany(v: ArrayData, planes: Array[Array[Double]],
+      vFloat: Boolean): ArrayData = {
     val out = new Array[Double](planes.length)
     var t = 0
     while (t < planes.length) {
-      out(t) = dotPlane(v, planes(t))
+      out(t) = dotPlane(v, planes(t), vFloat)
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  def computeHyperplaneSig(v: ArrayData, planes: Array[Array[Double]]): Long = {
+  def computeHyperplaneSig(v: ArrayData, planes: Array[Array[Double]],
+      vFloat: Boolean): Long = {
     var sig = 0L
     var t = 0
     while (t < planes.length) {
-      if (dotPlane(v, planes(t)) > 0.0) sig |= 1L << t
+      if (dotPlane(v, planes(t), vFloat) > 0.0) sig |= 1L << t
       t += 1
     }
     sig
@@ -520,20 +523,33 @@ case class MinHashSig(child: Expression, coeffA: Array[Long], coeffB: Array[Long
   * non-null-element `array<float>` by caller contract (embedding columns);
   * a null vector propagates to a null result via the null-safe paths.
   */
-abstract class PlanesExpression extends UnaryExpression with ExpectsInputTypes {
+abstract class PlanesExpression extends UnaryExpression {
   // NO statements in this body: the abstract base is not itself
   // Serializable (scalac adds Serializable to the case classes only), so
   // Java deserialization on executors runs THIS no-arg constructor with
   // fields unset — any field-touching require here would NPE mid-task.
   def planes: Array[Array[Double]]
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
 
-  /** Fully-qualified static compute method `(ArrayData, double[][]) => result`. */
+  // float or double element type, resolved per plan (def, not lazy val:
+  // see the serialization note above)
+  protected def vFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float|double> input")
+    }
+
+  /** Fully-qualified static compute method `(ArrayData, double[][], boolean) => result`. */
   protected def staticMethod: String
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
-    defineCodeGen(ctx, ev, c => s"$staticMethod($c, $planesRef)")
+    defineCodeGen(ctx, ev, c => s"$staticMethod($c, $planesRef, $vFloat)")
   }
 }
 
@@ -545,7 +561,7 @@ case class VecDotMany(child: Expression, planes: Array[Array[Double]])
   override protected def staticMethod: String =
     "org.apache.spark.sql.graft.GraftExpressions.computeVecDotMany"
   override protected def nullSafeEval(input: Any): Any =
-    GraftExpressions.computeVecDotMany(input.asInstanceOf[ArrayData], planes)
+    GraftExpressions.computeVecDotMany(input.asInstanceOf[ArrayData], planes, vFloat)
   override protected def withNewChildInternal(newChild: Expression): VecDotMany =
     copy(child = newChild)
 }
@@ -559,7 +575,7 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
   override protected def staticMethod: String =
     "org.apache.spark.sql.graft.GraftExpressions.computeHyperplaneSig"
   override protected def nullSafeEval(input: Any): Any =
-    GraftExpressions.computeHyperplaneSig(input.asInstanceOf[ArrayData], planes)
+    GraftExpressions.computeHyperplaneSig(input.asInstanceOf[ArrayData], planes, vFloat)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
 }
