@@ -7,15 +7,30 @@ import org.apache.spark.sql.functions._
   *
   * Spark's hash aggregation already absorbs aggregation skew via partial
   * map-side combine, and AQE splits skewed SHUFFLE-join partitions at
-  * runtime. Salting is the manual fallback for the case AQE can't fix:
-  * a shuffled join where one key's rows exceed a single task's memory,
-  * or a deliberately pinned non-AQE plan.
+  * runtime. Salting is the manual fallback for when AQE can't act.
+  *
+  * DECISION RULE for a skewed equi-join (each branch exercised on a
+  * planted hot key in SkewHealthSpec):
+  *   1. Small side fits in memory → `broadcast(small)`. No shuffle at
+  *      all, so there is nothing to skew. Always first choice.
+  *   2. Shuffled join under AQE (`spark.sql.adaptive.skewJoin.enabled`,
+  *      the session default here) → let AQE split the hot partition:
+  *      it triggers when a partition exceeds BOTH
+  *      `skewedPartitionFactor` × median AND
+  *      `skewedPartitionThresholdInBytes`, and it needs no code change.
+  *      This covers single-huge-key inner/left joins — AQE duplicates
+  *      the other side's matching partition across the splits.
+  *   3. `saltedJoin` when the engine can't rebalance: a pinned
+  *      non-adaptive plan, a join shape AQE's skew rule skips (e.g. the
+  *      skewed side of an outer join it cannot split), skew below the
+  *      byte thresholds that still serializes a stage on one straggler
+  *      task, or a downstream stage that must inherit the salted
+  *      distribution. Costs `salt`× the small side's shuffle volume —
+  *      only worth it when the small side is modest (else see rule 1).
   *
   * `saltedJoin` replicates the small side `salt` times and scatters the
   * big side uniformly across the replicas, so a hot key's rows land on
-  * `salt` tasks instead of one. Identical results to a plain equi-join;
-  * costs `salt`× the small side's shuffle volume — use only when the
-  * small side is modest and the big side is skewed (else broadcast).
+  * `salt` tasks instead of one. Identical results to a plain equi-join.
   */
 object Skew {
 

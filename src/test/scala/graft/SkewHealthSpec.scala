@@ -9,6 +9,60 @@ class SkewHealthSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("planted hot key: AQE skew-join splits it; salting spreads it when AQE cannot") {
+    // one hot key (k=0, 150k rows) among 50 cold keys — the fixture both
+    // mitigation paths are judged on
+    val big = spark.range(150000).select(lit(0L).as("k"), $"id".as("v"))
+      .unionAll(spark.range(50).select(($"id" + 1).as("k"), $"id".as("v")))
+    val small = spark.range(51).select($"id".as("k"), ($"id" * 10).as("w"))
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // force a shuffled SMJ (no broadcast) and scale AQE's byte
+      // thresholds down to fixture size so the skew machinery engages
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+
+      // PATH A — AQE handles it: the hot partition splits at runtime
+      // (final adaptive plan carries a skew-annotated shuffle read)
+      val aqe = big.join(small, Seq("k"))
+      // collect() (not count()) so THIS queryExecution runs to its final
+      // adaptive plan — count() would execute a separate aggregate plan
+      assert(aqe.collect().length === 150050)
+      val plan = aqe.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"AQE must have split the hot partition:\n$plan")
+
+      // PATH B — a pinned NON-ADAPTIVE plan (AQE off entirely — the
+      // scenario rule 3 of the Skew scaladoc names): the plain join
+      // funnels every hot-key row through ONE task, the salted join
+      // spreads them across tasks. Execution-level proof via the
+      // distinct partition ids the hot rows land in.
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val plain = big.join(small, Seq("k"))
+      val plainParts = plain.filter($"k" === 0L)
+        .select(spark_partition_id()).distinct().count()
+      assert(plainParts === 1L,
+        s"without mitigation the hot key must occupy one task, got $plainParts")
+      val salted = Skew.saltedJoin(big, small, Seq("k"), salt = 8)
+      val saltedParts = salted.filter($"k" === 0L)
+        .select(spark_partition_id()).distinct().count()
+      assert(saltedParts > 1L,
+        s"salting must spread the hot key across tasks, got $saltedParts")
+      assert(salted.count() === plain.count(), "salting must not change the answer")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("saltedJoin equals the plain join, inner and left") {
     val big = Tables.lineitem(spark, SparkTestSession.sfTiny)
       .select("l_orderkey", "l_partkey", "l_quantity")
