@@ -1056,6 +1056,45 @@ object SparkEntry {
           col("hd.width").as("width"), col("hd.height").as("height"))
     }),
 
+    // Top-3 TF-IDF keywords per doc (rational idf — bit-exact across
+    // engines, see tfidfKeywords scaladoc); per-doc rank compiles to
+    // WindowGroupLimit, ties pinned by term
+    "q86_tfidf_keywords" -> ((s, dir) => {
+      graft.pipeline.CorpusPipeline.tfidfKeywords(
+        Tables.documents(s, dir), "doc_id", "text", k = 3)
+    }),
+
+    // Deterministic 20-per-source sample (md5-ranked — the exact-size,
+    // engine-reproducible reservoir equivalent)
+    "q87_hash_sample" -> ((s, dir) => {
+      graft.pipeline.CorpusPipeline.hashSamplePerGroup(
+        Tables.documents(s, dir).select("source", "doc_id", "n_chars"),
+        "source", "doc_id", k = 20)
+    }),
+
+    // MERGE INTO a versioned table under the oracle gate: create part,
+    // merge price bumps (%4=0) + inserts (%9=0, +30M keys), read the
+    // post-merge latest — SQL MERGE semantics composed with the atomic
+    // commit layer (pre-merge version stays time-travelable,
+    // VersionedTableSpec proves it). Fresh table per invocation.
+    "q88_versioned_merge" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q88_$jvmId"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val p0 = Tables.part(s, dir).select("p_partkey", "p_brand", "p_retailprice")
+      VersionedTable.create(p0, tmp)
+      val updates = p0.filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey"), col("p_brand"),
+          (col("p_retailprice") + 25.0).as("p_retailprice"))
+        .unionByName(p0.filter(col("p_partkey") % 9 === 0)
+          .select((col("p_partkey") + 30000000L).as("p_partkey"),
+            col("p_brand"), col("p_retailprice")))
+      VersionedTable.merge(updates, tmp, Seq("p_partkey"))
+      VersionedTable.read(s, tmp).groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"), decSum("p_retailprice").as("sum_price"))
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both
@@ -2020,6 +2059,49 @@ object SparkEntry {
         |  CAST(64 + doc_id % 1024 AS BIGINT) AS width,
         |  CAST(32 + (doc_id % 9) * 32 AS BIGINT) AS height
         |FROM documents""".stripMargin,
+
+    // rational-idf score mirrored operand-for-operand (same bit-exact
+    // contract as q60's bm25); ties pinned by term ASC
+    "q86_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf,
+        |    CAST(tf AS DOUBLE) *
+        |      ((n.n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      AS score
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS rnk FROM s)
+        |SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    // md5 of the id string ranks identically in both engines — the
+    // sample is a pure function of the data
+    "q87_hash_sample" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rnk
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars, rnk FROM r WHERE rnk <= 20""".stripMargin,
+
+    // the merged state replayed declaratively: matched keys take the
+    // bumped price, %9=0 keys insert under +30M ids
+    "q88_versioned_merge" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_retailprice FROM part),
+        |m AS (
+        |  SELECT p_partkey, p_brand,
+        |    CASE WHEN p_partkey % 4 = 0 THEN p_retailprice + 25.0
+        |         ELSE p_retailprice END AS p_retailprice
+        |  FROM p
+        |  UNION ALL
+        |  SELECT p_partkey + 30000000, p_brand, p_retailprice
+        |  FROM p WHERE p_partkey % 9 = 0)
+        |SELECT p_brand, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM m GROUP BY p_brand""".stripMargin,
 
     "q66_oov_rate" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token

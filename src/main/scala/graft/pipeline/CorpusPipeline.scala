@@ -350,6 +350,67 @@ object CorpusPipeline {
       .select(col("token"), col("rank"), col("freq"), col("coverage"))
   }
 
+  /** Top-k keywords per document by TF-IDF — the standard keyword /
+    * topic-signal extractor of a curation stack (subset selection by
+    * topic, near-dup explanation, index fields for the hybrid-search
+    * path).
+    *
+    * The idf is the RATIONAL BM25 core `(N - df + 0.5) / (df + 0.5)`
+    * (no log — same reasoning as [[graft.functions.Relevance.bm25]]'s
+    * `logIdf=false`: JVM and glibc `log` disagree in the last ulp, and
+    * the rational form ranks identically per term while every operand
+    * here derives from exact integers, so the DuckDB oracle hash-matches
+    * bit-for-bit with mirrored parenthesization).
+    *
+    * Scale shape: the (doc, term) tf aggregation shuffles once on its
+    * own key and is checkpointed (TWO consumers — the df aggregate and
+    * the score join — would otherwise re-run the corpus explode, the
+    * bm25 lesson); df joins back on the term key; the per-doc top-k is
+    * a partitioned rank that compiles to WindowGroupLimit (rank
+    * pushdown), never a global window.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        ((col("__n") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Deterministic k-per-group sample — the reservoir-sampling
+    * equivalent for engines: rank rows inside each group by the md5 of
+    * their id and keep the first k. Uniform (md5 scrambles ids), exactly
+    * k per group (fewer only when the group is smaller), stable across
+    * runs/engines/partitionings (pure function of the data — DuckDB
+    * reproduces the identical sample, which no `rand()` reservoir can),
+    * and one partitioned rank that compiles to WindowGroupLimit. The
+    * md5-order trick is the same determinism device as
+    * [[datasetSplit]]'s threshold sampling, ranked instead of
+    * thresholded so group sizes are EXACT rather than expected.
+    */
+  def hashSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .withColumn("rnk", col("rnk").cast("long"))
+  }
+
   /** Per-doc out-of-vocabulary rate against the corpus top-K vocabulary
     * (the tokenizer-fit metric behind [[vocabulary]]: how much of each
     * doc a K-entry vocab fails to cover). The K-token vocab broadcasts;

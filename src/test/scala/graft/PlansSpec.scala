@@ -180,24 +180,48 @@ class PlansSpec extends AnyFunSuite {
     // with no partitionBy forces every row through one partition. A
     // single-partition window is acceptable ONLY when its input is
     // already bounded by a limit (TakeOrderedAndProject / GlobalLimit /
-    // CollectLimit somewhere beneath it — e.g. rrf's fused_rank over
-    // joined top-k lists). This sweeps EVERY registered query.
+    // CollectLimit beneath it — e.g. rrf's fused_rank over joined top-k
+    // lists). Only the exchange that actually FEEDS the window counts:
+    // the walk descends the unary spine (Sort/Project/Filter/limits/
+    // WindowGroupLimit) below each Window and stops at the first
+    // distribution-bearing node, so a benign 1-row global-aggregate
+    // exchange elsewhere in the subtree (a broadcast corpus statistic)
+    // is not a finding. This sweeps EVERY registered query.
     def indent(l: String): Int = {
       val i = l.indexWhere(c => !(" +-:*".contains(c)))
       if (i < 0) l.length else i
     }
+    def nodeName(l: String): String =
+      "[A-Za-z]+".r.findFirstIn(l).getOrElse("")
+    val bounding = Set("GlobalLimit", "CollectLimit", "TakeOrderedAndProject")
+    val unary = Set("Sort", "Project", "Filter", "WindowGroupLimit",
+      "AQEShuffleRead", "LocalLimit", "Window", "InputAdapter",
+      "WholeStageCodegen")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       val lines = p.linesIterator.toVector
       lines.zipWithIndex.foreach { case (l, i) =>
         if (l.contains("Window [")) {
           val d = indent(l)
-          val subtree = lines.drop(i + 1).takeWhile(x => indent(x) > d)
-          val funnels = subtree.exists(_.contains("Exchange SinglePartition"))
-          val bounded = subtree.exists(x => x.contains("TakeOrderedAndProject")
-            || x.contains("GlobalLimit") || x.contains("CollectLimit"))
-          assert(!funnels || bounded,
-            s"$q: Window over an unbounded single-partition exchange " +
+          // descend the unary spine to the node that supplies the
+          // window's distribution
+          var idx = i + 1
+          var verdictFunnel = false
+          var done = false
+          while (!done && idx < lines.length && indent(lines(idx)) > d) {
+            val name = nodeName(lines(idx))
+            if (lines(idx).contains("Exchange SinglePartition")) {
+              // unbounded funnel unless a limit bounds the exchange input
+              val below = lines.drop(idx + 1)
+                .takeWhile(x => indent(x) > indent(lines(idx)))
+              verdictFunnel = !below.exists(x => bounding(nodeName(x)))
+              done = true
+            } else if (bounding(name)) done = true // bounded spine
+            else if (unary(name)) idx += 1
+            else done = true // hash exchange / join / agg / scan: partitioned input
+          }
+          assert(!verdictFunnel,
+            s"$q: Window fed by an unbounded single-partition exchange " +
               s"(whole-input funnel — would not survive 100x scale):\n$p")
         }
       }
