@@ -149,6 +149,25 @@ object VersionedTable {
       prev.files ++ stageFiles(df, dir, v))
   }
 
+  /** [[append]] with a caller-supplied operation tag, creating the table
+    * on first use. The tag is the streaming exactly-once device: a
+    * foreachBatch sink commits each micro-batch as `append#<batchId>`
+    * and a replay that finds its tag already committed skips — and
+    * because the manifest rename is the commit, the append is ATOMIC
+    * (no partial batch can ever be visible), which the
+    * partition-directory ledger can only approximate.
+    */
+  def appendTagged(df: DataFrame, dir: String, tag: String): Snapshot = {
+    val prevOpt = latest(df.sparkSession, dir)
+    val v = prevOpt.map(_.version + 1).getOrElse(1L)
+    commit(df.sparkSession, dir, v, tag,
+      prevOpt.map(_.files).getOrElse(Seq.empty) ++ stageFiles(df, dir, v))
+  }
+
+  /** True iff some committed version carries `tag` as its operation. */
+  def hasOperation(spark: SparkSession, dir: String, tag: String): Boolean =
+    snapshots(spark, dir).exists(_.operation == tag)
+
   /** Replace the table's contents as a new version. Old versions remain
     * readable until [[vacuum]].
     */
@@ -157,6 +176,31 @@ object VersionedTable {
       sys.error(s"table $dir has no commits — use create"))
     val v = prev.version + 1
     commit(df.sparkSession, dir, v, "overwrite", stageFiles(df, dir, v))
+  }
+
+  /** MERGE (upsert) into the table as a new version: matched keys take
+    * the update row's values (even NULLs — SQL MERGE semantics via
+    * [[graft.operators.Merge.upsert]]), unmatched rows carry over,
+    * unmatched updates insert. The merged state commits like
+    * [[overwrite]] — one atomic manifest rename — so readers see the
+    * pre-merge or post-merge table, never a mix, and the pre-merge
+    * version stays time-travelable. This is the Delta `MERGE INTO` +
+    * snapshot-isolation pair the reference leans on
+    * (sql/breed_mapping.py:596-618), without Delta jars.
+    *
+    * Scale: the upsert is one full-outer shuffle of table × updates; at
+    * 100 TB pair it with a partition-scoped read-modify-write (merge
+    * only the touched partitions' rows, then commit) — the commit cost
+    * itself stays one manifest either way.
+    */
+  def merge(updates: DataFrame, dir: String, keys: Seq[String]): Snapshot = {
+    val spark = updates.sparkSession
+    val prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits — use create"))
+    val merged = graft.operators.Merge.upsert(
+      readSnapshot(spark, dir, prev), updates, keys)
+    val v = prev.version + 1
+    commit(spark, dir, v, "merge", stageFiles(merged, dir, v))
   }
 
   /** Rewrite the current contents into `targetFiles` files as a new

@@ -427,6 +427,37 @@ object Streams {
     * Processes all currently-available input, then stops (a deployment
     * would leave the query running on a trigger).
     */
+  /** Streaming append into a [[graft.sources.VersionedTable]] — the
+    * strongest sink in this file: each micro-batch commits as ONE atomic
+    * manifest rename tagged `append#<batchId>`, so a batch is either
+    * fully visible as a table version or absent entirely (a partial
+    * batch CANNOT surface, where the partition-ledger sinks can only
+    * make partial data unreachable), a replayed batch finds its tag and
+    * skips, and every batch boundary stays time-travelable. Processes
+    * all currently-available input, then stops.
+    */
+  def versionedIngest(stream: DataFrame, tableDir: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processVersionedBatch(batch, batchId, tableDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private[graft] def processVersionedBatch(batch: DataFrame, batchId: Long,
+      tableDir: String): Unit = {
+    import graft.sources.VersionedTable
+    val spark = batch.sparkSession
+    val tag = s"append#$batchId"
+    if (VersionedTable.hasOperation(spark, tableDir, tag)) return
+    if (batch.isEmpty) return
+    VersionedTable.appendTagged(batch, tableDir, tag)
+  }
+
   def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
     val q = df.writeStream.outputMode(OutputMode.Append())
       .format("parquet")

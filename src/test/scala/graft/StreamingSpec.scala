@@ -511,6 +511,37 @@ class StreamingSpec extends AnyFunSuite {
       "a replayed batch must repair its debris partition")
   }
 
+  test("versionedIngest: each batch is one atomic tagged version; replay is a no-op") {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-vingest")
+    val (src, table, ckpt) = (s"$root/src", s"$root/table", s"$root/ckpt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Streams.versionedIngest(Streams.fileIngest(spark, src, schema), table, ckpt)
+    val v1 = VersionedTable.latest(spark, table).get
+    assert(v1.operation.startsWith("append#"))
+    assert(VersionedTable.read(spark, table).count() === 2)
+
+    // second batch appends a NEW version; the first stays addressable
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(src)
+    Streams.versionedIngest(Streams.fileIngest(spark, src, schema), table, ckpt)
+    val snaps = VersionedTable.snapshots(spark, table)
+    assert(snaps.size === 2 && snaps.map(_.operation).distinct.size === 2,
+      s"each batch must commit its own tagged version: $snaps")
+    assert(VersionedTable.read(spark, table)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(VersionedTable.snapshotAt(spark, table, v1.version)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L),
+      "batch boundaries must stay time-travelable")
+
+    // direct replay of a committed batch id: strict no-op
+    val before = snaps.map(_.version).max
+    Streams.processVersionedBatch(
+      Seq((99L, "z")).toDF("id", "v"), batchId = 1L, table)
+    assert(VersionedTable.snapshots(spark, table).map(_.version).max === before,
+      "replaying a committed batch must not commit a new version")
+  }
+
   test("file-source streaming reads the real events parquet") {
     // events.parquet carries TIMESTAMP(NANOS); read nanos as long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

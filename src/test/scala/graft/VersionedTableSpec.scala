@@ -95,6 +95,21 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.snapshots(spark, dir).map(_.version) === Seq(1L))
   }
 
+  test("merge upserts as a new version; the pre-merge state stays time-travelable") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // update 2 (to NULL — SQL MERGE overwrite), insert 3
+    val updates = Seq((2L, null.asInstanceOf[String]), (3L, "c")).toDF("id", "v")
+    val snap = VersionedTable.merge(updates, dir, Seq("id"))
+    assert(snap.version === 2L && snap.operation === "merge")
+    val after = VersionedTable.read(spark, dir)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(after === Set((1L, Some("a")), (2L, None), (3L, Some("c"))),
+      "matched row must take the update's NULL; unmatched carries; new inserts")
+    // the pre-merge version is untouched
+    assert(ids(VersionedTable.snapshotAt(spark, dir, 1L)) === Set(1L, 2L))
+  }
+
   test("vacuum reclaims unreferenced files but keeps the retained window readable") {
     val dir = tmp()
     VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)     // v1
