@@ -1,0 +1,68 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Schedule
+
+/** Quartz-cron next-fire semantics, pinned on the reference's own
+  * trigger expression plus ranges/steps/lists/day-of-week and the
+  * impossible-date guard.
+  */
+class ScheduleSpec extends AnyFunSuite {
+  private def at(s: String) = LocalDateTime.parse(s)
+
+  test("the reference's daily trigger '41 0 10 * * ?' fires at 10:00:41 every day") {
+    val c = Schedule.parse("41 0 10 * * ?")
+    assert(Schedule.nextAfter(c, at("2024-03-05T09:00:00"))
+      === Some(at("2024-03-05T10:00:41")))
+    // strictly after: the fire instant itself rolls to tomorrow
+    assert(Schedule.nextAfter(c, at("2024-03-05T10:00:41"))
+      === Some(at("2024-03-06T10:00:41")))
+    assert(Schedule.nextAfter(c, at("2024-03-05T10:00:40"))
+      === Some(at("2024-03-05T10:00:41")))
+    // month boundary
+    assert(Schedule.nextAfter(c, at("2024-02-29T11:00:00"))
+      === Some(at("2024-03-01T10:00:41")))
+  }
+
+  test("steps, ranges and lists: '0 */15 9-17 * * ?'") {
+    val c = Schedule.parse("0 */15 9-17 * * ?")
+    assert(Schedule.nextAfter(c, at("2024-03-05T09:10:00"))
+      === Some(at("2024-03-05T09:15:00")))
+    assert(Schedule.nextAfter(c, at("2024-03-05T17:45:00"))
+      === Some(at("2024-03-06T09:00:00")))
+    val list = Schedule.parse("0 5,35 8 * * ?")
+    assert(Schedule.nextAfter(list, at("2024-03-05T08:05:00"))
+      === Some(at("2024-03-05T08:35:00")))
+  }
+
+  test("day-of-week is Quartz-numbered (1=Sunday): '0 0 8 ? * 2' is Mondays") {
+    val c = Schedule.parse("0 0 8 ? * 2")
+    // 2024-03-05 is a Tuesday; next Monday is 2024-03-11
+    assert(Schedule.nextAfter(c, at("2024-03-05T00:00:00"))
+      === Some(at("2024-03-11T08:00:00")))
+    // Sunday = 1
+    val sun = Schedule.parse("0 0 8 ? * 1")
+    assert(Schedule.nextAfter(sun, at("2024-03-05T00:00:00"))
+      === Some(at("2024-03-10T08:00:00")))
+  }
+
+  test("specific day-of-month and month: '0 30 6 15 2 ?'") {
+    val c = Schedule.parse("0 30 6 15 2 ?")
+    assert(Schedule.nextAfter(c, at("2024-02-15T06:30:00"))
+      === Some(at("2025-02-15T06:30:00")))
+  }
+
+  test("impossible dates return None instead of spinning: Feb 30") {
+    val c = Schedule.parse("0 0 0 30 2 ?")
+    assert(Schedule.nextAfter(c, at("2024-01-01T00:00:00")) === None)
+  }
+
+  test("malformed expressions fail fast") {
+    intercept[IllegalArgumentException](Schedule.parse("* * * * *")) // 5 fields
+    intercept[IllegalArgumentException](Schedule.parse("0 0 0 * * *")) // no '?'
+    intercept[IllegalArgumentException](Schedule.parse("0 99 0 * * ?")) // range
+  }
+}
