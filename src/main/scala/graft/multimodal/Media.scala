@@ -58,7 +58,12 @@ object Media {
     val isBmp = substring(content, 1, 2) === lit("BM".getBytes("US-ASCII"))
     // JPEG dims sit at a VARIABLE offset (behind EXIF/APPn/COM/DQT
     // segments) — the native marker walk returns null for non-JPEG
-    // bytes, so nullability doubles as the format test
+    // bytes, so nullability doubles as the format test. The expression
+    // appears three times below (condition + width + height); that is
+    // deliberate: the walk HOPS segments by their length fields (it
+    // never scans segment bodies), so each evaluation is O(#segments) —
+    // a few dozen comparisons even for a 64 KB EXIF blob — and the
+    // repeat costs less than boxing the packed value through a struct.
     val jpeg = GraftExpressions.jpegDims(content)
     when(isPng, struct(lit("png").as("format"),
         be32(17).as("width"), be32(21).as("height")))

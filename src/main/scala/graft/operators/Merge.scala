@@ -87,25 +87,33 @@ object Merge {
     * per-column coalesce — coalesce would silently keep the old value
     * for null updates). MERGE also requires at most one update row per
     * target key ("cannot update the same row twice"); duplicate update
-    * keys would silently fan target rows out through the join, so they
-    * fail fast here.
+    * keys would silently fan target rows out through the join, so the
+    * plan carries an in-plan guard (a per-key count on the update side +
+    * `assert_true` on every matched value) that fails the job the moment
+    * a fanned-out match would be produced — WITHOUT turning this lazy
+    * transformation into a driver-side action or evaluating the updates
+    * lineage twice. Duplicate keys among UNMATCHED update rows are
+    * harmless by construction (a left join emits no row for them).
     */
   def updateMatched(target: DataFrame, updates: DataFrame, keys: Seq[String],
       setCols: Seq[String]): DataFrame = {
-    val dupKeys = updates.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
-    require(dupKeys.isEmpty,
-      s"updateMatched requires one update row per key (SQL MERGE rule); " +
-        s"duplicate key example: ${dupKeys.headOption.getOrElse("")}")
+    val dupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(k => col(s"__u_$k")): _*)
     val u = updates
       .select((keys ++ setCols).map(c => col(c).as(s"__u_$c")): _*)
       .withColumn("__u_present", lit(true))
+      .withColumn("__u_dupn", count(lit(1)).over(dupW))
     val cond = keys.map(k => col(k) === col(s"__u_$k")).reduce(_ && _)
     val joined = target.join(u, cond, "left")
+    val guardOk = assert_true(col("__u_dupn") <= 1,
+      lit("updateMatched requires one update row per key (SQL MERGE " +
+        "rule): duplicate update keys would fan target rows out")).isNull
     val updated = setCols.foldLeft(joined) { (df, c) =>
       df.withColumn(c,
-        when(col("__u_present").isNotNull, col(s"__u_$c")).otherwise(col(c)))
+        when(col("__u_present").isNotNull && guardOk, col(s"__u_$c"))
+          .otherwise(col(c)))
     }
-    updated.drop((keys ++ setCols).map(c => s"__u_$c") :+ "__u_present": _*)
+    updated.drop((keys ++ setCols).map(c => s"__u_$c")
+      ++ Seq("__u_present", "__u_dupn"): _*)
   }
 }

@@ -74,10 +74,14 @@ object Schedule {
       c.dayOfWeek.forall(_.contains(quartzDow(d)))
 
   /** The first fire time STRICTLY after `t`, or None if none occurs
-    * within `horizonDays` (guards impossible dates like Feb 30).
+    * within `horizonDays` (guards impossible dates like Feb 30). The
+    * default horizon is ~9 years: the Gregorian worst case is a Feb-29
+    * cron straddling a 100-divisible non-leap year (2096-02-29 →
+    * 2104-02-29 is ~2,890 days), which a 4-year horizon would
+    * misreport as an impossible date.
     */
   def nextAfter(c: Cron, t: LocalDateTime,
-      horizonDays: Int = 1462): Option[LocalDateTime] = {
+      horizonDays: Int = 3300): Option[LocalDateTime] = {
     val hours = c.hours.toSeq.sorted
     val minutes = c.minutes.toSeq.sorted
     val seconds = c.seconds.toSeq.sorted

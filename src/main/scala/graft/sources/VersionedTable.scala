@@ -19,13 +19,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * CREATING THE NEXT MANIFEST IS THE COMMIT. A writer stages data files
   * in a fresh `data/v<N>_<rand>/` subdir (invisible: readers only look
-  * at manifests), writes the manifest body to a dot-temp, and renames it
-  * to `v<N>.manifest`. The rename either lands — the version exists,
-  * complete — or fails because a concurrent writer took version N first
-  * (optimistic concurrency: the loser's staged files become debris,
-  * never visible, and the caller retries on the new snapshot). There is
-  * no LATEST pointer to swap and therefore no pointer to corrupt:
-  * `latest = max(version among manifest files)`.
+  * at manifests), then EXCLUSIVE-CREATES `v<N>.manifest` and writes the
+  * body through that handle. Exclusive create (O_EXCL via nio on
+  * `file://`, the namenode's atomic create-no-overwrite on HDFS) either
+  * claims version N or fails because a concurrent writer claimed it
+  * first (optimistic concurrency: the loser's staged files become
+  * debris, never visible, and the caller retries on the new snapshot).
+  * Rename is deliberately NOT the commit primitive: POSIX rename
+  * REPLACES an existing destination, so a rename-based commit would let
+  * a racing writer silently overwrite the winner's manifest on local
+  * filesystems. Because the body is written after the claim, a manifest
+  * is only COMMITTED once its `end` terminator line is present — readers
+  * treat a terminator-less manifest (a writer crashed mid-commit) as
+  * absent, and the stranded claim is repaired by deleting that file.
+  * There is no LATEST pointer to swap and therefore no pointer to
+  * corrupt: `latest = max(version among complete manifests)`.
   *
   * This closes the reader-isolation gap of path-level tables: a reader
   * resolves a manifest ONCE into an explicit file list, so a concurrent
@@ -59,7 +67,10 @@ object VersionedTable {
 
   private def manifestName(v: Long) = f"v$v%08d.manifest"
 
-  /** All committed snapshots, ascending by version. */
+  /** All committed snapshots, ascending by version. A manifest without
+    * its `end` terminator (a writer crashed between claiming the version
+    * and finishing the body) is in-flight/torn, not committed — skipped.
+    */
   def snapshots(spark: SparkSession, dir: String): Seq[Snapshot] = {
     val (fs, _) = fsFor(spark, dir)
     val mdir = new Path(dir, ManifestDir)
@@ -67,7 +78,7 @@ object VersionedTable {
     fs.listStatus(mdir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".manifest")
         && !s.getPath.getName.startsWith("."))
-      .map { s =>
+      .flatMap { s =>
         val in = fs.open(s.getPath)
         val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -76,19 +87,25 @@ object VersionedTable {
       .sortBy(_.version)
   }
 
-  private def parseManifest(body: String): Snapshot = {
+  /** None for a torn (terminator-less or truncated) manifest. */
+  private def parseManifest(body: String): Option[Snapshot] = {
     val lines = body.linesIterator.toSeq
+    val files = lines.filter(_.startsWith("file=")).map(_.drop(5))
     def field(k: String) = lines.collectFirst {
       case l if l.startsWith(s"$k=") => l.drop(k.length + 1)
-    }.getOrElse(sys.error(s"corrupt manifest: missing $k"))
-    Snapshot(field("version").toLong, field("timestamp").toLong,
-      field("operation"),
-      lines.filter(_.startsWith("file=")).map(_.drop(5)))
+    }
+    for {
+      end <- field("end") if end.toLong == files.size // complete body
+      v <- field("version")
+      ts <- field("timestamp")
+      op <- field("operation")
+    } yield Snapshot(v.toLong, ts.toLong, op, files)
   }
 
   private def renderManifest(s: Snapshot): String =
     (Seq(s"version=${s.version}", s"timestamp=${s.timestampMs}",
-      s"operation=${s.operation}") ++ s.files.map(f => s"file=$f"))
+      s"operation=${s.operation}") ++ s.files.map(f => s"file=$f")
+      :+ s"end=${s.files.size}")
       .mkString("", "\n", "\n")
 
   /** The latest snapshot, or None for a table with no commits. */
@@ -108,8 +125,13 @@ object VersionedTable {
       .map(s => s"$sub/${s.getPath.getName}")
   }
 
-  /** Atomically commit `files` as manifest version `v`. Throws on a
-    * concurrent-writer conflict (version `v` already committed).
+  /** Atomically claim-and-commit `files` as manifest version `v`:
+    * exclusive-create the manifest (the claim — exactly one writer can
+    * win it), then write the body and the `end` terminator through the
+    * claimed handle (the commit — readers ignore terminator-less
+    * manifests). Throws on a concurrent-writer conflict. Rename is
+    * deliberately not used: POSIX rename replaces an existing
+    * destination, which would let a racing writer overwrite the winner.
     * Package-visible so the spec can drive the race window directly.
     */
   private[graft] def commit(spark: SparkSession, dir: String, v: Long,
@@ -118,15 +140,28 @@ object VersionedTable {
     val snap = Snapshot(v, System.currentTimeMillis(), operation, files)
     val mdir = new Path(dir, ManifestDir)
     fs.mkdirs(mdir)
-    val tmp = new Path(mdir, s".${manifestName(v)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(renderManifest(snap).getBytes("UTF-8")) finally out.close()
     val dest = new Path(mdir, manifestName(v))
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"VersionedTable: version $v of $dir was committed by a " +
-          "concurrent writer; re-read the latest snapshot and retry")
+    val bytes = renderManifest(snap).getBytes("UTF-8")
+    try {
+      if (dest.toUri.getScheme == null || dest.toUri.getScheme == "file") {
+        // local FS: true O_EXCL atomicity via nio (Hadoop's local
+        // create(overwrite=false) is a non-atomic check-then-create)
+        val p = java.nio.file.Paths.get(
+          new Path(fs.makeQualified(dest).toUri.getPath).toString)
+        java.nio.file.Files.write(p, bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      } else {
+        // HDFS-like: create-no-overwrite is atomic at the namenode
+        val out = fs.create(dest, false)
+        try out.write(bytes) finally out.close()
+      }
+    } catch {
+      case e @ (_: java.nio.file.FileAlreadyExistsException |
+                _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
+        throw new java.io.IOException(
+          s"VersionedTable: version $v of $dir was committed by a " +
+            "concurrent writer; re-read the latest snapshot and retry", e)
     }
     snap
   }
@@ -157,8 +192,15 @@ object VersionedTable {
     * (no partial batch can ever be visible), which the
     * partition-directory ledger can only approximate.
     */
-  def appendTagged(df: DataFrame, dir: String, tag: String): Snapshot = {
-    val prevOpt = latest(df.sparkSession, dir)
+  def appendTagged(df: DataFrame, dir: String, tag: String): Snapshot =
+    appendTagged(df, dir, tag, latest(df.sparkSession, dir))
+
+  /** [[appendTagged]] against an already-resolved latest snapshot, so a
+    * caller that has just listed the manifests (the streaming sink does,
+    * for its replay check) does not list them a second time.
+    */
+  private[graft] def appendTagged(df: DataFrame, dir: String, tag: String,
+      prevOpt: Option[Snapshot]): Snapshot = {
     val v = prevOpt.map(_.version + 1).getOrElse(1L)
     commit(df.sparkSession, dir, v, tag,
       prevOpt.map(_.files).getOrElse(Seq.empty) ++ stageFiles(df, dir, v))
@@ -195,8 +237,19 @@ object VersionedTable {
     */
   def merge(updates: DataFrame, dir: String, keys: Seq[String]): Snapshot = {
     val spark = updates.sparkSession
+    import org.apache.spark.sql.functions._
     val prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits — use create"))
+    // SQL MERGE rule ("cannot update the same row twice"): duplicate
+    // update keys would silently fan target rows out through upsert's
+    // full-outer join and COMMIT the corruption — fail before staging.
+    // merge already runs eager jobs (staging writes), so the bounded
+    // dup probe adds no laziness cost here, unlike inside upsert itself.
+    val dup = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge requires one update row per key (SQL MERGE rule); " +
+        s"duplicate key example: ${dup.headOption.getOrElse("")}")
     val merged = graft.operators.Merge.upsert(
       readSnapshot(spark, dir, prev), updates, keys)
     val v = prev.version + 1

@@ -427,14 +427,23 @@ object Streams {
     * Processes all currently-available input, then stops (a deployment
     * would leave the query running on a trigger).
     */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming append into a [[graft.sources.VersionedTable]] — the
-    * strongest sink in this file: each micro-batch commits as ONE atomic
-    * manifest rename tagged `append#<batchId>`, so a batch is either
-    * fully visible as a table version or absent entirely (a partial
-    * batch CANNOT surface, where the partition-ledger sinks can only
-    * make partial data unreachable), a replayed batch finds its tag and
-    * skips, and every batch boundary stays time-travelable. Processes
-    * all currently-available input, then stops.
+    * strongest sink in this file: each micro-batch commits as ONE
+    * atomically-claimed manifest tagged `append#<batchId>`, so a batch
+    * is either fully visible as a table version or absent entirely (a
+    * partial batch CANNOT surface, where the partition-ledger sinks can
+    * only make partial data unreachable), a replayed batch finds its tag
+    * and skips, and every batch boundary stays time-travelable.
+    * Processes all currently-available input, then stops.
     */
   def versionedIngest(stream: DataFrame, tableDir: String,
       checkpointDir: String): Unit = {
@@ -453,17 +462,12 @@ object Streams {
     import graft.sources.VersionedTable
     val spark = batch.sparkSession
     val tag = s"append#$batchId"
-    if (VersionedTable.hasOperation(spark, tableDir, tag)) return
+    // ONE manifest listing serves both the replay check and the append's
+    // version resolution (listing twice per batch would make a
+    // long-running stream quadratic in manifest reads)
+    val snaps = VersionedTable.snapshots(spark, tableDir)
+    if (snaps.exists(_.operation == tag)) return
     if (batch.isEmpty) return
-    VersionedTable.appendTagged(batch, tableDir, tag)
-  }
-
-  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
-    val q = df.writeStream.outputMode(OutputMode.Append())
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    VersionedTable.appendTagged(batch, tableDir, tag, snaps.lastOption)
   }
 }

@@ -35,13 +35,24 @@ class OperatorsSpec extends AnyFunSuite {
       "matched row must take the update's NULL, not coalesce back to the old value")
   }
 
-  test("Merge.updateMatched: duplicate update keys fail fast instead of fanning out rows") {
+  test("Merge.updateMatched: duplicate update keys fail the job instead of fanning out rows") {
     val target = Seq((1, "x")).toDF("k", "s")
     val updates = Seq((1, "a"), (1, "b")).toDF("k", "s")
-    val e = intercept[IllegalArgumentException] {
-      Merge.updateMatched(target, updates, Seq("k"), Seq("s"))
-    }
-    assert(e.getMessage.contains("one update row per key"))
+    // the guard is IN-PLAN (lazy — no driver action at build time); it
+    // fires when the fanned-out match would be produced
+    val df = Merge.updateMatched(target, updates, Seq("k"), Seq("s"))
+    val e = intercept[Exception] { df.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("one update row per key")),
+      s"expected the MERGE dup-key guard to fire, got: $e")
+    // duplicate keys among UNMATCHED updates are harmless (left join
+    // emits no row for them) — must not trip the guard
+    val unmatched = Seq((9, "a"), (9, "b")).toDF("k", "s")
+    val ok = Merge.updateMatched(target, unmatched, Seq("k"), Seq("s"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(ok === Set((1, "x")))
   }
 
   test("Dedup.latestPerKey keeps exactly one newest row per key") {

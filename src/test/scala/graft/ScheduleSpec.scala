@@ -60,6 +60,15 @@ class ScheduleSpec extends AnyFunSuite {
     assert(Schedule.nextAfter(c, at("2024-01-01T00:00:00")) === None)
   }
 
+  test("Feb-29 cron across the 2100 non-leap century boundary still resolves") {
+    // the Gregorian worst case: next Feb 29 after 2096-03-01 is
+    // 2104-02-29, ~2,890 days out — a 4-year horizon would misreport
+    // this valid schedule as an impossible date
+    val c = Schedule.parse("0 0 0 29 2 ?")
+    assert(Schedule.nextAfter(c, at("2096-03-01T00:00:00"))
+      === Some(at("2104-02-29T00:00:00")))
+  }
+
   test("malformed expressions fail fast") {
     intercept[IllegalArgumentException](Schedule.parse("* * * * *")) // 5 fields
     intercept[IllegalArgumentException](Schedule.parse("0 0 0 * * *")) // no '?'

@@ -82,17 +82,30 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(ids(VersionedTable.snapshotAt(spark, dir, 2L)) === Set(1L, 100L))
   }
 
-  test("uncommitted data files and temp manifests are invisible to readers") {
+  test("uncommitted data files and torn manifests are invisible to readers") {
     val dir = tmp()
     VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
-    // crash debris: staged data with no manifest + a torn temp manifest
+    // crash debris: staged data with no manifest...
     Seq((666L, "debris")).toDF("id", "v")
       .write.parquet(s"$dir/data/v9_deadbeef")
-    val torn = new java.io.FileWriter(s"$dir/_manifests/.v00000009.manifest.tmp")
-    torn.write("version=9\n"); torn.close()
+    // ...a dot-temp file...
+    val tmpM = new java.io.FileWriter(s"$dir/_manifests/.v00000009.manifest.tmp")
+    tmpM.write("version=9\n"); tmpM.close()
+    // ...and a TORN claimed manifest (writer died between the exclusive
+    // create and the end terminator) — claimed but never committed
+    val torn = new java.io.FileWriter(s"$dir/_manifests/v00000002.manifest")
+    torn.write("version=2\ntimestamp=0\noperation=append\nfile=data/v2_x/p.parquet\n")
+    torn.close()
     assert(ids(VersionedTable.read(spark, dir)) === Set(1L),
       "debris must never surface in reads")
-    assert(VersionedTable.snapshots(spark, dir).map(_.version) === Seq(1L))
+    assert(VersionedTable.snapshots(spark, dir).map(_.version) === Seq(1L),
+      "a terminator-less manifest is in-flight/torn, not committed")
+    // the stranded claim still blocks version 2 (single-writer repair =
+    // delete the torn file), which the conflict error reports
+    val e = intercept[java.io.IOException] {
+      VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    }
+    assert(e.getMessage.contains("concurrent writer"))
   }
 
   test("merge upserts as a new version; the pre-merge state stays time-travelable") {
