@@ -55,7 +55,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ extensionQueries
 
-  def oracleSql: Map[String, String] = coreOracleSql ++ extensionOracleSql
+  def oracleSql: Map[String, String] = {
+    val base = coreOracleSql ++ extensionOracleSql
+    // q89 recomputes q71's delta via versioned-table time travel — same
+    // transformation, same expected rows, same oracle (the q59/q53
+    // same-oracle convention: layout/versioning changes the plan, never
+    // the answer)
+    base + ("q89_version_cdc" -> base("q71_snapshot_cdc"))
+  }
 
   /** Reference-inventory operators (SURVEY.md §2). */
   def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1093,6 +1100,37 @@ object SparkEntry {
       VersionedTable.merge(updates, tmp, Seq("p_partkey"))
       VersionedTable.read(s, tmp).groupBy(col("p_brand"))
         .agg(count(lit(1)).as("cnt"), decSum("p_retailprice").as("sum_price"))
+    }),
+
+    // CDC across table VERSIONS: the q71 delta computed by time travel —
+    // write v1, overwrite with the changed snapshot as v2, then diff
+    // snapshotAt(1) against the latest. The output (and oracle) is
+    // exactly q71's; what this gates is that the versioned commit layer
+    // preserves both endpoints of the diff bit-for-bit, so CDC composes
+    // with time travel instead of requiring the caller to have kept the
+    // old snapshot around. Fresh table per invocation.
+    "q89_version_cdc" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q89_$jvmId"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      VersionedTable.create(o, tmp)
+      val newSnap = o.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(o.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority")))
+      VersionedTable.overwrite(newSnap, tmp)
+      Merge.snapshotDiff(
+        VersionedTable.snapshotAt(s, tmp, 1L),
+        VersionedTable.read(s, tmp), Seq("o_orderkey"))
     }),
 
     // Exact discrete percentiles per group — the exact twin of q33's
