@@ -1133,6 +1133,34 @@ object SparkEntry {
         VersionedTable.read(s, tmp), Seq("o_orderkey"))
     }),
 
+    // Data skipping under the oracle gate: lineitem lands in a
+    // versioned table, a z-order `cluster` commit rewrites it with
+    // per-file min/max manifest stats, and the scan goes through
+    // readWhere — files whose stats refute the predicate are pruned
+    // BEFORE the scan plans (DataSkippingSpec proves pruning fires and
+    // is sound; the oracle here proves the pruned scan's answer is the
+    // plain filtered aggregate). The predicate is a 2-D box on the
+    // clustered pair plus a timestamp bound on a third stats column.
+    "q90_skipping_scan" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q90_$jvmId"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity",
+        "l_extendedprice", "l_shipdate", "l_returnflag")
+      VersionedTable.create(li, tmp)
+      VersionedTable.cluster(s, tmp, ("l_quantity", "l_extendedprice"),
+        targetFiles = 16,
+        statsCols = Seq("l_quantity", "l_extendedprice", "l_shipdate"))
+      VersionedTable.readWhere(s, tmp,
+        col("l_quantity") <= 5.0 && col("l_extendedprice") < 20000.0 &&
+          col("l_shipdate") >=
+            lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), decSum("l_quantity").as("sum_qty"),
+          decSum("l_extendedprice").as("sum_price"))
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both
@@ -2140,6 +2168,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM m GROUP BY p_brand""".stripMargin,
+
+    // layout + skipping change the plan, never the answer: the oracle
+    // is the plain filtered aggregate over the raw table
+    "q90_skipping_scan" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_quantity <= 5.0 AND l_extendedprice < 20000.0
+        |  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q66_oov_rate" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token

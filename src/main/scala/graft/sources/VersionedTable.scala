@@ -54,9 +54,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTable {
 
-  /** One committed version: `operation` ∈ create|append|overwrite|compact. */
+  /** One committed version: `operation` ∈ create|append|overwrite|compact|
+    * merge|cluster (streaming sinks use caller tags). `stats` carries
+    * per-file data-skipping metadata ([[DataSkipping.FileStats]]) for
+    * files staged by commits that requested it; files without stats are
+    * simply never pruned.
+    */
   final case class Snapshot(version: Long, timestampMs: Long,
-      operation: String, files: Seq[String])
+      operation: String, files: Seq[String],
+      stats: Map[String, DataSkipping.FileStats] = Map.empty)
 
   private val ManifestDir = "_manifests"
 
@@ -99,12 +105,15 @@ object VersionedTable {
       v <- field("version")
       ts <- field("timestamp")
       op <- field("operation")
-    } yield Snapshot(v.toLong, ts.toLong, op, files)
+    } yield Snapshot(v.toLong, ts.toLong, op, files,
+      DataSkipping.parseLines(lines))
   }
 
   private def renderManifest(s: Snapshot): String =
     (Seq(s"version=${s.version}", s"timestamp=${s.timestampMs}",
       s"operation=${s.operation}") ++ s.files.map(f => s"file=$f")
+      ++ s.stats.toSeq.sortBy(_._1).flatMap { case (f, fs) =>
+        DataSkipping.renderLines(f, fs) }
       :+ s"end=${s.files.size}")
       .mkString("", "\n", "\n")
 
@@ -125,6 +134,16 @@ object VersionedTable {
       .map(s => s"$sub/${s.getPath.getName}")
   }
 
+  /** [[stageFiles]] plus data-skipping stats over exactly the staged
+    * files (empty `statsCols` = no stats job at all).
+    */
+  private def stageWithStats(df: DataFrame, dir: String, v: Long,
+      statsCols: Seq[String]):
+      (Seq[String], Map[String, DataSkipping.FileStats]) = {
+    val files = stageFiles(df, dir, v)
+    (files, DataSkipping.collectStats(df.sparkSession, dir, files, statsCols))
+  }
+
   /** Atomically claim-and-commit `files` as manifest version `v`:
     * exclusive-create the manifest (the claim — exactly one writer can
     * win it), then write the body and the `end` terminator through the
@@ -135,9 +154,10 @@ object VersionedTable {
     * Package-visible so the spec can drive the race window directly.
     */
   private[graft] def commit(spark: SparkSession, dir: String, v: Long,
-      operation: String, files: Seq[String]): Snapshot = {
+      operation: String, files: Seq[String],
+      stats: Map[String, DataSkipping.FileStats] = Map.empty): Snapshot = {
     val (fs, _) = fsFor(spark, dir)
-    val snap = Snapshot(v, System.currentTimeMillis(), operation, files)
+    val snap = Snapshot(v, System.currentTimeMillis(), operation, files, stats)
     val mdir = new Path(dir, ManifestDir)
     fs.mkdirs(mdir)
     val dest = new Path(mdir, manifestName(v))
@@ -166,22 +186,30 @@ object VersionedTable {
     snap
   }
 
-  /** Create the table (version 1). Fails if commits already exist. */
-  def create(df: DataFrame, dir: String): Snapshot = {
+  /** Create the table (version 1). Fails if commits already exist.
+    * `statsCols` names columns to collect data-skipping stats for
+    * (see [[DataSkipping]]); stats ride the manifest and power
+    * [[readWhere]]'s file pruning.
+    */
+  def create(df: DataFrame, dir: String,
+      statsCols: Seq[String] = Seq.empty): Snapshot = {
     require(latest(df.sparkSession, dir).isEmpty,
       s"table $dir already has commits — use append/overwrite")
-    commit(df.sparkSession, dir, 1L, "create", stageFiles(df, dir, 1L))
+    val (files, st) = stageWithStats(df, dir, 1L, statsCols)
+    commit(df.sparkSession, dir, 1L, "create", files, st)
   }
 
-  /** Append `df` as a new version: previous files carry over, new files
-    * join them. Old versions remain readable.
+  /** Append `df` as a new version: previous files carry over (with
+    * their stats), new files join them. Old versions remain readable.
     */
-  def append(df: DataFrame, dir: String): Snapshot = {
+  def append(df: DataFrame, dir: String,
+      statsCols: Seq[String] = Seq.empty): Snapshot = {
     val prev = latest(df.sparkSession, dir).getOrElse(
       sys.error(s"table $dir has no commits — use create"))
     val v = prev.version + 1
+    val (files, st) = stageWithStats(df, dir, v, statsCols)
     commit(df.sparkSession, dir, v, "append",
-      prev.files ++ stageFiles(df, dir, v))
+      prev.files ++ files, prev.stats ++ st)
   }
 
   /** [[append]] with a caller-supplied operation tag, creating the table
@@ -202,8 +230,10 @@ object VersionedTable {
   private[graft] def appendTagged(df: DataFrame, dir: String, tag: String,
       prevOpt: Option[Snapshot]): Snapshot = {
     val v = prevOpt.map(_.version + 1).getOrElse(1L)
+    val prevStats = prevOpt.map(_.stats).getOrElse(Map.empty)
     commit(df.sparkSession, dir, v, tag,
-      prevOpt.map(_.files).getOrElse(Seq.empty) ++ stageFiles(df, dir, v))
+      prevOpt.map(_.files).getOrElse(Seq.empty) ++ stageFiles(df, dir, v),
+      prevStats)
   }
 
   /** True iff some committed version carries `tag` as its operation. */
@@ -213,11 +243,13 @@ object VersionedTable {
   /** Replace the table's contents as a new version. Old versions remain
     * readable until [[vacuum]].
     */
-  def overwrite(df: DataFrame, dir: String): Snapshot = {
+  def overwrite(df: DataFrame, dir: String,
+      statsCols: Seq[String] = Seq.empty): Snapshot = {
     val prev = latest(df.sparkSession, dir).getOrElse(
       sys.error(s"table $dir has no commits — use create"))
     val v = prev.version + 1
-    commit(df.sparkSession, dir, v, "overwrite", stageFiles(df, dir, v))
+    val (files, st) = stageWithStats(df, dir, v, statsCols)
+    commit(df.sparkSession, dir, v, "overwrite", files, st)
   }
 
   /** MERGE (upsert) into the table as a new version: matched keys take
@@ -235,7 +267,8 @@ object VersionedTable {
     * only the touched partitions' rows, then commit) — the commit cost
     * itself stays one manifest either way.
     */
-  def merge(updates: DataFrame, dir: String, keys: Seq[String]): Snapshot = {
+  def merge(updates: DataFrame, dir: String, keys: Seq[String],
+      statsCols: Seq[String] = Seq.empty): Snapshot = {
     val spark = updates.sparkSession
     import org.apache.spark.sql.functions._
     val prev = latest(spark, dir).getOrElse(
@@ -253,7 +286,8 @@ object VersionedTable {
     val merged = graft.operators.Merge.upsert(
       readSnapshot(spark, dir, prev), updates, keys)
     val v = prev.version + 1
-    commit(spark, dir, v, "merge", stageFiles(merged, dir, v))
+    val (files, st) = stageWithStats(merged, dir, v, statsCols)
+    commit(spark, dir, v, "merge", files, st)
   }
 
   /** Rewrite the current contents into `targetFiles` files as a new
@@ -262,14 +296,57 @@ object VersionedTable {
     * file is modified or removed.
     */
   def compactTable(spark: SparkSession, dir: String,
-      targetFiles: Int): Snapshot = {
+      targetFiles: Int, statsCols: Seq[String] = Seq.empty): Snapshot = {
     require(targetFiles > 0, "targetFiles must be positive")
     val prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits"))
     val v = prev.version + 1
     val current = readSnapshot(spark, dir, prev)
-    commit(spark, dir, v, "compact",
-      stageFiles(current.repartition(targetFiles), dir, v))
+    val (files, st) = stageWithStats(
+      current.repartition(targetFiles), dir, v, statsCols)
+    commit(spark, dir, v, "compact", files, st)
+  }
+
+  /** Answer-preserving z-order rewrite committed as a new version — the
+    * OPTIMIZE ZORDER BY + stats-collection pair in one commit. Same
+    * clustering recipe as [[Sources.zorderWrite]] (quantile range
+    * buckets → Morton interleave → `repartitionByRange` on the z-value
+    * with an in-partition z-sort), but the rewritten files land through
+    * the manifest commit path with skipping stats, so a subsequent
+    * [[readWhere]] box predicate on the two clustered dimensions prunes
+    * most files BEFORE the scan starts — the mechanism that turns a
+    * 100 TB needle query into a handful of tasks. Both z-columns must
+    * be double-castable (numeric); `statsCols` defaults to exactly the
+    * clustering pair.
+    */
+  def cluster(spark: SparkSession, dir: String, zCols: (String, String),
+      targetFiles: Int, statsCols: Seq[String] = Seq.empty,
+      buckets: Int = 256): Snapshot = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.GraftExpressions
+    require(targetFiles > 0, "targetFiles must be positive")
+    require(buckets > 1 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    val prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    val v = prev.version + 1
+    val current = readSnapshot(spark, dir, prev)
+    val bits = java.lang.Integer.numberOfTrailingZeros(buckets)
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val Array(bx, by) =
+      current.stat.approxQuantile(Array(zCols._1, zCols._2), probes, 0.001)
+    val arranged = current
+      .withColumn("__z", GraftExpressions.interleaveBits(
+        GraftExpressions.rangeBucket(col(zCols._1).cast("double"), bx).cast("long"),
+        GraftExpressions.rangeBucket(col(zCols._2).cast("double"), by).cast("long"),
+        bits))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val effStats =
+      if (statsCols.nonEmpty) statsCols else Seq(zCols._1, zCols._2)
+    val (files, st) = stageWithStats(arranged, dir, v, effStats)
+    commit(spark, dir, v, "cluster", files, st)
   }
 
   private def readSnapshot(spark: SparkSession, dir: String,
@@ -282,6 +359,30 @@ object VersionedTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     readSnapshot(spark, dir, latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits")))
+
+  /** The latest version's rows satisfying `predicate`, with data
+    * skipping: files whose manifest stats prove no row can match are
+    * never opened ([[DataSkipping]]), and the predicate still applies
+    * row-level to the survivors — identical answers to
+    * `read(...).filter(predicate)`, strictly fewer bytes scanned.
+    */
+  def readWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val snap = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    DataSkipping.readPruned(spark, dir, snap, predicate)
+  }
+
+  /** (files kept, files pruned) for `predicate` against the latest
+    * version — the observability hook for specs and scan planning.
+    */
+  def pruneInfo(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): (Int, Int) = {
+    val snap = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    val (kept, pruned) = DataSkipping.prune(spark, dir, snap, predicate)
+    (kept.size, pruned.size)
+  }
 
   /** Time travel by version number. */
   def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame = {

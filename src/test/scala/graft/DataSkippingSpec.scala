@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DataSkipping, VersionedTable}
+
+/** Contract spec for manifest-level data skipping: stats survive the
+  * manifest round-trip, pruning provably removes files, and — the part
+  * that matters — pruning is SOUND: for every predicate shape the
+  * analyzer handles (and the ones it must bail on), `readWhere` is
+  * row-identical to an unpruned read+filter, across nulls, all-null
+  * files, NaN, cross-type literals, multi-byte strings, and stats-less
+  * legacy manifests.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft-skip").toString
+
+  /** Rows land range-partitioned on k so each file covers a narrow,
+    * disjoint k-range — the layout skipping exists to exploit.
+    */
+  private def rangedTable(dir: String, statsCols: Seq[String]): Unit = {
+    val df = (0L until 4000L).toDF("k")
+      .withColumn("d", col("k").cast("double") / 10.0)
+      .withColumn("s", format_string("s%04d", col("k")))
+      .withColumn("dec", col("k").cast("decimal(12,2)") *
+        lit("1.5").cast("decimal(3,1)"))
+      .withColumn("dt", date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+        (col("k") / 100L).cast("int")))
+      .withColumn("nullable5", when(col("k") % 5L === 0L, col("k")))
+      .repartitionByRange(8, col("k"))
+    VersionedTable.create(df, dir, statsCols)
+  }
+
+  private def assertSame(dir: String, pred: Column): Unit = {
+    val pruned = VersionedTable.readWhere(spark, dir, pred)
+      .collect().map(_.toString).sorted
+    val full = VersionedTable.read(spark, dir).filter(pred)
+      .collect().map(_.toString).sorted
+    assert(pruned.toSeq === full.toSeq, s"answer changed under pruning: $pred")
+  }
+
+  test("stats survive the manifest round-trip exactly") {
+    val dir = tmp()
+    rangedTable(dir, Seq("k", "d", "s", "dec", "dt", "nullable5"))
+    val snap = VersionedTable.latest(spark, dir).get
+    assert(snap.stats.keySet === snap.files.toSet,
+      "every staged file must carry stats")
+    val fs = snap.stats(snap.files.head)
+    assert(fs.cols.keySet ===
+      Set("k", "d", "s", "dec", "dt", "nullable5"))
+    assert(fs.cols("k").typeTag === "long")
+    assert(fs.cols("d").typeTag === "double")
+    assert(fs.cols("s").typeTag === "string")
+    assert(fs.cols("dec").typeTag === "decimal")
+    assert(fs.cols("dt").typeTag === "date")
+    // nullable5 is null for 4 of every 5 rows
+    assert(fs.cols("nullable5").nullCount > 0)
+    // round-trip: what snapshots() parsed IS what render wrote
+    val reparsed = VersionedTable.snapshots(spark, dir).head.stats
+    assert(reparsed === snap.stats)
+    // global min/max across files reproduce the true extremes
+    val allK = snap.stats.values.flatMap(_.cols("k").min).map(_.toLong)
+    assert(allK.min === 0L)
+  }
+
+  test("a narrow range predicate prunes most range-partitioned files") {
+    val dir = tmp()
+    rangedTable(dir, Seq("k"))
+    val (kept, pruned) = VersionedTable.pruneInfo(spark, dir,
+      col("k") >= 1000L && col("k") < 1200L)
+    assert(kept + pruned === 8)
+    assert(kept <= 2, s"expected <=2 of 8 files kept, got $kept")
+    assertSame(dir, col("k") >= 1000L && col("k") < 1200L)
+  }
+
+  test("soundness battery: every handled and bailed predicate shape") {
+    val dir = tmp()
+    rangedTable(dir, Seq("k", "d", "s", "dec", "dt", "nullable5"))
+    val preds: Seq[Column] = Seq(
+      col("k") === 1500L,
+      col("k") === -1L,                       // prunes everything
+      lit(1500L) <= col("k"),                 // literal-first orientation
+      col("k") =!= 1500L,
+      !(col("k") < 2000L),
+      col("k").isin(10L, 1990L, 3999L),
+      col("d") < 50.0,
+      col("d") === 399.9,
+      col("dec") > 4500.0,                    // decimal vs double literal
+      col("dec") === lit(new java.math.BigDecimal("150.00")),
+      col("dt") < lit(java.sql.Date.valueOf("2020-01-15")),
+      col("s") === "s2500",
+      col("s").startsWith("s39"),
+      col("s").startsWith("zzz"),             // prunes everything
+      col("nullable5").isNull,
+      col("nullable5").isNotNull,
+      col("nullable5") <=> 10L,
+      col("nullable5") <=> lit(null),
+      col("k") < 500L || col("k") >= 3800L,
+      col("k") < 500L && col("s").startsWith("s00"),
+      col("k") === 7.5,                       // long col vs fractional: bail
+      col("k") + 1L === 100L,                 // arithmetic shape: bail
+      abs(col("d")) < 5.0)                    // function shape: bail
+    preds.foreach(assertSame(dir, _))
+    // the bail shapes must keep all files (never unsound pruning)
+    assert(VersionedTable.pruneInfo(spark, dir, col("k") + 1L === 100L)
+      === ((8, 0)))
+    // and the impossible ones prune all
+    assert(VersionedTable.pruneInfo(spark, dir, col("k") === -1L)._1 === 0)
+    assert(VersionedTable.pruneInfo(spark, dir,
+      col("s").startsWith("zzz"))._1 === 0)
+  }
+
+  test("all-null files prune for comparisons, survive only for IS NULL") {
+    val dir = tmp()
+    val withVals = Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "x")
+      .coalesce(1)
+    val allNull = Seq((3L, None: Option[Long]), (4L, None: Option[Long]))
+      .toDF("id", "x").coalesce(1)
+    VersionedTable.create(withVals, dir, Seq("x"))
+    VersionedTable.append(allNull, dir, Seq("x"))
+    assert(VersionedTable.pruneInfo(spark, dir, col("x") === 10L) === ((1, 1)),
+      "the all-null file cannot satisfy an equality")
+    assert(VersionedTable.pruneInfo(spark, dir, col("x").isNotNull) === ((1, 1)))
+    assert(VersionedTable.pruneInfo(spark, dir, col("x").isNull) === ((1, 1)),
+      "the no-null file cannot satisfy IS NULL")
+    Seq(col("x") === 10L, col("x").isNull, col("x").isNotNull,
+      col("x") < 100L).foreach(assertSame(dir, _))
+  }
+
+  test("NaN bounds never cause unsound pruning") {
+    val dir = tmp()
+    val normal = Seq(1.0, 2.0, 3.0).toDF("v").coalesce(1)
+    val withNaN = Seq(100.0, Double.NaN).toDF("v").coalesce(1)
+    VersionedTable.create(normal, dir, Seq("v"))
+    VersionedTable.append(withNaN, dir, Seq("v"))
+    val snap = VersionedTable.latest(spark, dir).get
+    val nanFile = snap.stats.values.find(_.cols("v").max.isEmpty)
+    assert(nanFile.isDefined, "NaN max must be stored as unbounded")
+    // Spark: NaN > 1000.0 is TRUE — the NaN file must be kept
+    val kept = VersionedTable.readWhere(spark, dir, col("v") > 1000.0)
+    assert(kept.count() === 1L, "the NaN row satisfies > 1000.0 in Spark")
+    Seq(col("v") > 1000.0, col("v") < 2.5, col("v") === 100.0)
+      .foreach(assertSame(dir, _))
+  }
+
+  test("-0.0 and 0.0 compare equal, multi-byte strings use UTF-8 order") {
+    val dir = tmp()
+    val df = Seq((-0.0, "éclair"), (0.0, "zebra"), (5.0, "😀emoji"))
+      .toDF("v", "s").coalesce(1)
+    VersionedTable.create(df, dir, Seq("v", "s"))
+    assert(VersionedTable.pruneInfo(spark, dir, col("v") === -0.0)._1 === 1,
+      "file holding +0.0..5.0 must be kept for === -0.0")
+    Seq(col("v") === -0.0, col("v") <= 0.0,
+      col("s") > "z", col("s").startsWith("é"))
+      .foreach(assertSame(dir, _))
+  }
+
+  test("stats-less legacy manifests read correctly with zero pruning") {
+    val dir = tmp()
+    VersionedTable.create((1L to 100L).toDF("k")
+      .repartitionByRange(4, col("k")), dir) // no statsCols
+    val snap = VersionedTable.latest(spark, dir).get
+    assert(snap.stats.isEmpty)
+    assert(VersionedTable.pruneInfo(spark, dir, col("k") === 5L)
+      === ((4, 0)), "no stats → keep everything")
+    assertSame(dir, col("k") === 5L)
+  }
+
+  test("append merges stats; compact and cluster recompute them") {
+    val dir = tmp()
+    VersionedTable.create((0L until 100L).toDF("k").coalesce(1), dir, Seq("k"))
+    VersionedTable.append((100L until 200L).toDF("k").coalesce(1), dir, Seq("k"))
+    val v2 = VersionedTable.latest(spark, dir).get
+    assert(v2.stats.size === 2, "append must carry v1 stats forward")
+    assert(VersionedTable.pruneInfo(spark, dir, col("k") < 50L) === ((1, 1)))
+    val v3 = VersionedTable.compactTable(spark, dir, 1, Seq("k"))
+    assert(v3.stats.size === 1 &&
+      v3.stats.values.head.cols("k").min === Some("0") &&
+      v3.stats.values.head.cols("k").max === Some("199"))
+    assertSame(dir, col("k") < 50L)
+  }
+
+  test("cluster: z-order commit is answer-preserving and a 2-D box prunes") {
+    val dir = tmp()
+    val df = (0L until 10000L).toDF("id")
+      .withColumn("x", (col("id") * 2654435761L % 1000L).cast("double"))
+      .withColumn("y", (col("id") * 40503L % 1000L).cast("double"))
+    VersionedTable.create(df, dir, Seq("x", "y"))
+    val before = VersionedTable.read(spark, dir)
+      .agg(sum("id"), count(lit(1))).collect().head
+    val snap = VersionedTable.cluster(spark, dir, ("x", "y"),
+      targetFiles = 16)
+    assert(snap.operation === "cluster" && snap.files.size === 16)
+    val after = VersionedTable.read(spark, dir)
+      .agg(sum("id"), count(lit(1))).collect().head
+    assert(before === after, "cluster must not change contents")
+    val box = col("x") >= 100.0 && col("x") < 200.0 &&
+      col("y") >= 100.0 && col("y") < 200.0
+    val (kept, pruned) = VersionedTable.pruneInfo(spark, dir, box)
+    assert(kept < 16, s"z-order box should prune some of 16 files ($kept kept)")
+    assertSame(dir, box)
+  }
+
+  test("pruning everything still returns the right (empty) schema") {
+    val dir = tmp()
+    rangedTable(dir, Seq("k"))
+    val out = VersionedTable.readWhere(spark, dir, col("k") === -5L)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq ===
+      VersionedTable.read(spark, dir).columns.toSeq)
+  }
+}
