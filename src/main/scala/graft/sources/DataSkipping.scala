@@ -508,7 +508,7 @@ object DataSkipping {
       snap: VersionedTable.Snapshot, predicate: Column):
       (Seq[String], Seq[String]) = {
     if (snap.files.isEmpty || snap.stats.isEmpty) return (snap.files, Nil)
-    val schemaDf = spark.read.parquet(s"$dir/${snap.files.head}")
+    val schemaDf = schemaProbe(spark, dir, snap)
     resolve(schemaDf, predicate) match {
       case None => (snap.files, Nil)
       case Some(e) => snap.files.partition { f =>
@@ -528,9 +528,25 @@ object DataSkipping {
       snap: VersionedTable.Snapshot, predicate: Column): DataFrame = {
     val (kept, _) = prune(spark, dir, snap, predicate)
     if (kept.isEmpty)
-      // preserve schema from any committed file; scan nothing
-      spark.read.parquet(s"$dir/${snap.files.head}").where(lit(false))
-    else
-      spark.read.parquet(kept.map(f => s"$dir/$f"): _*).where(predicate)
+      // preserve the table schema; scan nothing
+      schemaProbe(spark, dir, snap).where(lit(false))
+    else snap.schema match {
+      case Some(st) =>
+        spark.read.schema(st).parquet(kept.map(f => s"$dir/$f"): _*)
+          .where(predicate)
+      case None =>
+        spark.read.parquet(kept.map(f => s"$dir/$f"): _*).where(predicate)
+    }
+  }
+
+  /** A schema-bearing (single-file or schema-only) frame for resolving
+    * predicates: the recorded table schema when the manifest carries
+    * one — correct under schema evolution — else the first file's.
+    */
+  private def schemaProbe(spark: SparkSession, dir: String,
+      snap: VersionedTable.Snapshot): DataFrame = snap.schema match {
+    case Some(st) =>
+      spark.read.schema(st).parquet(s"$dir/${snap.files.head}")
+    case None => spark.read.parquet(s"$dir/${snap.files.head}")
   }
 }

@@ -62,7 +62,15 @@ object VersionedTable {
     */
   final case class Snapshot(version: Long, timestampMs: Long,
       operation: String, files: Seq[String],
-      stats: Map[String, DataSkipping.FileStats] = Map.empty)
+      stats: Map[String, DataSkipping.FileStats] = Map.empty,
+      schemaJson: Option[String] = None) {
+    /** The snapshot's recorded table schema (versions committed before
+      * schema tracking have none and read footer-first as before).
+      */
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
 
   private val ManifestDir = "_manifests"
 
@@ -106,12 +114,17 @@ object VersionedTable {
       ts <- field("timestamp")
       op <- field("operation")
     } yield Snapshot(v.toLong, ts.toLong, op, files,
-      DataSkipping.parseLines(lines))
+      DataSkipping.parseLines(lines),
+      field("schema").map(s => new String(
+        java.util.Base64.getDecoder.decode(s), "UTF-8")))
   }
 
   private def renderManifest(s: Snapshot): String =
     (Seq(s"version=${s.version}", s"timestamp=${s.timestampMs}",
-      s"operation=${s.operation}") ++ s.files.map(f => s"file=$f")
+      s"operation=${s.operation}")
+      ++ s.schemaJson.map(j => s"schema=${java.util.Base64.getEncoder
+        .encodeToString(j.getBytes("UTF-8"))}").toSeq
+      ++ s.files.map(f => s"file=$f")
       ++ s.stats.toSeq.sortBy(_._1).flatMap { case (f, fs) =>
         DataSkipping.renderLines(f, fs) }
       :+ s"end=${s.files.size}")
@@ -155,9 +168,11 @@ object VersionedTable {
     */
   private[graft] def commit(spark: SparkSession, dir: String, v: Long,
       operation: String, files: Seq[String],
-      stats: Map[String, DataSkipping.FileStats] = Map.empty): Snapshot = {
+      stats: Map[String, DataSkipping.FileStats] = Map.empty,
+      schemaJson: Option[String] = None): Snapshot = {
     val (fs, _) = fsFor(spark, dir)
-    val snap = Snapshot(v, System.currentTimeMillis(), operation, files, stats)
+    val snap = Snapshot(v, System.currentTimeMillis(), operation, files,
+      stats, schemaJson)
     val mdir = new Path(dir, ManifestDir)
     fs.mkdirs(mdir)
     val dest = new Path(mdir, manifestName(v))
@@ -196,20 +211,63 @@ object VersionedTable {
     require(latest(df.sparkSession, dir).isEmpty,
       s"table $dir already has commits — use append/overwrite")
     val (files, st) = stageWithStats(df, dir, 1L, statsCols)
-    commit(df.sparkSession, dir, 1L, "create", files, st)
+    commit(df.sparkSession, dir, 1L, "create", files, st,
+      Some(df.schema.json))
+  }
+
+  /** Union of two schemas for an evolving append: same-name fields
+    * must agree on type (nullability relaxes to nullable — old files
+    * simply lack new columns), new fields join at the end. Fails fast
+    * on a type conflict, naming the column — the alternative is
+    * footer-dependent silent column loss.
+    */
+  private def mergeSchemas(prev: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructField
+    val byName = next.fields.map(f => f.name -> f).toMap
+    prev.fields.foreach { pf =>
+      byName.get(pf.name).foreach { nf =>
+        require(nf.dataType == pf.dataType,
+          s"schema evolution cannot change column ${pf.name} from " +
+            s"${pf.dataType.simpleString} to ${nf.dataType.simpleString}; " +
+            "use overwrite for type changes")
+      }
+    }
+    val prevNames = prev.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      prev.fields.map(f => StructField(f.name, f.dataType, nullable = true))
+        ++ next.fields.collect { case f if !prevNames.contains(f.name) =>
+          StructField(f.name, f.dataType, nullable = true) })
   }
 
   /** Append `df` as a new version: previous files carry over (with
     * their stats), new files join them. Old versions remain readable.
+    * With the default `mergeSchema = false` the incoming schema must
+    * match the table's recorded schema exactly (by field name + type);
+    * with `mergeSchema = true` new columns evolve the table schema and
+    * pre-existing files read as null for them ([[mergeSchemas]]).
     */
   def append(df: DataFrame, dir: String,
-      statsCols: Seq[String] = Seq.empty): Snapshot = {
+      statsCols: Seq[String] = Seq.empty,
+      mergeSchema: Boolean = false): Snapshot = {
     val prev = latest(df.sparkSession, dir).getOrElse(
       sys.error(s"table $dir has no commits — use create"))
+    val evolved = prev.schema match {
+      case None => Some(df.schema.json) // legacy table: start recording
+      case Some(ps) if mergeSchema => Some(mergeSchemas(ps, df.schema).json)
+      case Some(ps) =>
+        val same = ps.fields.map(f => (f.name, f.dataType)).toSeq ==
+          df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        require(same,
+          s"append schema ${df.schema.simpleString} does not match table " +
+            s"schema ${ps.simpleString}; pass mergeSchema = true to evolve")
+        Some(ps.json)
+    }
     val v = prev.version + 1
     val (files, st) = stageWithStats(df, dir, v, statsCols)
     commit(df.sparkSession, dir, v, "append",
-      prev.files ++ files, prev.stats ++ st)
+      prev.files ++ files, prev.stats ++ st, evolved)
   }
 
   /** [[append]] with a caller-supplied operation tag, creating the table
@@ -233,7 +291,8 @@ object VersionedTable {
     val prevStats = prevOpt.map(_.stats).getOrElse(Map.empty)
     commit(df.sparkSession, dir, v, tag,
       prevOpt.map(_.files).getOrElse(Seq.empty) ++ stageFiles(df, dir, v),
-      prevStats)
+      prevStats,
+      prevOpt.flatMap(_.schemaJson).orElse(Some(df.schema.json)))
   }
 
   /** True iff some committed version carries `tag` as its operation. */
@@ -249,7 +308,8 @@ object VersionedTable {
       sys.error(s"table $dir has no commits — use create"))
     val v = prev.version + 1
     val (files, st) = stageWithStats(df, dir, v, statsCols)
-    commit(df.sparkSession, dir, v, "overwrite", files, st)
+    commit(df.sparkSession, dir, v, "overwrite", files, st,
+      Some(df.schema.json))
   }
 
   /** MERGE (upsert) into the table as a new version: matched keys take
@@ -287,7 +347,7 @@ object VersionedTable {
       readSnapshot(spark, dir, prev), updates, keys)
     val v = prev.version + 1
     val (files, st) = stageWithStats(merged, dir, v, statsCols)
-    commit(spark, dir, v, "merge", files, st)
+    commit(spark, dir, v, "merge", files, st, Some(merged.schema.json))
   }
 
   /** Rewrite the current contents into `targetFiles` files as a new
@@ -304,7 +364,7 @@ object VersionedTable {
     val current = readSnapshot(spark, dir, prev)
     val (files, st) = stageWithStats(
       current.repartition(targetFiles), dir, v, statsCols)
-    commit(spark, dir, v, "compact", files, st)
+    commit(spark, dir, v, "compact", files, st, Some(current.schema.json))
   }
 
   /** Answer-preserving z-order rewrite committed as a new version — the
@@ -346,13 +406,20 @@ object VersionedTable {
     val effStats =
       if (statsCols.nonEmpty) statsCols else Seq(zCols._1, zCols._2)
     val (files, st) = stageWithStats(arranged, dir, v, effStats)
-    commit(spark, dir, v, "cluster", files, st)
+    commit(spark, dir, v, "cluster", files, st, Some(arranged.schema.json))
   }
 
   private def readSnapshot(spark: SparkSession, dir: String,
       s: Snapshot): DataFrame = {
     if (s.files.isEmpty) sys.error(s"version ${s.version} of $dir is empty")
-    spark.read.parquet(s.files.map(f => s"$dir/$f"): _*)
+    // the recorded schema makes reads footer-order-independent: files
+    // predating an evolved column read as null for it, instead of the
+    // whole table silently losing the column when an old footer wins
+    s.schema match {
+      case Some(st) =>
+        spark.read.schema(st).parquet(s.files.map(f => s"$dir/$f"): _*)
+      case None => spark.read.parquet(s.files.map(f => s"$dir/$f"): _*)
+    }
   }
 
   /** The latest version's contents. */

@@ -139,4 +139,62 @@ class VersionedTableSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no version"))
   }
+
+  test("schema evolution: mergeSchema appends a column, old rows read null") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // strict append with a new column fails fast, naming the remedy
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq((3L, "c", 30L)).toDF("id", "v", "score"), dir)
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    VersionedTable.append(Seq((3L, "c", 30L)).toDF("id", "v", "score"), dir,
+      mergeSchema = true)
+    val out = VersionedTable.read(spark, dir)
+    assert(out.columns.toSeq === Seq("id", "v", "score"),
+      "evolved schema = old fields then new")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), Option(if (r.isNullAt(2)) null
+        else java.lang.Long.valueOf(r.getLong(2))))).toMap
+    assert(rows === Map(1L -> None, 2L -> None, 3L -> Some(3L * 10L)),
+      "pre-evolution rows must read null for the new column")
+    // time travel shows each version under ITS OWN schema
+    assert(VersionedTable.snapshotAt(spark, dir, 1L).columns.toSeq ===
+      Seq("id", "v"))
+    // appending rows WITHOUT the evolved column back-fills null
+    VersionedTable.append(Seq((4L, "d")).toDF("id", "v"), dir,
+      mergeSchema = true)
+    val v3 = VersionedTable.read(spark, dir)
+    assert(v3.filter(col("id") === 4L).select("score").collect().head.isNullAt(0))
+    assert(v3.count() === 4L)
+  }
+
+  test("schema evolution: type conflicts fail fast, naming the column") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq((2L, 99L)).toDF("id", "v"), dir,
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("v") && e.getMessage.contains("cannot change"))
+  }
+
+  test("schema evolution composes with data skipping on the new column") {
+    val dir = tmp()
+    VersionedTable.create((0L until 100L).toDF("id").coalesce(1), dir, Seq("id"))
+    VersionedTable.append((100L until 200L).toDF("id")
+      .withColumn("score", col("id") * 2L).coalesce(1), dir,
+      statsCols = Seq("id", "score"), mergeSchema = true)
+    // old file has no score stats → kept; new file prunes by its range
+    val (kept, pruned) = VersionedTable.pruneInfo(spark, dir,
+      col("score") > 1000L)
+    assert((kept, pruned) === ((1, 1)),
+      "stats-less old file kept, out-of-range new file pruned")
+    val got = VersionedTable.readWhere(spark, dir, col("score") >= 398L)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(199L))
+    // and a predicate the old file CAN satisfy keeps both
+    assert(VersionedTable.readWhere(spark, dir, col("score").isNull)
+      .count() === 100L)
+  }
 }
