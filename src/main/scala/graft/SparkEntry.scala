@@ -1161,6 +1161,31 @@ object SparkEntry {
           decSum("l_extendedprice").as("sum_price"))
     }),
 
+    // Copy-on-write DML under the oracle gate: DELETE then UPDATE on a
+    // versioned table, each committed as one atomic version rewriting
+    // ONLY the files whose skipping stats say they may hold matching
+    // rows (range predicates on the range-partitioned key, so most
+    // files carry over by reference — VersionedTableSpec proves the
+    // carry-over; the oracle here proves the DML semantics). The final
+    // aggregate reads the post-DML latest version.
+    "q91_dml_cow" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q91_$jvmId"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+      VersionedTable.create(o, tmp, statsCols = Seq("o_orderkey"))
+      VersionedTable.delete(s, tmp, col("o_orderkey") < 1000L)
+      VersionedTable.update(s, tmp,
+        col("o_orderkey") >= 5000L && col("o_orderkey") < 6000L,
+        Map("o_totalprice" -> (col("o_totalprice") + 100.0)))
+      VersionedTable.read(s, tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("sum_price"))
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both
@@ -2180,6 +2205,23 @@ object SparkEntry {
         |WHERE l_quantity <= 5.0 AND l_extendedprice < 20000.0
         |  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
         |GROUP BY l_returnflag""".stripMargin,
+
+    // the DELETE drops key<1000 (no NULL keys in orders), the UPDATE
+    // adds 100 to the 5000..5999 band — replayed declaratively
+    "q91_dml_cow" ->
+      """WITH d AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE NOT (o_orderkey < 1000)),
+        |u AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey >= 5000 AND o_orderkey < 6000
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END
+        |      AS o_totalprice
+        |  FROM d)
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM u GROUP BY o_orderstatus""".stripMargin,
 
     "q66_oov_rate" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token

@@ -350,6 +350,79 @@ object VersionedTable {
     commit(spark, dir, v, "merge", files, st, Some(merged.schema.json))
   }
 
+  /** Copy-on-write core for DELETE/UPDATE: data skipping decides which
+    * files MAY hold predicate-true rows — only those are rewritten by
+    * `rewrite`; every other file (and its stats) carries into the new
+    * version BY REFERENCE, unread and unwritten. At 100 TB this is the
+    * difference between a DML statement that rewrites a few files and
+    * one that rewrites the table; the skipping analyzer's soundness
+    * contract (never prune a file that may match) is exactly the
+    * carry-over-safety contract needed here. Rewritten files get fresh
+    * stats on the union of previously tracked columns.
+    */
+  private def copyOnWrite(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column, op: String,
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame):
+      Snapshot = {
+    val prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    val (touched, untouched) = DataSkipping.prune(spark, dir, prev, predicate)
+    val v = prev.version + 1
+    if (touched.isEmpty)
+      return commit(spark, dir, v, op, prev.files, prev.stats, prev.schemaJson)
+    val touchedDf = prev.schema match {
+      case Some(st) =>
+        spark.read.schema(st).parquet(touched.map(f => s"$dir/$f"): _*)
+      case None => spark.read.parquet(touched.map(f => s"$dir/$f"): _*)
+    }
+    val statsCols =
+      prev.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted
+    val (files, st) =
+      stageWithStats(rewrite(touchedDf, predicate), dir, v, statsCols)
+    commit(spark, dir, v, op, untouched ++ files,
+      prev.stats.view.filterKeys(untouched.toSet).toMap ++ st,
+      prev.schemaJson.orElse(Some(touchedDf.schema.json)))
+  }
+
+  /** SQL DELETE: remove rows where `predicate` is TRUE (FALSE and NULL
+    * rows survive — three-valued SQL semantics), committed as one
+    * atomic new version. Only may-match files are rewritten
+    * ([[copyOnWrite]]); deleting every row leaves a readable empty
+    * version. The pre-delete version stays time-travelable.
+    */
+  def delete(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    copyOnWrite(spark, dir, predicate, "delete",
+      (df, p) => df.filter(coalesce(not(p), lit(true))))
+  }
+
+  /** SQL UPDATE ... SET: rows where `predicate` is TRUE take the `set`
+    * expressions (all of them evaluated against the OLD row — one
+    * select, not chained withColumns), everything else is untouched.
+    * Set values cast to the column's existing type so the table schema
+    * is stable. Copy-on-write: only may-match files rewrite.
+    */
+  def update(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    copyOnWrite(spark, dir, predicate, "update", (df, p) => {
+      set.keys.foreach(c => require(
+        df.columns.exists(_.equalsIgnoreCase(c)),
+        s"update sets unknown column $c; table has " +
+          df.columns.mkString("[", ",", "]")))
+      val pTrue = coalesce(p, lit(false))
+      df.select(df.schema.fields.map { f =>
+        set.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, e)) =>
+            when(pTrue, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+    })
+  }
+
   /** Rewrite the current contents into `targetFiles` files as a new
     * version — answer-preserving OPTIMIZE. Readers of any version,
     * including one resolving mid-compact, are untouched: no pre-existing
@@ -411,7 +484,13 @@ object VersionedTable {
 
   private def readSnapshot(spark: SparkSession, dir: String,
       s: Snapshot): DataFrame = {
-    if (s.files.isEmpty) sys.error(s"version ${s.version} of $dir is empty")
+    if (s.files.isEmpty) s.schema match {
+      // a version CAN be legitimately empty (e.g. delete of every row);
+      // with a recorded schema that's an empty frame, not an error
+      case Some(st) => return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None => sys.error(s"version ${s.version} of $dir is empty")
+    }
     // the recorded schema makes reads footer-order-independent: files
     // predating an evolved column read as null for it, instead of the
     // whole table silently losing the column when an old footer wins

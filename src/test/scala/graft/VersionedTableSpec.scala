@@ -140,6 +140,72 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no version"))
   }
 
+  test("delete: removes only predicate-TRUE rows, copy-on-write skips clean files") {
+    val dir = tmp()
+    // two files with disjoint key ranges + a nullable flag column
+    val df = (0L until 100L).toDF("id")
+      .withColumn("flag", when(col("id") % 3 === 0, col("id") % 2 === 0))
+      .repartitionByRange(2, col("id"))
+    VersionedTable.create(df, dir, Seq("id"))
+    val v1Files = VersionedTable.latest(spark, dir).get.files.toSet
+    // predicate true only in the low range: high file must carry over
+    val snap = VersionedTable.delete(spark, dir,
+      col("id") < 10L && col("flag"))
+    assert(snap.operation === "delete" && snap.version === 2L)
+    val carried = snap.files.toSet.intersect(v1Files)
+    assert(carried.nonEmpty, "the untouched file must carry over by reference")
+    assert(carried.forall(snap.stats.contains), "carried files keep their stats")
+    // deleted: id<10 AND flag true → ids 0,6 (flag null/false rows survive)
+    val remaining = VersionedTable.read(spark, dir)
+      .select("id").as[Long].collect().toSet
+    assert(remaining === (0L until 100L).toSet -- Set(0L, 6L),
+      "NULL-predicate rows must survive a DELETE")
+    assert(VersionedTable.snapshotAt(spark, dir, 1L).count() === 100L,
+      "the pre-delete version stays time-travelable")
+  }
+
+  test("delete everything leaves a readable empty version") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir, Seq("id"))
+    VersionedTable.delete(spark, dir, lit(true))
+    val out = VersionedTable.read(spark, dir)
+    assert(out.count() === 0L && out.columns.toSeq === Seq("id", "v"))
+    assert(VersionedTable.snapshotAt(spark, dir, 1L).count() === 1L)
+  }
+
+  test("delete with a nothing-matches predicate commits a pure carry-over version") {
+    val dir = tmp()
+    VersionedTable.create((0L until 50L).toDF("id"), dir, Seq("id"))
+    val v1 = VersionedTable.latest(spark, dir).get
+    val snap = VersionedTable.delete(spark, dir, col("id") > 1000L)
+    assert(snap.files === v1.files, "no file may be rewritten")
+    assert(snap.version === 2L)
+    assert(VersionedTable.read(spark, dir).count() === 50L)
+  }
+
+  test("update: set expressions see the OLD row, casts keep the schema stable") {
+    val dir = tmp()
+    VersionedTable.create(
+      Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+        .toDF("id", "a", "b"), dir, Seq("id"))
+    // a swap proves old-row evaluation: chained withColumns would give b=a=old b
+    VersionedTable.update(spark, dir, col("id") <= 2L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val rows = VersionedTable.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, 100L, 10L), (2L, 200L, 20L), (3L, 30L, 300L)))
+    // rewritten stats reflect the new values: a is now up to 200
+    val (kept, _) = (VersionedTable.pruneInfo(spark, dir, col("a") > 150L))
+    assert(kept >= 1)
+    assert(VersionedTable.readWhere(spark, dir, col("a") === 200L)
+      .select("id").as[Long].collect().toSeq === Seq(2L))
+    // unknown set column fails fast
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.update(spark, dir, lit(true), Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("schema evolution: mergeSchema appends a column, old rows read null") {
     val dir = tmp()
     VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
