@@ -278,20 +278,23 @@ object VersionedTable {
     * (no partial batch can ever be visible), which the
     * partition-directory ledger can only approximate.
     */
-  def appendTagged(df: DataFrame, dir: String, tag: String): Snapshot =
-    appendTagged(df, dir, tag, latest(df.sparkSession, dir))
+  def appendTagged(df: DataFrame, dir: String, tag: String,
+      statsCols: Seq[String] = Seq.empty): Snapshot =
+    appendTagged(df, dir, tag, latest(df.sparkSession, dir), statsCols)
 
   /** [[appendTagged]] against an already-resolved latest snapshot, so a
     * caller that has just listed the manifests (the streaming sink does,
     * for its replay check) does not list them a second time.
     */
   private[graft] def appendTagged(df: DataFrame, dir: String, tag: String,
-      prevOpt: Option[Snapshot]): Snapshot = {
+      prevOpt: Option[Snapshot],
+      statsCols: Seq[String]): Snapshot = {
     val v = prevOpt.map(_.version + 1).getOrElse(1L)
     val prevStats = prevOpt.map(_.stats).getOrElse(Map.empty)
+    val (files, st) = stageWithStats(df, dir, v, statsCols)
     commit(df.sparkSession, dir, v, tag,
-      prevOpt.map(_.files).getOrElse(Seq.empty) ++ stageFiles(df, dir, v),
-      prevStats,
+      prevOpt.map(_.files).getOrElse(Seq.empty) ++ files,
+      prevStats ++ st,
       prevOpt.flatMap(_.schemaJson).orElse(Some(df.schema.json)))
   }
 
@@ -545,6 +548,45 @@ object VersionedTable {
     require(eligible.nonEmpty,
       s"table $dir has no version committed at or before $tsMs")
     readSnapshot(spark, dir, eligible.last)
+  }
+
+  /** Backfill data-skipping stats for the CURRENT version without
+    * touching a single data file: one stats aggregation over the files
+    * that don't already carry stats for exactly `statsCols`, committed
+    * as a new version referencing the same files. This is how a legacy
+    * or streamed-in table gains [[readWhere]] pruning retroactively —
+    * metadata-only, so at 100 TB it costs one scan, not one rewrite.
+    */
+  def analyze(spark: SparkSession, dir: String,
+      statsCols: Seq[String]): Snapshot = {
+    require(statsCols.nonEmpty, "analyze needs at least one stats column")
+    val prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    val wanted = statsCols.toSet
+    val missing = prev.files.filterNot(f =>
+      prev.stats.get(f).exists(fs => wanted.subsetOf(fs.cols.keySet)))
+    val fresh = DataSkipping.collectStats(spark, dir, missing, statsCols)
+    // merge per file: keep any previously tracked columns, add the new
+    val mergedStats = prev.stats ++ fresh.map { case (f, fs) =>
+      f -> prev.stats.get(f).map(old =>
+        DataSkipping.FileStats(fs.rowCount, old.cols ++ fs.cols))
+        .getOrElse(fs)
+    }
+    commit(spark, dir, prev.version + 1, "analyze", prev.files,
+      mergedStats, prev.schemaJson)
+  }
+
+  /** The table's commit history, newest first — DESCRIBE HISTORY as a
+    * DataFrame: version, commit timestamp, operation, file count, and
+    * which columns carry skipping stats.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    snapshots(spark, dir).reverse.map { s =>
+      (s.version, new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.files.size,
+        s.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted.mkString(","))
+    }.toDF("version", "committed_at", "operation", "n_files", "stats_cols")
   }
 
   /** Drop data files referenced by NO retained version (the newest

@@ -446,19 +446,19 @@ object Streams {
     * Processes all currently-available input, then stops.
     */
   def versionedIngest(stream: DataFrame, tableDir: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String, statsCols: Seq[String] = Seq.empty): Unit = {
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processVersionedBatch(batch, batchId, tableDir)
+        processVersionedBatch(batch, batchId, tableDir, statsCols)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
   }
 
   private[graft] def processVersionedBatch(batch: DataFrame, batchId: Long,
-      tableDir: String): Unit = {
+      tableDir: String, statsCols: Seq[String] = Seq.empty): Unit = {
     import graft.sources.VersionedTable
     val spark = batch.sparkSession
     val tag = s"append#$batchId"
@@ -468,6 +468,7 @@ object Streams {
     val snaps = VersionedTable.snapshots(spark, tableDir)
     if (snaps.exists(_.operation == tag)) return
     if (batch.isEmpty) return
-    VersionedTable.appendTagged(batch, tableDir, tag, snaps.lastOption)
+    VersionedTable.appendTagged(batch, tableDir, tag, snaps.lastOption,
+      statsCols)
   }
 }

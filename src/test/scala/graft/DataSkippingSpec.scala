@@ -207,6 +207,48 @@ class DataSkippingSpec extends AnyFunSuite {
     assertSame(dir, box)
   }
 
+  test("analyze backfills stats metadata-only: same files, pruning activates") {
+    val dir = tmp()
+    VersionedTable.create((0L until 1000L).toDF("k")
+      .withColumn("s", format_string("v%04d", col("k")))
+      .repartitionByRange(4, col("k")), dir) // legacy: no stats
+    val v1 = VersionedTable.latest(spark, dir).get
+    assert(v1.stats.isEmpty)
+    val snap = VersionedTable.analyze(spark, dir, Seq("k"))
+    assert(snap.operation === "analyze")
+    assert(snap.files === v1.files, "analyze must not touch data files")
+    assert(VersionedTable.pruneInfo(spark, dir, col("k") < 100L)._2 > 0,
+      "pruning must fire after analyze")
+    assertSame(dir, col("k") < 100L)
+    // a second analyze on a NEW column keeps the first column's stats
+    VersionedTable.analyze(spark, dir, Seq("s"))
+    val v3 = VersionedTable.latest(spark, dir).get
+    assert(v3.stats.values.forall(fs =>
+      fs.cols.keySet === Set("k", "s")), "analyze merges per-file stats")
+    assertSame(dir, col("k") < 100L && col("s") >= "v0900")
+  }
+
+  test("history lists versions newest-first with operations and stats columns") {
+    val dir = tmp()
+    VersionedTable.create((1L to 10L).toDF("k"), dir)
+    VersionedTable.append((11L to 20L).toDF("k"), dir)
+    VersionedTable.analyze(spark, dir, Seq("k"))
+    val h = VersionedTable.history(spark, dir).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L))
+    assert(h.map(_.getString(2)).toSeq === Seq("analyze", "append", "create"))
+    assert(h.head.getString(4) === "k")
+  }
+
+  test("readWhere pushes the predicate into the parquet scan (row-group pruning)") {
+    val dir = tmp()
+    rangedTable(dir, Seq("k"))
+    val plan = VersionedTable.readWhere(spark, dir, col("k") >= 1000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,1000)]")
+      || plan.contains("GreaterThanOrEqual(k,1000)"),
+      s"file-level skipping must compose with parquet pushdown; plan:\n$plan")
+  }
+
   test("pruning everything still returns the right (empty) schema") {
     val dir = tmp()
     rangedTable(dir, Seq("k"))

@@ -517,14 +517,18 @@ class StreamingSpec extends AnyFunSuite {
     val (src, table, ckpt) = (s"$root/src", s"$root/table", s"$root/ckpt")
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(src)
     val schema = spark.read.parquet(src).schema
-    Streams.versionedIngest(Streams.fileIngest(spark, src, schema), table, ckpt)
+    Streams.versionedIngest(Streams.fileIngest(spark, src, schema), table, ckpt,
+      statsCols = Seq("id"))
     val v1 = VersionedTable.latest(spark, table).get
     assert(v1.operation.startsWith("append#"))
     assert(VersionedTable.read(spark, table).count() === 2)
+    assert(v1.stats.nonEmpty && v1.stats.values.forall(_.cols.contains("id")),
+      "streamed batches must carry skipping stats when asked")
 
     // second batch appends a NEW version; the first stays addressable
     Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(src)
-    Streams.versionedIngest(Streams.fileIngest(spark, src, schema), table, ckpt)
+    Streams.versionedIngest(Streams.fileIngest(spark, src, schema), table, ckpt,
+      statsCols = Seq("id"))
     val snaps = VersionedTable.snapshots(spark, table)
     assert(snaps.size === 2 && snaps.map(_.operation).distinct.size === 2,
       s"each batch must commit its own tagged version: $snaps")
