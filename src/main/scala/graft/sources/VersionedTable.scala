@@ -250,24 +250,63 @@ object VersionedTable {
     */
   def append(df: DataFrame, dir: String,
       statsCols: Seq[String] = Seq.empty,
-      mergeSchema: Boolean = false): Snapshot = {
-    val prev = latest(df.sparkSession, dir).getOrElse(
+      mergeSchema: Boolean = false): Snapshot =
+    appendRebase(df, dir, statsCols, mergeSchema, maxAttempts = 1)
+
+  /** [[append]] with automatic conflict REBASE — the optimistic-
+    * concurrency completion: appends commute, so when another writer
+    * claims the version first, the loser's already-staged files are
+    * simply re-committed against the NEW latest (re-running the schema
+    * check and stats merge against it) instead of failing the caller.
+    * Data is staged exactly once; each retry costs one manifest read +
+    * one commit attempt. Non-append conflicts rebase too — "my rows
+    * joined the table after your operation" is exactly append
+    * semantics. Gives up after `maxAttempts` claims, rethrowing the
+    * conflict.
+    */
+  def appendWithRetry(df: DataFrame, dir: String,
+      statsCols: Seq[String] = Seq.empty,
+      mergeSchema: Boolean = false,
+      maxAttempts: Int = 5): Snapshot =
+    appendRebase(df, dir, statsCols, mergeSchema, maxAttempts)
+
+  /** Core append loop; `onStaged` is a test seam that runs after the
+    * data files are staged and before the first commit attempt — the
+    * race window a concurrent writer exploits.
+    */
+  private[graft] def appendRebase(df: DataFrame, dir: String,
+      statsCols: Seq[String], mergeSchema: Boolean, maxAttempts: Int,
+      onStaged: () => Unit = () => ()): Snapshot = {
+    require(maxAttempts >= 1, "maxAttempts must be at least 1")
+    val spark = df.sparkSession
+    var prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits — use create"))
-    val evolved = prev.schema match {
-      case None => Some(df.schema.json) // legacy table: start recording
-      case Some(ps) if mergeSchema => Some(mergeSchemas(ps, df.schema).json)
-      case Some(ps) =>
-        val same = ps.fields.map(f => (f.name, f.dataType)).toSeq ==
-          df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-        require(same,
-          s"append schema ${df.schema.simpleString} does not match table " +
-            s"schema ${ps.simpleString}; pass mergeSchema = true to evolve")
-        Some(ps.json)
+    val (files, st) = stageWithStats(df, dir, prev.version + 1, statsCols)
+    onStaged()
+    var attempt = 1
+    while (true) {
+      val evolved = prev.schema match {
+        case None => Some(df.schema.json) // legacy table: start recording
+        case Some(ps) if mergeSchema => Some(mergeSchemas(ps, df.schema).json)
+        case Some(ps) =>
+          val same = ps.fields.map(f => (f.name, f.dataType)).toSeq ==
+            df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+          require(same,
+            s"append schema ${df.schema.simpleString} does not match table " +
+              s"schema ${ps.simpleString}; pass mergeSchema = true to evolve")
+          Some(ps.json)
+      }
+      try return commit(spark, dir, prev.version + 1, "append",
+        prev.files ++ files, prev.stats ++ st, evolved)
+      catch {
+        case e: java.io.IOException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          prev = latest(spark, dir).getOrElse(
+            sys.error(s"table $dir lost all commits mid-append"))
+      }
     }
-    val v = prev.version + 1
-    val (files, st) = stageWithStats(df, dir, v, statsCols)
-    commit(df.sparkSession, dir, v, "append",
-      prev.files ++ files, prev.stats ++ st, evolved)
+    sys.error("unreachable")
   }
 
   /** [[append]] with a caller-supplied operation tag, creating the table

@@ -140,6 +140,33 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no version"))
   }
 
+  test("appendWithRetry rebases onto a concurrent commit instead of failing") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    // a competitor claims v2 inside the loser's race window
+    val snap = VersionedTable.appendRebase(
+      Seq((3L, "c")).toDF("id", "v"), dir, Seq.empty, false, maxAttempts = 3,
+      onStaged = () => {
+        VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), dir)
+        ()
+      })
+    assert(snap.version === 3L, "the loser must land AFTER the competitor")
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L, 2L, 3L),
+      "both appends' rows must survive the rebase")
+    assert(VersionedTable.snapshots(spark, dir).map(_.operation) ===
+      Seq("create", "append", "append"))
+    // with retries exhausted the conflict surfaces
+    val e = intercept[java.io.IOException] {
+      VersionedTable.appendRebase(
+        Seq((9L, "z")).toDF("id", "v"), dir, Seq.empty, false, maxAttempts = 1,
+        onStaged = () => {
+          VersionedTable.append(Seq((4L, "d")).toDF("id", "v"), dir)
+          ()
+        })
+    }
+    assert(e.getMessage.contains("concurrent"))
+  }
+
   test("delete: removes only predicate-TRUE rows, copy-on-write skips clean files") {
     val dir = tmp()
     // two files with disjoint key ranges + a nullable flag column
