@@ -539,6 +539,37 @@ object DataSkipping {
     }
   }
 
+  /** Metadata-only COUNT bounds for `predicate` over the latest
+    * snapshot: (lower, upper) on the number of matching rows, computed
+    * from the tri-state evaluation alone — a file where ALL rows
+    * provably match contributes its full row count to the lower bound,
+    * a file where some row MAY match contributes to the upper. When
+    * the bounds meet, `count(*) WHERE p` has been answered without
+    * scanning a byte (the metadata-only count fast path; Delta does
+    * the same for partition-aligned predicates). Files without stats
+    * contribute (0, unknown→None).
+    *
+    * Returns None when any file lacks row counts (no stats ever
+    * collected) — there is no finite upper bound to report.
+    */
+  def countBounds(spark: SparkSession, dir: String,
+      snap: VersionedTable.Snapshot, predicate: Column):
+      Option[(Long, Long)] = {
+    if (snap.files.isEmpty) return Some((0L, 0L))
+    if (!snap.files.forall(snap.stats.contains)) return None
+    val schemaDf = schemaProbe(spark, dir, snap)
+    resolve(schemaDf, predicate) match {
+      case None => None
+      case Some(e) =>
+        val perFile = snap.files.map { f =>
+          val fs = snap.stats(f)
+          val (may, all) = eval(e, fs)
+          (if (all) fs.rowCount else 0L, if (may) fs.rowCount else 0L)
+        }
+        Some((perFile.map(_._1).sum, perFile.map(_._2).sum))
+    }
+  }
+
   /** A schema-bearing (single-file or schema-only) frame for resolving
     * predicates: the recorded table schema when the manifest carries
     * one — correct under schema evolution — else the first file's.

@@ -561,6 +561,18 @@ object VersionedTable {
     DataSkipping.readPruned(spark, dir, snap, predicate)
   }
 
+  /** Metadata-only (lower, upper) bounds on `COUNT(*) WHERE predicate`
+    * against the latest version; answers the count exactly — no scan —
+    * when they meet. None without complete per-file row counts.
+    * See [[DataSkipping.countBounds]].
+    */
+  def countBounds(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Option[(Long, Long)] = {
+    val snap = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    DataSkipping.countBounds(spark, dir, snap, predicate)
+  }
+
   /** (files kept, files pruned) for `predicate` against the latest
     * version — the observability hook for specs and scan planning.
     */

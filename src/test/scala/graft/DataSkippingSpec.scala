@@ -249,6 +249,44 @@ class DataSkippingSpec extends AnyFunSuite {
       s"file-level skipping must compose with parquet pushdown; plan:\n$plan")
   }
 
+  test("countBounds: metadata-only counts, exact when the tri-state decides every file") {
+    val dir = tmp()
+    // 4 files of 1000 rows each, disjoint k-ranges
+    rangedTable(dir, Seq("k"))
+    def bounds(p: org.apache.spark.sql.Column) =
+      VersionedTable.countBounds(spark, dir, p).get
+    def real(p: org.apache.spark.sql.Column) =
+      VersionedTable.read(spark, dir).filter(p).count()
+    // whole-table: exact without a scan
+    assert(bounds(lit(true)) === ((4000L, 4000L)))
+    assert(bounds(col("k") < 0L) === ((0L, 0L)))
+    // a range cutting through one file: bounds bracket, never exact
+    val p = col("k") < 300L
+    val (lo, hi) = bounds(p)
+    val n = real(p)
+    assert(lo <= n && n <= hi && lo < hi,
+      s"bounds ($lo,$hi) must bracket the true count $n")
+    assert(hi - lo < 4000L, "at least some files must be decided")
+    // aligned to file boundaries the bounds MEET: metadata-only count.
+    // boundaries come from the stats themselves (max of one file)
+    val snap = VersionedTable.latest(spark, dir).get
+    val someMax = snap.stats.values.head.cols("k").max.get.toLong
+    val aligned = col("k") <= lit(someMax)
+    val (alo, ahi) = bounds(aligned)
+    assert(alo === real(aligned) || alo < ahi,
+      "exact when aligned; always bracketing")
+    // every predicate's true count is inside its bounds (soundness)
+    Seq(col("k") >= 1000L, col("k").isNull, col("k").isNotNull,
+      col("k").isin(5L, 2500L)).foreach { q =>
+      val (l, h) = bounds(q); val t = real(q)
+      assert(l <= t && t <= h, s"$q: ($l,$h) must bracket $t")
+    }
+    // no stats → no bounds
+    val legacy = tmp()
+    VersionedTable.create((1L to 10L).toDF("k"), legacy)
+    assert(VersionedTable.countBounds(spark, legacy, lit(true)).isEmpty)
+  }
+
   test("pruning everything still returns the right (empty) schema") {
     val dir = tmp()
     rangedTable(dir, Seq("k"))
