@@ -131,7 +131,12 @@ object DataSkipping {
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val byBase = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-    rows.flatMap { r =>
+    // a zero-row file produces no aggregation group; record it as
+    // explicitly empty — every predicate then prunes it, and COUNT
+    // bounds stay computable
+    val emptyFs = FileStats(0L,
+      tags.map { case (c, tag) => c -> ColStats(tag, 0L, None, None) }.toMap)
+    val collected = rows.flatMap { r =>
       val base = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
       byBase.get(base).map { rel =>
         val rc = r.getLong(1)
@@ -143,6 +148,7 @@ object DataSkipping {
         rel -> FileStats(rc, cols)
       }
     }.toMap
+    collected ++ files.filterNot(collected.contains).map(_ -> emptyFs)
   }
 
   // --------------------------------------------------- manifest round-trip
@@ -576,6 +582,9 @@ object DataSkipping {
     */
   private def schemaProbe(spark: SparkSession, dir: String,
       snap: VersionedTable.Snapshot): DataFrame = snap.schema match {
+    case Some(st) if snap.files.isEmpty => // e.g. after a delete-all
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     case Some(st) =>
       spark.read.schema(st).parquet(s"$dir/${snap.files.head}")
     case None => spark.read.parquet(s"$dir/${snap.files.head}")

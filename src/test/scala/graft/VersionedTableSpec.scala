@@ -198,6 +198,11 @@ class VersionedTableSpec extends AnyFunSuite {
     val out = VersionedTable.read(spark, dir)
     assert(out.count() === 0L && out.columns.toSeq === Seq("id", "v"))
     assert(VersionedTable.snapshotAt(spark, dir, 1L).count() === 1L)
+    // pruned reads and count bounds survive the zero-file version
+    assert(VersionedTable.readWhere(spark, dir, col("id") === 1L)
+      .count() === 0L)
+    assert(VersionedTable.countBounds(spark, dir, lit(true))
+      === Some((0L, 0L)))
   }
 
   test("delete with a nothing-matches predicate commits a pure carry-over version") {
