@@ -114,9 +114,16 @@ object DataSkipping {
     * globally unique (UUID-suffixed).
     */
   def collectStats(spark: SparkSession, dir: String, files: Seq[String],
-      statsCols: Seq[String]): Map[String, FileStats] = {
+      statsCols: Seq[String],
+      schema: Option[StructType] = None): Map[String, FileStats] = {
     if (files.isEmpty || statsCols.isEmpty) return Map.empty
-    val df = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    // the recorded table schema (when given) keeps evolved columns
+    // visible over files that predate them — those files' rows read as
+    // null, which IS the truth the stats should record
+    val df = schema match {
+      case Some(st) => spark.read.schema(st).parquet(files.map(f => s"$dir/$f"): _*)
+      case None => spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    }
     val tags = statsCols.map { c =>
       val field = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         sys.error(s"stats column $c not in table schema " +
@@ -175,20 +182,26 @@ object DataSkipping {
     */
   private[sources] def parseLines(lines: Seq[String]): Map[String, FileStats] = {
     val rows = lines.collect { case l if l.startsWith("rows=") =>
-      val Array(f, n) = l.drop(5).split('|')
-      f -> n.toLong
-    }.toMap
-    val stats = lines.collect { case l if l.startsWith("stats=") =>
-      l.drop(6).split("\\|", -1) match {
-        case Array(f, c, tag, nulls, mn, mx) =>
-          Some((f, unb64(c), ColStats(tag, nulls.toLong,
-            if (mn.isEmpty) None else Some(unb64(mn)),
-            if (mx.isEmpty) None else Some(unb64(mx)))))
-        case _ => None
+      l.drop(5).split('|') match {
+        case Array(f, n) => n.toLongOption.map(f -> _)
+        case _ => None // malformed: that file degrades to "no pruning"
       }
+    }.flatten.toMap
+    val stats = lines.collect { case l if l.startsWith("stats=") =>
+      scala.util.Try { // any corruption (base64, count) → line ignored
+        l.drop(6).split("\\|", -1) match {
+          case Array(f, c, tag, nulls, mn, mx) =>
+            nulls.toLongOption.map(n => (f, unb64(c), ColStats(tag, n,
+              if (mn.isEmpty) None else Some(unb64(mn)),
+              if (mx.isEmpty) None else Some(unb64(mx)))))
+          case _ => None
+        }
+      }.toOption.flatten
     }.flatten
+    val byFile = stats.groupBy(_._1) // one pass, not O(files × stats)
     rows.map { case (f, rc) =>
-      f -> FileStats(rc, stats.collect { case (`f`, c, s) => c -> s }.toMap)
+      f -> FileStats(rc,
+        byFile.getOrElse(f, Nil).map { case (_, c, s) => c -> s }.toMap)
     }
   }
 
@@ -327,8 +340,11 @@ object DataSkipping {
   private def cmpEval(fs: FileStats, cs: ColStats, mapBound: CV => CV,
       v: CV, op: String): (Boolean, Boolean) = {
     if (cs.nullCount == fs.rowCount) return (false, false)
-    val lo = cs.min.map(s => mapBound(boundTo(cs.typeTag, s)))
-    val hi = cs.max.map(s => mapBound(boundTo(cs.typeTag, s)))
+    // an unparseable stored bound (corruption) degrades to unbounded
+    def parse(s: String) =
+      scala.util.Try(mapBound(boundTo(cs.typeTag, s))).toOption
+    val lo = cs.min.flatMap(parse)
+    val hi = cs.max.flatMap(parse)
     val noNulls = cs.nullCount == 0L
     op match {
       case "=" => (

@@ -189,7 +189,16 @@ object Sources {
     * from the written schema, and layout never affects query answers.
     */
   def zorderWrite(df: DataFrame, dir: String, zCols: (String, String),
-      targetFiles: Int, buckets: Int = 256): Unit = {
+      targetFiles: Int, buckets: Int = 256): Unit =
+    zArrange(df, zCols, targetFiles, buckets)
+      .write.mode("overwrite").parquet(dir)
+
+  /** The z-order arrangement itself, shared by [[zorderWrite]] and
+    * `VersionedTable.cluster`: rows of `df` re-laid-out so each output
+    * file covers a compact 2-D box of the clustering pair.
+    */
+  private[graft] def zArrange(df: DataFrame, zCols: (String, String),
+      targetFiles: Int, buckets: Int): DataFrame = {
     require(targetFiles > 0, "targetFiles must be positive")
     require(buckets > 1 && (buckets & (buckets - 1)) == 0,
       "buckets must be a power of two")
@@ -209,7 +218,6 @@ object Sources {
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(dir)
   }
 
   /** Object-store-safe "table exists and has files" probe — the one

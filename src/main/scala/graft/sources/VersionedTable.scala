@@ -52,6 +52,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pipeline's effectively-serial orchestration; it is not a lock
   * manager.
   */
+/** The commit lost the optimistic-concurrency race: another writer
+  * claimed this version first. The ONLY commit failure that is safe to
+  * rebase-and-retry — a plain I/O failure (disk full, HDFS hiccup)
+  * deliberately does not get this type.
+  */
+final class ConcurrentCommitException(msg: String, cause: Throwable)
+  extends java.io.IOException(msg, cause)
+
 object VersionedTable {
 
   /** One committed version: `operation` ∈ create|append|overwrite|compact|
@@ -194,7 +202,7 @@ object VersionedTable {
     } catch {
       case e @ (_: java.nio.file.FileAlreadyExistsException |
                 _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
-        throw new java.io.IOException(
+        throw new ConcurrentCommitException(
           s"VersionedTable: version $v of $dir was committed by a " +
             "concurrent writer; re-read the latest snapshot and retry", e)
     }
@@ -225,20 +233,25 @@ object VersionedTable {
       next: org.apache.spark.sql.types.StructType):
       org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StructField
-    val byName = next.fields.map(f => f.name -> f).toMap
+    // case-INSENSITIVE matching, like Spark's default resolution — a
+    // case-variant of an existing column is the same column (keeping
+    // the table's spelling), never a duplicate field that would brick
+    // every subsequent schema-read
+    val byName = next.fields.map(f => f.name.toLowerCase -> f).toMap
     prev.fields.foreach { pf =>
-      byName.get(pf.name).foreach { nf =>
+      byName.get(pf.name.toLowerCase).foreach { nf =>
         require(nf.dataType == pf.dataType,
           s"schema evolution cannot change column ${pf.name} from " +
             s"${pf.dataType.simpleString} to ${nf.dataType.simpleString}; " +
             "use overwrite for type changes")
       }
     }
-    val prevNames = prev.fieldNames.toSet
+    val prevNames = prev.fieldNames.map(_.toLowerCase).toSet
     org.apache.spark.sql.types.StructType(
       prev.fields.map(f => StructField(f.name, f.dataType, nullable = true))
-        ++ next.fields.collect { case f if !prevNames.contains(f.name) =>
-          StructField(f.name, f.dataType, nullable = true) })
+        ++ next.fields.collect {
+          case f if !prevNames.contains(f.name.toLowerCase) =>
+            StructField(f.name, f.dataType, nullable = true) })
   }
 
   /** Append `df` as a new version: previous files carry over (with
@@ -299,7 +312,10 @@ object VersionedTable {
       try return commit(spark, dir, prev.version + 1, "append",
         prev.files ++ files, prev.stats ++ st, evolved)
       catch {
-        case e: java.io.IOException =>
+        // ONLY the version-claim race is rebaseable; a genuine I/O
+        // failure mid-commit must surface as itself, not be retried
+        // into a misleading "concurrent writer" report
+        case e: ConcurrentCommitException =>
           if (attempt >= maxAttempts) throw e
           attempt += 1
           prev = latest(spark, dir).getOrElse(
@@ -328,6 +344,17 @@ object VersionedTable {
   private[graft] def appendTagged(df: DataFrame, dir: String, tag: String,
       prevOpt: Option[Snapshot],
       statsCols: Seq[String]): Snapshot = {
+    // same fail-fast contract as append(): a drifted batch must not
+    // silently lose (or null-fill) columns under the recorded schema —
+    // streaming evolution is an explicit upstream decision, not a
+    // side effect
+    prevOpt.flatMap(_.schema).foreach { ps =>
+      val same = ps.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+      require(same,
+        s"streamed batch schema ${df.schema.simpleString} does not match " +
+          s"table schema ${ps.simpleString}")
+    }
     val v = prevOpt.map(_.version + 1).getOrElse(1L)
     val prevStats = prevOpt.map(_.stats).getOrElse(Map.empty)
     val (files, st) = stageWithStats(df, dir, v, statsCols)
@@ -497,29 +524,16 @@ object VersionedTable {
   def cluster(spark: SparkSession, dir: String, zCols: (String, String),
       targetFiles: Int, statsCols: Seq[String] = Seq.empty,
       buckets: Int = 256): Snapshot = {
-    import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.graft.GraftExpressions
-    require(targetFiles > 0, "targetFiles must be positive")
-    require(buckets > 1 && (buckets & (buckets - 1)) == 0,
-      "buckets must be a power of two")
     val prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits"))
     val v = prev.version + 1
     val current = readSnapshot(spark, dir, prev)
-    val bits = java.lang.Integer.numberOfTrailingZeros(buckets)
-    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    val Array(bx, by) =
-      current.stat.approxQuantile(Array(zCols._1, zCols._2), probes, 0.001)
-    val arranged = current
-      .withColumn("__z", GraftExpressions.interleaveBits(
-        GraftExpressions.rangeBucket(col(zCols._1).cast("double"), bx).cast("long"),
-        GraftExpressions.rangeBucket(col(zCols._2).cast("double"), by).cast("long"),
-        bits))
-      .repartitionByRange(targetFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    val arranged = Sources.zArrange(current, zCols, targetFiles, buckets)
+    // always keep previously tracked columns prunable: an OPTIMIZE must
+    // never silently turn off skipping on a column it used to serve
     val effStats =
-      if (statsCols.nonEmpty) statsCols else Seq(zCols._1, zCols._2)
+      ((if (statsCols.nonEmpty) statsCols else Seq(zCols._1, zCols._2))
+        ++ prev.stats.values.flatMap(_.cols.keys)).distinct
     val (files, st) = stageWithStats(arranged, dir, v, effStats)
     commit(spark, dir, v, "cluster", files, st, Some(arranged.schema.json))
   }
@@ -616,7 +630,8 @@ object VersionedTable {
     val wanted = statsCols.toSet
     val missing = prev.files.filterNot(f =>
       prev.stats.get(f).exists(fs => wanted.subsetOf(fs.cols.keySet)))
-    val fresh = DataSkipping.collectStats(spark, dir, missing, statsCols)
+    val fresh = DataSkipping.collectStats(spark, dir, missing, statsCols,
+      prev.schema) // recorded schema: evolved columns stay visible
     // merge per file: keep any previously tracked columns, add the new
     val mergedStats = prev.stats ++ fresh.map { case (f, fs) =>
       f -> prev.stats.get(f).map(old =>

@@ -267,6 +267,54 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(v3.count() === 4L)
   }
 
+  test("schema evolution: a case-variant column is the SAME column, never a duplicate") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, 10L)).toDF("id", "score"), dir)
+    VersionedTable.append(Seq((2L, 20L)).toDF("id", "Score"), dir,
+      mergeSchema = true)
+    val out = VersionedTable.read(spark, dir)
+    assert(out.columns.toSeq === Seq("id", "score"),
+      "the table keeps its spelling; no duplicate field may appear")
+    assert(out.orderBy("id").select("score").as[Long].collect().toSeq ===
+      Seq(10L, 20L))
+    // and a case-variant TYPE conflict still fails fast
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq((3L, "x")).toDF("id", "Score"), dir,
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("cannot change"))
+  }
+
+  test("a malformed stats line degrades to no-pruning, never an unreadable table") {
+    val dir = tmp()
+    VersionedTable.create((1L to 10L).toDF("k").coalesce(1), dir, Seq("k"))
+    // corrupt the manifest's rows= line in place, preserving the
+    // end= terminator (end counts only file= lines)
+    val m = new java.io.File(s"$dir/_manifests").listFiles()
+      .filter(_.getName.endsWith(".manifest")).head
+    val body = new String(
+      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+    val corrupted = body.linesIterator.map { l =>
+      if (l.startsWith("rows=")) "rows=junk|with|extra|fields" else l
+    }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(m.toPath, corrupted.getBytes("UTF-8"))
+    // still fully readable; the file just lost its pruning stats
+    assert(ids(VersionedTable.read(spark, dir).withColumnRenamed("k", "id")
+      .withColumn("v", lit("x"))) === (1L to 10L).toSet)
+    assert(VersionedTable.pruneInfo(spark, dir, col("k") === 999L)
+      === ((1, 0)), "corrupted stats must keep the file, not prune or crash")
+  }
+
+  test("streaming appendTagged fails fast on a drifted batch schema") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.appendTagged(
+        Seq((2L, "b", 99L)).toDF("id", "v", "extra"), dir, "append#7")
+    }
+    assert(e.getMessage.contains("does not match"))
+  }
+
   test("schema evolution: type conflicts fail fast, naming the column") {
     val dir = tmp()
     VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
