@@ -1186,6 +1186,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("sum_price"))
     }),
 
+    // ISO-BMFF (MP4) box walk under the oracle gate: every doc wraps in
+    // a synthetic MP4 whose moov sits at a VARIABLE offset (id-sized
+    // free box), dims live in 16.16 fixed-point inside moov▸trak▸tkhd,
+    // and duration = mvhd units/timescale with an id-chosen timescale —
+    // the nested-container sibling of q85's flat JPEG marker walk.
+    // MediaSpec adds largesize/v1/audio-first/size-0/truncation fixtures.
+    "q92_mp4_meta" -> ((s, dir) => {
+      import graft.multimodal.Media
+      val ts = when(col("doc_id") % 3 === 0, 1000L)
+        .when(col("doc_id") % 3 === 1, 500L).otherwise(250L)
+      val payload = Media.mp4Payload(
+        lit(16L) + col("doc_id") % 600L,
+        lit(16L) + (col("doc_id") % 7L) * 48L,
+        col("doc_id") % 86400L, ts, col("doc_id") % 48L, col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Media.videoMeta(payload).as("vm"))
+        .select(col("doc_id"), col("vm.format").as("format"),
+          col("vm.width").as("width"), col("vm.height").as("height"),
+          col("vm.duration_ms").as("duration_ms"))
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both
@@ -2222,6 +2243,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM u GROUP BY o_orderstatus""".stripMargin,
+
+    // the planted MP4 metadata replayed arithmetically: duration_ms =
+    // units * 1000 / timescale, where timescale divides 1000 exactly
+    "q92_mp4_meta" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  16 + doc_id % 600 AS width,
+        |  16 + (doc_id % 7) * 48 AS height,
+        |  (doc_id % 86400) *
+        |    (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)
+        |    AS duration_ms
+        |FROM documents""".stripMargin,
 
     "q66_oov_rate" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token

@@ -162,6 +162,74 @@ object Media {
       lit(Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)),
       body.cast("binary"))
 
+  /** Video metadata from an ISO-BMFF (MP4/MOV) byte stream: format tag,
+    * first visual track's pixel dims, and presentation duration in ms —
+    * all via the native nested-box-walk kernels
+    * ([[org.apache.spark.sql.graft.GraftExpressions.mp4Dims]]); columns
+    * are null when the stream is not ISO-BMFF or lacks the box.
+    */
+  def videoMeta(content: Column): Column = {
+    import org.apache.spark.sql.graft.GraftExpressions
+    val dims = GraftExpressions.mp4Dims(content)
+    struct(
+      when(dims.isNotNull, lit("mp4")).as("format"),
+      shiftright(dims, 16).as("width"),
+      dims.bitwiseAND(lit(0xFFFFL)).as("height"),
+      GraftExpressions.mp4DurationMs(content).as("duration_ms"))
+  }
+
+  private val zeros = (n: Int) => lit(Array.fill[Byte](n)(0))
+  private def fourcc(t: String): Column = lit(t.getBytes("US-ASCII"))
+  // 16.16 unity matrix (the 36-byte tkhd/mvhd display matrix)
+  private val unityMatrix = lit(Array(
+    0x00, 0x01, 0x00, 0x00, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0x00, 0x01, 0x00, 0x00, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0x40, 0x00, 0x00, 0x00).map(_.toByte))
+
+  /** A minimal-but-valid MP4 (ISO-BMFF) stream wrapping an arbitrary
+    * body: `ftyp` + a `free` box of `padBytes` (≤ 64; moves `moov` to a
+    * VARIABLE offset, like jpegPayload's EXIF/COM shifting) + `moov`
+    * with a v0 `mvhd` (given timescale/duration units) and one video
+    * `trak`/`tkhd` with the given dims + `mdat` holding the body. The
+    * extractor can only find dims/duration by genuinely walking the
+    * box tree; q92's oracle replays the planted values arithmetically.
+    */
+  def mp4Payload(width: Column, height: Column, durationUnits: Column,
+      timescale: Column, padBytes: Column, body: Column): Column = {
+    val bodyBin = body.cast("binary")
+    concat(
+      // ftyp (16)
+      be32Bytes(lit(16L)), fourcc("ftyp"), fourcc("isom"), zeros(4),
+      // free (8 + pad): variable moov offset
+      be32Bytes(lit(8L) + padBytes), fourcc("free"),
+      zeros(64).substr(lit(1), padBytes),
+      // moov (8 + mvhd 108 + trak 100 = 216)
+      be32Bytes(lit(216L)), fourcc("moov"),
+      //   mvhd v0 (8 + 100)
+      be32Bytes(lit(108L)), fourcc("mvhd"),
+      zeros(12),                     // version/flags, ctime, mtime
+      be32Bytes(timescale),
+      be32Bytes(durationUnits),
+      lit(Array(0x00, 0x01, 0x00, 0x00, 0x01, 0x00).map(_.toByte)), // rate 1.0, volume 1.0
+      zeros(10),                     // reserved
+      unityMatrix,
+      zeros(24),                     // pre_defined
+      be32Bytes(lit(2L)),            // next_track_ID
+      //   trak (8 + tkhd 92)
+      be32Bytes(lit(100L)), fourcc("trak"),
+      be32Bytes(lit(92L)), fourcc("tkhd"),
+      lit(Array(0, 0, 0, 7).map(_.toByte)), // v0, flags: enabled|in-movie
+      zeros(8),                      // ctime, mtime
+      be32Bytes(lit(1L)),            // track_ID
+      zeros(16),                     // reserved, duration, reserved
+      zeros(8),                      // layer, alternate, volume, reserved
+      unityMatrix,
+      be32Bytes(width * lit(65536L)),  // 16.16 fixed
+      be32Bytes(height * lit(65536L)),
+      // mdat (8 + body)
+      be32Bytes(lit(8L) + length(bodyBin)), fourcc("mdat"), bodyBin)
+  }
+
   /** A minimal-but-valid WAV prefix (RIFF/WAVE + fmt chunk with the given
     * sample rate and channel count) wrapping an arbitrary body — the
     * audio twin of [[pngPayload]].

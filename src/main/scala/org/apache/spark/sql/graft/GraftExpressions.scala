@@ -99,6 +99,137 @@ object GraftExpressions {
     null
   }
 
+  /** Packed `(width << 16) | height` of the first visual track in an
+    * ISO-BMFF (MP4/MOV) byte stream, or null. Unlike JPEG's flat
+    * marker list, ISO-BMFF is a NESTED box tree — `moov` ▸ `trak` ▸
+    * `tkhd` — with three size encodings (u32, size==1 → u64
+    * "largesize", size==0 → to end of enclosing box), so this is a
+    * real recursive-descent walk: hop top-level boxes to `moov`, then
+    * each `trak`, then read the track header's 16.16 fixed-point dims
+    * (version 0 and 1 layouts both handled). Tracks with zero dims
+    * (audio/hint) are skipped. Cost: linear in header bytes, one pass.
+    */
+  def mp4Dims(bytes: Column): Column =
+    ExpressionUtils.column(Mp4Dims(ExpressionUtils.expression(bytes)))
+
+  /** Presentation duration in milliseconds from the `mvhd` movie
+    * header (duration units ÷ timescale), or null when absent/invalid.
+    */
+  def mp4DurationMs(bytes: Column): Column =
+    ExpressionUtils.column(Mp4DurationMs(ExpressionUtils.expression(bytes)))
+
+  private def be32u(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  private def isType(b: Array[Byte], i: Int, t: String): Boolean =
+    (b(i) & 0xFF) == t.charAt(0) && (b(i + 1) & 0xFF) == t.charAt(1) &&
+      (b(i + 2) & 0xFF) == t.charAt(2) && (b(i + 3) & 0xFF) == t.charAt(3)
+
+  /** Bounds of the NEXT box at `pos` within [pos, end):
+    * `(payloadStart, boxEnd)` packed as two ints in a long, or -1 on a
+    * malformed/truncated box. Handles u32 size, largesize (size==1,
+    * u64 follows the type), and size==0 (extends to `end`).
+    */
+  private def boxAt(b: Array[Byte], pos: Int, end: Int): Long = {
+    if (pos + 8 > end) return -1L
+    val size32 = be32u(b, pos)
+    var header = 8
+    var boxEnd = 0L
+    if (size32 == 1L) {
+      if (pos + 16 > end) return -1L
+      val large = (be32u(b, pos + 8) << 32) | be32u(b, pos + 12)
+      header = 16
+      if (large < header) return -1L
+      boxEnd = pos + large
+    } else if (size32 == 0L) boxEnd = end.toLong
+    else { if (size32 < 8L) return -1L; boxEnd = pos + size32 }
+    if (boxEnd > end) return -1L // truncated or size overflow
+    ((pos + header).toLong << 32) | boxEnd
+  }
+
+  /** Payload bounds of the first child box of `t` in [start, end), or
+    * -1. A size==0 box is by definition the last child.
+    */
+  private def childBox(b: Array[Byte], start: Int, end: Int, t: String): Long = {
+    var pos = start
+    while (pos + 8 <= end) {
+      val box = boxAt(b, pos, end)
+      if (box == -1L) return -1L
+      val boxEnd = (box & 0xFFFFFFFFL).toInt
+      if (isType(b, pos + 4, t)) return box
+      if (be32u(b, pos) == 0L) return -1L // last box, not the target
+      pos = boxEnd
+    }
+    -1L
+  }
+
+  /** An ISO-BMFF stream must lead with `ftyp` (the format guard — the
+    * analog of WAV's "fmt " check). Returns moov payload bounds or -1.
+    */
+  private def moovOf(b: Array[Byte]): Long = {
+    if (b.length < 16) return -1L
+    if (be32u(b, 0) < 8L || !isType(b, 4, "ftyp")) return -1L
+    childBox(b, 0, b.length, "moov")
+  }
+
+  /** The box walk behind [[mp4Dims]]; boxed so "no visual track" is null. */
+  def computeMp4Dims(bytes: Array[Byte]): java.lang.Long = {
+    val moov = moovOf(bytes)
+    if (moov == -1L) return null
+    var pos = (moov >>> 32).toInt
+    val moovEnd = (moov & 0xFFFFFFFFL).toInt
+    while (pos + 8 <= moovEnd) {
+      val box = boxAt(bytes, pos, moovEnd)
+      if (box == -1L) return null
+      val boxEnd = (box & 0xFFFFFFFFL).toInt
+      if (isType(bytes, pos + 4, "trak")) {
+        val tkhd = childBox(bytes, (box >>> 32).toInt, boxEnd, "tkhd")
+        if (tkhd != -1L) {
+          val p = (tkhd >>> 32).toInt
+          val pEnd = (tkhd & 0xFFFFFFFFL).toInt
+          if (p < pEnd) {
+            // v0: ctime/mtime/duration u32 → dims at +76/+80;
+            // v1: those three widen by 4 bytes each → +88/+92
+            val off = if ((bytes(p) & 0xFF) == 1) 88 else 76
+            if (p + off + 8 <= pEnd) {
+              val w = be32u(bytes, p + off) >>> 16     // 16.16 fixed
+              val h = be32u(bytes, p + off + 4) >>> 16
+              if (w > 0 && h > 0)
+                return java.lang.Long.valueOf((w << 16) | h)
+            }
+          }
+        }
+      }
+      if (be32u(bytes, pos) == 0L) return null
+      pos = boxEnd
+    }
+    null
+  }
+
+  /** The mvhd read behind [[mp4DurationMs]]. */
+  def computeMp4DurationMs(bytes: Array[Byte]): java.lang.Long = {
+    val moov = moovOf(bytes)
+    if (moov == -1L) return null
+    val mvhd = childBox(bytes, (moov >>> 32).toInt, (moov & 0xFFFFFFFFL).toInt, "mvhd")
+    if (mvhd == -1L) return null
+    val p = (mvhd >>> 32).toInt
+    val pEnd = (mvhd & 0xFFFFFFFFL).toInt
+    if (p >= pEnd) return null
+    val (timescale, duration) =
+      if ((bytes(p) & 0xFF) == 1) { // v1: u64 ctime/mtime, u64 duration
+        if (p + 32 > pEnd) return null
+        (be32u(bytes, p + 20),
+          (be32u(bytes, p + 24) << 32) | be32u(bytes, p + 28))
+      } else {
+        if (p + 20 > pEnd) return null
+        (be32u(bytes, p + 12), be32u(bytes, p + 16))
+      }
+    if (timescale <= 0L || duration < 0L || duration > Long.MaxValue / 1000L)
+      return null
+    java.lang.Long.valueOf(duration * 1000L / timescale)
+  }
+
   /** Bucket index of a double under sorted range boundaries (binary
     * search; index of the first boundary > value, so values ≤ b(0) map
     * to 0 and values > b(last) map to boundaries.length).
@@ -705,6 +836,58 @@ case class JpegDims(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): JpegDims =
+    copy(child = newChild)
+}
+
+/** ISO-BMFF visual-track dims via the nested box walk (see
+  * [[GraftExpressions.computeMp4Dims]]).
+  */
+case class Mp4Dims(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_dims"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.computeMp4Dims(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("mp4Dims")
+      s"""
+      java.lang.Long $tmp = org.apache.spark.sql.graft.GraftExpressions.computeMp4Dims($c);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4Dims =
+    copy(child = newChild)
+}
+
+/** ISO-BMFF presentation duration in ms from the movie header (see
+  * [[GraftExpressions.computeMp4DurationMs]]).
+  */
+case class Mp4DurationMs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_duration_ms"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.computeMp4DurationMs(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("mp4Dur")
+      s"""
+      java.lang.Long $tmp = org.apache.spark.sql.graft.GraftExpressions.computeMp4DurationMs($c);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4DurationMs =
     copy(child = newChild)
 }
 

@@ -185,4 +185,89 @@ class MediaSpec extends AnyFunSuite {
       assert(r.getLong(3) === 32L + (id % 9L) * 32L, s"height for $id")
     }
   }
+
+  // ---- ISO-BMFF (MP4) box walk ----------------------------------------
+
+  /** Tiny box builder for handcrafted fixtures. */
+  private def box(t: String, payload: Array[Byte]): Array[Byte] = {
+    val size = 8 + payload.length
+    Array[Byte]((size >>> 24).toByte, (size >>> 16).toByte,
+      (size >>> 8).toByte, size.toByte) ++ t.getBytes("US-ASCII") ++ payload
+  }
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](4))
+  private def tkhdV0(w: Long, h: Long): Array[Byte] =
+    box("tkhd", new Array[Byte](76) ++ be32(w << 16) ++ be32(h << 16))
+  private def mvhdV0(ts: Long, dur: Long): Array[Byte] =
+    box("mvhd", new Array[Byte](12) ++ be32(ts) ++ be32(dur) ++ new Array[Byte](80))
+
+  test("MP4 box walk: handcrafted fixtures incl. largesize, v1 headers, audio-first, size-0 tail") {
+    import org.apache.spark.sql.graft.GraftExpressions.{computeMp4Dims, computeMp4DurationMs}
+    // plain v0 file: free pad before moov, mdat after
+    val plain = ftyp ++ box("free", new Array[Byte](11)) ++
+      box("moov", mvhdV0(1000, 7500) ++ box("trak", tkhdV0(640, 480))) ++
+      box("mdat", "body".getBytes)
+    assert(computeMp4Dims(plain) === (640L << 16 | 480L))
+    assert(computeMp4DurationMs(plain) === 7500L)
+    // audio track (zero dims) FIRST — the walk must skip to the video trak
+    val audioFirst = ftyp ++ box("moov",
+      mvhdV0(600, 600) ++ box("trak", tkhdV0(0, 0)) ++ box("trak", tkhdV0(320, 240)))
+    assert(computeMp4Dims(audioFirst) === (320L << 16 | 240L))
+    assert(computeMp4DurationMs(audioFirst) === 1000L)
+    // v1 mvhd/tkhd: 64-bit times widen the fixed offsets
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16)
+      ++ be32(500) ++ be32(0) ++ be32(2500) ++ new Array[Byte](80))
+    val tkhd1 = box("tkhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](84)
+      ++ be32(1920L << 16) ++ be32(1080L << 16))
+    val v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd1))
+    assert(computeMp4Dims(v1) === (1920L << 16 | 1080L))
+    assert(computeMp4DurationMs(v1) === 5000L)
+    // largesize (size==1, u64 follows) on the box BEFORE moov: must hop it
+    val inner = new Array[Byte](3)
+    val largeFree = be32(1) ++ "free".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0) ++ be32(16 + inner.length) ++ inner
+    val withLarge = ftyp ++ largeFree ++
+      box("moov", mvhdV0(1000, 42) ++ box("trak", tkhdV0(8, 8)))
+    assert(computeMp4DurationMs(withLarge) === 42L)
+    assert(computeMp4Dims(withLarge) === (8L << 16 | 8L))
+    // size==0 tail box: fine after moov, and terminal when moov absent
+    val sizeZeroTail = ftyp ++ box("moov", mvhdV0(1000, 1) ++
+      box("trak", tkhdV0(2, 2))) ++
+      (be32(0) ++ "mdat".getBytes("US-ASCII") ++ "xx".getBytes)
+    assert(computeMp4Dims(sizeZeroTail) === (2L << 16 | 2L))
+    assert(computeMp4Dims(ftyp ++ (be32(0) ++ "mdat".getBytes("US-ASCII"))) === null)
+    // negatives: no ftyp, truncated moov, zero timescale, not ISO-BMFF
+    assert(computeMp4Dims(plain.drop(16)) === null)
+    val truncated = ftyp ++ (be32(4096) ++ "moov".getBytes("US-ASCII"))
+    assert(computeMp4Dims(truncated) === null)
+    val zeroTs = ftyp ++ box("moov", mvhdV0(0, 99))
+    assert(computeMp4DurationMs(zeroTs) === null)
+    assert(computeMp4Dims("not a video at all".getBytes) === null)
+  }
+
+  test("mp4Payload -> box walk round-trips planted dims and duration") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, SparkTestSession.sfTiny).limit(200)
+    val ts = when(col("doc_id") % 3 === 0, 1000L)
+      .when(col("doc_id") % 3 === 1, 500L).otherwise(250L)
+    val payload = graft.multimodal.Media.mp4Payload(
+      lit(16L) + col("doc_id") % 600L,
+      lit(16L) + (col("doc_id") % 7L) * 48L,
+      col("doc_id") % 86400L, ts, col("doc_id") % 48L, col("text"))
+    val out = docs
+      .select(col("doc_id"), graft.multimodal.Media.videoMeta(payload).as("v"))
+      .select(col("doc_id"), col("v.format"), col("v.width"), col("v.height"),
+        col("v.duration_ms"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === "mp4", s"format for $id")
+      assert(r.getLong(2) === 16L + id % 600L, s"width for $id")
+      assert(r.getLong(3) === 16L + (id % 7L) * 48L, s"height for $id")
+      val scale = if (id % 3 == 0) 1L else if (id % 3 == 1) 2L else 4L
+      assert(r.getLong(4) === (id % 86400L) * scale, s"duration for $id")
+    }
+  }
 }
