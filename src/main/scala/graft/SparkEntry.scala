@@ -1207,6 +1207,26 @@ object SparkEntry {
           col("vm.duration_ms").as("duration_ms"))
     }),
 
+    // PageRank over a deterministic synthetic link graph (two
+    // arithmetic out-links per doc): the link-graph quality prior for
+    // corpus curation. Float-iterative → rows-only here; PageRankSpec
+    // pins the operator against an exact driver-side power iteration
+    // (dangling redistribution, multigraph weighting, damping) at 1e-9.
+    "q93_pagerank" -> ((s, dir) => {
+      import graft.operators.PageRank
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count() // bounded driver scalar (graph modulus)
+      // quadratic map (non-bijective → collision hubs) + division map
+      // (multiples of 7 collect in-links) → a skewed in-degree
+      // distribution, so ranks genuinely vary
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * col("doc_id") + 1L) % n).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") - col("doc_id") % 7L) % n).as("dst")))
+      PageRank.pageRank(edges, "src", "dst", iterations = 10)
+        .orderBy(desc("rank"), asc("id")).limit(100)
+    }),
+
     // Exact discrete percentiles per group — the exact twin of q33's
     // sketches: percentile_disc returns an ACTUAL data element (lowest
     // value with cumulative distribution >= p, the ANSI definition both
