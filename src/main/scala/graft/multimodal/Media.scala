@@ -171,8 +171,13 @@ object Media {
   def videoMeta(content: Column): Column = {
     import org.apache.spark.sql.graft.GraftExpressions
     val dims = GraftExpressions.mp4Dims(content)
+    // format comes from the CONTAINER sniff (leading ftyp box), not
+    // from dims: an audio-only MP4 has a duration but no visual track,
+    // and must still read as format=mp4
+    val isMp4 = length(content) >= 12 &&
+      substring(content, 5, 4) === lit("ftyp".getBytes("US-ASCII"))
     struct(
-      when(dims.isNotNull, lit("mp4")).as("format"),
+      when(isMp4, lit("mp4")).as("format"),
       shiftright(dims, 16).as("width"),
       dims.bitwiseAND(lit(0xFFFFL)).as("height"),
       GraftExpressions.mp4DurationMs(content).as("duration_ms"))
@@ -200,9 +205,12 @@ object Media {
     concat(
       // ftyp (16)
       be32Bytes(lit(16L)), fourcc("ftyp"), fourcc("isom"), zeros(4),
-      // free (8 + pad): variable moov offset
-      be32Bytes(lit(8L) + padBytes), fourcc("free"),
-      zeros(64).substr(lit(1), padBytes),
+      // free (8 + pad, pad capped at 64): variable moov offset. The cap
+      // applies to BOTH the declared size and the emitted bytes — an
+      // uncapped declared size over capped bytes would emit a stream
+      // whose box walk silently misparses
+      be32Bytes(lit(8L) + least(padBytes, lit(64L))), fourcc("free"),
+      zeros(64).substr(lit(1), least(padBytes, lit(64L))),
       // moov (8 + mvhd 108 + trak 100 = 216)
       be32Bytes(lit(216L)), fourcc("moov"),
       //   mvhd v0 (8 + 100)

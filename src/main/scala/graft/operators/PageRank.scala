@@ -53,27 +53,48 @@ object PageRank {
     // out-degree per source; vertices absent here are dangling
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    import org.apache.spark.storage.StorageLevel
     var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    // persisted frames of the PREVIOUS round, released once the current
+    // round's action has materialized everything derived from them (the
+    // Components.scala discipline — unpersist() is a no-op on
+    // localCheckpoint blocks, so per-round state is persist()-ed and
+    // lineage is cut with a checkpoint every third round)
+    var superseded: Seq[DataFrame] = Nil
     var i = 0
     while (i < iterations) {
+      // persisted once per round: serves BOTH the dangling-mass scalar
+      // and the contribution join (would otherwise re-run the
+      // ranks⋈outDeg join twice per iteration)
       val withDeg = ranks.join(outDeg, ranks("id") === outDeg("src"), "left")
-      // rank mass on dangling vertices — a scalar aggregate
+        .select(ranks("id"), col("rank"), col("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // rank mass on dangling vertices — a scalar aggregate; this
+      // action materializes withDeg (and with it the previous round's
+      // lazy persist), so the superseded blocks can be dropped
       val danglingMass = withDeg.filter(col("deg").isNull)
         .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+      superseded.foreach(_.unpersist())
       val contribs = withDeg.filter(col("deg").isNotNull)
         .select(col("id"), (col("rank") / col("deg")).as("share"))
         .join(e, col("id") === e("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum("share").as("contrib"))
       val base = (1.0 - damping) / n + damping * danglingMass / n
-      ranks = vertices
+      val nextRaw = vertices
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint() // cut the iterative lineage
+      val cut = i % 3 == 2 || i == iterations - 1
+      val next =
+        if (cut) nextRaw.localCheckpoint() // eager: lineage cut here
+        else nextRaw.persist(StorageLevel.MEMORY_AND_DISK) // lazy
+      superseded = withDeg +: (if (cut) Nil else Seq(next))
+      ranks = next
       i += 1
     }
+    superseded.filterNot(_ eq ranks).foreach(_.unpersist())
     ranks
   }
 }

@@ -223,8 +223,13 @@ object GraftExpressions {
           (be32u(bytes, p + 24) << 32) | be32u(bytes, p + 28))
       } else {
         if (p + 20 > pEnd) return null
-        (be32u(bytes, p + 12), be32u(bytes, p + 16))
+        // all-ones is the spec's "duration unknown" sentinel (common in
+        // fragmented MP4, where the real duration lives in mehd)
+        val d32 = be32u(bytes, p + 16)
+        if (d32 == 0xFFFFFFFFL) return null
+        (be32u(bytes, p + 12), d32)
       }
+    // v1's all-ones sentinel lands here as a negative signed long
     if (timescale <= 0L || duration < 0L || duration > Long.MaxValue / 1000L)
       return null
     java.lang.Long.valueOf(duration * 1000L / timescale)

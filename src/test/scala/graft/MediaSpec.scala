@@ -244,6 +244,24 @@ class MediaSpec extends AnyFunSuite {
     val zeroTs = ftyp ++ box("moov", mvhdV0(0, 99))
     assert(computeMp4DurationMs(zeroTs) === null)
     assert(computeMp4Dims("not a video at all".getBytes) === null)
+    // the v0 "duration unknown" sentinel (fragmented MP4) is null, not 2^32-1
+    val unknownDur = ftyp ++ box("moov", mvhdV0(1000, 0xFFFFFFFFL))
+    assert(computeMp4DurationMs(unknownDur) === null)
+  }
+
+  test("videoMeta: audio-only MP4 keeps format and duration, dims null") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val audioOnly = ftyp ++ box("moov",
+      mvhdV0(1000, 3000) ++ box("trak", tkhdV0(0, 0)))
+    val out = Seq(Tuple1(audioOnly)).toDF("content")
+      .select(graft.multimodal.Media.videoMeta(col("content")).as("v"))
+      .select("v.format", "v.width", "v.height", "v.duration_ms")
+      .collect().head
+    assert(out.getString(0) === "mp4",
+      "the container sniff, not the visual track, decides the format")
+    assert(out.isNullAt(1) && out.isNullAt(2))
+    assert(out.getLong(3) === 3000L)
   }
 
   test("mp4Payload -> box walk round-trips planted dims and duration") {
