@@ -1223,7 +1223,7 @@ object SparkEntry {
           ((col("doc_id") * col("doc_id") + 1L) % n).as("dst"))
         .union(docs.select(col("doc_id").as("src"),
           ((col("doc_id") - col("doc_id") % 7L) % n).as("dst")))
-      PageRank.pageRank(edges, "src", "dst", iterations = 10)
+      PageRank.pageRank(edges, "src", "dst", iterations = 6)
         .orderBy(desc("rank"), asc("id")).limit(100)
     }),
 
