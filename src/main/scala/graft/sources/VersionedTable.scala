@@ -678,4 +678,73 @@ object VersionedTable {
     }
     deleted
   }
+
+  /** Delete ORPHANED data files: files under `data/` that no committed
+    * manifest references and never will — the debris of crashed writers
+    * and conflict losers (their staged subdirs are invisible to readers
+    * but [[vacuum]] never touches them, because vacuum only walks
+    * manifest file lists). `graceMs` protects in-flight commits: a
+    * writer stages files BEFORE claiming a manifest, so only files
+    * older than the grace window are eligible — the same
+    * modification-time retention contract as Delta VACUUM. Returns the
+    * number of deleted files.
+    */
+  def vacuumOrphans(spark: SparkSession, dir: String,
+      graceMs: Long = 24L * 3600 * 1000): Int = {
+    require(graceMs >= 0, "graceMs must be non-negative")
+    val (fs, _) = fsFor(spark, dir)
+    val dataDir = new Path(dir, "data")
+    if (!fs.exists(dataDir)) return 0
+    val referenced = snapshots(spark, dir).flatMap(_.files).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var deleted = 0
+    fs.listStatus(dataDir).filter(_.isDirectory).foreach { sub =>
+      // only DATA files are orphan candidates (mirror stageFiles's
+      // filter): writer markers like _SUCCESS in live subdirs are not
+      // debris even though no manifest lists them
+      val files = fs.listStatus(sub.getPath).filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("."))
+      files.foreach { st =>
+        val rel = s"data/${sub.getPath.getName}/${st.getPath.getName}"
+        if (!referenced.contains(rel) && st.getModificationTime < cutoff) {
+          if (fs.delete(st.getPath, false)) deleted += 1
+        }
+      }
+      // drop the subdir once no data file remains (all-debris staging
+      // dirs, markers included) — but only when everything in it is
+      // older than the grace window too: a mid-write staging dir holds
+      // no parquet yet (just the committer's _temporary dir) and must
+      // survive
+      val statuses = fs.listStatus(sub.getPath)
+      val hasData = statuses.exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val allOld = sub.getModificationTime < cutoff &&
+        statuses.forall(_.getModificationTime < cutoff)
+      if (!hasData && allOld) fs.delete(sub.getPath, true)
+    }
+    deleted
+  }
+
+  /** Metadata-only ROLLBACK: commit version `version`'s exact file
+    * list (with its stats and schema) as the NEW latest — no data file
+    * is read, copied, or deleted, so restoring a 100 TB table costs
+    * one manifest write. History is preserved: the bad versions stay
+    * time-travelable until [[vacuum]], and the restore itself is a
+    * version (operation `restore`). Fails if `version` does not exist
+    * or its files have already been vacuumed away.
+    */
+  def restore(spark: SparkSession, dir: String, version: Long): Snapshot = {
+    val all = snapshots(spark, dir)
+    val target = all.find(_.version == version).getOrElse(
+      sys.error(s"table $dir has no version $version"))
+    val (fs, _) = fsFor(spark, dir)
+    target.files.foreach { f =>
+      require(fs.exists(new Path(s"$dir/$f")),
+        s"cannot restore version $version: data file $f was vacuumed")
+    }
+    val latestV = all.last.version
+    commit(spark, dir, latestV + 1, "restore",
+      target.files, target.stats, target.schemaJson)
+  }
 }

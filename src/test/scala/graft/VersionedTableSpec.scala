@@ -140,6 +140,49 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no version"))
   }
 
+  test("restore: metadata-only rollback shares files and keeps history") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir,
+      Seq("id"))
+    VersionedTable.overwrite(Seq((9L, "bad")).toDF("id", "v"), dir)
+    val snap = VersionedTable.restore(spark, dir, 1L)
+    assert(snap.operation === "restore" && snap.version === 3L)
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L, 2L))
+    // file-sharing, not copying: v3 references exactly v1's files
+    val snaps = VersionedTable.snapshots(spark, dir)
+    assert(snaps.find(_.version == 3L).get.files ===
+      snaps.find(_.version == 1L).get.files)
+    // stats ride along: pruning works on the restored version
+    assert(VersionedTable.pruneInfo(spark, dir, col("id") === 1L)._1 >= 1)
+    // the bad version stays time-travelable
+    assert(ids(VersionedTable.snapshotAt(spark, dir, 2L)) === Set(9L))
+    val e = intercept[RuntimeException] {
+      VersionedTable.restore(spark, dir, 99L)
+    }
+    assert(e.getMessage.contains("no version"))
+  }
+
+  test("vacuumOrphans reclaims conflict-loser debris, honors the grace window") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    // plant debris: a staged subdir no manifest references
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val debris = new org.apache.hadoop.fs.Path(s"$dir/data/v2_loser")
+    fs.mkdirs(debris)
+    val f = new org.apache.hadoop.fs.Path(debris, "part-junk.parquet")
+    val out = fs.create(f); out.write(Array[Byte](1, 2, 3)); out.close()
+    // inside the grace window: preserved (could be an in-flight commit)
+    assert(VersionedTable.vacuumOrphans(spark, dir) === 0)
+    assert(fs.exists(f))
+    // grace 0: reclaimed, empty staging dir dropped, live files intact
+    assert(VersionedTable.vacuumOrphans(spark, dir, graceMs = 0) === 1)
+    assert(!fs.exists(debris))
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L))
+    assert(VersionedTable.vacuumOrphans(spark, dir, graceMs = 0) === 0,
+      "idempotent: nothing left to reclaim")
+  }
+
   test("appendWithRetry rebases onto a concurrent commit instead of failing") {
     val dir = tmp()
     VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
