@@ -699,28 +699,39 @@ object VersionedTable {
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     fs.listStatus(dataDir).filter(_.isDirectory).foreach { sub =>
+      val statuses0 = fs.listStatus(sub.getPath)
       // only DATA files are orphan candidates (mirror stageFiles's
       // filter): writer markers like _SUCCESS in live subdirs are not
       // debris even though no manifest lists them
-      val files = fs.listStatus(sub.getPath).filter(st =>
+      var deletedHere = 0
+      statuses0.filter(st =>
         st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          !st.getPath.getName.startsWith("."))
-      files.foreach { st =>
+          !st.getPath.getName.startsWith(".")).foreach { st =>
         val rel = s"data/${sub.getPath.getName}/${st.getPath.getName}"
         if (!referenced.contains(rel) && st.getModificationTime < cutoff) {
-          if (fs.delete(st.getPath, false)) deleted += 1
+          if (fs.delete(st.getPath, false)) deletedHere += 1
         }
       }
+      deleted += deletedHere
       // drop the subdir once no data file remains (all-debris staging
-      // dirs, markers included) — but only when everything in it is
-      // older than the grace window too: a mid-write staging dir holds
-      // no parquet yet (just the committer's _temporary dir) and must
-      // survive
-      val statuses = fs.listStatus(sub.getPath)
+      // dirs, markers included) — but only when nothing under it, AT
+      // ANY DEPTH, is newer than the grace window: a mid-write staging
+      // dir holds no top-level parquet yet, only task files deep under
+      // the committer's _temporary tree, and those mtimes are what a
+      // still-running job keeps refreshing
+      val statuses =
+        if (deletedHere == 0) statuses0 else fs.listStatus(sub.getPath)
       val hasData = statuses.exists(st =>
         st.isFile && st.getPath.getName.endsWith(".parquet"))
+      def nestedFresh: Boolean = {
+        val it = fs.listFiles(sub.getPath, true)
+        var fresh = false
+        while (it.hasNext && !fresh)
+          if (it.next().getModificationTime >= cutoff) fresh = true
+        fresh
+      }
       val allOld = sub.getModificationTime < cutoff &&
-        statuses.forall(_.getModificationTime < cutoff)
+        statuses.forall(_.getModificationTime < cutoff) && !nestedFresh
       if (!hasData && allOld) fs.delete(sub.getPath, true)
     }
     deleted
@@ -728,23 +739,48 @@ object VersionedTable {
 
   /** Metadata-only ROLLBACK: commit version `version`'s exact file
     * list (with its stats and schema) as the NEW latest — no data file
-    * is read, copied, or deleted, so restoring a 100 TB table costs
-    * one manifest write. History is preserved: the bad versions stay
-    * time-travelable until [[vacuum]], and the restore itself is a
-    * version (operation `restore`). Fails if `version` does not exist
-    * or its files have already been vacuumed away.
+    * is read, copied, or deleted, so restoring a 100 TB table costs a
+    * handful of directory listings (one per staged subdir, not one RPC
+    * per file) plus one manifest write. History is preserved: the bad
+    * versions stay time-travelable until [[vacuum]], and the restore
+    * itself is a version (operation `restore`). Fails if `version`
+    * does not exist or its files have already been vacuumed away.
+    *
+    * Restoring a version that predates schema tracking records the
+    * mergeSchema union of the restored files' footers, so the table
+    * stays schema-tracked (footer-order-independent reads) instead of
+    * regressing to untracked.
+    *
+    * Concurrency: like every maintenance operation here, restore is
+    * conflict-DETECTED, not lock-coordinated — do not run it
+    * concurrently with [[vacuum]]/[[vacuumOrphans]], whose live-file
+    * computation cannot see a restore resurrecting vacuum-eligible
+    * files mid-flight (the module contract: effectively-serial
+    * orchestration, no lock manager).
     */
   def restore(spark: SparkSession, dir: String, version: Long): Snapshot = {
     val all = snapshots(spark, dir)
     val target = all.find(_.version == version).getOrElse(
       sys.error(s"table $dir has no version $version"))
     val (fs, _) = fsFor(spark, dir)
-    target.files.foreach { f =>
-      require(fs.exists(new Path(s"$dir/$f")),
-        s"cannot restore version $version: data file $f was vacuumed")
+    target.files.groupBy(f => f.substring(0, f.lastIndexOf('/'))).foreach {
+      case (sub, fsOfSub) =>
+        val present =
+          try fs.listStatus(new Path(s"$dir/$sub"))
+            .filter(_.isFile).map(_.getPath.getName).toSet
+          catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+        val missing = fsOfSub
+          .map(f => f.substring(f.lastIndexOf('/') + 1))
+          .filterNot(present)
+        require(missing.isEmpty,
+          s"cannot restore version $version: data file(s) " +
+            s"${missing.take(3).mkString(", ")} under $sub were vacuumed")
     }
+    val schema = target.schemaJson.orElse(Some(
+      spark.read.option("mergeSchema", "true")
+        .parquet(target.files.map(f => s"$dir/$f"): _*).schema.json))
     val latestV = all.last.version
     commit(spark, dir, latestV + 1, "restore",
-      target.files, target.stats, target.schemaJson)
+      target.files, target.stats, schema)
   }
 }

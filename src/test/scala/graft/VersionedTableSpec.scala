@@ -183,6 +183,41 @@ class VersionedTableSpec extends AnyFunSuite {
       "idempotent: nothing left to reclaim")
   }
 
+  test("restore of a pre-schema-tracking version upgrades it to schema-tracked") {
+    val dir = tmp()
+    val v1 = VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    // hand-commit a legacy manifest (no schema line) over the same files
+    VersionedTable.commit(spark, dir, 2L, "legacy", v1.files)
+    assert(VersionedTable.latest(spark, dir).get.schemaJson.isEmpty)
+    val snap = VersionedTable.restore(spark, dir, 2L)
+    assert(snap.schemaJson.nonEmpty,
+      "restore must not regress the table to footer-dependent reads")
+    assert(VersionedTable.read(spark, dir).columns.toSeq === Seq("id", "v"))
+  }
+
+  test("vacuumOrphans keeps a staging dir whose only fresh content is nested") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an in-flight job: no top-level parquet, task file deep under
+    // _temporary with a FRESH mtime
+    val tmpDir = new org.apache.hadoop.fs.Path(s"$dir/data/v9_inflight/_temporary")
+    fs.mkdirs(tmpDir)
+    val task = new org.apache.hadoop.fs.Path(tmpDir, "part-task.bin")
+    val o = fs.create(task); o.write(1); o.close()
+    fs.setTimes(task, System.currentTimeMillis() + 3600 * 1000, -1)
+    assert(VersionedTable.vacuumOrphans(spark, dir, graceMs = 0) === 0)
+    assert(fs.exists(task), "a dir with fresh nested writes must survive")
+    // once everything nested is old, the dead staging dir goes
+    fs.setTimes(task, 1000L, -1)
+    fs.setTimes(tmpDir, 1000L, -1)
+    fs.setTimes(task.getParent.getParent, 1000L, -1)
+    VersionedTable.vacuumOrphans(spark, dir, graceMs = 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/v9_inflight")))
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L))
+  }
+
   test("appendWithRetry rebases onto a concurrent commit instead of failing") {
     val dir = tmp()
     VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
