@@ -26,20 +26,26 @@ object Schedule {
 
   private def parseField(spec: String, lo: Int, hi: Int,
       name: String): Set[Int] = {
+    // numeric tokens only — Quartz name tokens (MON, JAN) and the
+    // L/W/# extensions are OUT of the supported subset; fail with the
+    // descriptive field error instead of a bare NumberFormatException
+    def num(s: String, part: String): Int = s.toIntOption.getOrElse(
+      sys.error(s"bad $name field part '$part': unsupported token '$s' " +
+        "(numeric tokens only; names/L/W/# are not supported)"))
     def one(part: String): Seq[Int] = {
       val (rangePart, step) = part.split("/") match {
         case Array(r) => (r, 1)
-        case Array(r, s) => (r, s.toInt)
+        case Array(r, s) => (r, num(s, part))
         case _ => sys.error(s"bad $name field part '$part'")
       }
       require(step > 0, s"$name step must be positive in '$part'")
       val (from, to) = rangePart match {
         case "*" => (lo, hi)
         case r if r.contains("-") =>
-          val Array(a, b) = r.split("-", 2); (a.toInt, b.toInt)
+          val Array(a, b) = r.split("-", 2); (num(a, part), num(b, part))
         case n =>
           // bare number with a step ("5/15") means "from 5 to max"
-          val v = n.toInt; if (step == 1) (v, v) else (v, hi)
+          val v = num(n, part); if (step == 1) (v, v) else (v, hi)
       }
       require(from >= lo && to <= hi && from <= to,
         s"$name values out of [$lo,$hi] in '$part'")

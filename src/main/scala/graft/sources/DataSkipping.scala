@@ -137,7 +137,18 @@ object DataSkipping {
     }
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    val byBase = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    // aggregation rows map back to files by part-file BASENAME — Spark's
+    // per-job UUID suffix makes these globally unique, but if a caller
+    // ever passed two same-named files (analyze() spans commits), the
+    // toMap below would silently collapse them and the empty-file
+    // fallback would record a non-empty file as provably empty — an
+    // UNSOUND prune. Fail fast instead of guessing.
+    val basenames = files.map(f => f.substring(f.lastIndexOf('/') + 1))
+    require(basenames.distinct.size == files.size,
+      "duplicate part-file basenames in one stats collection: " +
+        basenames.diff(basenames.distinct).distinct.take(3).mkString(", ") +
+        " — per-file stats cannot be attributed soundly")
+    val byBase = basenames.zip(files).toMap
     // a zero-row file produces no aggregation group; record it as
     // explicitly empty — every predicate then prunes it, and COUNT
     // bounds stay computable

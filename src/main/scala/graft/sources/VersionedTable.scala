@@ -14,7 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   table/
   *     data/v3_ab12cd34/part-*.parquet   ← immutable; one subdir per commit
-  *     _manifests/v00000003.manifest     ← file list + metadata, one per version
+  *     _manifests/v00000003.manifest     ← one per version: FULL (complete
+  *                                         file list; every create/overwrite/
+  *                                         compact/cluster/restore, and every
+  *                                         CheckpointEvery-th version) or
+  *                                         DELTA (adds/removes vs base —
+  *                                         append/merge/DML in between)
   * }}}
   *
   * CREATING THE NEXT MANIFEST IS THE COMMIT. A writer stages data files
@@ -82,6 +87,18 @@ object VersionedTable {
 
   private val ManifestDir = "_manifests"
 
+  /** Every `CheckpointEvery`-th version writes a FULL manifest (the
+    * complete live-file list) even when the operation itself is
+    * incremental; versions in between write DELTA manifests (adds +
+    * removes against the previous version). This is Delta Lake's
+    * log-checkpoint contract: a commit's metadata cost is O(changed
+    * files), and resolving any version reads at most one full manifest
+    * plus `CheckpointEvery - 1` deltas — not the whole history. Without
+    * it, a streaming sink appending to a million-file table would
+    * rewrite a million-line manifest every micro-batch.
+    */
+  private val CheckpointEvery = 10L
+
   private def fsFor(spark: SparkSession, dir: String) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -89,42 +106,109 @@ object VersionedTable {
 
   private def manifestName(v: Long) = f"v$v%08d.manifest"
 
+  /** One on-disk manifest: either a self-contained snapshot or a delta
+    * against its base version.
+    */
+  private sealed trait ManifestRec { def version: Long }
+  private final case class FullRec(snap: Snapshot) extends ManifestRec {
+    def version: Long = snap.version
+  }
+  private final case class DeltaRec(version: Long, timestampMs: Long,
+      operation: String, base: Long, adds: Seq[String], removes: Seq[String],
+      addStats: Map[String, DataSkipping.FileStats],
+      schemaJson: Option[String]) extends ManifestRec
+
+  /** Resolve a delta against its (already-resolved) base snapshot. */
+  private def applyDelta(prev: Snapshot, d: DeltaRec): Snapshot = {
+    require(prev.version == d.base,
+      s"manifest chain broken: delta version ${d.version} expects base " +
+        s"${d.base}, resolved ${prev.version}")
+    val removed = d.removes.toSet
+    Snapshot(d.version, d.timestampMs, d.operation,
+      prev.files.filterNot(removed) ++ d.adds,
+      (prev.stats -- removed) ++ d.addStats,
+      d.schemaJson.orElse(prev.schemaJson))
+  }
+
+  private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val mdir = new Path(dir, ManifestDir)
+    if (!fs.exists(mdir)) Seq.empty
+    else fs.listStatus(mdir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".manifest")
+        && !s.getPath.getName.startsWith("."))
+  }
+
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[ManifestRec] = {
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    parseManifest(body)
+  }
+
   /** All committed snapshots, ascending by version. A manifest without
     * its `end` terminator (a writer crashed between claiming the version
     * and finishing the body) is in-flight/torn, not committed — skipped.
+    * One forward fold resolves deltas against their predecessors, so the
+    * total parse cost is O(checkpoints + changed files), not
+    * O(versions × live files).
     */
   def snapshots(spark: SparkSession, dir: String): Seq[Snapshot] = {
     val (fs, _) = fsFor(spark, dir)
-    val mdir = new Path(dir, ManifestDir)
-    if (!fs.exists(mdir)) return Seq.empty
-    fs.listStatus(mdir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".manifest")
-        && !s.getPath.getName.startsWith("."))
-      .flatMap { s =>
-        val in = fs.open(s.getPath)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        parseManifest(body)
-      }
+    val recs = manifestFiles(fs, dir)
+      .flatMap(s => readManifestFile(fs, s.getPath))
       .sortBy(_.version)
+    val out = Seq.newBuilder[Snapshot]
+    var byVersion = Map.empty[Long, Snapshot]
+    recs.foreach {
+      case FullRec(s) =>
+        out += s; byVersion += (s.version -> s)
+      case d: DeltaRec =>
+        val base = byVersion.getOrElse(d.base, sys.error(
+          s"manifest chain broken: version ${d.version} of $dir is a " +
+            s"delta on missing/torn base ${d.base}"))
+        val s = applyDelta(base, d)
+        out += s; byVersion += (s.version -> s)
+    }
+    out.result()
   }
 
-  /** None for a torn (terminator-less or truncated) manifest. */
-  private def parseManifest(body: String): Option[Snapshot] = {
+  /** None for a torn (terminator-less or truncated) manifest. A `kind=
+    * delta` line marks the incremental format; its absence means a full
+    * manifest, which is also what every pre-checkpointing manifest is —
+    * old tables read unchanged.
+    */
+  private def parseManifest(body: String): Option[ManifestRec] = {
     val lines = body.linesIterator.toSeq
-    val files = lines.filter(_.startsWith("file=")).map(_.drop(5))
     def field(k: String) = lines.collectFirst {
       case l if l.startsWith(s"$k=") => l.drop(k.length + 1)
     }
-    for {
-      end <- field("end") if end.toLong == files.size // complete body
-      v <- field("version")
-      ts <- field("timestamp")
-      op <- field("operation")
-    } yield Snapshot(v.toLong, ts.toLong, op, files,
-      DataSkipping.parseLines(lines),
-      field("schema").map(s => new String(
-        java.util.Base64.getDecoder.decode(s), "UTF-8")))
+    val schema = field("schema").map(s => new String(
+      java.util.Base64.getDecoder.decode(s), "UTF-8"))
+    if (field("kind").contains("delta")) {
+      val adds = lines.filter(_.startsWith("add=")).map(_.drop(4))
+      val removes = lines.filter(_.startsWith("remove=")).map(_.drop(7))
+      for {
+        end <- field("end").flatMap(_.toLongOption)
+        if end == adds.size + removes.size // complete body
+        v <- field("version").flatMap(_.toLongOption)
+        ts <- field("timestamp").flatMap(_.toLongOption)
+        op <- field("operation")
+        b <- field("base").flatMap(_.toLongOption)
+      } yield DeltaRec(v, ts, op, b, adds, removes,
+        DataSkipping.parseLines(lines), schema)
+    } else {
+      val files = lines.filter(_.startsWith("file=")).map(_.drop(5))
+      for {
+        end <- field("end").flatMap(_.toLongOption)
+        if end == files.size // complete body
+        v <- field("version").flatMap(_.toLongOption)
+        ts <- field("timestamp").flatMap(_.toLongOption)
+        op <- field("operation")
+      } yield FullRec(Snapshot(v, ts, op, files,
+        DataSkipping.parseLines(lines), schema))
+    }
   }
 
   private def renderManifest(s: Snapshot): String =
@@ -138,9 +222,52 @@ object VersionedTable {
       :+ s"end=${s.files.size}")
       .mkString("", "\n", "\n")
 
-  /** The latest snapshot, or None for a table with no commits. */
-  def latest(spark: SparkSession, dir: String): Option[Snapshot] =
-    snapshots(spark, dir).lastOption
+  private def renderDelta(d: DeltaRec): String =
+    (Seq(s"version=${d.version}", s"timestamp=${d.timestampMs}",
+      s"operation=${d.operation}", "kind=delta", s"base=${d.base}")
+      ++ d.schemaJson.map(j => s"schema=${java.util.Base64.getEncoder
+        .encodeToString(j.getBytes("UTF-8"))}").toSeq
+      ++ d.adds.map(f => s"add=$f")
+      ++ d.removes.map(f => s"remove=$f")
+      ++ d.addStats.toSeq.sortBy(_._1).flatMap { case (f, fs) =>
+        DataSkipping.renderLines(f, fs) }
+      :+ s"end=${d.adds.size + d.removes.size}")
+      .mkString("", "\n", "\n")
+
+  /** The latest snapshot, or None for a table with no commits. Reads
+    * the NEWEST complete manifest and, when it is a delta, its base
+    * chain back to the nearest full manifest — at most `CheckpointEvery`
+    * manifest reads regardless of table history length. Torn claims
+    * (crashed writers) are skipped, exactly as in [[snapshots]].
+    */
+  def latest(spark: SparkSession, dir: String): Option[Snapshot] = {
+    val (fs, _) = fsFor(spark, dir)
+    val mdir = new Path(dir, ManifestDir)
+    manifestFiles(fs, dir)
+      .sortBy(_.getPath.getName)(Ordering[String].reverse) // zero-padded
+      .iterator
+      .flatMap(s => readManifestFile(fs, s.getPath))
+      .nextOption()
+      .map {
+        case FullRec(s) => s
+        case d: DeltaRec =>
+          // walk the base chain back to the nearest full manifest, then
+          // fold forward. A complete delta can never sit on a torn base
+          // (a writer only claims v+1 after reading a COMPLETE v), so a
+          // missing/torn base here is real corruption — fail loudly.
+          var stack = List(d)
+          var full: Option[Snapshot] = None
+          while (full.isEmpty) {
+            readManifestFile(fs, new Path(mdir, manifestName(stack.head.base))) match {
+              case Some(FullRec(s)) => full = Some(s)
+              case Some(d2: DeltaRec) => stack = d2 :: stack
+              case None => sys.error(
+                s"manifest chain broken at version ${stack.head.base} of $dir")
+            }
+          }
+          stack.foldLeft(full.get)(applyDelta)
+      }
+  }
 
   /** Stage `df`'s rows as immutable data files for version `v` and
     * return their table-relative paths. The subdir is random-suffixed so
@@ -178,13 +305,48 @@ object VersionedTable {
       operation: String, files: Seq[String],
       stats: Map[String, DataSkipping.FileStats] = Map.empty,
       schemaJson: Option[String] = None): Snapshot = {
-    val (fs, _) = fsFor(spark, dir)
     val snap = Snapshot(v, System.currentTimeMillis(), operation, files,
       stats, schemaJson)
+    writeExclusive(spark, dir, v, renderManifest(snap).getBytes("UTF-8"))
+    snap
+  }
+
+  /** Commit version `prev.version + 1` as a DELTA manifest (adds +
+    * removes against `prev`), or as a full checkpoint manifest on every
+    * [[CheckpointEvery]]-th version. Returns the RESOLVED snapshot
+    * either way. This is the incremental-commit primitive behind
+    * append/merge/DML: metadata cost is O(changed files) per commit,
+    * bounded chain length for readers.
+    */
+  private[graft] def commitDelta(spark: SparkSession, dir: String,
+      prev: Snapshot, operation: String,
+      adds: Seq[String], removes: Seq[String],
+      addStats: Map[String, DataSkipping.FileStats],
+      schemaJson: Option[String]): Snapshot = {
+    val v = prev.version + 1
+    val removed = removes.toSet
+    val resolved = Snapshot(v, System.currentTimeMillis(), operation,
+      prev.files.filterNot(removed) ++ adds,
+      (prev.stats -- removed) ++ addStats,
+      schemaJson.orElse(prev.schemaJson))
+    if (v % CheckpointEvery == 0) {
+      writeExclusive(spark, dir, v,
+        renderManifest(resolved).getBytes("UTF-8"))
+    } else {
+      writeExclusive(spark, dir, v,
+        renderDelta(DeltaRec(v, resolved.timestampMs, operation,
+          prev.version, adds, removes, addStats,
+          resolved.schemaJson)).getBytes("UTF-8"))
+    }
+    resolved
+  }
+
+  private def writeExclusive(spark: SparkSession, dir: String, v: Long,
+      bytes: Array[Byte]): Unit = {
+    val (fs, _) = fsFor(spark, dir)
     val mdir = new Path(dir, ManifestDir)
     fs.mkdirs(mdir)
     val dest = new Path(mdir, manifestName(v))
-    val bytes = renderManifest(snap).getBytes("UTF-8")
     try {
       if (dest.toUri.getScheme == null || dest.toUri.getScheme == "file") {
         // local FS: true O_EXCL atomicity via nio (Hadoop's local
@@ -206,7 +368,6 @@ object VersionedTable {
           s"VersionedTable: version $v of $dir was committed by a " +
             "concurrent writer; re-read the latest snapshot and retry", e)
     }
-    snap
   }
 
   /** Create the table (version 1). Fails if commits already exist.
@@ -309,8 +470,8 @@ object VersionedTable {
               s"schema ${ps.simpleString}; pass mergeSchema = true to evolve")
           Some(ps.json)
       }
-      try return commit(spark, dir, prev.version + 1, "append",
-        prev.files ++ files, prev.stats ++ st, evolved)
+      try return commitDelta(spark, dir, prev, "append", files, Nil, st,
+        evolved)
       catch {
         // ONLY the version-claim race is rebaseable; a genuine I/O
         // failure mid-commit must surface as itself, not be retried
@@ -356,12 +517,15 @@ object VersionedTable {
           s"table schema ${ps.simpleString}")
     }
     val v = prevOpt.map(_.version + 1).getOrElse(1L)
-    val prevStats = prevOpt.map(_.stats).getOrElse(Map.empty)
     val (files, st) = stageWithStats(df, dir, v, statsCols)
-    commit(df.sparkSession, dir, v, tag,
-      prevOpt.map(_.files).getOrElse(Seq.empty) ++ files,
-      prevStats ++ st,
-      prevOpt.flatMap(_.schemaJson).orElse(Some(df.schema.json)))
+    prevOpt match {
+      case Some(prev) =>
+        commitDelta(df.sparkSession, dir, prev, tag, files, Nil, st,
+          prev.schemaJson.orElse(Some(df.schema.json)))
+      case None =>
+        commit(df.sparkSession, dir, 1L, tag, files, st,
+          Some(df.schema.json))
+    }
   }
 
   /** True iff some committed version carries `tag` as its operation. */
@@ -384,17 +548,28 @@ object VersionedTable {
   /** MERGE (upsert) into the table as a new version: matched keys take
     * the update row's values (even NULLs — SQL MERGE semantics via
     * [[graft.operators.Merge.upsert]]), unmatched rows carry over,
-    * unmatched updates insert. The merged state commits like
-    * [[overwrite]] — one atomic manifest rename — so readers see the
-    * pre-merge or post-merge table, never a mix, and the pre-merge
-    * version stays time-travelable. This is the Delta `MERGE INTO` +
-    * snapshot-isolation pair the reference leans on
+    * unmatched updates insert. One atomic manifest commit, so readers
+    * see the pre-merge or post-merge table, never a mix, and the
+    * pre-merge version stays time-travelable. This is the Delta
+    * `MERGE INTO` + snapshot-isolation pair the reference leans on
     * (sql/breed_mapping.py:596-618), without Delta jars.
     *
-    * Scale: the upsert is one full-outer shuffle of table × updates; at
-    * 100 TB pair it with a partition-scoped read-modify-write (merge
-    * only the touched partitions' rows, then commit) — the commit cost
-    * itself stays one manifest either way.
+    * STATS-PRUNED, like [[delete]]/[[update]]: one small aggregation
+    * computes the update keys' per-column min/max, and only files whose
+    * skipping stats say they MAY hold a key in that range are read,
+    * upserted, and rewritten — every other file (and its stats) carries
+    * into the new version BY REFERENCE, unread and unwritten. The
+    * skipping analyzer's soundness contract (never prune a file that
+    * may match) is exactly the carry-over-safety contract: a carried
+    * file provably holds no matched key, and rows with NULL keys can
+    * never match an update (SQL join semantics), so carrying them is
+    * correct too. Unmatched updates always insert — they ride the
+    * rewritten partition (or a pure-insert commit when NO file may
+    * match). At 100 TB this is the difference between a daily MERGE
+    * that rewrites a few key-clustered files and one that rewrites the
+    * table; pair with [[cluster]] on the merge key so update key ranges
+    * map to few files. Tables without key stats degrade to the full
+    * rewrite (every file "may match").
     */
   def merge(updates: DataFrame, dir: String, keys: Seq[String],
       statsCols: Seq[String] = Seq.empty): Snapshot = {
@@ -412,11 +587,48 @@ object VersionedTable {
     require(dup.isEmpty,
       s"merge requires one update row per key (SQL MERGE rule); " +
         s"duplicate key example: ${dup.headOption.getOrElse("")}")
-    val merged = graft.operators.Merge.upsert(
-      readSnapshot(spark, dir, prev), updates, keys)
+    // a file may hold a matched row only if EVERY key column's file
+    // range intersects the updates' [min, max] for that column — a
+    // necessary condition, so pruning on it is sound. min/max ignore
+    // NULL update keys, correctly: a NULL key matches no target row.
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+    val b = updates.agg(aggs.head, aggs.tail: _*).collect().head
+    val keyRangePred = keys.zipWithIndex.map { case (k, i) =>
+      col(k) >= lit(b.get(2 * i)) && col(k) <= lit(b.get(2 * i + 1))
+    }.reduce(_ && _)
+    val (touched, untouched) = DataSkipping.prune(spark, dir, prev, keyRangePred)
+    val touchedDf =
+      if (touched.nonEmpty) prev.schema match {
+        case Some(st) =>
+          spark.read.schema(st).parquet(touched.map(f => s"$dir/$f"): _*)
+        case None => spark.read.parquet(touched.map(f => s"$dir/$f"): _*)
+      } else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        prev.schema.getOrElse(updates.schema))
+    val merged = graft.operators.Merge.upsert(touchedDf, updates, keys)
+    // carried files keep the recorded table schema, so a merge that
+    // would change column types is only legal as a full rewrite
+    val schemaOut = prev.schema match {
+      case Some(ps) =>
+        val same = ps.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq ==
+          merged.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+        if (same) prev.schemaJson
+        else if (untouched.isEmpty) Some(merged.schema.json)
+        else sys.error(
+          s"merge cannot change column types (${ps.simpleString} -> " +
+            s"${merged.schema.simpleString}) while carrying files by " +
+            "reference; use overwrite for type changes")
+      case None => Some(merged.schema.json)
+    }
+    // rewritten files keep every previously tracked stats column
+    // prunable (plus any the caller adds) — a MERGE must never silently
+    // turn off skipping on a column it used to serve
+    val effStats =
+      (statsCols ++ prev.stats.values.flatMap(_.cols.keys)).distinct
     val v = prev.version + 1
-    val (files, st) = stageWithStats(merged, dir, v, statsCols)
-    commit(spark, dir, v, "merge", files, st, Some(merged.schema.json))
+    val (files, st) = stageWithStats(merged, dir, v, effStats)
+    commitDelta(spark, dir, prev, "merge", files, touched, st, schemaOut)
   }
 
   /** Copy-on-write core for DELETE/UPDATE: data skipping decides which
@@ -435,10 +647,11 @@ object VersionedTable {
       Snapshot = {
     val prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits"))
-    val (touched, untouched) = DataSkipping.prune(spark, dir, prev, predicate)
+    val (touched, _) = DataSkipping.prune(spark, dir, prev, predicate)
     val v = prev.version + 1
     if (touched.isEmpty)
-      return commit(spark, dir, v, op, prev.files, prev.stats, prev.schemaJson)
+      return commitDelta(spark, dir, prev, op, Nil, Nil, Map.empty,
+        prev.schemaJson)
     val touchedDf = prev.schema match {
       case Some(st) =>
         spark.read.schema(st).parquet(touched.map(f => s"$dir/$f"): _*)
@@ -448,8 +661,7 @@ object VersionedTable {
       prev.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted
     val (files, st) =
       stageWithStats(rewrite(touchedDf, predicate), dir, v, statsCols)
-    commit(spark, dir, v, op, untouched ++ files,
-      prev.stats.view.filterKeys(untouched.toSet).toMap ++ st,
+    commitDelta(spark, dir, prev, op, files, touched, st,
       prev.schemaJson.orElse(Some(touchedDf.schema.json)))
   }
 
@@ -668,6 +880,29 @@ object VersionedTable {
     val all = snapshots(spark, dir)
     if (all.isEmpty) return 0
     val (drop, keep) = all.splitAt(math.max(0, all.size - retainVersions))
+    if (drop.isEmpty) return 0
+    // the oldest RETAINED manifest must become self-contained before its
+    // ancestors disappear: a delta whose base chain is vacuumed away
+    // would strand every later version. Materialize it as a full
+    // manifest (Delta's checkpoint-before-clean). Temp-then-rename under
+    // a dot-name readers already skip; vacuum is a maintenance op under
+    // the module's effectively-serial orchestration contract.
+    keep.headOption.foreach { s =>
+      val mdir = new Path(dir, ManifestDir)
+      val mpath = new Path(mdir, manifestName(s.version))
+      val isDelta = readManifestFile(fs, mpath).exists {
+        case _: DeltaRec => true
+        case _ => false
+      }
+      if (isDelta) {
+        val tmpP = new Path(mdir, s".${manifestName(s.version)}.ckpt")
+        val out = fs.create(tmpP, true)
+        try out.write(renderManifest(s).getBytes("UTF-8")) finally out.close()
+        fs.delete(mpath, false)
+        if (!fs.rename(tmpP, mpath)) sys.error(
+          s"vacuum: failed to materialize manifest for version ${s.version}")
+      }
+    }
     val live = keep.flatMap(_.files).toSet
     var deleted = 0
     drop.foreach { s =>
@@ -679,15 +914,28 @@ object VersionedTable {
     deleted
   }
 
-  /** Delete ORPHANED data files: files under `data/` that no committed
-    * manifest references and never will — the debris of crashed writers
-    * and conflict losers (their staged subdirs are invisible to readers
-    * but [[vacuum]] never touches them, because vacuum only walks
-    * manifest file lists). `graceMs` protects in-flight commits: a
-    * writer stages files BEFORE claiming a manifest, so only files
-    * older than the grace window are eligible — the same
-    * modification-time retention contract as Delta VACUUM. Returns the
-    * number of deleted files.
+  /** Delete ORPHANED staging subdirs: `data/v*_*` subdirs that no
+    * committed manifest references and never will — the debris of
+    * crashed writers and conflict losers (their staged subdirs are
+    * invisible to readers but [[vacuum]] never touches them, because
+    * vacuum only walks manifest file lists).
+    *
+    * SUBDIR-granular by design: [[stageFiles]] gives every commit
+    * attempt its own `data/v<N>_<rand>/` subdir and a committing writer
+    * references ALL of that subdir's data files, so "orphan" is a
+    * property of whole subdirs, never of individual files inside a live
+    * one. That makes the scan one listing of `data/` — O(commit
+    * attempts), not O(data files) — plus a recursive walk of debris
+    * candidates only. Live subdirs are never walked or stat'ed, so a
+    * vacuum over a million-file table is a handful of driver RPCs
+    * instead of a per-file mtime storm.
+    *
+    * `graceMs` protects in-flight commits: a writer stages files BEFORE
+    * claiming a manifest, so a candidate subdir is deleted only when
+    * NOTHING under it (at any depth — a mid-write job keeps refreshing
+    * task files deep under `_temporary`) is newer than the grace
+    * window. Same modification-time retention contract as Delta VACUUM.
+    * Returns the number of deleted data files.
     */
   def vacuumOrphans(spark: SparkSession, dir: String,
       graceMs: Long = 24L * 3600 * 1000): Int = {
@@ -695,44 +943,23 @@ object VersionedTable {
     val (fs, _) = fsFor(spark, dir)
     val dataDir = new Path(dir, "data")
     if (!fs.exists(dataDir)) return 0
-    val referenced = snapshots(spark, dir).flatMap(_.files).toSet
+    val referencedSubs = snapshots(spark, dir).flatMap(_.files)
+      .map(f => f.substring(0, f.lastIndexOf('/'))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     fs.listStatus(dataDir).filter(_.isDirectory).foreach { sub =>
-      val statuses0 = fs.listStatus(sub.getPath)
-      // only DATA files are orphan candidates (mirror stageFiles's
-      // filter): writer markers like _SUCCESS in live subdirs are not
-      // debris even though no manifest lists them
-      var deletedHere = 0
-      statuses0.filter(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          !st.getPath.getName.startsWith(".")).foreach { st =>
-        val rel = s"data/${sub.getPath.getName}/${st.getPath.getName}"
-        if (!referenced.contains(rel) && st.getModificationTime < cutoff) {
-          if (fs.delete(st.getPath, false)) deletedHere += 1
-        }
-      }
-      deleted += deletedHere
-      // drop the subdir once no data file remains (all-debris staging
-      // dirs, markers included) — but only when nothing under it, AT
-      // ANY DEPTH, is newer than the grace window: a mid-write staging
-      // dir holds no top-level parquet yet, only task files deep under
-      // the committer's _temporary tree, and those mtimes are what a
-      // still-running job keeps refreshing
-      val statuses =
-        if (deletedHere == 0) statuses0 else fs.listStatus(sub.getPath)
-      val hasData = statuses.exists(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet"))
-      def nestedFresh: Boolean = {
+      if (!referencedSubs.contains(s"data/${sub.getPath.getName}")) {
+        var fresh = sub.getModificationTime >= cutoff
+        var parquet = 0
         val it = fs.listFiles(sub.getPath, true)
-        var fresh = false
-        while (it.hasNext && !fresh)
-          if (it.next().getModificationTime >= cutoff) fresh = true
-        fresh
+        while (it.hasNext && !fresh) {
+          val st = it.next()
+          if (st.getModificationTime >= cutoff) fresh = true
+          else if (st.getPath.getName.endsWith(".parquet") &&
+              !st.getPath.getName.startsWith(".")) parquet += 1
+        }
+        if (!fresh && fs.delete(sub.getPath, true)) deleted += parquet
       }
-      val allOld = sub.getModificationTime < cutoff &&
-        statuses.forall(_.getModificationTime < cutoff) && !nestedFresh
-      if (!hasData && allOld) fs.delete(sub.getPath, true)
     }
     deleted
   }

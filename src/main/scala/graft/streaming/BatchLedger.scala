@@ -102,6 +102,16 @@ object BatchLedger {
       throw new java.io.IOException(
         s"BatchLedger: rename $staging -> $dest failed; " +
           "concurrent writer on a single-writer sink?")
+    // rename "success" can still corrupt silently: if a concurrent
+    // writer recreated dest between the delete and the rename, POSIX/
+    // local-FS rename moves staging INSIDE the existing dest (returning
+    // true) and the partition holds no top-level data file. Convert
+    // that contract violation into the same loud error as a failed
+    // rename — one extra listing per micro-batch.
+    if (!hasDataFile(fs, dest))
+      throw new java.io.IOException(
+        s"BatchLedger: $dest holds no data file after publish — a " +
+          "concurrent writer raced the rename on a single-writer sink")
     true
   }
 }

@@ -123,6 +123,75 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(ids(VersionedTable.snapshotAt(spark, dir, 1L)) === Set(1L, 2L))
   }
 
+  private def manifestBody(dir: String, v: Long): String = {
+    val f = new java.io.File(s"$dir/_manifests/${"v%08d.manifest".format(v)}")
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+  }
+
+  test("appends write DELTA manifests; every 10th version checkpoints full") {
+    val dir = tmp()
+    VersionedTable.create(Seq((0L, "a")).toDF("id", "v"), dir)
+    (1L to 11L).foreach(i =>
+      VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v"), dir))
+    // v2..v9 and v11 are deltas: adds only, no full file list
+    val d2 = manifestBody(dir, 2L)
+    assert(d2.contains("kind=delta") && d2.contains("base=1"))
+    assert(!d2.contains("\nfile=") && d2.linesIterator.count(_.startsWith("add=")) >= 1,
+      s"an append manifest must carry adds, not the whole file list:\n$d2")
+    // v10 is a full checkpoint: complete file list, no delta marker
+    val c10 = manifestBody(dir, 10L)
+    assert(!c10.contains("kind=delta"))
+    assert(c10.linesIterator.count(_.startsWith("file=")) >= 10,
+      "the checkpoint must list every live file")
+    // resolution is identical through deltas, checkpoints, and time travel
+    assert(ids(VersionedTable.read(spark, dir)) === (0L to 11L).toSet)
+    assert(ids(VersionedTable.snapshotAt(spark, dir, 7L)) === (0L to 6L).toSet)
+    assert(ids(VersionedTable.snapshotAt(spark, dir, 10L)) === (0L to 9L).toSet)
+    assert(VersionedTable.latest(spark, dir).get.version === 12L)
+  }
+
+  test("vacuum materializes the oldest retained delta manifest before dropping its base") {
+    val dir = tmp()
+    VersionedTable.create(Seq((0L, "a")).toDF("id", "v"), dir)
+    (1L to 6L).foreach(i =>
+      VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v"), dir))
+    assert(manifestBody(dir, 5L).contains("kind=delta"))
+    VersionedTable.vacuum(spark, dir, retainVersions = 3) // keep v5,v6,v7
+    assert(!manifestBody(dir, 5L).contains("kind=delta"),
+      "the oldest retained manifest must be self-contained after vacuum")
+    assert(VersionedTable.snapshots(spark, dir).map(_.version) === Seq(5L, 6L, 7L))
+    assert(ids(VersionedTable.read(spark, dir)) === (0L to 6L).toSet,
+      "append-only history: vacuum reclaims nothing but old manifests here")
+    assert(ids(VersionedTable.snapshotAt(spark, dir, 5L)) === (0L to 4L).toSet)
+  }
+
+  test("merge rewrites only may-match files; clean files carry over BY IDENTITY") {
+    val dir = tmp()
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    VersionedTable.create(df, dir, Seq("id"))
+    val v1Files = VersionedTable.latest(spark, dir).get.files.toSet
+    // updates touch only the top of the key range (+ a pure insert)
+    val updates = Seq((95L, "UPD"), (200L, "NEW")).toDF("id", "v")
+    val snap = VersionedTable.merge(updates, dir, Seq("id"))
+    val carried = snap.files.toSet.intersect(v1Files)
+    assert(carried.size === 3,
+      s"3 of 4 range-partitioned files must carry over untouched: $snap")
+    assert(carried.forall(snap.stats.contains), "carried files keep stats")
+    val rows = VersionedTable.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.size === 101 && rows(95L) === "UPD" && rows(200L) === "NEW"
+      && rows(0L) === "v0" && rows(94L) === "v94")
+    // untouched-file IDENTITY: the carried files' bytes were never rewritten
+    assert(VersionedTable.snapshotAt(spark, dir, 1L).count() === 100L)
+    // a merge whose keys match nothing rewrites nothing — pure insert
+    val snap3 = VersionedTable.merge(
+      Seq((300L, "NEW2")).toDF("id", "v"), dir, Seq("id"))
+    assert(snap.files.toSet.subsetOf(snap3.files.toSet),
+      "no-match merge must carry every existing file by reference")
+    assert(VersionedTable.read(spark, dir).count() === 102L)
+  }
+
   test("vacuum reclaims unreferenced files but keeps the retained window readable") {
     val dir = tmp()
     VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)     // v1
