@@ -1370,15 +1370,93 @@ object SparkEntry {
 
     // Sketch aggregates — the 100 TB scale path where exact distinct /
     // exact percentiles would shuffle every value: HLL++ and a quantile
-    // sketch keep constant state per group. No SQL oracle (sketch values
-    // are algorithm-specific); AggregatesSpec bounds the error vs exact.
+    // sketch keep constant state per group. Sketch VALUES are
+    // algorithm-specific and can never hash-match an oracle, so the
+    // query emits what IS engine-reproducible: the exact statistics
+    // plus booleans asserting each sketch landed inside its error
+    // bound (rsd 0.02 → 5% head-room on the distinct count; quantile
+    // accuracy 1000 → the approx median/p99 must land between generous
+    // exact-percentile brackets). DuckDB recomputes the exacts and
+    // emits `true` for each bound — a red row means the sketch itself
+    // broke its contract. AggregatesSpec additionally bounds the raw
+    // estimates vs exact on fixtures.
     "q33_approx_stats" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("__ap"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("__amed"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+            .as("__a99"),
+          expr("percentile(l_extendedprice, array(0.40D, 0.60D, 0.98D))")
+            .as("__ex"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("approx_parts_ok"),
+          (col("__amed") >= element_at(col("__ex"), 1) &&
+            col("__amed") <= element_at(col("__ex"), 2)).as("approx_median_ok"),
+          (col("__a99") >= element_at(col("__ex"), 3)).as("approx_p99_ok"))
+    }),
+
+    // Variable-length duplicated spans (Lee et al. 2022 exact-substring
+    // dedup): q62's fixed windows upgraded to maximal runs — the
+    // longest-span statistic IS the removal decision input. SubstringSpec
+    // pins the operator against brute longest-common-span on fixtures.
+    "q94_substring_spans" -> ((s, dir) => {
+      graft.dedup.Substring.dupSpans(Tables.documents(s, dir),
+        "doc_id", "text", n = 8)
+    }),
+
+    // HTML boilerplate extraction — the crawl front door. The corpus is
+    // plain text, so the query PLANTS a deterministic id-derived HTML
+    // wrapper (title, style/script containers, a comment, an id-gated
+    // nav with two anchors — the q56/q61 planting pattern) and strips
+    // it back; the oracle recomputes the expected visible text and
+    // link stats arithmetically from the same plant inputs. WebSpec
+    // covers the messy-HTML corners (entities, uppercase tags, nested
+    // anchors) on handcrafted fixtures.
+    "q95_html_extract" -> ((s, dir) => {
+      import graft.functions.Web
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style></head><body>"),
+        when(col("doc_id") % 4 === 0,
+          lit("<nav><a href=\"/h\">Home</a> <a href=\"/a\">About us</a></nav>"))
+          .otherwise(lit("")),
+        lit("<p>"), col("text"),
+        lit("</p><!-- hidden --><script>var x=1;</script></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), html.as("__html"))
+        .select(col("doc_id"),
+          Web.htmlText(col("__html")).as("clean_text"),
+          Web.linkCount(col("__html")).as("n_links"),
+          Web.linkDensity(col("__html")).as("link_density"))
+    }),
+
+    // URL canonicalization + exact URL dedup — id-derived messy URLs
+    // (uppercase scheme/host, default port, trailing slash, tracking
+    // params, unsorted query, fragment) must collapse to the canonical
+    // key the oracle constructs directly; the per-key count is the
+    // crawl-frontier dedup signal
+    "q96_url_canonical" -> ((s, dir) => {
+      import graft.functions.Web
+      val url = concat(
+        lit("HTTP://WWW.Example"), (col("doc_id") % 7).cast("string"),
+        lit(".COM"),
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Products/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=news&id="), (col("doc_id") % 25).cast("string"),
+        lit("&b=2"),
+        when(col("doc_id") % 5 === 0, lit("&fbclid=XYZ")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canonical_url"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Web.canonicalizeUrl(url).as("canonical_url"))
+        .withColumn("n_same_canonical", count(lit(1)).over(w))
     })
   )
 
@@ -1630,6 +1708,76 @@ object SparkEntry {
     * ScalaTest specs instead and get the driver's rows-only check.
     */
   def extensionOracleSql: Map[String, String] = Map(
+    // the sketch estimates themselves are algorithm-specific; what the
+    // oracle can check is the exact statistics plus the contract that
+    // every sketch landed inside its error bound (Spark computes the
+    // booleans from its own sketch vs its own exact percentiles;
+    // DuckDB asserts they must all be true)
+    "q33_approx_stats" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  true AS approx_parts_ok, true AS approx_median_ok,
+        |  true AS approx_p99_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // gaps-and-islands over duplicated window positions; DuckDB's
+    // parallel unnest zips positions with their grams, and the
+    // i - ROW_NUMBER() key is constant exactly along a consecutive run
+    "q94_substring_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |n AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 8 THEN len(w) - 7 ELSE 0 END AS n_windows FROM t),
+        |g AS (SELECT doc_id,
+        |    unnest(range(1, len(w) - 6)) AS i,
+        |    unnest(list_transform(range(1, len(w) - 6),
+        |      i -> array_to_string(w[i:i+7], ' '))) AS gram
+        |  FROM t WHERE len(w) >= 8),
+        |nd AS (SELECT gram FROM (
+        |    SELECT gram, doc_id FROM g GROUP BY gram, doc_id) x
+        |  GROUP BY gram HAVING COUNT(*) > 1),
+        |dup AS (SELECT g.doc_id, g.i FROM g JOIN nd USING (gram)),
+        |isl AS (SELECT doc_id, i,
+        |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM dup),
+        |runs AS (SELECT doc_id, grp, COUNT(*) AS run_len
+        |  FROM isl GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_spans, MAX(run_len) AS max_run
+        |  FROM runs GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.n_windows AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(COALESCE(agg.max_run + 7, 0) AS BIGINT) AS longest_span_tokens
+        |FROM n LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // the oracle replays the PLANT arithmetically: the expected visible
+    // text is 'Doc <id>' + optional nav text + the document body, and
+    // the link stats follow from the two planted anchors ('Home' = 4
+    // chars, 'About us' = 8 chars)
+    "q95_html_extract" ->
+      """WITH e AS (SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' Home About us' ELSE '' END
+        |    || ' ' || text AS clean_text,
+        |  CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS n_links,
+        |  CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 0 END AS link_chars
+        |  FROM documents)
+        |SELECT doc_id, clean_text, CAST(n_links AS BIGINT) AS n_links,
+        |  CASE WHEN len(clean_text) > 0
+        |    THEN CAST(link_chars AS DOUBLE) / CAST(len(clean_text) AS DOUBLE)
+        |    ELSE 0.0 END AS link_density
+        |FROM e""".stripMargin,
+
+    // canonical key constructed directly from the plant inputs: scheme/
+    // host lowercased, :80 dropped, trailing slash stripped, tracking
+    // params dropped, survivors sorted ('b=2' < 'id=…'), fragment gone
+    "q96_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  'http://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com/Products/'
+        |    || CAST(doc_id % 50 AS VARCHAR) || '?b=2&id='
+        |    || CAST(doc_id % 25 AS VARCHAR) AS canonical_url
+        |  FROM documents)
+        |SELECT doc_id, canonical_url,
+        |  COUNT(*) OVER (PARTITION BY canonical_url) AS n_same_canonical
+        |FROM u""".stripMargin,
+
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,
         |  MIN(doc_id) AS keeper_id, COUNT(*) AS cluster_size

@@ -65,4 +65,57 @@ object Substring {
             col("n_windows").cast("double"))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  /** VARIABLE-LENGTH duplicated spans — the exact-substring-dedup
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), whose suffix-array pipeline removes any
+    * ≥50-token span that recurs verbatim across documents. The
+    * distributed re-expression: a position is duplicated when its
+    * n-token window recurs in another doc ([[windowStats]]'s signal),
+    * and a maximal RUN of consecutive duplicated positions of window-
+    * run-length r is a duplicated span of `r + n - 1` tokens — exactly
+    * the suffix-array span when the overlap is with a single partner,
+    * the union of chained overlaps otherwise (standard for the windowed
+    * approximation; spans shorter than n tokens are invisible).
+    *
+    * Output per doc: `(idCol, n_windows, n_dup_spans,
+    * longest_span_tokens)` — the removal decision inputs (Lee et al.
+    * cut spans with `longest_span_tokens >= threshold`).
+    *
+    * Scale shape: windows travel as 64-bit hashes; the dup-window
+    * probe is one (gram, doc)-distinct aggregation + one keyed join
+    * back to positions (both shuffle on the gram hash — inherently the
+    * heavy stage, see [[windowStats]]'s sketch-gating note); the
+    * run-length scan is a per-doc keyed window, bounded by doc length.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, "window length must be >= 2 tokens")
+    val gh = TextFunctions.ngramHashes(
+      TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), n)
+    val base = docs.select(col(idCol), gh.as("__g"))
+    val nWin = base.select(col(idCol),
+      coalesce(size(col("__g")), lit(0)).cast("long").as("n_windows"))
+    val pos = base.select(col(idCol), posexplode(col("__g")))
+      .toDF(idCol, "__i", "__gram")
+    // grams seen in more than one distinct doc
+    val crossDoc = pos.select(col("__gram"), col(idCol)).distinct()
+      .groupBy(col("__gram")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1).select(col("__gram"))
+    // islands of consecutive duplicated positions per doc: the classic
+    // i - row_number() grouping key is constant exactly along a run
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__i"))
+    val spans = pos.join(crossDoc, Seq("__gram"))
+      .withColumn("__grp", col("__i") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nspans"), max(col("__run")).as("__maxrun"))
+    nWin.join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("__nspans"), lit(0L)).cast("long").as("n_dup_spans"),
+        coalesce(col("__maxrun") + lit(n - 1), lit(0L)).cast("long")
+          .as("longest_span_tokens"))
+  }
 }

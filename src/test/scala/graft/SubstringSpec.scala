@@ -78,6 +78,73 @@ class SubstringSpec extends AnyFunSuite {
     }
   }
 
+  test("dupSpans recovers exact variable-length spans against a brute oracle") {
+    // doc 1 and doc 2 share a 10-token span (-> 3 consecutive dup
+    // windows at n=8 -> longest = 3 + 7 = 10); doc 1 additionally
+    // shares a second, disjoint 8-token span with doc 3
+    val span10 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val span8 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val docs = Seq(
+      (1L, span10 + " u1 u2 u3 u4 u5 u6 u7 u8 " + span8),
+      (2L, "x1 x2 " + span10 + " y1 y2"),
+      (3L, span8),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"), // 9 tokens, no overlap
+      (5L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val got = Substring.dupSpans(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: 26 tokens -> 19 windows; spans at positions 0-2 (span10)
+    // and 18 (span8) -> 2 spans, longest 10 tokens
+    assert(got(1L) === ((19L, 2L, 10L)))
+    // doc 2: 14 tokens -> 7 windows; one 3-window run -> one 10-token span
+    assert(got(2L) === ((7L, 1L, 10L)))
+    assert(got(3L) === ((1L, 1L, 8L)))
+    assert(got(4L) === ((2L, 0L, 0L)), "sub-n overlaps are invisible")
+    assert(got(5L) === ((0L, 0L, 0L)))
+  }
+
+  test("property: dupSpans longest span equals brute longest cross-doc span >= n") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 20L), Gen.choose(1, 12).flatMap(Gen.listOfN(_, word))))
+    val n = 3
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withInitialSeed(7L),
+      Prop.forAll(docGen) { rows =>
+        val docs = rows.distinctBy(_._1).map { case (id, ws) => (id, ws.mkString(" ")) }
+        val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+        // brute: the longest token span of length >= n that occurs
+        // verbatim in at least one OTHER doc — computed by windowed
+        // union (identical semantics to the operator: a position is
+        // covered when ITS window recurs elsewhere, runs merge)
+        val expected = docs.map { case (id, _) =>
+          val mine = toks(id)
+          val dupPos = (0 to mine.length - n).filter { i =>
+            val g = mine.slice(i, i + n).mkString(" ")
+            toks.exists { case (oid, os) =>
+              oid != id && os.sliding(n).exists(_.mkString(" ") == g)
+            }
+          }
+          // maximal consecutive runs
+          val runs = dupPos.foldLeft(List.empty[(Int, Int)]) {
+            case ((s, e) :: rest, i) if i == e + 1 => (s, i) :: rest
+            case (acc, i) => (i, i) :: acc
+          }
+          val longest = if (runs.isEmpty) 0L
+            else runs.map { case (s, e) => e - s + n }.max.toLong
+          id -> ((runs.size.toLong, longest))
+        }.toMap
+        val got = Substring.dupSpans(docs.toDF("doc_id", "text"),
+            "doc_id", "text", n)
+          .select("doc_id", "n_dup_spans", "longest_span_tokens")
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        got == expected
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: window stats match a Scala brute oracle on random corpora") {
     val word = Gen.oneOf("a", "b", "c", "d", "e")
     val docGen = Gen.nonEmptyListOf(Gen.zip(
