@@ -45,9 +45,23 @@ object Bpe {
     * per-round job overhead. Above the threshold every round stays
     * distributed: one small dictionary aggregation + a 1-row collect +
     * a map-only rewrite, with localCheckpoint keeping lineage flat.
+    *
+    * Prefer the driver path aggressively: a 32k-merge vocabulary run on
+    * the distributed path is 32k SEQUENTIAL small Spark jobs (per-round
+    * scheduling dominates), while the driver loop is in-memory over the
+    * dictionary. The default threshold (2^20 distinct words — on the
+    * order of a few hundred MB as split-symbol vectors, trivial against
+    * a multi-GB driver) comfortably covers real natural-language
+    * vocabularies, which level off around a few million distinct words
+    * even at 100-TB corpus scale; the distributed path remains the
+    * correctness backstop for adversarial/synthetic vocabularies, not
+    * the expected production route. Exact batching of distributed
+    * rounds is NOT possible without changing results: a merge can
+    * create new pairs that outrank the next already-counted pair, so
+    * rounds are inherently sequential.
     */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
-      driverMaxWords: Long = 1L << 17): DataFrame = {
+      driverMaxWords: Long = 1L << 20): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = docs.sparkSession
     import spark.implicits._

@@ -65,6 +65,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class ConcurrentCommitException(msg: String, cause: Throwable)
   extends java.io.IOException(msg, cause)
 
+/** The commit lost the optimistic-concurrency race AND the competitor's
+  * changes semantically conflict with this operation — it rewrote a file
+  * this DML read, changed the schema, or added files that may hold rows
+  * matching this DML's predicate — so silently rebasing would change
+  * answers. NOT retryable by the library: re-run the operation against
+  * the new table state (the rerun re-reads, so it sees the competitor's
+  * rows).
+  */
+final class ConflictingCommitException(msg: String)
+  extends java.io.IOException(msg)
+
 object VersionedTable {
 
   /** One committed version: `operation` ∈ create|append|overwrite|compact|
@@ -572,10 +583,24 @@ object VersionedTable {
     * rewrite (every file "may match").
     */
   def merge(updates: DataFrame, dir: String, keys: Seq[String],
-      statsCols: Seq[String] = Seq.empty): Snapshot = {
+      statsCols: Seq[String] = Seq.empty,
+      maxAttempts: Int = 1): Snapshot =
+    mergeRebase(updates, dir, keys, statsCols, maxAttempts)
+
+  /** Core merge loop; `onStaged` is the race-window test seam,
+    * mirroring [[appendRebase]]. On losing the version race with
+    * `maxAttempts > 1`, the staged result re-commits against the new
+    * latest once [[rebaseOrConflict]] proves the competitors could not
+    * hold a merge-key match (predicate = the update keys' range), else
+    * [[ConflictingCommitException]].
+    */
+  private[graft] def mergeRebase(updates: DataFrame, dir: String,
+      keys: Seq[String], statsCols: Seq[String], maxAttempts: Int,
+      onStaged: () => Unit = () => ()): Snapshot = {
+    require(maxAttempts >= 1, "maxAttempts must be at least 1")
     val spark = updates.sparkSession
     import org.apache.spark.sql.functions._
-    val prev = latest(spark, dir).getOrElse(
+    var prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits — use create"))
     // SQL MERGE rule ("cannot update the same row twice"): duplicate
     // update keys would silently fan target rows out through upsert's
@@ -626,9 +651,66 @@ object VersionedTable {
     // turn off skipping on a column it used to serve
     val effStats =
       (statsCols ++ prev.stats.values.flatMap(_.cols.keys)).distinct
-    val v = prev.version + 1
-    val (files, st) = stageWithStats(merged, dir, v, effStats)
-    commitDelta(spark, dir, prev, "merge", files, touched, st, schemaOut)
+    val (files, st) = stageWithStats(merged, dir, prev.version + 1, effStats)
+    onStaged()
+    var attempt = 1
+    while (true) {
+      try return commitDelta(spark, dir, prev, "merge", files, touched, st,
+        schemaOut)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          prev = rebaseOrConflict(spark, dir, prev, keyRangePred, touched,
+            "merge")
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Decide whether a DML operation that lost the version race can
+    * safely REBASE onto the new latest snapshot, Delta-style. The DML
+    * read exactly `touched` (every file whose stats said it may hold a
+    * predicate-matching row, resolved against `base`); its staged
+    * output plus the carried-by-reference files stay a correct answer
+    * against any competitor history that (a) kept the schema, (b) did
+    * not rewrite a file the DML read, and (c) only added files whose
+    * skipping stats PROVE they hold no predicate-matching row — then
+    * serializing the DML after the competitors changes nothing it
+    * read or wrote. Anything else throws [[ConflictingCommitException]]
+    * (competitor files without stats count as may-match, so a table
+    * without skipping stats never silently rebases). Returns the new
+    * latest snapshot to re-commit against.
+    */
+  private def rebaseOrConflict(spark: SparkSession, dir: String,
+      base: Snapshot, predicate: org.apache.spark.sql.Column,
+      touched: Seq[String], op: String): Snapshot = {
+    val now = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir lost all commits mid-$op"))
+    def conflict(why: String) = throw new ConflictingCommitException(
+      s"$op on $dir lost the commit race (base v${base.version}, now " +
+        s"v${now.version}) and cannot rebase: $why; re-run the " +
+        "operation against the new table state")
+    if (now.schemaJson != base.schemaJson)
+      conflict("the concurrent commit changed the table schema")
+    val baseFiles = base.files.toSet
+    val readRemoved = touched.filterNot(now.files.toSet)
+    if (readRemoved.nonEmpty)
+      conflict(s"the concurrent commit rewrote ${readRemoved.size} " +
+        s"file(s) this operation read (e.g. ${readRemoved.head})")
+    val addedByOthers = now.files.filterNot(baseFiles)
+    if (addedByOthers.nonEmpty) {
+      val pseudo = Snapshot(now.version, now.timestampMs, now.operation,
+        addedByOthers,
+        now.stats.view.filterKeys(addedByOthers.toSet).toMap,
+        now.schemaJson)
+      val (mayMatch, _) = DataSkipping.prune(spark, dir, pseudo, predicate)
+      if (mayMatch.nonEmpty)
+        conflict(s"the concurrent commit added ${mayMatch.size} file(s) " +
+          s"that may hold rows matching this operation's predicate " +
+          s"(e.g. ${mayMatch.head})")
+    }
+    now
   }
 
   /** Copy-on-write core for DELETE/UPDATE: data skipping decides which
@@ -640,29 +722,52 @@ object VersionedTable {
     * contract (never prune a file that may match) is exactly the
     * carry-over-safety contract needed here. Rewritten files get fresh
     * stats on the union of previously tracked columns.
+    *
+    * With `maxAttempts > 1`, losing the version race triggers the
+    * optimistic-concurrency completion: data is staged exactly once,
+    * and each retry re-commits the SAME staged files against the new
+    * latest after [[rebaseOrConflict]] proves the competitor commits
+    * are semantically disjoint (otherwise [[ConflictingCommitException]]
+    * — never a silently wrong rebase). `onStaged` is the test seam that
+    * runs inside the race window, mirroring [[appendRebase]].
     */
-  private def copyOnWrite(spark: SparkSession, dir: String,
+  private[graft] def copyOnWrite(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column, op: String,
-      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame):
-      Snapshot = {
-    val prev = latest(spark, dir).getOrElse(
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame,
+      maxAttempts: Int = 1,
+      onStaged: () => Unit = () => ()): Snapshot = {
+    require(maxAttempts >= 1, "maxAttempts must be at least 1")
+    var prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits"))
     val (touched, _) = DataSkipping.prune(spark, dir, prev, predicate)
-    val v = prev.version + 1
-    if (touched.isEmpty)
-      return commitDelta(spark, dir, prev, op, Nil, Nil, Map.empty,
-        prev.schemaJson)
-    val touchedDf = prev.schema match {
-      case Some(st) =>
-        spark.read.schema(st).parquet(touched.map(f => s"$dir/$f"): _*)
-      case None => spark.read.parquet(touched.map(f => s"$dir/$f"): _*)
+    val (files, st, schemaOut) =
+      if (touched.isEmpty)
+        (Nil, Map.empty[String, DataSkipping.FileStats], prev.schemaJson)
+      else {
+        val touchedDf = prev.schema match {
+          case Some(sch) =>
+            spark.read.schema(sch).parquet(touched.map(f => s"$dir/$f"): _*)
+          case None => spark.read.parquet(touched.map(f => s"$dir/$f"): _*)
+        }
+        val statsCols =
+          prev.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted
+        val (fs, s) = stageWithStats(rewrite(touchedDf, predicate), dir,
+          prev.version + 1, statsCols)
+        (fs, s, prev.schemaJson.orElse(Some(touchedDf.schema.json)))
+      }
+    onStaged()
+    var attempt = 1
+    while (true) {
+      try return commitDelta(spark, dir, prev, op, files, touched, st,
+        schemaOut)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          prev = rebaseOrConflict(spark, dir, prev, predicate, touched, op)
+      }
     }
-    val statsCols =
-      prev.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted
-    val (files, st) =
-      stageWithStats(rewrite(touchedDf, predicate), dir, v, statsCols)
-    commitDelta(spark, dir, prev, op, files, touched, st,
-      prev.schemaJson.orElse(Some(touchedDf.schema.json)))
+    sys.error("unreachable")
   }
 
   /** SQL DELETE: remove rows where `predicate` is TRUE (FALSE and NULL
@@ -672,10 +777,12 @@ object VersionedTable {
     * version. The pre-delete version stays time-travelable.
     */
   def delete(spark: SparkSession, dir: String,
-      predicate: org.apache.spark.sql.Column): Snapshot = {
+      predicate: org.apache.spark.sql.Column,
+      maxAttempts: Int = 1): Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     copyOnWrite(spark, dir, predicate, "delete",
-      (df, p) => df.filter(coalesce(not(p), lit(true))))
+      (df, p) => df.filter(coalesce(not(p), lit(true))),
+      maxAttempts = maxAttempts)
   }
 
   /** SQL UPDATE ... SET: rows where `predicate` is TRUE take the `set`
@@ -686,9 +793,11 @@ object VersionedTable {
     */
   def update(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column]): Snapshot = {
+      set: Map[String, org.apache.spark.sql.Column],
+      maxAttempts: Int = 1): Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
-    copyOnWrite(spark, dir, predicate, "update", (df, p) => {
+    copyOnWrite(spark, dir, predicate, "update", maxAttempts = maxAttempts,
+      rewrite = (df, p) => {
       set.keys.foreach(c => require(
         df.columns.exists(_.equalsIgnoreCase(c)),
         s"update sets unknown column $c; table has " +

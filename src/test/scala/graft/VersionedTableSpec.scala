@@ -490,4 +490,96 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readWhere(spark, dir, col("score").isNull)
       .count() === 100L)
   }
+
+  // delete's rewrite, for driving copyOnWrite's race-window seam directly
+  private val deleteRw: (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.DataFrame =
+    (df, p) => df.filter(coalesce(not(p), lit(true)))
+
+  test("delete rebases over a concurrent stats-disjoint append") {
+    val dir = tmp()
+    val df = (0L until 100L).toDF("id").withColumn("v", lit("x"))
+      .repartitionByRange(2, col("id"))
+    VersionedTable.create(df, dir, Seq("id"))
+    // competitor appends ids 200.. WITH id stats — provably disjoint
+    // from id < 10, so the loser re-commits its staged files
+    val snap = VersionedTable.copyOnWrite(spark, dir, col("id") < 10L,
+      "delete", deleteRw, maxAttempts = 3,
+      onStaged = () => {
+        VersionedTable.append((200L until 210L).toDF("id")
+          .withColumn("v", lit("y")), dir, Seq("id"))
+        ()
+      })
+    assert(snap.version === 3L && snap.operation === "delete")
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      ((10L until 100L) ++ (200L until 210L)).toSet,
+      "delete must apply AND the competitor's rows must survive")
+    // a competitor append WITHOUT stats may hold matching rows —
+    // rebase must refuse rather than silently skip those rows
+    val e = intercept[graft.sources.ConflictingCommitException] {
+      VersionedTable.copyOnWrite(spark, dir, col("id") < 10L,
+        "delete", deleteRw, maxAttempts = 3,
+        onStaged = () => {
+          VersionedTable.append(Seq((300L, "z")).toDF("id", "v"), dir)
+          ()
+        })
+    }
+    assert(e.getMessage.contains("may hold rows"))
+  }
+
+  test("delete conflicts when a concurrent commit rewrote a file it read") {
+    val dir = tmp()
+    val df = (0L until 100L).toDF("id").withColumn("v", lit("x"))
+      .repartitionByRange(2, col("id"))
+    VersionedTable.create(df, dir, Seq("id"))
+    val e = intercept[graft.sources.ConflictingCommitException] {
+      VersionedTable.copyOnWrite(spark, dir, col("id") < 10L,
+        "delete", deleteRw, maxAttempts = 3,
+        onStaged = () => {
+          VersionedTable.delete(spark, dir, col("id") === 5L)
+          ()
+        })
+    }
+    assert(e.getMessage.contains("rewrote"))
+    // the competitor's delete is the surviving state — no torn commit
+    val got = ids(VersionedTable.read(spark, dir))
+    assert(!got.contains(5L) && got.contains(4L))
+  }
+
+  test("merge rebases over a concurrent key-disjoint append") {
+    val dir = tmp()
+    VersionedTable.create((0L until 50L).map(i => (i, s"v$i"))
+      .toDF("id", "v"), dir, Seq("id"))
+    val snap = VersionedTable.mergeRebase(
+      Seq((1L, "upd"), (60L, "new")).toDF("id", "v"), dir, Seq("id"),
+      Seq("id"), maxAttempts = 3,
+      onStaged = () => {
+        VersionedTable.append(Seq((200L, "c")).toDF("id", "v"), dir,
+          Seq("id"))
+        ()
+      })
+    assert(snap.operation === "merge")
+    val out = VersionedTable.read(spark, dir)
+    assert(out.filter(col("id") === 1L).select("v").as[String].head() ===
+      "upd")
+    assert(ids(out) === ((0L until 50L).toSet + 60L + 200L))
+  }
+
+  test("DML rebase refuses a concurrent schema change") {
+    val dir = tmp()
+    VersionedTable.create((0L until 20L).toDF("id")
+      .withColumn("v", lit("x")), dir, Seq("id"))
+    // the competitor's rows are key-disjoint, but it evolved the
+    // schema — rebasing would commit a stale schemaJson over it
+    val e = intercept[graft.sources.ConflictingCommitException] {
+      VersionedTable.copyOnWrite(spark, dir, col("id") < 5L,
+        "delete", deleteRw, maxAttempts = 3,
+        onStaged = () => {
+          VersionedTable.append(Seq((100L, "y", true))
+            .toDF("id", "v", "extra"), dir, Seq("id"), mergeSchema = true)
+          ()
+        })
+    }
+    assert(e.getMessage.contains("schema"))
+  }
 }
