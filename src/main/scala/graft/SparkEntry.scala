@@ -763,15 +763,30 @@ object SparkEntry {
     // Incremental cardinality via a mergeable HLL sketch store: two
     // snapshot halves sketch independently (what each ingest batch
     // persists), the union-merge estimates corpus-wide distincts without
-    // rescanning history. Rows-only (sketches aren't SQL-expressible);
-    // AggregatesSpec proves merged == single-pass exactly
+    // rescanning history. Sketch bytes aren't SQL-expressible, so the
+    // query emits the q33 contract form instead: the EXACT distincts
+    // plus a boolean asserting the merged estimate landed inside 5% of
+    // them (lgK=12 → rsd ≈1.6%, generous head-room) — DuckDB recomputes
+    // the exacts and emits `true`, so a red row means the sketch store
+    // broke its contract. AggregatesSpec separately proves merged ==
+    // single-pass exactly. Exact pass and sketch pass stay SEPARATE
+    // aggregations joined on the 3-row group key (the q33 lesson:
+    // countDistinct's Expand must not share an aggregation with
+    // object-typed sketch buffers).
     "q69_sketch_store" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val a = Aggregates.sketchBatch(
         docs.filter(col("doc_id") < 250), Seq("source"), "text")
       val b = Aggregates.sketchBatch(
         docs.filter(col("doc_id") >= 250), Seq("source"), "text")
-      Aggregates.mergeSketchEstimate(a.unionByName(b), Seq("source"))
+      val est = Aggregates.mergeSketchEstimate(
+        a.unionByName(b), Seq("source"))
+      docs.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("exact_distinct"))
+        .join(broadcast(est), Seq("source"))
+        .select(col("source"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("sketch_ok"))
     }),
 
     // SCD Type 2 dimension maintenance: the versioned form of q10's
@@ -898,17 +913,40 @@ object SparkEntry {
     // independently (what each ingest batch persists), the cell-wise-
     // addition merge estimates corpus-wide token frequencies without
     // rescanning history — the heavy-hitter companion to q69's HLL
-    // store. Rows-only (sketch bytes aren't SQL-expressible); spec
-    // proves merged == single-pass and one-sided error.
+    // store. Sketch bytes aren't SQL-expressible, so the query emits
+    // the q33 contract form: the EXACT per-(source, probe) counts plus
+    // booleans asserting the CMS guarantees held — estimates never
+    // undercount (deterministic for count-min), and overcount stays
+    // within eps·N (eps=1e-4, N = that source's token total; the merge
+    // is cell-wise addition so the merged sketch keeps both bounds).
+    // DuckDB recomputes the exacts and emits `true`; AggregatesSpec
+    // separately proves merged == single-pass bit-for-bit.
     "q77_cms_store" -> ((s, dir) => {
+      val probes = Seq("join", "hash", "scan", "filter", "merge")
       val toks = Tables.documents(s, dir)
         .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
       val a = Aggregates.cmsBatch(toks.filter(crc32(col("token")) % 2 === 0),
         "source", "token")
       val b = Aggregates.cmsBatch(toks.filter(crc32(col("token")) % 2 === 1),
         "source", "token")
-      Aggregates.cmsMergeEstimate(a.unionByName(b), "source",
-        Seq("join", "hash", "scan", "filter", "merge"))
+      val est = Aggregates.cmsMergeEstimate(a.unionByName(b), "source", probes)
+      import s.implicits._
+      // zero-filled (source, probe) grid: a probe absent from a source
+      // still has a contract to check (estimate may only be collisions)
+      val grid = toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("__n"))
+        .crossJoin(broadcast(probes.toDF("token")))
+      grid
+        .join(toks.filter(col("token").isin(probes: _*))
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("__c")), Seq("source", "token"), "left")
+        .join(broadcast(est), Seq("source", "token"))
+        .select(col("source"), col("token"),
+          coalesce(col("__c"), lit(0L)).as("exact_count"),
+          (col("est_count") >= coalesce(col("__c"), lit(0L)))
+            .as("never_under_ok"),
+          (col("est_count") <= coalesce(col("__c"), lit(0L)) +
+            col("__n") * 0.0001).as("bound_ok"))
     }),
 
     // SemDeDup: k-means neighborhoods, within-cluster cosine pruning —
@@ -2336,6 +2374,29 @@ object SparkEntry {
         |  percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY source""".stripMargin,
+
+    // q33's sketch-contract pattern: DuckDB recomputes the exact
+    // distincts and asserts the HLL-store estimate's 5% bound held
+    "q69_sketch_store" ->
+      """SELECT source, COUNT(DISTINCT text) AS exact_distinct,
+        |  TRUE AS sketch_ok
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // exact (source, probe) token counts zero-filled over the grid; the
+    // CMS one-sided-error and eps*N booleans are required TRUE
+    "q77_cms_store" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split(trim(text), ' ')) AS token FROM documents),
+        |n AS (SELECT source, COUNT(*) AS nn FROM tok GROUP BY source),
+        |probes AS (SELECT unnest(
+        |    ['join', 'hash', 'scan', 'filter', 'merge']) AS token),
+        |c AS (SELECT source, token, COUNT(*) AS c FROM tok
+        |      WHERE token IN ('join', 'hash', 'scan', 'filter', 'merge')
+        |      GROUP BY source, token)
+        |SELECT n.source, p.token, COALESCE(c.c, 0) AS exact_count,
+        |  TRUE AS never_under_ok, TRUE AS bound_ok
+        |FROM n CROSS JOIN probes p
+        |LEFT JOIN c ON c.source = n.source AND c.token = p.token""".stripMargin,
 
     // version 1 is the create slice; version 3 (post-compact latest) is
     // create+append — the layout machinery must be answer-invisible
