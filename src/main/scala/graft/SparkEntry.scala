@@ -1514,6 +1514,83 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), Web.canonicalizeUrl(url).as("canonical_url"))
         .withColumn("n_same_canonical", count(lit(1)).over(w))
+    }),
+
+    // Declarative data-quality expectations with a dead-letter side
+    // (the ingest constraint gate): four rules compile into ONE
+    // codegen'd projection, violating rows route to quarantine with the
+    // sorted names of every failed rule. NULL predicate = violation
+    // (retain-on-true, the pipeline posture — NOT SQL CHECK's
+    // accept-on-unknown). Map-only; ExpectationsSpec covers the
+    // valid-side split, the report aggregate, and null routing.
+    "q97_expectations" -> ((s, dir) => {
+      import graft.pipeline.{Expectation, Expectations}
+      val rules = Seq(
+        Expectation("price_cap", col("o_totalprice") <= 400000.0),
+        Expectation("status_finalized", col("o_orderstatus") =!= "P"),
+        Expectation("priority_known", col("o_orderpriority").rlike("^[1-5]-")),
+        Expectation("custkey_present", col("o_custkey").isNotNull))
+      val (_, quarantine) = Expectations.split(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey",
+          "o_orderstatus", "o_totalprice", "o_orderpriority"), rules)
+      quarantine.select(col("o_orderkey"),
+        array_join(col("violations"), ",").as("violations"))
+    }),
+
+    // Leakage-safe train/test split: the split key is the URL HOST, not
+    // the document id, so every page of one site lands on the same side
+    // — near-duplicate pages from one host can never straddle train and
+    // eval (the q94/q20 dedup operators catch within-corpus dups; this
+    // closes the split-boundary leak). Same md5-threshold rule as q45 —
+    // deterministic, engine-reproducible, zero shuffle (map-only).
+    "q98_group_split" -> ((s, dir) => {
+      import graft.functions.Web
+      val url = concat(lit("http://www.example"),
+        (col("doc_id") % 7).cast("string"), lit(".com/p/"),
+        col("doc_id").cast("string"))
+      graft.pipeline.CorpusPipeline.datasetSplit(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), Web.urlHost(url).as("host")),
+        "host", valFrac = 0.2, testFrac = 0.2)
+    }),
+
+    // Incrementally-maintained aggregate view over a versioned table:
+    // create orders (v1), DELETE %13 (v2), UPDATE price +1 for %7 (v3),
+    // APPEND offset %17 keys (v4); the per-status count/sum view starts
+    // from v1 and then folds ONLY the changed-files feed of each commit
+    // — rows of added files at +1, rows of removed files at -1; carried
+    // rows cancel group-wise — never rescanning a full snapshot after
+    // v1. The oracle replays the final state declaratively; decimal
+    // sums make incremental == full recompute EXACT, so the gate
+    // catches any drift in the maintenance algebra. IncrementalViewSpec
+    // proves per-version equality, group birth/death, and that the feed
+    // plan reads only changed files.
+    "q99_incremental_view" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      import graft.operators.IncrementalView
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q99_$jvmId"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+      VersionedTable.create(o, tmp, Seq("o_orderkey"))
+      VersionedTable.delete(s, tmp, col("o_orderkey") % 13 === 0)
+      VersionedTable.update(s, tmp, col("o_orderkey") % 7 === 0,
+        Map("o_price" -> (col("o_price") +
+          lit(1).cast("decimal(18,2)")).cast("decimal(18,2)")))
+      VersionedTable.append(o.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L),
+        tmp, Seq("o_orderkey"))
+      val groups = Seq("o_orderstatus")
+      var view = IncrementalView.full(
+        VersionedTable.snapshotAt(s, tmp, 1L), groups, Seq("o_price"))
+      for (v <- 2L to 4L)
+        view = IncrementalView.applyDelta(view,
+          IncrementalView.changedFilesFeed(s, tmp, v - 1, v),
+          groups, Seq("o_price"))
+      view.select(col("o_orderstatus"), col("n_rows"),
+        col("sum_o_price").cast("double").as("sum_price"))
     })
   )
 
@@ -1834,6 +1911,52 @@ object SparkEntry {
         |SELECT doc_id, canonical_url,
         |  COUNT(*) OVER (PARTITION BY canonical_url) AS n_same_canonical
         |FROM u""".stripMargin,
+
+    // replays every rule with the same retain-on-true null semantics;
+    // rule names concatenate in the operator's sorted order
+    "q97_expectations" ->
+      """WITH a AS (SELECT o_orderkey,
+        |  array_to_string(list_filter([
+        |    CASE WHEN o_custkey IS NULL THEN 'custkey_present' END,
+        |    CASE WHEN NOT COALESCE(o_totalprice <= 400000.0, FALSE)
+        |      THEN 'price_cap' END,
+        |    CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority,
+        |      '^[1-5]-'), FALSE) THEN 'priority_known' END,
+        |    CASE WHEN NOT COALESCE(o_orderstatus <> 'P', FALSE)
+        |      THEN 'status_finalized' END
+        |  ], x -> x IS NOT NULL), ',') AS violations
+        |  FROM orders)
+        |SELECT o_orderkey, violations FROM a
+        |WHERE violations <> ''""".stripMargin,
+
+    // the q45 md5-threshold rule keyed on the HOST: the oracle proves
+    // every doc of one host takes the same side
+    "q98_group_split" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+         |  FROM documents)
+         |SELECT doc_id, host,
+         |  CASE WHEN md5(host) < '${graft.pipeline.CorpusPipeline.hexThreshold(0.2)}' THEN 'val'
+         |       WHEN md5(host) < '${graft.pipeline.CorpusPipeline.hexThreshold(0.4)}' THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM h""".stripMargin,
+
+    // replays the four-commit history declaratively: survivors of the
+    // %13 delete with the %7 price bump, plus the offset %17 append at
+    // ORIGINAL prices (appended after the update ran)
+    "q99_incremental_view" ->
+      """WITH fin AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(1 AS DECIMAL(18,2))
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS p
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 17 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(p) AS DOUBLE) AS sum_price
+        |FROM fin GROUP BY o_orderstatus""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

@@ -75,6 +75,19 @@ object Web {
   /** Tracking query parameters dropped by [[canonicalizeUrl]]. */
   private val TrackingParams = "utm_[^=]*|fbclid|gclid|msclkid|ref"
 
+  /** The URL's lowercased host (port stripped), null for malformed
+    * input — the leakage-safe GROUP key for train/test splitting: all
+    * documents of one site land on the same side of the split (see
+    * `CorpusPipeline.datasetSplit` keyed on this), so near-duplicate
+    * pages from one host can never straddle train and eval. Map-only,
+    * `try_parse_url`-based like [[canonicalizeUrl]].
+    */
+  def urlHost(url: Column): Column = {
+    val authority = call_function("try_parse_url", url, lit("AUTHORITY"))
+    val host = lower(regexp_replace(authority, ":\\d*$", ""))
+    when(host =!= "", host)
+  }
+
   /** Canonical form of a URL, for exact URL dedup across a crawl:
     * scheme and host lowercased, default ports dropped (http:80 /
     * https:443), trailing path slashes stripped (path case preserved —

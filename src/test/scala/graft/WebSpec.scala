@@ -80,4 +80,15 @@ class WebSpec extends AnyFunSuite {
       .toDF("u").select(Web.canonicalizeUrl(col("u")).as("c"))
     assert(df.distinct().count() === 1L)
   }
+
+  test("urlHost: lowercased, port-stripped, null on malformed — the split group key") {
+    val got = Seq(
+      "HTTP://WWW.Example.COM:8080/p?x=1",
+      "https://sub.Site.org/deep/path",
+      "http://plain.net",
+      "not a url")
+      .toDF("u").select(Web.urlHost(col("u"))).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    assert(got === Array("www.example.com", "sub.site.org", "plain.net", null))
+  }
 }
