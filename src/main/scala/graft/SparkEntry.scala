@@ -1568,20 +1568,7 @@ object SparkEntry {
     "q99_incremental_view" -> ((s, dir) => {
       import graft.sources.VersionedTable
       import graft.operators.IncrementalView
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q99_$jvmId"
-      val p = new org.apache.hadoop.fs.Path(tmp)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val o = Tables.orders(s, dir).select(col("o_orderkey"),
-        col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(18,2)").as("o_price"))
-      VersionedTable.create(o, tmp, Seq("o_orderkey"))
-      VersionedTable.delete(s, tmp, col("o_orderkey") % 13 === 0)
-      VersionedTable.update(s, tmp, col("o_orderkey") % 7 === 0,
-        Map("o_price" -> (col("o_price") +
-          lit(1).cast("decimal(18,2)")).cast("decimal(18,2)")))
-      VersionedTable.append(o.filter(col("o_orderkey") % 17 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000L),
-        tmp, Seq("o_orderkey"))
+      val tmp = ordersHistoryTable(s, dir, "q99")
       val groups = Seq("o_orderstatus")
       var view = IncrementalView.full(
         VersionedTable.snapshotAt(s, tmp, 1L), groups, Seq("o_price"))
@@ -1591,8 +1578,50 @@ object SparkEntry {
           groups, Seq("o_price"))
       view.select(col("o_orderstatus"), col("n_rows"),
         col("sum_o_price").cast("double").as("sum_price"))
+    }),
+
+    // Change-data-feed READER over the same four-commit history: every
+    // row-level change between v1 and v4, classified insert / delete /
+    // update_preimage / update_postimage and attributed to its commit —
+    // recovered purely from each commit's file delta (O(changed files),
+    // never O(table); copy-on-write carries appear on both sides with
+    // equal values and emit nothing). The oracle replays the history's
+    // expected change set declaratively; ChangeFeedSpec proves
+    // classification, attribution, and carried-row silence on fixtures.
+    "q100_change_feed" -> ((s, dir) => {
+      import graft.sources.ChangeFeed
+      val tmp = ordersHistoryTable(s, dir, "q100")
+      ChangeFeed.readChanges(s, tmp, 1L, 4L, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_price").cast("double").as("price"),
+          col("_change_type"), col("_commit_version"))
     })
   )
+
+  /** Shared four-commit versioned-orders history for q99/q100 (fresh
+    * per query invocation): v1 create, v2 DELETE %13, v3 UPDATE price
+    * +1 for %7, v4 APPEND offset %17 keys at ORIGINAL prices. Decimal
+    * price so downstream sums are cross-engine exact.
+    */
+  private def ordersHistoryTable(s: SparkSession, dir: String,
+      tag: String): String = {
+    import graft.sources.VersionedTable
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$jvmId"
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+    VersionedTable.create(o, tmp, Seq("o_orderkey"))
+    VersionedTable.delete(s, tmp, col("o_orderkey") % 13 === 0)
+    VersionedTable.update(s, tmp, col("o_orderkey") % 7 === 0,
+      Map("o_price" -> (col("o_price") +
+        lit(1).cast("decimal(18,2)")).cast("decimal(18,2)")))
+    VersionedTable.append(o.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L),
+      tmp, Seq("o_orderkey"))
+    tmp
+  }
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -1957,6 +1986,29 @@ object SparkEntry {
         |SELECT o_orderstatus, COUNT(*) AS n_rows,
         |  CAST(SUM(p) AS DOUBLE) AS sum_price
         |FROM fin GROUP BY o_orderstatus""".stripMargin,
+
+    // the expected change set of the same history: deletes at v2,
+    // update pre/post pairs at v3 (only keys surviving the delete),
+    // offset inserts at v4
+    "q100_change_feed" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+        |SELECT o_orderkey, o_orderstatus, CAST(p AS DOUBLE) AS price,
+        |  'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |FROM o WHERE o_orderkey % 13 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, CAST(p AS DOUBLE),
+        |  'update_preimage', CAST(3 AS BIGINT)
+        |FROM o WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(p + CAST(1 AS DECIMAL(18,2)) AS DOUBLE),
+        |  'update_postimage', CAST(3 AS BIGINT)
+        |FROM o WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_orderstatus, CAST(p AS DOUBLE),
+        |  'insert', CAST(4 AS BIGINT)
+        |FROM o WHERE o_orderkey % 17 = 0""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ChangeFeed, VersionedTable}
+
+/** Contract spec for the CDF reader: per-commit classification and
+  * attribution, carried-row silence under copy-on-write, pre/post
+  * pairing, and the O(changed files) posture (inherited from the same
+  * file-delta read the IncrementalViewSpec plan-proves). The oracle
+  * gate (q100) replays a four-commit history against DuckDB.
+  */
+class ChangeFeedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft-cdf").toString
+
+  test("insert/delete/update classification with per-commit attribution") {
+    val dir = tmp()
+    val v1 = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    VersionedTable.create(v1, dir, Seq("id"))
+    VersionedTable.delete(spark, dir, col("id") === 7L)            // v2
+    VersionedTable.update(spark, dir, col("id") === 3L,            // v3
+      Map("v" -> lit("UPD")))
+    VersionedTable.append(Seq((500L, "new")).toDF("id", "v"), dir, // v4
+      Seq("id"))
+    val ch = ChangeFeed.readChanges(spark, dir, 1L, 4L, Seq("id"))
+      .select(col("id"), col("v"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(ch === Set(
+      (7L, "v7", "delete", 2L),
+      (3L, "v3", "update_preimage", 3L),
+      (3L, "UPD", "update_postimage", 3L),
+      (500L, "new", "insert", 4L)),
+      "exactly the semantic changes — carried rows from rewritten " +
+        "files must emit nothing")
+  }
+
+  test("a key changed by several commits appears once per commit") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, 10)).toDF("id", "n"), dir, Seq("id"))
+    VersionedTable.update(spark, dir, col("id") === 1L, Map("n" -> lit(20)))
+    VersionedTable.update(spark, dir, col("id") === 1L, Map("n" -> lit(30)))
+    val ch = ChangeFeed.readChanges(spark, dir, 1L, 3L, Seq("id"))
+      .select(col("n"), col("_change_type"), col("_commit_version"))
+      .as[(Int, String, Long)].collect().toSet
+    assert(ch === Set((10, "update_preimage", 2L),
+      (20, "update_postimage", 2L), (20, "update_preimage", 3L),
+      (30, "update_postimage", 3L)))
+    // a narrower window sees only its commits
+    val tail = ChangeFeed.readChanges(spark, dir, 2L, 3L, Seq("id"))
+      .select(col("n"), col("_change_type")).as[(Int, String)]
+      .collect().toSet
+    assert(tail === Set((20, "update_preimage"), (30, "update_postimage")))
+  }
+
+  test("no-op commits and overwrite classify correctly") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir,
+      Seq("id"))
+    // predicate matches nothing: stats prune everything, empty commit
+    VersionedTable.delete(spark, dir, col("id") > 100L)            // v2
+    VersionedTable.overwrite(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    val v2 = ChangeFeed.readChanges(spark, dir, 1L, 2L, Seq("id"))
+    assert(v2.count() === 0L, "an empty commit emits no changes")
+    val v3 = ChangeFeed.readChanges(spark, dir, 2L, 3L, Seq("id"))
+      .select(col("id"), col("_change_type")).as[(Long, String)]
+      .collect().toSet
+    // overwrite rewrites every file: id 2 carries (equal values, silent),
+    // id 1 deletes, id 3 inserts
+    assert(v3 === Set((1L, "delete"), (3L, "insert")))
+  }
+}
