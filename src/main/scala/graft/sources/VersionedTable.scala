@@ -556,6 +556,21 @@ object VersionedTable {
       Some(df.schema.json))
   }
 
+  /** [[overwrite]] under a caller-chosen operation tag, against an
+    * already-resolved latest (None → this commit creates v1) — the
+    * exactly-once streaming sink primitive, mirroring [[appendTagged]]:
+    * the tag is the replay marker a redelivered micro-batch finds and
+    * skips on, and the single manifest listing the caller already did
+    * serves both that check and version resolution.
+    */
+  private[graft] def overwriteTagged(df: DataFrame, dir: String,
+      tag: String, prevOpt: Option[Snapshot],
+      statsCols: Seq[String] = Seq.empty): Snapshot = {
+    val v = prevOpt.map(_.version + 1).getOrElse(1L)
+    val (files, st) = stageWithStats(df, dir, v, statsCols)
+    commit(df.sparkSession, dir, v, tag, files, st, Some(df.schema.json))
+  }
+
   /** MERGE (upsert) into the table as a new version: matched keys take
     * the update row's values (even NULLs — SQL MERGE semantics via
     * [[graft.operators.Merge.upsert]]), unmatched rows carry over,

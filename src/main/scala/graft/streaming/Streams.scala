@@ -471,4 +471,48 @@ object Streams {
     VersionedTable.appendTagged(batch, tableDir, tag, snaps.lastOption,
       statsCols)
   }
+
+  /** Streaming maintenance of an additive aggregate view — the
+    * streaming twin of `IncrementalView`: each micro-batch folds into
+    * the stored per-group COUNT/SUM view (batch rows at weight +1; the
+    * view never rescans ingested history, so per-batch cost is
+    * O(batch + view), not O(corpus)) and commits as ONE tagged
+    * versioned overwrite. The view is therefore atomic per batch
+    * (readers see a batch's refresh entirely or not at all), replay-safe
+    * (a redelivered batch finds its `view#<id>` tag and skips — the
+    * versionedIngest contract), and every batch boundary stays
+    * time-travelable: the view's own version history IS its refresh
+    * log. Append-only input by construction; for upstream DELETE/UPDATE
+    * maintain from the batch `changedFilesFeed` instead. Processes all
+    * currently-available input, then stops.
+    */
+  def viewIngest(stream: DataFrame, viewDir: String, checkpointDir: String,
+      groupCols: Seq[String], sumCols: Seq[String]): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processViewBatch(batch, batchId, viewDir, groupCols, sumCols)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private[graft] def processViewBatch(batch: DataFrame, batchId: Long,
+      viewDir: String, groupCols: Seq[String], sumCols: Seq[String]): Unit = {
+    import graft.operators.IncrementalView
+    import graft.sources.VersionedTable
+    val spark = batch.sparkSession
+    val tag = s"view#$batchId"
+    val snaps = VersionedTable.snapshots(spark, viewDir)
+    if (snaps.exists(_.operation == tag)) return
+    if (batch.isEmpty) return
+    val updated = snaps.lastOption match {
+      case None => IncrementalView.full(batch, groupCols, sumCols)
+      case Some(_) => IncrementalView.applyDelta(
+        VersionedTable.read(spark, viewDir),
+        batch.withColumn("__weight", lit(1L)), groupCols, sumCols)
+    }
+    VersionedTable.overwriteTagged(updated, viewDir, tag, snaps.lastOption)
+  }
 }

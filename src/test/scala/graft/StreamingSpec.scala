@@ -546,6 +546,46 @@ class StreamingSpec extends AnyFunSuite {
       "replaying a committed batch must not commit a new version")
   }
 
+  test("viewIngest maintains the aggregate view per batch; agrees with batch full recompute; replay is a no-op") {
+    import graft.operators.IncrementalView
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-viewingest")
+    val (src, view, ckpt) = (s"$root/src", s"$root/view", s"$root/ckpt")
+    def mk(rows: Seq[(Long, String, String)]) = rows.toDF("id", "g", "xs")
+      .select(col("id"), col("g"), col("xs").cast("decimal(10,2)").as("x"))
+    mk(Seq((1L, "a", "1.10"), (2L, "a", "2.20"), (3L, "b", "3.30")))
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Streams.viewIngest(Streams.fileIngest(spark, src, schema), view, ckpt,
+      Seq("g"), Seq("x"))
+    val v1 = VersionedTable.latest(spark, view).get
+    assert(v1.operation.startsWith("view#"))
+
+    // second batch: new group d born, group a grows — the stored view
+    // must equal full recompute over ALL rows ever ingested
+    mk(Seq((4L, "a", "4.40"), (5L, "d", "5.50")))
+      .write.mode("append").parquet(src)
+    Streams.viewIngest(Streams.fileIngest(spark, src, schema), view, ckpt,
+      Seq("g"), Seq("x"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("g"), col("n_rows"), col("sum_x").cast("string"))
+        .as[(String, Long, String)].collect()
+        .map(t => t._1 -> ((t._2, BigDecimal(t._3)))).toMap
+    val got = asMap(VersionedTable.read(spark, view))
+    val want = asMap(IncrementalView.full(
+      spark.read.parquet(src), Seq("g"), Seq("x")))
+    assert(got === want, "streamed view must equal batch full recompute")
+    // batch boundaries stay time-travelable: v1 holds only batch-1 rows
+    assert(asMap(VersionedTable.snapshotAt(spark, view, v1.version))("a")
+      === ((2L, BigDecimal("3.30"))))
+
+    // replaying a committed batch id must not commit a new version
+    val before = VersionedTable.snapshots(spark, view).map(_.version).max
+    Streams.processViewBatch(mk(Seq((99L, "z", "9.90"))), batchId = 0L,
+      view, Seq("g"), Seq("x"))
+    assert(VersionedTable.snapshots(spark, view).map(_.version).max === before)
+  }
+
   test("file-source streaming reads the real events parquet") {
     // events.parquet carries TIMESTAMP(NANOS); read nanos as long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
