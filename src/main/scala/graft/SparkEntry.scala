@@ -1595,6 +1595,25 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_price").cast("double").as("price"),
           col("_change_type"), col("_commit_version"))
+    }),
+
+    // CCNet-style line-level boilerplate REMOVAL (q94 detects spans;
+    // this rewrites): planted 4-line docs — a ~per-5 NAV line and the
+    // all-docs footer always cross the doc-frequency threshold, the
+    // per-60 RARE line sits ON the boundary (8 vs 9 docs per residue at
+    // sf0.01), the doc's own text is unique — so the oracle must
+    // independently recompute the threshold decision per residue class,
+    // not just replay a constant. Frequent-line set rides a broadcast
+    // anti join; two shuffles total (line doc-frequency, reassembly).
+    "q101_line_dedup" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          lit("NAV "), (col("doc_id") % 5).cast("string"), lit("\n"),
+          lit("RARE "), (col("doc_id") % 60).cast("string"), lit("\n"),
+          col("text"), lit("\n"),
+          lit("(c) example corp")).as("text"))
+      graft.dedup.LineDedup.dropFrequentLines(planted, "doc_id", "text",
+        minDocFreq = 9L)
     })
   )
 
@@ -2009,6 +2028,23 @@ object SparkEntry {
         |SELECT o_orderkey + 10000000, o_orderstatus, CAST(p AS DOUBLE),
         |  'insert', CAST(4 AS BIGINT)
         |FROM o WHERE o_orderkey % 17 = 0""".stripMargin,
+
+    // recomputes the per-residue doc frequency and the threshold
+    // decision: NAV (~n/5 docs) and the footer (all docs) always drop,
+    // RARE keeps iff its %60 class holds fewer than 9 docs, own text
+    // is unique and always survives
+    "q101_line_dedup" ->
+      """WITH f AS (SELECT doc_id % 60 AS r, COUNT(*) AS df
+        |           FROM documents GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN f.df >= 9 THEN d.text
+        |       ELSE 'RARE ' || CAST(d.doc_id % 60 AS VARCHAR) || chr(10)
+        |         || d.text END AS clean_text,
+        |  CAST(CASE WHEN f.df >= 9 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS n_lines_kept,
+        |  CAST(CASE WHEN f.df >= 9 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_lines_dropped
+        |FROM documents d JOIN f ON d.doc_id % 60 = f.r""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

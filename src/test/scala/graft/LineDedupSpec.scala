@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.LineDedup
+
+/** Contract spec for line-level boilerplate removal: frequency
+  * threshold on DISTINCT docs, order-preserving reassembly, all-dropped
+  * docs survive as empty, within-doc repetition never promotes a line.
+  * The oracle gate (q101) proves the planted-corpus threshold boundary
+  * against DuckDB.
+  */
+class LineDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], minDf: Long) =
+    LineDedup.dropFrequentLines(rows.toDF("id", "text"), "id", "text", minDf)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("shared lines drop at the threshold; unique lines keep their order") {
+    val got = run(Seq(
+      (1L, "HEADER\nalpha\nbeta\nFOOTER"),
+      (2L, "HEADER\ngamma\nFOOTER"),
+      (3L, "HEADER\ndelta\nFOOTER")), minDf = 3L)
+    assert(got(1L) === (("alpha\nbeta", 2L, 2L)))
+    assert(got(2L) === (("gamma", 1L, 2L)))
+    assert(got(3L) === (("delta", 1L, 2L)))
+  }
+
+  test("a line below the threshold survives; exactly-at-threshold drops") {
+    val got = run(Seq(
+      (1L, "twice\nu1"), (2L, "twice\nu2"), (3L, "only\nu3")), minDf = 2L)
+    assert(got(1L)._1 === "u1" && got(2L)._1 === "u2",
+      "df=2 meets minDocFreq=2 — dropped")
+    assert(got(3L)._1 === "only\nu3", "df=1 stays")
+  }
+
+  test("all lines dropped leaves an empty row, never a missing one") {
+    val got = run(Seq(
+      (1L, "SAME"), (2L, "SAME"), (3L, "SAME\nextra")), minDf = 3L)
+    assert(got(1L) === (("", 0L, 1L)))
+    assert(got(3L) === (("extra", 1L, 1L)))
+  }
+
+  test("within-doc repetition counts ONE doc toward the frequency") {
+    // "rep" appears 3 times but only in doc 1: df=1 < 2 — kept, with
+    // every occurrence and the original order intact
+    val got = run(Seq((1L, "rep\nx\nrep\nrep"), (2L, "y")), minDf = 2L)
+    assert(got(1L) === (("rep\nx\nrep\nrep", 4L, 0L)))
+  }
+
+  test("custom separator is literal, not regex") {
+    val got = LineDedup.dropFrequentLines(
+      Seq((1L, "a.b|x"), (2L, "a.b|y")).toDF("id", "text"),
+      "id", "text", minDocFreq = 2L, sep = "|")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got === Map(1L -> "x", 2L -> "y"),
+      "'a.b' must split only on '|' (and 'a.b' ≠ 'axb' under regex-dot)")
+  }
+}
