@@ -1614,6 +1614,30 @@ object SparkEntry {
           lit("(c) example corp")).as("text"))
       graft.dedup.LineDedup.dropFrequentLines(planted, "doc_id", "text",
         minDocFreq = 9L)
+    }),
+
+    // Duplicate-cluster keeper selection — the dedup DECISION policy
+    // (detection alone doesn't shrink a corpus): planted exact copies
+    // (%3, +100k ids) and truncated copies (%5, +200k ids) cluster with
+    // their originals on an 80-char-prefix hash; longest-version-wins
+    // with lowest-id tiebreak keeps the original over the truncation BY
+    // QUALITY and over the identical copy BY TIEBREAK — the oracle
+    // replays both decisions per cluster. One max_by hash aggregate +
+    // one join back; never a window over raw docs.
+    "q102_dedup_keepers" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.filter(col("doc_id") % 3 === 0).select(
+          (col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .unionByName(base.filter(col("doc_id") % 5 === 0).select(
+          (col("doc_id") + 200000L).as("doc_id"),
+          substring(col("text"), 1, 120).as("text")))
+      val keyed = corpus.withColumn("cluster",
+        md5(substring(col("text"), 1, 80)))
+      graft.dedup.Dedup.selectKeepers(keyed, "doc_id", "cluster",
+          struct(length(col("text")), -col("doc_id")))
+        .select(col("doc_id"), col("cluster"), col("keeper_id"),
+          col("is_kept"))
     })
   )
 
@@ -2045,6 +2069,24 @@ object SparkEntry {
         |  CAST(CASE WHEN f.df >= 9 THEN 3 ELSE 2 END AS BIGINT)
         |    AS n_lines_dropped
         |FROM documents d JOIN f ON d.doc_id % 60 = f.r""".stripMargin,
+
+    // replays keeper selection with a window: longest text wins, lowest
+    // id breaks ties (so originals beat their exact +100k copies)
+    "q102_dedup_keepers" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |    WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 200000, substr(text, 1, 120)
+        |    FROM documents WHERE doc_id % 5 = 0),
+        |k AS (SELECT doc_id, md5(substr(text, 1, 80)) AS cluster,
+        |      length(text) AS len FROM corpus)
+        |SELECT doc_id, cluster,
+        |  first_value(doc_id) OVER (PARTITION BY cluster
+        |    ORDER BY len DESC, doc_id ASC) AS keeper_id,
+        |  doc_id = first_value(doc_id) OVER (PARTITION BY cluster
+        |    ORDER BY len DESC, doc_id ASC) AS is_kept
+        |FROM k""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

@@ -22,6 +22,28 @@ object Dedup {
       .groupBy(col("dedup_key"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("cluster_size"))
 
+  /** The dedup DECISION step: from duplicate-cluster membership, keep
+    * the highest-`priority` member per cluster and mark the rest for
+    * removal (adds `keeper_id` and `is_kept`). `priority` compares
+    * lexicographically when it is a struct — e.g.
+    * `struct(length(col("text")), -col("doc_id"))` for
+    * longest-version-wins with a deterministic lowest-id tiebreak; the
+    * caller MUST include a per-row-unique tiebreaker (the id) or ties
+    * make the keeper nondeterministic across runs.
+    *
+    * Scale: one `max_by` hash aggregate per cluster plus one join back
+    * on the cluster key — the aggregate output is already partitioned
+    * by that key, so only the membership side shuffles. Never a window
+    * over raw documents.
+    */
+  def selectKeepers(docs: DataFrame, idCol: String, clusterCol: String,
+      priority: Column): DataFrame =
+    docs.join(
+      docs.groupBy(col(clusterCol))
+        .agg(max_by(col(idCol), priority).as("keeper_id")),
+      Seq(clusterCol))
+      .withColumn("is_kept", col(idCol) === col("keeper_id"))
+
   /** SimHash near-dup: 64-bit similarity-preserving fingerprints, banded
     * into 4 x 16-bit blocks for candidate generation (any pair within
     * Hamming distance 3 shares at least one identical block — pigeonhole),

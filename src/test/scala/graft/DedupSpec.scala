@@ -190,4 +190,19 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(cappedPairs === uncappedNormal)
   }
+
+  test("selectKeepers: priority wins, id breaks ties, singletons keep themselves") {
+    val docs = Seq(
+      (1L, "c1", 100L), (2L, "c1", 300L), (3L, "c1", 300L), // 2 beats 3 on tie
+      (9L, "c2", 5L))                                        // singleton
+      .toDF("doc_id", "cluster", "quality")
+    val got = Dedup.selectKeepers(docs, "doc_id", "cluster",
+        struct(col("quality"), -col("doc_id")))
+      .select(col("doc_id"), col("keeper_id"), col("is_kept"))
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((2L, false)), 2L -> ((2L, true)), 3L -> ((2L, false)),
+      9L -> ((9L, true))))
+  }
 }
