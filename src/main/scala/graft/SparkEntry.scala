@@ -18,27 +18,48 @@ import graft.functions.{TextFunctions, VectorFunctions}
   *     decimal repr (BigDecimal.valueOf), DuckDB rounds the binary value —
   *     they disagree near ties. Plain IEEE `* / + -` is bit-identical.
   *   - every window order fully pins ties with a unique trailing key.
-  *   - event timestamps are nanos in parquet; both engines are normalized
-  *     to microseconds (Spark: nanosAsLong + timestamp_micros; DuckDB:
-  *     implicit TIMESTAMP_NS → TIMESTAMP truncation).
+  *   - event timestamps are normalized to session-zoned (UTC)
+  *     microseconds regardless of the parquet encoding — see [[events]]
+  *     for the per-encoding paths; DuckDB reads the same file natively
+  *     (with implicit TIMESTAMP_NS → TIMESTAMP truncation when nanos).
   */
 object SparkEntry {
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
-    * natively; read nanos as long and truncate to micros (matches
-    * DuckDB's implicit ns→us truncation). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in the session
-    * BUILDERS (Bench/Verify/SparkTestSession) — a registered query must
-    * never mutate shared session config (a concurrent user of the same
-    * session reading nanos parquet would silently get longs).
+  /** events.parquet's physical `ts` encoding has varied across testdata
+    * drops — INT64 TIMESTAMP(NANOS) (readable only as long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, still set in the
+    * Bench/Verify/SparkTestSession builders), TIMESTAMP(MICROS, NTZ),
+    * and plain TIMESTAMP(MICROS). A real engine reads what the lake
+    * contains, so branch on the arrived type and normalize every path to
+    * session-zoned TimestampType at microsecond precision:
+    *
+    *   - LongType (nanos-as-long): integral `DIV 1000` then
+    *     `timestamp_micros` — division as double would lose precision on
+    *     epoch nanos (1.7e18 exceeds double's 53-bit mantissa), and the
+    *     truncation matches DuckDB's implicit ns→us narrowing.
+    *   - TimestampNTZType: cast to TimestampType. The session is pinned
+    *     to UTC (builders + build.sbt), so the naive wall-clock value maps
+    *     to the identical microsecond instant DuckDB reads natively.
+    *   - TimestampType: already what we want.
+    *
+    * A registered query never mutates shared session config (a concurrent
+    * user of the same session reading nanos parquet would silently get
+    * longs), which is why the legacy flag lives in the builders.
     */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events queries need spark.sql.legacy.parquet.nanosAsLong=true in the session builder")
-    // Integral division: ts/1000 as double loses precision on epoch nanos
-    // (1.7e18 exceeds double's 53-bit mantissa).
-    Tables.events(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = Tables.events(spark, dir)
+    raw.schema("ts").dataType match {
+      case LongType        => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events with TIMESTAMP_NTZ ts require spark.sql.session.timeZone=UTC " +
+            "so the naive→zoned cast is identity and the DuckDB oracle hash-matches")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType   => raw
+      case other => throw new IllegalStateException(
+        s"unsupported events.ts encoding: $other (expected INT64 nanos-as-long, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
 
   private def decSum(c: String): org.apache.spark.sql.Column =
@@ -425,12 +446,40 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.35)
     }),
 
-    // Custom-Expression fingerprints: winnowing doc fingerprint + SimHash
+    // Custom-Expression fingerprints (winnowing min-hash + SimHash) under
+    // the q33 contract form: the hash values aren't SQL-expressible (and
+    // near-dup COLLISION is the min-hash fingerprint's purpose, so
+    // distinctness is no invariant). The query emits exact anchors DuckDB
+    // recomputes (duplicate-text structure, char counts) plus booleans
+    // asserting what the kernels genuinely guarantee — purity (the same
+    // text reassembled from substrings fingerprints identically; catches
+    // any hidden state/seed drift) and window-subset monotonicity (a
+    // contiguous slice's windows are a subset of the full text's, so its
+    // min-hash can only be ≥ — only claimed when the slice still exceeds
+    // the 32-byte window, where the whole-string hash path would apply
+    // instead). DuckDB emits `true` for every boolean.
     "q24_fingerprints" -> ((s, dir) => {
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        HashExpressions.docFingerprint(col("text"), 32).as("fingerprint"),
-        HashExpressions.simHash64(TextFunctions.tokens(col("text"))).as("simhash"))
+      def fp(c: org.apache.spark.sql.Column) = HashExpressions.docFingerprint(c, 32)
+      def sh(c: org.apache.spark.sql.Column) =
+        HashExpressions.simHash64(TextFunctions.tokens(c))
+      val len = length(col("text"))
+      val rebuilt = concat(col("text").substr(lit(1), lit(7)),
+        col("text").substr(lit(8), len))
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("text"), len.cast("long").as("n_chars"),
+        fp(col("text")).as("__fp"), sh(col("text")).as("__sh"),
+        fp(rebuilt).as("__fp2"), sh(rebuilt).as("__sh2"),
+        fp(col("text").substr(lit(1), len - 1)).as("__fpHead"),
+        fp(col("text").substr(lit(2), len)).as("__fpTail"))
+      val grp = d.groupBy(col("text"))
+        .agg(count(lit(1)).as("n_text_twins"))
+      d.join(grp, Seq("text"))
+        .select(col("doc_id"), col("n_text_twins"), col("n_chars"),
+          (col("__fp") === col("__fp2") && col("__sh") === col("__sh2"))
+            .as("fp_pure"),
+          (col("n_chars") < 34 ||
+            (col("__fpHead") >= col("__fp") && col("__fpTail") >= col("__fp")))
+            .as("fp_window_monotone"))
     }),
 
     // SimHash near-dup pairs via 4x16-bit block LSH (spec-verified)
@@ -1052,8 +1101,24 @@ object SparkEntry {
     // LanguageModelSpec pins the backoff arithmetic exactly).
     "q83_lm_score" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      graft.functions.LanguageModel.scoreDocs(docs, "doc_id", "text",
-        graft.functions.LanguageModel.trainBigrams(docs, "text", k = 0.5))
+      val model = graft.functions.LanguageModel.trainBigrams(docs, "text", k = 0.5)
+      val scored = graft.functions.LanguageModel.scoreDocs(docs, "doc_id", "text", model)
+      // q33 contract form: per-doc log-prob sums are order-dependent IEEE,
+      // so emit the exact bigram/unseen counts plus booleans asserting the
+      // smoothing invariants — scoring the training corpus itself means
+      // every bigram is in-model (n_unseen = 0, an exact check of the
+      // scoring joins), every probability lies in (0,1) so the average
+      // negative log is positive, and add-k smoothing floors each
+      // probability at k/(max c1 + kV), bounding the average by
+      // log((max c1 + kV)/k). DuckDB recomputes the counts and emits true.
+      val bounds = model.agg(
+        max(col("c1")).as("__maxc1"), first(col("v")).as("__v"))
+      scored.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+          (col("avg_neg_logp") > 0.0).as("logp_positive_ok"),
+          (col("avg_neg_logp") <=
+            log((col("__maxc1") + lit(0.5) * col("__v")) / lit(0.5)))
+            .as("logp_bounded_ok"))
     }),
 
     // Versioned-table round-trip under the oracle gate: create (orders
@@ -2627,6 +2692,57 @@ object SparkEntry {
         |  percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY source""".stripMargin,
+
+    // exact duplicate-text structure + char counts; the fingerprint
+    // purity and window-monotonicity invariants are required TRUE — the
+    // q33 contract form for non-SQL hash kernels
+    "q24_fingerprints" ->
+      """WITH g AS (SELECT text, COUNT(*) AS n_text_twins
+        |           FROM documents GROUP BY text)
+        |SELECT d.doc_id, g.n_text_twins, CAST(len(d.text) AS BIGINT) AS n_chars,
+        |  TRUE AS fp_pure, TRUE AS fp_window_monotone
+        |FROM documents d JOIN g USING (text)""".stripMargin,
+
+    // EXACT replay of greedy left-to-right BPE merge application: each
+    // word renders as '|c |c …' (corpus is pipe- and newline-free ASCII,
+    // probed before this oracle landed) and each of the query's ten
+    // literal merges becomes one replace() — '|a |b ' → '|ab ' scans
+    // left-to-right without consuming the next token's '|', which is
+    // precisely pairMerge's non-overlapping greedy semantics. Piece
+    // count = surviving '|' markers.
+    "q76_bpe_compression" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        |             FROM documents),
+        |t AS (SELECT doc_id, w FROM tok WHERE len(w) > 0),
+        |d AS (SELECT DISTINCT w FROM t),
+        |p AS (SELECT w,
+        |  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(w, '(.)', '|\1 ', 'g'),
+        |    '|t |h ', '|th '),
+        |    '|th |e ', '|the '),
+        |    '|i |n ', '|in '),
+        |    '|e |r ', '|er '),
+        |    '|a |n ', '|an '),
+        |    '|an |d ', '|and '),
+        |    '|o |r ', '|or '),
+        |    '|e |s ', '|es '),
+        |    '|s |t ', '|st '),
+        |    '|o |n ', '|on ') AS f
+        |  FROM d)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(len(f) - len(replace(f, '|', ''))) AS BIGINT) AS n_pieces
+        |FROM t JOIN p USING (w) GROUP BY t.doc_id""".stripMargin,
+
+    // exact bigram counts; scoring the training corpus itself means no
+    // bigram can be unseen, and the smoothing-floor booleans are
+    // required TRUE (q33 contract form for IEEE log-sums)
+    "q83_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |             FROM documents)
+        |SELECT doc_id, CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
+        |  CAST(0 AS BIGINT) AS n_unseen,
+        |  TRUE AS logp_positive_ok, TRUE AS logp_bounded_ok
+        |FROM tok WHERE len(w) >= 2""".stripMargin,
 
     // q33's sketch-contract pattern: DuckDB recomputes the exact
     // distincts and asserts the HLL-store estimate's 5% bound held

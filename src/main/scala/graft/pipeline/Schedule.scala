@@ -9,7 +9,10 @@ import java.time.{LocalDate, LocalDateTime, LocalTime}
   * a number, comma list, `a-b` range, `* / n` or `a/n` step, `*`, or `?`
   * (day fields only; exactly one of day-of-month / day-of-week must be
   * `?`, as in Quartz). Day-of-week is Quartz-numbered: 1 = Sunday
-  * through 7 = Saturday.
+  * through 7 = Saturday; the month and day-of-week fields also accept
+  * Quartz name tokens (`JAN`-`DEC`, `SUN`-`SAT`, case-insensitive,
+  * including in ranges and lists — `MON-FRI`, `JAN,JUL`). The `L`/`W`/`#`
+  * positional extensions are not supported and fail fast.
   *
   * Pure arithmetic over java.time — no threads, no clock. The CADENCE
   * is what belongs in the engine (computable, testable, reusable by any
@@ -24,18 +27,34 @@ object Schedule {
       hours: Set[Int], dayOfMonth: Option[Set[Int]], months: Set[Int],
       dayOfWeek: Option[Set[Int]])
 
-  private def parseField(spec: String, lo: Int, hi: Int,
-      name: String): Set[Int] = {
-    // numeric tokens only — Quartz name tokens (MON, JAN) and the
-    // L/W/# extensions are OUT of the supported subset; fail with the
-    // descriptive field error instead of a bare NumberFormatException
-    def num(s: String, part: String): Int = s.toIntOption.getOrElse(
-      sys.error(s"bad $name field part '$part': unsupported token '$s' " +
-        "(numeric tokens only; names/L/W/# are not supported)"))
+  /** Quartz name aliases, case-insensitive: JAN-DEC for the month field,
+    * SUN-SAT for day-of-week (Quartz-numbered, SUN=1). The L/W/#
+    * positional extensions remain OUT of the supported subset.
+    */
+  private val monthNames: Map[String, Int] = Seq("JAN", "FEB", "MAR",
+    "APR", "MAY", "JUN", "JUL", "AUG", "SEP", "OCT", "NOV", "DEC")
+    .zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+  private val dowNames: Map[String, Int] = Seq("SUN", "MON", "TUE",
+    "WED", "THU", "FRI", "SAT")
+    .zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+
+  private def parseField(spec: String, lo: Int, hi: Int, name: String,
+      names: Map[String, Int] = Map.empty): Set[Int] = {
+    // tokens are numbers or this field's name aliases (MON, JAN, …);
+    // the L/W/# extensions fail with the descriptive field error
+    // instead of a bare NumberFormatException
+    def num(s: String, part: String): Int =
+      names.get(s.toUpperCase(java.util.Locale.ROOT))
+        .orElse(s.toIntOption).getOrElse(
+          sys.error(s"bad $name field part '$part': unsupported token '$s' " +
+            (if (names.isEmpty) "(numeric tokens only; L/W/# are not supported)"
+             else s"(numbers or ${names.keys.toSeq.sorted.mkString("/")}; " +
+               "L/W/# are not supported)")))
     def one(part: String): Seq[Int] = {
       val (rangePart, step) = part.split("/") match {
         case Array(r) => (r, 1)
-        case Array(r, s) => (r, num(s, part))
+        case Array(r, s) => (r, s.toIntOption.getOrElse(
+          sys.error(s"bad $name field part '$part': step '$s' must be numeric")))
         case _ => sys.error(s"bad $name field part '$part'")
       }
       require(step > 0, s"$name step must be positive in '$part'")
@@ -67,8 +86,8 @@ object Schedule {
       minutes = parseField(f(1), 0, 59, "minute"),
       hours = parseField(f(2), 0, 23, "hour"),
       dayOfMonth = if (domQ) None else Some(parseField(f(3), 1, 31, "day-of-month")),
-      months = parseField(f(4), 1, 12, "month"),
-      dayOfWeek = if (dowQ) None else Some(parseField(f(5), 1, 7, "day-of-week")))
+      months = parseField(f(4), 1, 12, "month", monthNames),
+      dayOfWeek = if (dowQ) None else Some(parseField(f(5), 1, 7, "day-of-week", dowNames)))
   }
 
   /** java.time Monday=1..Sunday=7 → Quartz Sunday=1..Saturday=7. */

@@ -31,19 +31,39 @@ object ChangeFeed {
     * `_commit_version`). Output: key columns, value columns (pre-image
     * values on `delete`/`update_preimage`, post-image on
     * `insert`/`update_postimage`), `_change_type`, `_commit_version`.
+    *
+    * Plan depth is bounded: the naive form is one full-outer join per
+    * commit unioned into a single tree, which for a range spanning
+    * hundreds of commits melts the optimizer (analysis/optimization cost
+    * grows superlinearly in tree size). Commits are therefore compiled in
+    * chunks of `checkpointEvery`; each chunk is cut behind a lazy
+    * `localCheckpoint` (its logical plan collapses to a scan of the
+    * chunk's RDD — the optimizer never sees more than `checkpointEvery`
+    * joins at once, and nothing materializes until the consumer's first
+    * action). A range at or under `checkpointEvery` commits compiles
+    * exactly as before, with no checkpoint in the plan.
     */
   def readChanges(spark: SparkSession, dir: String, fromVersion: Long,
-      toVersion: Long, keys: Seq[String]): DataFrame = {
+      toVersion: Long, keys: Seq[String],
+      checkpointEvery: Int = 16): DataFrame = {
     require(fromVersion < toVersion,
       s"fromVersion $fromVersion must precede toVersion $toVersion")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(keys.nonEmpty, "keys required (see scaladoc for the key-free feed)")
     val snaps = VersionedTable.snapshots(spark, dir)
     def snap(v: Long) = snaps.find(_.version == v).getOrElse(
       sys.error(s"table $dir has no version $v"))
-    (fromVersion + 1 to toVersion).map { v =>
+    val perCommit = (fromVersion + 1 to toVersion).map { v =>
       commitChanges(spark, dir, snap(v - 1), snap(v), keys)
         .withColumn("_commit_version", lit(v))
-    }.reduce(_.unionByName(_))
+    }
+    val chunks = perCommit.grouped(checkpointEvery)
+      .map(_.reduce(_.unionByName(_))).toSeq
+    chunks match {
+      case Seq(only) => only
+      case many => many.map(_.localCheckpoint(eager = false))
+        .reduce(_.unionByName(_))
+    }
   }
 
   /** One commit's changes from its file delta: rows of added files vs

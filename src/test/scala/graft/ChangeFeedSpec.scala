@@ -59,6 +59,26 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(tail === Set((20, "update_preimage"), (30, "update_postimage")))
   }
 
+  test("a 50-commit range compiles with bounded plan depth and full fidelity") {
+    val dir = tmp()
+    VersionedTable.create(Seq((0L, 0)).toDF("id", "n"), dir, Seq("id"))
+    (1 to 50).foreach(i =>
+      VersionedTable.append(Seq((i.toLong, i)).toDF("id", "n"), dir, Seq("id")))
+    val feed = ChangeFeed.readChanges(spark, dir, 1L, 51L, Seq("id"),
+      checkpointEvery = 8)
+    // chunking cuts the tree: the TOP-LEVEL plan unions checkpointed RDD
+    // scans, never 50 joins — ceil(50/8) = 7 chunks, each ≤ 8 joins,
+    // compiled separately behind a lazy localCheckpoint
+    val logical = feed.queryExecution.logical.toString
+    assert(!logical.contains("Join"),
+      s"top-level plan must contain only checkpoint scans + unions:\n$logical")
+    val rows = feed.select(col("id"), col("_change_type"),
+        col("_commit_version")).as[(Long, String, Long)].collect()
+    assert(rows.length === 50)
+    assert(rows.toSet === (1 to 50).map(i => (i.toLong, "insert", i.toLong + 1)).toSet,
+      "every commit's insert attributed to its own version across chunk cuts")
+  }
+
   test("no-op commits and overwrite classify correctly") {
     val dir = tmp()
     VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir,

@@ -52,6 +52,35 @@ class LineDedupSpec extends AnyFunSuite {
     assert(got(1L) === (("rep\nx\nrep\nrep", 4L, 0L)))
   }
 
+  test("broadcast gate: small frequent set broadcasts, forced fallback shuffles") {
+    val rows = Seq(
+      (1L, "SHARED\na"), (2L, "SHARED\nb"), (3L, "SHARED\nc")).toDF("id", "text")
+    def antiJoinLine(maxBroadcastLines: Long): String =
+      LineDedup.dropFrequentLines(rows, "id", "text",
+        minDocFreq = 2L, maxBroadcastLines = maxBroadcastLines)
+        .queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("LeftAnti"))
+        .getOrElse(fail("no anti join in plan"))
+    // Spark's own size estimate would broadcast a tiny set either way;
+    // disable it so the plan shows exactly what the GATE decided
+    val threshold = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(threshold)
+    try {
+      spark.conf.set(threshold, "-1")
+      val gated = antiJoinLine(maxBroadcastLines = 4L << 20)
+      assert(gated.contains("Broadcast"),
+        s"under-gate frequent set must carry the broadcast hint: $gated")
+      val forced = antiJoinLine(maxBroadcastLines = 0L)
+      assert(!forced.contains("Broadcast"),
+        s"over-gate frequent set must fall back to a shuffled anti join: $forced")
+      // the fallback path computes the same answer
+      val viaFallback = LineDedup.dropFrequentLines(rows, "id", "text",
+          minDocFreq = 2L, maxBroadcastLines = 0L)
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+      assert(viaFallback === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    } finally spark.conf.set(threshold, saved)
+  }
+
   test("custom separator is literal, not regex") {
     val got = LineDedup.dropFrequentLines(
       Seq((1L, "a.b|x"), (2L, "a.b|y")).toDF("id", "text"),

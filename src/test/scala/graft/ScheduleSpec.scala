@@ -74,4 +74,33 @@ class ScheduleSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Schedule.parse("0 0 0 * * *")) // no '?'
     intercept[IllegalArgumentException](Schedule.parse("0 99 0 * * ?")) // range
   }
+
+  test("Quartz name tokens: MON-FRI range, JAN,JUL list, case-insensitive") {
+    // '0 0 8 ? * MON-FRI' ≡ '0 0 8 ? * 2-6'
+    assert(Schedule.parse("0 0 8 ? * MON-FRI")
+      === Schedule.parse("0 0 8 ? * 2-6"))
+    assert(Schedule.parse("0 0 8 ? * mon,wed,fri")
+      === Schedule.parse("0 0 8 ? * 2,4,6"))
+    assert(Schedule.parse("0 30 6 15 FEB ?")
+      === Schedule.parse("0 30 6 15 2 ?"))
+    assert(Schedule.parse("0 0 0 1 JAN,JUL ?")
+      === Schedule.parse("0 0 0 1 1,7 ?"))
+    // 2024-03-05 is a Tuesday → next weekday fire is Wednesday 08:00
+    val c = Schedule.parse("0 0 8 ? * MON-FRI")
+    assert(Schedule.nextAfter(c, at("2024-03-05T09:00:00"))
+      === Some(at("2024-03-06T08:00:00")))
+    // Friday 2024-03-08 09:00 rolls over the weekend to Monday
+    assert(Schedule.nextAfter(c, at("2024-03-08T09:00:00"))
+      === Some(at("2024-03-11T08:00:00")))
+  }
+
+  test("name tokens stay out of the wrong field; L/W/# still fail fast") {
+    intercept[RuntimeException](Schedule.parse("0 MON 0 * * ?")) // minute field
+    intercept[RuntimeException](Schedule.parse("0 0 0 JAN * ?")) // dom field
+    intercept[RuntimeException](Schedule.parse("0 0 0 L * ?"))
+    intercept[RuntimeException](Schedule.parse("0 0 0 ? * 6#3"))
+    intercept[RuntimeException](Schedule.parse("0 0 0 15W * ?"))
+    // steps must be numeric even where names are legal
+    intercept[RuntimeException](Schedule.parse("0 0 0 ? * MON/TUE"))
+  }
 }
