@@ -65,6 +65,53 @@ object SparkEntry {
   private def decSum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType)
 
+  /** ANN gate queries under the q33 contract form. An approximate index's
+    * neighbor lists depend on its internals (hyperplane draws, k-means
+    * iterations), so they can never hash-match a SQL engine — what CAN be
+    * oracled exactly is the brute-force side (the q22 oracle already
+    * hash-matches DuckDB's identical fold arithmetic) plus the recall
+    * contract the index promises. Per probe: the exact rank-1 neighbor
+    * (recomputed by DuckDB), the ANN result count (must equal k), and a
+    * required-TRUE validity bit (distinct ids, no self-match, all ids
+    * from the corpus); plus a required-TRUE recall floor measured in
+    * AGGREGATE across all probes (hits over all probes / exact rows over
+    * all probes — with 5 probes a per-query floor is a 10-sample coin
+    * flip, the aggregate is 50). `minRecall` is each index's measured
+    * operating floor across the sf sweep minus margin — far above the
+    * ~k/N chance line (~0.005 here), honest about what nprobe/ksub
+    * actually buy; the controlled-fixture recall gates stay in KnnSpec.
+    * This moves those gates INTO the driver's oracle gate; the index
+    * operators themselves are unchanged. The brute pass is 5 probes ×
+    * corpus — linear, probe-bounded.
+    */
+  private def annRecallContract(e: DataFrame, probes: DataFrame,
+      ann: DataFrame, k: Int, minRecall: Double): DataFrame = {
+    val exact = graft.similarity.Knn.bruteForce(e, probes, "vec_id", "embedding", k)
+    val corpusIds = e.select(col("vec_id").as("neighbor_id"),
+      lit(true).as("__in_corpus"))
+    val stats = ann
+      .join(exact.select(col("query_id"), col("neighbor_id"),
+        lit(true).as("__in_exact")), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(corpusIds), Seq("neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ann_results"),
+        countDistinct(col("neighbor_id")).as("__ndist"),
+        sum(when(col("__in_exact"), 1L).otherwise(0L)).as("__hits"),
+        max(when(col("neighbor_id") === col("query_id"), 1L).otherwise(0L))
+          .as("__self"),
+        min(when(col("__in_corpus"), 1L).otherwise(0L)).as("__all_corpus"))
+    val aggRecall = stats.agg(sum(col("__hits")).as("__th"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("__te"))))
+    exact.filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("exact_top1"))
+      .join(stats, Seq("query_id"))
+      .crossJoin(broadcast(aggRecall))
+      .select(col("query_id"), col("exact_top1"), col("n_ann_results"),
+        (col("__th").cast(DoubleType) >= col("__te") * minRecall).as("recall_ok"),
+        (col("__ndist") === col("n_ann_results") && col("__self") === 0L &&
+          col("__all_corpus") === 1L).as("ann_results_valid"))
+  }
+
   private lazy val jvmId: String = java.util.UUID.randomUUID().toString.take(8)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -81,8 +128,13 @@ object SparkEntry {
     // q89 recomputes q71's delta via versioned-table time travel — same
     // transformation, same expected rows, same oracle (the q59/q53
     // same-oracle convention: layout/versioning changes the plan, never
-    // the answer)
-    base + ("q89_version_cdc" -> base("q71_snapshot_cdc"))
+    // the answer). The ANN recall contract (q28) is index-agnostic by
+    // construction — exact-top1 anchor + required-TRUE recall/validity —
+    // so the IVF and PQ gates share its oracle verbatim.
+    base +
+      ("q89_version_cdc" -> base("q71_snapshot_cdc")) +
+      ("q30_knn_ivf" -> base("q28_knn_lsh")) +
+      ("q65_knn_pq" -> base("q28_knn_lsh"))
   }
 
   /** Reference-inventory operators (SURVEY.md §2). */
@@ -525,9 +577,11 @@ object SparkEntry {
     // spec-verified against bruteForce overlap)
     "q28_knn_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      graft.similarity.Knn.lshBuckets(
-        e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, dim = 64)
+      val probes = e.filter(col("vec_id") < 5)
+      annRecallContract(e, probes,
+        graft.similarity.Knn.lshBuckets(e, probes, "vec_id", "embedding",
+          k = 10, dim = 64),
+        k = 10, minRecall = 0.8)
     }),
 
     // BPE-ish regex tokenization (letter runs / digit runs / single
@@ -545,21 +599,29 @@ object SparkEntry {
     // partition-pruned scale path; spec-verified recall vs bruteForce)
     "q30_knn_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      graft.similarity.Knn.ivf(
-        e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, nlist = 16, nprobe = 4)
+      val probes = e.filter(col("vec_id") < 5)
+      annRecallContract(e, probes,
+        graft.similarity.Knn.ivf(e, probes, "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 4),
+        // nprobe/nlist = 1/4 of the lists scanned: measured aggregate
+        // recall 0.42-0.54 across the sf sweep; floor 0.35
+        k = 10, minRecall = 0.35)
     }),
 
     // Product-quantization ANN: corpus compresses to 8 codebook codes
     // per vector (the 100 TB exhaustive-scan path — ~32x less scan I/O),
-    // queries score exact-against-decoded (ADC). No SQL oracle (codebook
-    // training is iterative); KnnSpec proves degenerate exactness and a
-    // recall floor
+    // queries score exact-against-decoded (ADC). Codebook training is
+    // iterative so neighbor lists have no SQL twin — gated via the ANN
+    // recall contract; KnnSpec keeps degenerate exactness + recall floor
     "q65_knn_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      graft.similarity.Knn.pq(
-        e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, blocks = 8, ksub = 16)
+      val probes = e.filter(col("vec_id") < 5)
+      annRecallContract(e, probes,
+        graft.similarity.Knn.pq(e, probes, "vec_id", "embedding",
+          k = 10, blocks = 8, ksub = 16),
+        // 32x scan compression: measured aggregate recall 0.48-0.86
+        // across the sf sweep; floor 0.4
+        k = 10, minRecall = 0.4)
     }),
 
     // Native pivot with pinned values (one-shuffle wide aggregation —
@@ -2237,6 +2299,26 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
         |  FROM scored) t WHERE rnk <= 10""".stripMargin,
+
+    // the ANN recall-contract oracle: the exact rank-1 neighbor is the
+    // same fold arithmetic the q22 oracle hash-matches; count and the
+    // recall/validity booleans are required values (q33 contract form)
+    "q28_knn_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, embedding AS q FROM e WHERE vec_id < 5),
+        |scored AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(p.q, e.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(p.q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM e, p WHERE e.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id AS exact_top1,
+        |  CAST(10 AS BIGINT) AS n_ann_results,
+        |  TRUE AS recall_ok, TRUE AS ann_results_valid
+        |FROM (
+        |  SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        |  FROM scored) t WHERE rnk = 1""".stripMargin,
 
     "q23_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings
