@@ -1374,9 +1374,16 @@ object SparkEntry {
 
     // PageRank over a deterministic synthetic link graph (two
     // arithmetic out-links per doc): the link-graph quality prior for
-    // corpus curation. Float-iterative → rows-only here; PageRankSpec
-    // pins the operator against an exact driver-side power iteration
-    // (dangling redistribution, multigraph weighting, damping) at 1e-9.
+    // corpus curation. PageRankSpec pins the operator against an exact
+    // driver-side power iteration (dangling redistribution, multigraph
+    // weighting, damping) at 1e-9; the gate query uses the q33 contract
+    // form — float-iterative ranks have no SQL twin, so emit the EXACT
+    // link structure (per-node in-degree, recomputed by DuckDB from the
+    // same edge arithmetic; doc_ids are 0..n-1 so the node universe is
+    // the doc set) plus required-TRUE distribution invariants: every
+    // rank strictly positive, ranks sum to 1 within 1e-6 (dangling
+    // redistribution keeps a distribution), and every rank at or above
+    // the damping floor (1-d)/n.
     "q93_pagerank" -> ((s, dir) => {
       import graft.operators.PageRank
       val docs = Tables.documents(s, dir).select(col("doc_id"))
@@ -1388,8 +1395,17 @@ object SparkEntry {
           ((col("doc_id") * col("doc_id") + 1L) % n).as("dst"))
         .union(docs.select(col("doc_id").as("src"),
           ((col("doc_id") - col("doc_id") % 7L) % n).as("dst")))
-      PageRank.pageRank(edges, "src", "dst", iterations = 6)
-        .orderBy(desc("rank"), asc("id")).limit(100)
+      val pr = PageRank.pageRank(edges, "src", "dst", iterations = 6)
+      val inDeg = edges.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("in_links"))
+      val glob = pr.agg(sum(col("rank")).as("__s"), count(lit(1)).as("__n"))
+      pr.join(inDeg, Seq("id"), "left")
+        .crossJoin(broadcast(glob))
+        .select(col("id"),
+          coalesce(col("in_links"), lit(0L)).as("in_links"),
+          (col("rank") > 0.0).as("rank_positive_ok"),
+          (abs(col("__s") - lit(1.0)) <= lit(1e-6)).as("rank_sum_ok"),
+          (col("rank") >= lit(0.15) / col("__n") - lit(1e-12)).as("rank_floor_ok"))
     }),
 
     // Exact discrete percentiles per group — the exact twin of q33's
@@ -2814,6 +2830,22 @@ object SparkEntry {
         |SELECT t.doc_id, COUNT(*) AS n_tokens,
         |  CAST(SUM(len(f) - len(replace(f, '|', ''))) AS BIGINT) AS n_pieces
         |FROM t JOIN p USING (w) GROUP BY t.doc_id""".stripMargin,
+
+    // exact per-node in-degree replayed from the same edge arithmetic
+    // (doc_ids are 0..n-1, so the node universe is the doc set); the
+    // PageRank distribution invariants are required TRUE
+    "q93_pagerank" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id * doc_id + 1) % n.n AS dst
+        |  FROM documents, n
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id - doc_id % 7) % n.n FROM documents, n),
+        |ind AS (SELECT dst AS id, COUNT(*) AS in_links FROM e GROUP BY dst)
+        |SELECT d.doc_id AS id,
+        |  CAST(COALESCE(ind.in_links, 0) AS BIGINT) AS in_links,
+        |  TRUE AS rank_positive_ok, TRUE AS rank_sum_ok, TRUE AS rank_floor_ok
+        |FROM documents d LEFT JOIN ind ON ind.id = d.doc_id""".stripMargin,
 
     // exact bigram counts; scoring the training corpus itself means no
     // bigram can be unseen, and the smoothing-floor booleans are
