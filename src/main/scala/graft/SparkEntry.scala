@@ -517,15 +517,20 @@ object SparkEntry {
       val len = length(col("text"))
       val rebuilt = concat(col("text").substr(lit(1), lit(7)),
         col("text").substr(lit(8), len))
+      // group/join twins on a 64-bit text hash, not the text itself —
+      // 8-byte shuffle keys at corpus scale (the LineDedup discipline);
+      // the oracle groups by EXACT text, so a hash conflation would
+      // surface as a count mismatch at the gate
       val d = Tables.documents(s, dir).select(
-        col("doc_id"), col("text"), len.cast("long").as("n_chars"),
+        col("doc_id"), xxhash64(col("text")).as("__th"),
+        len.cast("long").as("n_chars"),
         fp(col("text")).as("__fp"), sh(col("text")).as("__sh"),
         fp(rebuilt).as("__fp2"), sh(rebuilt).as("__sh2"),
         fp(col("text").substr(lit(1), len - 1)).as("__fpHead"),
         fp(col("text").substr(lit(2), len)).as("__fpTail"))
-      val grp = d.groupBy(col("text"))
+      val grp = d.groupBy(col("__th"))
         .agg(count(lit(1)).as("n_text_twins"))
-      d.join(grp, Seq("text"))
+      d.join(grp, Seq("__th"))
         .select(col("doc_id"), col("n_text_twins"), col("n_chars"),
           (col("__fp") === col("__fp2") && col("__sh") === col("__sh2"))
             .as("fp_pure"),
