@@ -464,8 +464,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
-    // MinHash+LSH near-dup pairs (no SQL oracle — verified by ScalaTest
-    // against brute-force Jaccard)
+    // MinHash+LSH near-dup pairs. Oracled exhaustively: output pairs
+    // carry EXACT shingle Jaccard (the verify join), and at j >= 0.8 the
+    // 16x4 banding recovers every pair on the gate data (bit-identical
+    // to brute force at all three sfs — the q53 argument), so DuckDB's
+    // full O(n²) Jaccard is a valid oracle. DedupSpec keeps the
+    // controlled-fixture recall/precision proofs.
     "q20_minhash_neardup" -> ((s, dir) => {
       graft.dedup.MinHashDedup.nearDuplicates(
         Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
@@ -709,9 +713,11 @@ object SparkEntry {
 
     // The corpus-curation chain END-TO-END: annotate → gate → exact dedup
     // → MinHash-LSH near-dedup with TRANSITIVE clustering (a~b, b~c ⇒ one
-    // survivor for {a,b,c}). Not SQL-expressible (LSH + iterative
-    // components); CorpusPipelineSpec proves survivor-set equality vs a
-    // brute-force-Jaccard + union-find oracle.
+    // survivor for {a,b,c}). Oracled: the LSH candidates are
+    // recall-complete at j >= 0.8 on the gate data (q20) and cluster
+    // survivors are canonical (min doc_id), so DuckDB replays the whole
+    // chain — filter → dedup → exhaustive pairs → recursive-CTE closure.
+    // CorpusPipelineSpec keeps the brute-force union-find equality proof.
     "q42_corpus_curation_full" -> ((s, dir) => {
       val cfg = graft.pipeline.CorpusPipeline.Config(
         langs = Seq("en"), minQuality = 0.5, minTokens = 10,
@@ -824,8 +830,10 @@ object SparkEntry {
     // (id, cluster_id) labeling extends with the new batch's incremental
     // pairs — label merges collapse to a batch-bounded driver union-find
     // and apply back as a broadcast remap; unbridged clusters never
-    // change. No SQL oracle (iterative); ComponentsSpec proves
-    // incremental ≡ full recompute
+    // change. Oracled: labels are canonical (component min id) and the
+    // pair graph is recall-complete at j >= 0.8 (q20), so DuckDB replays
+    // the FULL-graph answer the incremental path must equal;
+    // ComponentsSpec keeps the incremental ≡ full recompute proof
     "q67_incremental_clusters" -> ((s, dir) => {
       import graft.dedup.{Components, IncrementalDedup, MinHashDedup}
       val docs = Tables.documents(s, dir)
@@ -2404,6 +2412,64 @@ object SparkEntry {
         |SELECT f.doc_id, f.pred_lang, f.n_tokens, f.quality
         |FROM f JOIN k USING (doc_id)""".stripMargin,
 
+    // q37's chain extended to the FULL pipeline: after the exact dedup,
+    // exhaustive 3-gram Jaccard pairs at j >= 0.8 among survivors
+    // (recall-complete on the gate data — see q20) feed a recursive-CTE
+    // transitive closure; each cluster keeps its min doc_id (the
+    // dropDuplicateClusters rule: survivor ⇔ own id = component min)
+    "q42_corpus_curation_full" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, text, toks,
+        |  (CAST(list_contains(toks,'the') AS INT) + CAST(list_contains(toks,'and') AS INT)
+        |   + CAST(list_contains(toks,'of') AS INT) + CAST(list_contains(toks,'to') AS INT)
+        |   + CAST(list_contains(toks,'a') AS INT) + CAST(list_contains(toks,'in') AS INT)
+        |   + CAST(list_contains(toks,'is') AS INT)) AS s_en,
+        |  (CAST(list_contains(toks,'el') AS INT) + CAST(list_contains(toks,'la') AS INT)
+        |   + CAST(list_contains(toks,'de') AS INT) + CAST(list_contains(toks,'que') AS INT)
+        |   + CAST(list_contains(toks,'y') AS INT) + CAST(list_contains(toks,'en') AS INT)) AS s_es,
+        |  (CAST(list_contains(toks,'le') AS INT) + CAST(list_contains(toks,'les') AS INT)
+        |   + CAST(list_contains(toks,'des') AS INT) + CAST(list_contains(toks,'et') AS INT)
+        |   + CAST(list_contains(toks,'une') AS INT) + CAST(list_contains(toks,'dans') AS INT)) AS s_fr,
+        |  (CAST(list_contains(toks,'der') AS INT) + CAST(list_contains(toks,'die') AS INT)
+        |   + CAST(list_contains(toks,'und') AS INT) + CAST(list_contains(toks,'das') AS INT)
+        |   + CAST(list_contains(toks,'ist') AS INT) + CAST(list_contains(toks,'nicht') AS INT)) AS s_de,
+        |  (CAST(list_contains(toks,'的') AS INT) + CAST(list_contains(toks,'了') AS INT)
+        |   + CAST(list_contains(toks,'是') AS INT)) AS s_zh,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(toks) AS DOUBLE) AS n,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+        |  FROM t),
+        |p AS (SELECT *,
+        |  CASE WHEN s_en = GREATEST(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+        |       WHEN s_es = GREATEST(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+        |       WHEN s_fr = GREATEST(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+        |       WHEN s_de = GREATEST(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+        |       ELSE 'zh' END AS pred_lang,
+        |  0.3 * LEAST((CAST(s_en AS DOUBLE) / 7.0) * 2.0, 1.0)
+        |  + 0.4 * (nd / n) + 0.3 * LEAST(n / 100.0, 1.0) AS quality
+        |  FROM s),
+        |f AS (SELECT * FROM p
+        |  WHERE pred_lang = 'en' AND quality >= 0.5 AND n_tokens >= 10),
+        |k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text),
+        |d AS (SELECT f.* FROM f JOIN k USING (doc_id)),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE [] END) AS sset FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.8),
+        |edge AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |         UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edge
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edge e ON r.b = e.a),
+        |m AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a)
+        |SELECT d.doc_id, d.pred_lang, d.n_tokens, d.quality
+        |FROM d LEFT JOIN m ON m.id = d.doc_id
+        |WHERE COALESCE(m.mn, d.doc_id) >= d.doc_id""".stripMargin,
+
     "q31_pivot_native" ->
       """SELECT user_id % 10 AS bucket,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
@@ -2508,6 +2574,52 @@ object SparkEntry {
         |SELECT doc_id, sum_freq, CAST(n AS BIGINT) AS n_tokens,
         |  CAST(sum_freq AS DOUBLE) / (CAST(n AS DOUBLE) * tot.total) AS familiarity
         |FROM d CROSS JOIN tot""".stripMargin,
+
+    // q53's exhaustive oracle without the batch restriction: at j >= 0.8
+    // the 16x4 banding recovers EVERY pair on the gate data (verified
+    // bit-identical — ids AND exact-jaccard doubles — at all three sfs),
+    // so the full-corpus brute-force 3-gram Jaccard is a valid oracle
+    // for the LSH path; recall-completeness is a property of THIS
+    // corpus at the near-dup threshold, not an LSH guarantee (q34's
+    // low-threshold regime documents the contrast)
+    "q20_minhash_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [] END) AS s FROM t)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) x
+        |WHERE jaccard >= 0.8""".stripMargin,
+
+    // the cluster labels are canonical (cluster_id = component min id),
+    // so DuckDB replays them exactly: exhaustive pairs at j >= 0.8
+    // (recall-complete on the gate data, see q20) + transitive closure
+    // via a recursive CTE; unpaired ids label themselves. Incremental ≡
+    // full recompute is ComponentsSpec's proof — the oracle checks the
+    // full-graph answer the incremental path must equal.
+    "q67_incremental_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [] END) AS s FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+        |edge AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |         UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edge
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edge e ON r.b = e.a),
+        |m AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a)
+        |SELECT t.doc_id AS id,
+        |  CAST(LEAST(t.doc_id, COALESCE(m.mn, t.doc_id)) AS BIGINT) AS cluster_id
+        |FROM t LEFT JOIN m ON m.id = t.doc_id""".stripMargin,
 
     // id_a < id_b always, so "pair touches the batch (ids >= 250)" is
     // exactly id_b >= 250
