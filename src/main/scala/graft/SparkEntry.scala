@@ -1772,6 +1772,31 @@ object SparkEntry {
         minDocFreq = 9L)
     }),
 
+    // Incremental line-level boilerplate removal — q101's cross-batch
+    // twin (the q53-to-q20 relationship): per-batch (line_hash, doc_freq)
+    // stores merge additively over disjoint-doc batches and the NEW
+    // batch rewrites against the merged store, never rescanning history.
+    // Same planted corpus as q101 with the per-60 RARE line ON the
+    // threshold boundary, so the oracle's per-residue decision exercises
+    // the store MERGE arithmetic — an over- or under-count in the merge
+    // flips the boundary classes and hash-fails the gate.
+    "q103_incremental_line_dedup" -> ((s, dir) => {
+      import graft.dedup.LineDedup
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          lit("NAV "), (col("doc_id") % 5).cast("string"), lit("\n"),
+          lit("RARE "), (col("doc_id") % 60).cast("string"), lit("\n"),
+          col("text"), lit("\n"),
+          lit("(c) example corp")).as("text"))
+      val old = planted.filter(col("doc_id") < 250)
+      val batch = planted.filter(col("doc_id") >= 250)
+      val store = LineDedup.mergeLineStores(Seq(
+        LineDedup.lineFrequencyStore(old, "doc_id", "text"),
+        LineDedup.lineFrequencyStore(batch, "doc_id", "text")))
+      LineDedup.dropFrequentLinesWithStore(batch, store, "doc_id", "text",
+        minDocFreq = 9L)
+    }),
+
     // Duplicate-cluster keeper selection — the dedup DECISION policy
     // (detection alone doesn't shrink a corpus): planted exact copies
     // (%3, +100k ids) and truncated copies (%5, +200k ids) cluster with
@@ -2225,6 +2250,23 @@ object SparkEntry {
         |  CAST(CASE WHEN f.df >= 9 THEN 3 ELSE 2 END AS BIGINT)
         |    AS n_lines_dropped
         |FROM documents d JOIN f ON d.doc_id % 60 = f.r""".stripMargin,
+
+    // the merged old+batch store equals full-corpus doc frequency
+    // (disjoint doc ids), so the decision table is q101's — restricted
+    // to the rewritten batch
+    "q103_incremental_line_dedup" ->
+      """WITH f AS (SELECT doc_id % 60 AS r, COUNT(*) AS df
+        |           FROM documents GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN f.df >= 9 THEN d.text
+        |       ELSE 'RARE ' || CAST(d.doc_id % 60 AS VARCHAR) || chr(10)
+        |         || d.text END AS clean_text,
+        |  CAST(CASE WHEN f.df >= 9 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS n_lines_kept,
+        |  CAST(CASE WHEN f.df >= 9 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_lines_dropped
+        |FROM documents d JOIN f ON d.doc_id % 60 = f.r
+        |WHERE d.doc_id >= 250""".stripMargin,
 
     // replays keeper selection with a window: longest text wins, lowest
     // id breaks ties (so originals beat their exact +100k copies)

@@ -81,6 +81,37 @@ class LineDedupSpec extends AnyFunSuite {
     } finally spark.conf.set(threshold, saved)
   }
 
+  test("incremental store: counts per batch, merges additively, rewrite ≡ full form") {
+    val oldB = Seq((1L, "SHARED\nold1"), (2L, "SHARED\nold2")).toDF("id", "text")
+    val newB = Seq((3L, "SHARED\nnew3"), (4L, "only\nnew4"),
+      (5L, "only\nnew5")).toDF("id", "text")
+    val s1 = LineDedup.lineFrequencyStore(oldB, "id", "text")
+    val s2 = LineDedup.lineFrequencyStore(newB, "id", "text")
+    // per-batch doc frequencies: SHARED in 2 old docs, 1 new; 'only' in 2 new
+    def freqOf(st: org.apache.spark.sql.DataFrame, line: String): Long = {
+      val h = Seq(line).toDF("l").select(xxhash64(col("l"))).as[Long].head()
+      st.filter(col("line_hash") === h).select(col("doc_freq")).as[Long]
+        .collect().headOption.getOrElse(0L)
+    }
+    assert(freqOf(s1, "SHARED") === 2L && freqOf(s2, "SHARED") === 1L)
+    assert(freqOf(s1, "only") === 0L && freqOf(s2, "only") === 2L)
+    val merged = LineDedup.mergeLineStores(Seq(s1, s2))
+    assert(freqOf(merged, "SHARED") === 3L && freqOf(merged, "only") === 2L)
+    // rewriting the new batch against the merged store ≡ the batch form
+    // over the full corpus, restricted to the new batch's docs
+    val incremental = LineDedup.dropFrequentLinesWithStore(
+        newB, merged, "id", "text", minDocFreq = 2L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val full = LineDedup.dropFrequentLines(
+        oldB.unionByName(newB), "id", "text", minDocFreq = 2L)
+      .as[(Long, String, Long, Long)].collect().filter(_._1 >= 3L).toSet
+    assert(incremental === full)
+    // and the cross-batch knowledge is load-bearing: batch-only frequency
+    // (SHARED df=1 within newB) would NOT have dropped SHARED from doc 3
+    assert(incremental.find(_._1 == 3L).get._2 === "new3",
+      "SHARED must drop from the batch because the STORE knows its corpus df")
+  }
+
   test("custom separator is literal, not regex") {
     val got = LineDedup.dropFrequentLines(
       Seq((1L, "a.b|x"), (2L, "a.b|y")).toDF("id", "text"),
