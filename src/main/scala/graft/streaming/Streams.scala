@@ -323,6 +323,65 @@ object Streams {
     BatchLedger.publish(r.batchSigs, storeDir, batchId)
   }
 
+  /** Continuous line-level boilerplate removal — the streaming face of
+    * [[graft.dedup.LineDedup.dropFrequentLinesWithStore]], completing the
+    * incremental state-machine family (signature store, cluster labels,
+    * dim snapshots, aggregate views, and now the line-frequency store):
+    * per micro-batch, the batch's (line_hash, doc_freq) delta merges
+    * with the persisted store and the batch rewrites against the MERGED
+    * frequencies — a line the corpus has already made boilerplate drops
+    * from the batch even when the batch alone would never promote it,
+    * and history is never rescanned (per-batch cost = batch + store).
+    *
+    * The store is append-only: each batch publishes only its own delta
+    * under its batch_id partition, readers aggregate (the additive-merge
+    * contract — batches carry disjoint doc ids by construction here,
+    * the file source delivering each doc once). Same per-sink batch_id
+    * idempotency as [[processNearDedupBatch]]; the store read EXCLUDES
+    * the current batch_id so a half-committed replay (delta landed,
+    * output lost) recomputes against exactly the pre-batch frequencies
+    * the crashed attempt saw, never double-counting its own delta.
+    */
+  def lineDedupIngest(stream: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long, storeDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processLineDedupBatch(batch, batchId, idCol, textCol, minDocFreq,
+          storeDir, outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private[graft] def processLineDedupBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, minDocFreq: Long,
+      storeDir: String, outDir: String): Unit = {
+    import graft.dedup.LineDedup
+    val spark = batch.sparkSession
+    if (BatchLedger.isCommitted(spark, outDir, batchId) &&
+      BatchLedger.isCommitted(spark, storeDir, batchId)) return
+    // materialized once: three consumers (merge, output rewrite via the
+    // merged store, store publication) — and the half-committed-replay
+    // guard needs the delta computed from the BATCH, not read back
+    val delta = LineDedup.lineFrequencyStore(batch, idCol, textCol)
+      .localCheckpoint()
+    val merged =
+      if (BatchLedger.hasCommits(spark, storeDir)) {
+        val prior = spark.read.parquet(storeDir)
+          .filter(col("batch_id") =!= batchId) // replay guard (see scaladoc)
+          .drop("batch_id")
+        LineDedup.mergeLineStores(Seq(prior, delta))
+      } else delta
+    BatchLedger.publish(
+      LineDedup.dropFrequentLinesWithStore(batch, merged, idCol, textCol,
+        minDocFreq),
+      outDir, batchId)
+    BatchLedger.publish(delta, storeDir, batchId)
+  }
+
   /** Streaming SCD Type 2 maintenance — CDC stream in, versioned
     * dimension out, completing the incremental state-machine family
     * (signature store, cluster labels, and now the dim itself): each

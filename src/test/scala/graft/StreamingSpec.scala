@@ -366,6 +366,52 @@ class StreamingSpec extends AnyFunSuite {
       == Set(1L, 2L, 3L, 10L, 11L), "crash replay did not repair the store")
   }
 
+  test("lineDedupIngest removes corpus-frequent lines from each batch; replay-safe") {
+    val root = java.nio.file.Files.createTempDirectory("graft-linededup")
+    val (src, store, out, ckpt) = (s"$root/src", s"$root/store", s"$root/out", s"$root/ckpt")
+    def cleanOf: Map[Long, String] =
+      spark.read.parquet(out).select("doc_id", "clean_text")
+        .as[(Long, String)].collect().toMap
+    // batch 1: FOOTER in both docs (df=2 ≥ 2 → boilerplate already)
+    Seq((1L, "unique one\nFOOTER"), (2L, "unique two\nFOOTER"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Streams.lineDedupIngest(Streams.fileIngest(spark, src, schema),
+      "doc_id", "text", minDocFreq = 2L, store, out, ckpt)
+    assert(cleanOf == Map(1L -> "unique one", 2L -> "unique two"))
+    // batch 2: FOOTER drops via STORE knowledge alone (df=1 within the
+    // batch); NAV appears twice within this batch and drops too
+    Seq((3L, "unique three\nNAV\nFOOTER"), (4L, "unique four\nNAV"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    Streams.lineDedupIngest(Streams.fileIngest(spark, src, schema),
+      "doc_id", "text", minDocFreq = 2L, store, out, ckpt)
+    assert(cleanOf == Map(1L -> "unique one", 2L -> "unique two",
+      3L -> "unique three", 4L -> "unique four"))
+    // the batch-1 output is NOT retroactively rewritten (streaming CCNet
+    // contract): 'unique one' stays even though nothing new dropped
+    // full replay of a committed batch is a strict no-op
+    val b2 = Seq((3L, "unique three\nNAV\nFOOTER"), (4L, "unique four\nNAV"))
+      .toDF("doc_id", "text")
+    Streams.processLineDedupBatch(b2, 1L, "doc_id", "text", 2L, store, out)
+    assert(cleanOf.size == 4, "replay duplicated output")
+    // crash BETWEEN the two appends (output landed, store delta lost):
+    // replay repairs the store; the excluded-own-batch read means the
+    // recomputed output (discarded — its sink is committed) saw exactly
+    // the pre-batch frequencies
+    val sp = new java.io.File(s"$store/batch_id=1")
+    sp.listFiles().foreach(_.delete()); sp.delete()
+    Streams.processLineDedupBatch(b2, 1L, "doc_id", "text", 2L, store, out)
+    assert(cleanOf.size == 4, "crash replay duplicated output")
+    val storedFreqs = graft.dedup.LineDedup.mergeLineStores(
+        Seq(spark.read.parquet(store).drop("batch_id")))
+      .as[(Long, Long)].collect().toMap
+    val footerHash = Seq("FOOTER").toDF("l")
+      .select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("l"))).as[Long].head()
+    assert(storedFreqs(footerHash) == 3L,
+      "crash replay did not repair the store (FOOTER df must be 3 corpus-wide)")
+  }
+
   test("nearDedupIngest batch replay and mid-batch crash never duplicate output") {
     val root = java.nio.file.Files.createTempDirectory("graft-neardedup-replay")
     val (store, out) = (s"$root/store", s"$root/out")
