@@ -203,4 +203,35 @@ class PropertiesSpec extends AnyFunSuite {
       got.toSet == naive && got.length == got.toSet.size
     })
   }
+
+  test("property: incremental line dedup over ANY disjoint split equals the batch form") {
+    import graft.dedup.LineDedup
+    // docs = random multisets of a tiny line alphabet (collisions are the
+    // point: doc frequencies genuinely cross the threshold), random split
+    val lineGen = Gen.oneOf("nav", "footer", "x", "y", "z", "w")
+    val docGen = Gen.nonEmptyListOf(lineGen).map(_.mkString("\n"))
+    val corpusGen = Gen.nonEmptyListOf(docGen)
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val gen = for {
+      corpus <- corpusGen
+      cut <- Gen.choose(0, corpus.length)
+    } yield (corpus, cut)
+    checkProp("incrementalLineDedup")(Prop.forAll(gen) { case (corpus, cut) =>
+      val (oldHalf, newHalf) = corpus.splitAt(cut)
+      val full = corpus.toDF("id", "text")
+      val batchForm = LineDedup.dropFrequentLines(full, "id", "text",
+          minDocFreq = 2L)
+        .as[(Long, String, Long, Long)].collect()
+        .filter(_._1 >= cut).toSet
+      val stores = Seq(oldHalf, newHalf).filter(_.nonEmpty).map(h =>
+        LineDedup.lineFrequencyStore(h.toDF("id", "text"), "id", "text"))
+      val incremental =
+        if (newHalf.isEmpty) Set.empty[(Long, String, Long, Long)]
+        else LineDedup.dropFrequentLinesWithStore(
+            newHalf.toDF("id", "text"), LineDedup.mergeLineStores(stores),
+            "id", "text", minDocFreq = 2L)
+          .as[(Long, String, Long, Long)].collect().toSet
+      incremental == batchForm
+    })
+  }
 }
