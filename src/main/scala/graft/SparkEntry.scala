@@ -36,7 +36,13 @@ object SparkEntry {
     *   - LongType (nanos-as-long): integral `DIV 1000` then
     *     `timestamp_micros` — division as double would lose precision on
     *     epoch nanos (1.7e18 exceeds double's 53-bit mantissa), and the
-    *     truncation matches DuckDB's implicit ns→us narrowing.
+    *     truncation matches DuckDB's implicit ns→us narrowing. A per-row
+    *     magnitude guard (`raise_error` under 10¹⁶) fails fast with a
+    *     descriptive message if a future drop encodes ts as plain epoch
+    *     MICROS in an INT64 column: micros for any date through 2100 stay
+    *     below 4.2e15, nanos for any date after 1970-04-26 exceed 10¹⁶,
+    *     so the bound cleanly separates the encodings instead of letting
+    *     a silent 1000× scale error surface as an oracle mismatch.
     *   - TimestampNTZType: cast to TimestampType. The session is pinned
     *     to UTC (builders + build.sbt), so the naive wall-clock value maps
     *     to the identical microsecond instant DuckDB reads natively.
@@ -49,7 +55,15 @@ object SparkEntry {
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tables.events(spark, dir)
     raw.schema("ts").dataType match {
-      case LongType        => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case LongType        =>
+        // assert_true sits INSIDE the ts expression (a detached guard
+        // column would be pruned away by Catalyst and never evaluate)
+        raw.withColumn("ts", timestamp_micros(expr(
+          "IF(assert_true(ts IS NULL OR ts >= 10000000000000000, " +
+            "concat('events.ts INT64 value ', ts, " +
+            "' is below the epoch-nanos range - likely plain epoch " +
+            "micros; events() assumes nanos-as-long provenance')) IS NULL, " +
+            "ts DIV 1000, NULL)")))
       case TimestampNTZType =>
         require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
           "events with TIMESTAMP_NTZ ts require spark.sql.session.timeZone=UTC " +
@@ -86,7 +100,11 @@ object SparkEntry {
     */
   private def annRecallContract(e: DataFrame, probes: DataFrame,
       ann: DataFrame, k: Int, minRecall: Double): DataFrame = {
+    // materialize-once discipline (q42's exactDedup pattern): `exact`
+    // feeds three consumers and `stats` two — without the checkpoints
+    // the O(probes × corpus) scored join recomputes per consumer
     val exact = graft.similarity.Knn.bruteForce(e, probes, "vec_id", "embedding", k)
+      .localCheckpoint()
     val corpusIds = e.select(col("vec_id").as("neighbor_id"),
       lit(true).as("__in_corpus"))
     val stats = ann
@@ -100,6 +118,7 @@ object SparkEntry {
         max(when(col("neighbor_id") === col("query_id"), 1L).otherwise(0L))
           .as("__self"),
         min(when(col("__in_corpus"), 1L).otherwise(0L)).as("__all_corpus"))
+      .localCheckpoint()
     val aggRecall = stats.agg(sum(col("__hits")).as("__th"))
       .crossJoin(broadcast(exact.agg(count(lit(1)).as("__te"))))
     exact.filter(col("rnk") === 1)

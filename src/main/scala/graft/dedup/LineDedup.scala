@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   * is billions of strings; the old unconditional broadcast would have
   * OOM'd the driver, the gated form just shuffles.
   *
+  * Laziness/liveness contract: the size gate needs the frequent-line
+  * count, so [[dropFrequentLines]] and [[dropFrequentLinesWithStore]]
+  * run Spark jobs (localCheckpoint + count of the frequent set) AT CALL
+  * TIME — the returned DataFrame is not a fully lazy plan. And because
+  * the checkpointed set has no lineage, losing an executor that holds
+  * its blocks between the call and the caller's action fails that
+  * action unrecoverably — re-invoke the operator (inputs are immutable,
+  * the recompute is deterministic) or persist the result if the gap
+  * between construction and consumption is long.
+  *
   * Hashing makes membership probabilistic: two distinct lines colliding
   * on 64 bits are conflated (expected collisions ≈ n²/2⁶⁵ for n distinct
   * lines — at 10¹⁰ lines that's ~3 spurious drops corpus-wide, noise for

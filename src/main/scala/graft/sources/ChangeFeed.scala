@@ -42,6 +42,15 @@ object ChangeFeed {
     * joins at once, and nothing materializes until the consumer's first
     * action). A range at or under `checkpointEvery` commits compiles
     * exactly as before, with no checkpoint in the plan.
+    *
+    * Reliability trade-off: `localCheckpoint` blocks live only on the
+    * executors that computed them — once a chunk materializes, losing
+    * one of those executors mid-consumption fails the read (there is no
+    * lineage left to recompute from). That is the price of the bounded
+    * plan; a long-lived consumer that must survive executor churn should
+    * either re-issue `readChanges` on failure (commits are immutable, so
+    * the re-read is deterministic) or persist the result to reliable
+    * storage before consuming it.
     */
   def readChanges(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long, keys: Seq[String],
@@ -51,7 +60,8 @@ object ChangeFeed {
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(keys.nonEmpty, "keys required (see scaladoc for the key-free feed)")
     val snaps = VersionedTable.snapshots(spark, dir)
-    def snap(v: Long) = snaps.find(_.version == v).getOrElse(
+    val byVersion = snaps.map(s => s.version -> s).toMap
+    def snap(v: Long) = byVersion.getOrElse(v,
       sys.error(s"table $dir has no version $v"))
     val perCommit = (fromVersion + 1 to toVersion).map { v =>
       commitChanges(spark, dir, snap(v - 1), snap(v), keys)

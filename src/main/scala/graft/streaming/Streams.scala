@@ -338,9 +338,12 @@ object Streams {
     * contract — batches carry disjoint doc ids by construction here,
     * the file source delivering each doc once). Same per-sink batch_id
     * idempotency as [[processNearDedupBatch]]; the store read EXCLUDES
-    * the current batch_id so a half-committed replay (delta landed,
-    * output lost) recomputes against exactly the pre-batch frequencies
-    * the crashed attempt saw, never double-counting its own delta.
+    * the current batch_id, so a replayed batch merges the prior store
+    * with a freshly recomputed delta — the same merged (pre-batch +
+    * current-batch) frequencies the first attempt saw, never
+    * double-counting its own delta. The output publishes BEFORE the
+    * delta, so the reachable half-commit is output-landed/delta-lost;
+    * the replay regenerates both from the same inputs.
     */
   def lineDedupIngest(stream: DataFrame, idCol: String, textCol: String,
       minDocFreq: Long, storeDir: String, outDir: String,
