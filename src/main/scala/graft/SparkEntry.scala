@@ -562,10 +562,43 @@ object SparkEntry {
             .as("fp_window_monotone"))
     }),
 
-    // SimHash near-dup pairs via 4x16-bit block LSH (spec-verified)
+    // SimHash near-dup pairs via 4x16-bit block LSH, gated under the
+    // q33 contract form (hamming over xxhash64-derived fingerprints has
+    // no SQL twin; DedupSpec keeps the brute-force recall proof). The
+    // corpus is augmented with planted exact-text twins — every 7th doc
+    // re-enters under doc_id+1,000,000 with IDENTICAL text, a derivation
+    // DuckDB replays verbatim. Identical text ⇒ identical fingerprint ⇒
+    // hamming 0 ⇒ all four blocks collide, so each planted pair MUST
+    // surface (required-TRUE anchor; a pair could only vanish if all
+    // four of its block values were boilerplate-hot, which the gate
+    // would then catch). Global invariants over ALL emitted pairs ride
+    // along as required-TRUE booleans: canonical id_a<id_b order,
+    // hamming within [0, maxHamming], and pair-list distinctness.
     "q25_simhash_neardup" -> ((s, dir) => {
-      graft.dedup.Dedup.simHashPairs(
-        Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val plantBase = docs.filter(col("doc_id") % 7 === 0)
+      val corpus = docs.unionByName(
+        plantBase.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pairs = graft.dedup.Dedup.simHashPairs(corpus, "doc_id", "text",
+        maxHamming = 3) // eager internal checkpoint: pairs feed two consumers
+      val inv = pairs.agg(
+        coalesce(bool_and(col("id_a") < col("id_b")), lit(true))
+          .as("pairs_canonical"),
+        coalesce(bool_and(col("hamming") >= 0 && col("hamming") <= 3), lit(true))
+          .as("hamming_within_bound"),
+        (count(lit(1)) === countDistinct(col("id_a"), col("id_b")))
+          .as("pairs_distinct"))
+      val found = pairs.select(col("id_a").as("doc_id"),
+        col("id_b").as("twin_id"), col("hamming"))
+      plantBase.select(col("doc_id"),
+          (col("doc_id") + 1000000L).as("twin_id"),
+          length(col("text")).cast("long").as("n_chars"))
+        .join(found, Seq("doc_id", "twin_id"), "left")
+        .crossJoin(broadcast(inv))
+        .select(col("doc_id"), col("twin_id"), col("n_chars"),
+          coalesce(col("hamming") === 0, lit(false)).as("twin_pair_found"),
+          col("pairs_canonical"), col("hamming_within_bound"),
+          col("pairs_distinct"))
     }),
 
     // Tumbling-window event aggregation (batch twin of the streaming path)
@@ -702,11 +735,33 @@ object SparkEntry {
     // the oracle for this regime.
     "q34_embedding_neardup_lsh" -> ((s, dir) => {
       // same `vec_id < 500` pin as q23 so the twin relationship (same
-      // subset, same threshold) holds at every sf
-      graft.dedup.Dedup.embeddingPairsLsh(
-        Tables.embeddings(s, dir)
-          .filter(col("vec_id") % 5 === 0 && col("vec_id") < 500),
-        "vec_id", "embedding", threshold = 0.35, dim = 64)
+      // subset, same threshold) holds at every sf. Gated under the
+      // q28-style contract: the exhaustive pairs ARE the exact anchors
+      // (q23's oracle already hash-matches DuckDB's identical cosine
+      // fold), and two required-TRUE aggregates state what the LSH path
+      // genuinely promises — precision 1.0 (exact-cosine verify means
+      // every LSH pair is an exhaustive pair) and a measured recall
+      // floor (0.385-0.5 across the sf sweep at this deliberately
+      // sub-knee threshold; floor 0.3 with margin — see the q23 comment
+      // for why low-threshold recall is regime-bound).
+      val e = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 5 === 0 && col("vec_id") < 500)
+      val lsh = graft.dedup.Dedup.embeddingPairsLsh(
+        e, "vec_id", "embedding", threshold = 0.35, dim = 64)
+      val exact = graft.dedup.Dedup.embeddingPairsBrute(
+        e, "vec_id", "embedding", threshold = 0.35).localCheckpoint()
+      val counts = lsh
+        .join(exact.withColumn("__e", lit(true)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("__nl"),
+          sum(when(col("__e"), 1L).otherwise(0L)).as("__hit"))
+      val flags = counts
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("__ne"))))
+        .select(
+          (coalesce(col("__hit"), lit(0L)) === col("__nl"))
+            .as("lsh_subset_of_exact"),
+          (coalesce(col("__hit"), lit(0L)).cast(DoubleType) >=
+            col("__ne") * 0.3).as("recall_floor_ok"))
+      exact.crossJoin(broadcast(flags))
     }),
 
     // End-to-end corpus curation through the SQL-expressible stages:
@@ -759,14 +814,46 @@ object SparkEntry {
         .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality"))
     }),
 
-    // Transitive duplicate clusters: SimHash near-dup pairs → distributed
-    // connected components (min-label propagation) → (id, cluster_id).
-    // Not SQL-expressible (iterative); ComponentsSpec proves it against a
-    // driver-side union-find oracle.
+    // Transitive duplicate clusters: SimHash near-dup pairs → connected
+    // components (min-label propagation) → (id, cluster_id), gated under
+    // the q33 contract form (the component structure of hash-derived
+    // pairs has no SQL twin; ComponentsSpec keeps the union-find
+    // equality proof). Planted anchors: every 11th doc re-enters TWICE
+    // with identical text (doc_id+1,000,000 and +2,000,000), a clique
+    // DuckDB replays — all three members must co-cluster (hamming-0
+    // pairs always surface, q25's argument, and components only need
+    // connectivity). Global invariants ride along: every id appears
+    // exactly once, and each cluster's label IS its minimum member id
+    // (the min-label-propagation postcondition).
     "q38_dup_clusters" -> ((s, dir) => {
-      val pairs = graft.dedup.Dedup.simHashPairs(
-        Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
-      graft.dedup.Components.connectedComponents(pairs)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 11 === 0)
+      def shifted(off: Long) =
+        base.select((col("doc_id") + off).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(shifted(1000000L)).unionByName(shifted(2000000L))
+      val pairs = graft.dedup.Dedup.simHashPairs(corpus, "doc_id", "text",
+        maxHamming = 3)
+      val comps = graft.dedup.Components.connectedComponents(pairs)
+        .localCheckpoint() // four consumers below
+      val inv = comps.agg(
+          (count(lit(1)) === countDistinct(col("id"))).as("membership_unique"))
+        .crossJoin(broadcast(
+          comps.groupBy(col("cluster_id")).agg(min(col("id")).as("__mn"))
+            .agg(coalesce(bool_and(col("__mn") === col("cluster_id")), lit(true))
+              .as("cluster_label_is_min_member"))))
+      def memberLabel(off: Long, as: String) =
+        comps.select((col("id") - off).as("doc_id"), col("cluster_id").as(as))
+      base.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .join(memberLabel(0L, "__c0"), Seq("doc_id"), "left")
+        .join(memberLabel(1000000L, "__c1"), Seq("doc_id"), "left")
+        .join(memberLabel(2000000L, "__c2"), Seq("doc_id"), "left")
+        .crossJoin(broadcast(inv))
+        .select(col("doc_id"), col("n_chars"),
+          (col("__c0").isNotNull && col("__c0") === col("__c1") &&
+            col("__c0") === col("__c2")).as("clique_co_clustered"),
+          coalesce(col("__c0") <= col("doc_id"), lit(false))
+            .as("cluster_label_bounded"),
+          col("membership_unique"), col("cluster_label_is_min_member"))
     }),
 
     // Token-budget capping: per language keep the longest docs while the
@@ -1095,27 +1182,105 @@ object SparkEntry {
     // SemDeDup: k-means neighborhoods, within-cluster cosine pruning —
     // the embedding-space dedup of the curation stack. Input pinned to
     // the fixed vec_id<2000 slice (q23 convention: constant work at
-    // every sf). Rows-only (iterative k-means); KnnSpec proves nlist=1
-    // ≡ brute oracle and that clustering never invents drops.
+    // every sf). Iterative k-means has no SQL twin, so the gate runs
+    // the q33 contract form over a twin-planted corpus (KnnSpec keeps
+    // the nlist=1 ≡ brute proof and never-invents-drops): every 9th
+    // vector re-enters COINCIDENT under vec_id+1,000,000 — identical
+    // vectors always share a cluster (deterministic assignment) at
+    // cosine 1 ≥ threshold, and SemDeDup only ever drops the larger id
+    // of a pair, so each planted twin MUST be dropped (required TRUE)
+    // while the corpus-minimum id can never be (nothing smaller exists
+    // to beat it). Survivor-set distinctness rides along.
     "q78_semantic_dedup" -> ((s, dir) => {
-      graft.similarity.Knn.semanticDedup(
-        Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
-          .select("vec_id", "embedding"),
-        "vec_id", "embedding", threshold = 0.5, nlist = 16)
-        .select("vec_id", "cluster_id")
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+        .select("vec_id", "embedding")
+      // fresh scan for the planted side: a union whose children share
+      // attribute ids (both projected off one scan) trips Catalyst's
+      // union constraint rewrite ("key not found" in rewriteConstraints)
+      val planted = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 2000 && col("vec_id") % 9 === 0)
+        .select("vec_id", "embedding")
+      // checkpointed for the same two reasons as q79's corpus
+      val corpus = e.unionByName(planted
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .localCheckpoint()
+      val surv = graft.similarity.Knn.semanticDedup(corpus, "vec_id",
+          "embedding", threshold = 0.5, nlist = 16)
+        .select("vec_id").localCheckpoint() // three consumers below
+      val inv = surv.agg(
+          (count(lit(1)) === countDistinct(col("vec_id"))).as("survivors_unique"),
+          min(col("vec_id")).as("__mns"))
+        .crossJoin(broadcast(corpus.agg(min(col("vec_id")).as("__mnc"))))
+        .select(col("survivors_unique"),
+          (col("__mns") === col("__mnc")).as("global_min_survives"))
+      planted.select(col("vec_id"), (col("vec_id") + 1000000L).as("twin_id"))
+        .join(surv.select(col("vec_id").as("twin_id"), lit(true).as("__s")),
+          Seq("twin_id"), "left")
+        .crossJoin(broadcast(inv))
+        .select(col("vec_id"), col("twin_id"),
+          col("__s").isNull.as("twin_dropped"),
+          col("survivors_unique"), col("global_min_survives"))
     }),
 
     // Embedding outlier gate: cosine-to-own-centroid below threshold.
     // Same pinned slice; narrow scoring pass after bounded quantizer
-    // training. Rows-only; KnnSpec plants an off-manifold vector in a
-    // clustered fixture and proves the flag is exactly the predicate.
+    // training. KnnSpec plants an off-manifold vector in a CLUSTERED
+    // fixture and proves the flag is exactly the predicate — a planted
+    // outlier cannot be carried into the driver gate because the
+    // testdata embeddings are near-uniform on the unit sphere (label-
+    // mean norms ~0.14), so no fixed direction is guaranteed far from
+    // every data-derived centroid. The gate therefore runs the q33
+    // contract on what IS guaranteed: planted coincident twins (every
+    // 13th vector re-enters under +1,000,000) must receive bit-identical
+    // (cluster_id, centroid_cosine, is_outlier) — same expression over
+    // the same input and centroid literals; flag ≡ score<τ consistency,
+    // cluster-range and cosine-range bounds hold corpus-wide; the
+    // scored-row count is an exact anchor DuckDB recomputes; and the
+    // outlier fraction sits in the measured band (2.6-7.1% across the
+    // sf sweep; sane bounds ≥1 row, ≤12%).
     "q79_embedding_outliers" -> ((s, dir) => {
-      graft.similarity.Knn.embeddingOutliers(
-        Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
-          .select("vec_id", "embedding"),
-        "vec_id", "embedding", minCentroidCosine = 0.16, nlist = 16)
-        .filter(col("is_outlier"))
-        .select("vec_id", "cluster_id", "centroid_cosine")
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+        .select("vec_id", "embedding")
+      // fresh scan for the planted side — same union-constraint
+      // rationale as q78
+      val planted = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 2000 && col("vec_id") % 13 === 0)
+        .select("vec_id", "embedding")
+      // checkpointed: (a) the quantizer + scoring pass read the corpus
+      // several times, (b) leaving the union in the plan trips
+      // Catalyst's union constraint rewrite under the later projections
+      val corpus = e.unionByName(planted
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .localCheckpoint()
+      val out = graft.similarity.Knn.embeddingOutliers(corpus, "vec_id",
+          "embedding", minCentroidCosine = 0.16, nlist = 16)
+        .select("vec_id", "cluster_id", "centroid_cosine", "is_outlier")
+        .localCheckpoint() // three consumers below
+      val inv = out.agg(
+        count(lit(1)).as("n_scored"),
+        (count(lit(1)) === countDistinct(col("vec_id"))).as("scored_once"),
+        bool_and(col("is_outlier") === (col("centroid_cosine") < 0.16))
+          .as("flag_matches_score"),
+        bool_and(col("cluster_id") >= 0 && col("cluster_id") < 16)
+          .as("cluster_in_range"),
+        bool_and(abs(col("centroid_cosine")) <= 1.0001).as("cosine_bounded"),
+        ((sum(when(col("is_outlier"), 1L).otherwise(0L)) >= 1L) &&
+          (sum(when(col("is_outlier"), 1L).otherwise(0L)).cast(DoubleType)
+            <= count(lit(1)) * 0.12)).as("outlier_fraction_sane"))
+      def scored(idExpr: org.apache.spark.sql.Column, pre: String) =
+        out.select(idExpr.as("vec_id"), col("cluster_id").as(s"__${pre}c"),
+          col("centroid_cosine").as(s"__${pre}s"), col("is_outlier").as(s"__${pre}o"))
+      planted.select(col("vec_id"), (col("vec_id") + 1000000L).as("twin_id"))
+        .join(scored(col("vec_id"), "a"), Seq("vec_id"))
+        .join(scored(col("vec_id"), "b")
+          .withColumnRenamed("vec_id", "twin_id"), Seq("twin_id"))
+        .crossJoin(broadcast(inv))
+        .select(col("vec_id"), col("twin_id"),
+          (col("__ac") === col("__bc") && col("__as") === col("__bs") &&
+            col("__ao") === col("__bo")).as("twin_consistent"),
+          col("n_scored"), col("scored_once"), col("flag_matches_score"),
+          col("cluster_in_range"), col("cosine_bounded"),
+          col("outlier_fraction_sane"))
     }),
 
     // SCD2 × as-of composition: facts resolve the dim version in effect
@@ -2978,6 +3143,55 @@ object SparkEntry {
         |SELECT d.doc_id, g.n_text_twins, CAST(len(d.text) AS BIGINT) AS n_chars,
         |  TRUE AS fp_pure, TRUE AS fp_window_monotone
         |FROM documents d JOIN g USING (text)""".stripMargin,
+
+    // planted exact-text twins must pair at hamming 0; list-wide
+    // invariants required TRUE (q33 contract form — see the query body)
+    "q25_simhash_neardup" ->
+      """SELECT doc_id, doc_id + 1000000 AS twin_id,
+        |  CAST(len(text) AS BIGINT) AS n_chars,
+        |  TRUE AS twin_pair_found, TRUE AS pairs_canonical,
+        |  TRUE AS hamming_within_bound, TRUE AS pairs_distinct
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+
+    // exhaustive cosine pairs are the exact anchors (q23's arithmetic);
+    // LSH precision/recall-floor booleans required TRUE
+    "q34_embedding_neardup_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 5 = 0 AND vec_id < 500)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  TRUE AS lsh_subset_of_exact, TRUE AS recall_floor_ok
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) > 0.35""".stripMargin,
+
+    // planted identical-text cliques must co-cluster; membership and
+    // min-label invariants required TRUE
+    "q38_dup_clusters" ->
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |  TRUE AS clique_co_clustered, TRUE AS cluster_label_bounded,
+        |  TRUE AS membership_unique, TRUE AS cluster_label_is_min_member
+        |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
+
+    // planted coincident twins must be SemDeDup'd away; the corpus
+    // minimum can never be (drops always take the larger id)
+    "q78_semantic_dedup" ->
+      """SELECT vec_id, vec_id + 1000000 AS twin_id, TRUE AS twin_dropped,
+        |  TRUE AS survivors_unique, TRUE AS global_min_survives
+        |FROM embeddings WHERE vec_id < 2000 AND vec_id % 9 = 0""".stripMargin,
+
+    // coincident twins score identically; flag ≡ predicate; exact
+    // scored-count anchor; measured outlier-fraction band
+    "q79_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id FROM embeddings WHERE vec_id < 2000),
+        |n AS (SELECT CAST((SELECT COUNT(*) FROM e) +
+        |  (SELECT COUNT(*) FROM e WHERE vec_id % 13 = 0) AS BIGINT) AS n_scored)
+        |SELECT e.vec_id, e.vec_id + 1000000 AS twin_id,
+        |  TRUE AS twin_consistent, n.n_scored, TRUE AS scored_once,
+        |  TRUE AS flag_matches_score, TRUE AS cluster_in_range,
+        |  TRUE AS cosine_bounded, TRUE AS outlier_fraction_sane
+        |FROM e, n WHERE e.vec_id % 13 = 0""".stripMargin,
 
     // EXACT replay of greedy left-to-right BPE merge application: each
     // word renders as '|c |c …' (corpus is pipe- and newline-free ASCII,
