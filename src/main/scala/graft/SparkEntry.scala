@@ -610,9 +610,31 @@ object SparkEntry {
           col("cnt"), col("sum_value"))
     }),
 
-    // Multimodal plumbing: binary column + stubbed batch decode + summary
+    // Multimodal features with REAL pixel/sample decode: documents
+    // synthesize fully decodable payloads (uncompressed 24bpp BMP for
+    // image/video docs, PCM-16 WAV for audio docs) carrying planted
+    // id-derived pixel/sample values; the native byte-walk kernels
+    // decode the ACTUAL bytes back out (row padding skipped, RIFF chunk
+    // walk to `data`), and the oracle recomputes every statistic
+    // arithmetically — an encode→decode round trip at the pixel tier,
+    // exact to the byte. Integer stats only (count/min/max/sum), so the
+    // hash match is exact. `decodeStub` (true-codec formats) no longer
+    // feeds any registered query.
     "q27_media_features" -> ((s, dir) => {
-      graft.multimodal.Media.featureSummary(Tables.documents(s, dir))
+      val media = graft.multimodal.Media
+        .fromDocumentsPixels(Tables.documents(s, dir)).toDF()
+      media.select(col("media_id"), col("kind"),
+          coalesce(graft.multimodal.Media.pixelStats(col("content")),
+            graft.multimodal.Media.sampleStats(col("content"))).as("st"),
+          graft.multimodal.Media.headerDims(col("content")).as("hd"),
+          graft.multimodal.Media.audioMeta(col("content")).as("am"))
+        .select(col("media_id"), col("kind"),
+          coalesce(col("hd.format"), col("am.format")).as("format"),
+          col("hd.width").as("width"), col("hd.height").as("height"),
+          element_at(col("st"), 1).as("n_units"),
+          element_at(col("st"), 2).as("unit_min"),
+          element_at(col("st"), 3).as("unit_max"),
+          element_at(col("st"), 4).as("unit_sum"))
     }),
 
     // REAL media-header decode round trip: image/video payloads carry a
@@ -3173,6 +3195,32 @@ object SparkEntry {
         |  TRUE AS clique_co_clustered, TRUE AS cluster_label_bounded,
         |  TRUE AS membership_unique, TRUE AS cluster_label_is_min_member
         |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
+
+    // full arithmetic replay of the planted pixel/sample ground truth:
+    // the BMP/WAV-PCM payloads carry formula-derived bytes, the native
+    // kernels decode them back, and DuckDB recomputes every statistic
+    "q27_media_features" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 3 AS m,
+        |    4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+        |    64 + doc_id % 32 AS ns
+        |  FROM documents),
+        |px AS (SELECT doc_id, flatten(list_transform(range(h), r ->
+        |         list_transform(range(w*3), j -> (doc_id + r*31 + j*7) % 256))) AS pl
+        |       FROM base WHERE m <> 1),
+        |au AS (SELECT doc_id, list_transform(range(ns), k ->
+        |         ((doc_id*13 + k*37) % 4096) - 2048) AS sl
+        |       FROM base WHERE m = 1)
+        |SELECT b.doc_id AS media_id,
+        |  CASE b.m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE WHEN b.m = 1 THEN 'wav' ELSE 'bmp' END AS format,
+        |  CAST(CASE WHEN b.m = 1 THEN NULL ELSE b.w END AS BIGINT) AS width,
+        |  CAST(CASE WHEN b.m = 1 THEN NULL ELSE b.h END AS BIGINT) AS height,
+        |  CAST(CASE WHEN b.m = 1 THEN b.ns ELSE b.w*3*b.h END AS BIGINT) AS n_units,
+        |  CAST(CASE WHEN b.m = 1 THEN list_min(a.sl) ELSE list_min(p.pl) END AS BIGINT) AS unit_min,
+        |  CAST(CASE WHEN b.m = 1 THEN list_max(a.sl) ELSE list_max(p.pl) END AS BIGINT) AS unit_max,
+        |  CAST(CASE WHEN b.m = 1 THEN list_sum(a.sl) ELSE list_sum(p.pl) END AS BIGINT) AS unit_sum
+        |FROM base b LEFT JOIN px p USING (doc_id) LEFT JOIN au a USING (doc_id)""".stripMargin,
 
     // planted coincident twins must be SemDeDup'd away; the corpus
     // minimum can never be (drops always take the larger id)

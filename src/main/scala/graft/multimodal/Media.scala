@@ -12,13 +12,19 @@ import org.apache.spark.sql.functions._
   *     screen, BMP info header) and need no codec — parsed with pure
   *     codegen'd byte arithmetic (substring/hex/conv) as a narrow map
   *     over the scan.
-  *   - PIXEL decode ([[decodeStub]]) IS A STUB — this container ships no
-  *     image/audio codecs, so it derives deterministic fake features
-  *     from the bytes. Everything around it is the real Spark shape a
+  *   - PIXEL/SAMPLE decode is REAL for the codec-less formats:
+  *     uncompressed 24bpp BMP pixels ([[pixelStats]]) and PCM-16 WAV
+  *     samples ([[sampleStats]]) are plain bytes, decoded by native
+  *     byte-walk kernels (q27's gate round-trips planted pixel/sample
+  *     statistics through them).
+  *   - PIXEL decode for TRUE codec formats (PNG/JPEG bitstreams,
+  *     compressed audio) stays behind [[decodeStub]] — this container
+  *     ships no codecs, so it derives deterministic fake features from
+  *     the bytes. Everything around it is the real Spark shape a
   *     production pipeline needs: binary column + metadata struct
   *     schema, per-partition batch iteration (amortizes codec init, the
   *     expensive part of real decoders), and a bounded-width feature
-  *     output schema.
+  *     output schema. No registered gate query consumes it.
   *
   * Scale notes: binary payloads dominate I/O at 100 TB — the media table
   * should be partitioned by kind and bucketed by media_id so feature
@@ -240,7 +246,10 @@ object Media {
 
   /** A minimal-but-valid WAV prefix (RIFF/WAVE + fmt chunk with the given
     * sample rate and channel count) wrapping an arbitrary body — the
-    * audio twin of [[pngPayload]].
+    * audio twin of [[pngPayload]]. Metadata-tier only: the fmt chunk is
+    * truncated after the sample rate, so [[audioMeta]] parses it but the
+    * PCM decoder ([[sampleStats]]) correctly rejects it. Use
+    * [[wavPcmPayload]] for a fully decodable stream.
     */
   def wavPayload(sampleRate: Column, channels: Column, body: Column): Column =
     concat(
@@ -253,6 +262,58 @@ object Media {
       le16Bytes(channels),
       le32Bytes(sampleRate),
       body.cast("binary"))
+
+  /** A COMPLETE uncompressed 24-bit BMP: BITMAPFILEHEADER +
+    * BITMAPINFOHEADER (BI_RGB) + the given pixel rows, which the caller
+    * supplies ALREADY padded to 4-byte row multiples (the BMP row
+    * contract). Unlike [[pngPayload]], everything here is genuinely
+    * decodable — BI_RGB pixel data is plain bytes — so
+    * [[pixelStats]] round-trips real per-pixel statistics (q27's gate).
+    */
+  def bmpPayload(width: Column, height: Column, paddedRows: Column): Column = {
+    val body = paddedRows.cast("binary")
+    concat(
+      lit("BM".getBytes("US-ASCII")),
+      le32Bytes(lit(54L) + length(body)),        // file size
+      lit(Array[Byte](0, 0, 0, 0)),              // reserved
+      le32Bytes(lit(54L)),                       // pixel-array offset
+      le32Bytes(lit(40L)),                       // BITMAPINFOHEADER size
+      le32Bytes(width),
+      le32Bytes(height),
+      le16Bytes(lit(1L)),                        // color planes
+      le16Bytes(lit(24L)),                       // bits per pixel
+      le32Bytes(lit(0L)),                        // BI_RGB (uncompressed)
+      le32Bytes(length(body)),                   // image size
+      le32Bytes(lit(2835L)), le32Bytes(lit(2835L)), // 72 DPI
+      le32Bytes(lit(0L)), le32Bytes(lit(0L)),    // palette: none
+      body)
+  }
+
+  /** A COMPLETE PCM-16 WAV: RIFF/WAVE + full 16-byte fmt chunk + `data`
+    * chunk holding the given little-endian sample bytes — the fully
+    * decodable audio twin of [[bmpPayload]] (and a superset of
+    * [[wavPayload]]'s metadata tier: [[audioMeta]] still parses it).
+    */
+  def wavPcmPayload(sampleRate: Column, channels: Column,
+      sampleBytes: Column): Column = {
+    val body = sampleBytes.cast("binary")
+    val blockAlign = channels * lit(2L)
+    concat(
+      lit("RIFF".getBytes("US-ASCII")),
+      le32Bytes(lit(36L) + length(body)),        // 4 WAVE + 24 fmt + 8 data hdr
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")),
+      le32Bytes(lit(16L)),
+      le16Bytes(lit(1L)),                        // integer PCM
+      le16Bytes(channels),
+      le32Bytes(sampleRate),
+      le32Bytes(sampleRate * blockAlign),        // byte rate
+      le16Bytes(blockAlign),
+      le16Bytes(lit(16L)),                       // bits per sample
+      lit("data".getBytes("US-ASCII")),
+      le32Bytes(length(body)),
+      body)
+  }
 
   case class MediaRecord(
       media_id: Long,
@@ -315,6 +376,77 @@ object Media {
       content.as("content"),
       col("source"))
       // real payload size, header included
+      .withColumn("n_bytes", length(col("content")).cast("long"))
+      .as[MediaRecord]
+  }
+
+  /** Column wrappers for the REAL pixel/sample decode kernels (see
+    * [[org.apache.spark.sql.graft.GraftExpressions.bmpPixelStats]] /
+    * `wavSampleStats`): `[n_units, min, max, sum]` as array<bigint>, or
+    * null when the bytes are not decodable without a codec.
+    */
+  def pixelStats(content: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.bmpPixelStats(content)
+  def sampleStats(content: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.wavSampleStats(content)
+
+  private def hexByte(v: Column): Column = lpad(hex(pmod(v, lit(256L))), 2, "0")
+
+  /** Deterministic id-derived BMP pixel rows — value `(id + r*31 + j*7)
+    * % 256` at row r, byte j — padded to 4-byte row multiples with
+    * zeros, as the REAL decoders' planted ground truth (an external
+    * oracle replays the same arithmetic; padding bytes are excluded
+    * from [[pixelStats]] by the BMP row contract).
+    */
+  private[graft] def plantedPixelRows(id: Column, w: Column, h: Column): Column = {
+    val rowBytes = w * 3L
+    val pad = (lit(4L) - rowBytes % 4L) % 4L
+    def row(r: Column): Column = concat(
+      concat_ws("", transform(sequence(lit(0L), rowBytes - 1L),
+        j => hexByte(id + r * 31L + j * 7L))),
+      repeat(lit("00"), pad.cast("int")))
+    unhex(concat_ws("", transform(sequence(lit(0L), h - 1L), r => row(r))))
+  }
+
+  /** Deterministic id-derived PCM-16 samples, little-endian: `s(k) =
+    * ((id*13 + k*37) % 4096) - 2048` for k in [0, n).
+    */
+  private[graft] def plantedSampleBytes(id: Column, n: Column): Column = {
+    def le(k: Column): Column = {
+      val u = pmod((id * 13L + k * 37L) % 4096L - 2048L, lit(65536L))
+      val hx = lpad(hex(u), 4, "0")
+      concat(substring(hx, 3, 2), substring(hx, 1, 2))
+    }
+    unhex(concat_ws("", transform(sequence(lit(0L), n - 1L), k => le(k))))
+  }
+
+  /** Like [[fromDocumentsPng]] but every payload is FULLY decodable
+    * without a codec: image/video docs carry an uncompressed 24bpp BMP
+    * (w = 4 + id%5 — exercising all four row-padding cases, h = 2 +
+    * id%3) whose pixel bytes follow the planted formula, audio docs a
+    * PCM-16 WAV (n = 64 + id%32 planted samples). [[pixelStats]] /
+    * [[sampleStats]] decode the ACTUAL bytes back out, and q27's oracle
+    * recomputes the statistics arithmetically — a real encode→decode
+    * round trip at the pixel/sample tier, not just the header tier.
+    */
+  def fromDocumentsPixels(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val id = col("doc_id")
+    val kind = element_at(typedLit(Seq("image", "audio", "video")),
+      (id % 3 + 1).cast("int"))
+    val w = lit(4L) + id % 5L
+    val h = lit(2L) + id % 3L
+    val nSamp = lit(64L) + id % 32L
+    val content = when(kind === "audio",
+      wavPcmPayload(lit(8000L) + (id % 8L) * 4000L, lit(1L) + id % 2L,
+        plantedSampleBytes(id, nSamp)))
+      .otherwise(bmpPayload(w, h, plantedPixelRows(id, w, h)))
+    docs.select(
+      id.as("media_id"),
+      kind.as("kind"),
+      content.as("content"),
+      col("source"))
       .withColumn("n_bytes", length(col("content")).cast("long"))
       .as[MediaRecord]
   }

@@ -118,6 +118,112 @@ object GraftExpressions {
   def mp4DurationMs(bytes: Column): Column =
     ExpressionUtils.column(Mp4DurationMs(ExpressionUtils.expression(bytes)))
 
+  /** REAL pixel decode for uncompressed 24-bit BMP bytes:
+    * `[n_pixel_bytes, min, max, sum]` over the raw pixel data (row
+    * padding excluded — BMP rows pad to 4-byte multiples), or null when
+    * the bytes are not an uncompressed 24bpp BMP (wrong magic, bpp,
+    * BI_RGB compression flag, or truncated pixel array). No codec is
+    * involved because BI_RGB pixel data IS plain bytes — this is the
+    * honest boundary between the header tier and true codec formats
+    * (PNG/JPEG pixels), which remain behind [[graft.multimodal
+    * .Media.decodeStub]]. Top-down bitmaps (negative height) decode
+    * too; statistics are row-order-invariant anyway.
+    */
+  def bmpPixelStats(bytes: Column): Column =
+    ExpressionUtils.column(BmpPixelStats(ExpressionUtils.expression(bytes)))
+
+  /** REAL sample decode for PCM-16 WAV bytes: `[n_samples, min, max,
+    * sum]` over the signed little-endian samples of the `data` chunk,
+    * or null for anything that is not integer PCM-16 (float/ADPCM/etc
+    * would need a decoder) or whose chunk walk is malformed/truncated.
+    * A genuine RIFF chunk walk — `data` is found by hopping chunks by
+    * their declared sizes (word-aligned), never by a fixed offset.
+    */
+  def wavSampleStats(bytes: Column): Column =
+    ExpressionUtils.column(WavSampleStats(ExpressionUtils.expression(bytes)))
+
+  private def le16u(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32u(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  def computeBmpPixelStats(b: Array[Byte]): ArrayData = {
+    val n = b.length
+    if (n < 54 || (b(0) & 0xFF) != 'B' || (b(1) & 0xFF) != 'M') return null
+    val dataOffset = le32u(b, 10)
+    val infoSize = le32u(b, 14)
+    if (infoSize < 40) return null // BITMAPINFOHEADER or a later superset
+    val w = le32u(b, 18).toInt // signed i32 fields
+    val hRaw = le32u(b, 22).toInt
+    val bpp = le16u(b, 28)
+    val compression = le32u(b, 30)
+    if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0L) return null
+    val h = math.abs(hRaw) // negative height = top-down row order
+    val rowBytes = w * 3
+    val rowSize = ((rowBytes + 3) / 4) * 4
+    val start = dataOffset
+    if (start < 54L || start + rowSize.toLong * h > n) return null
+    var mn = 255L; var mx = 0L; var sum = 0L
+    var r = 0
+    while (r < h) {
+      val base = (start + r.toLong * rowSize).toInt
+      var j = 0
+      while (j < rowBytes) {
+        val v = (b(base + j) & 0xFF).toLong
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sum += v
+        j += 1
+      }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(rowBytes.toLong * h, mn, mx, sum))
+  }
+
+  def computeWavSampleStats(b: Array[Byte]): ArrayData = {
+    val n = b.length
+    if (n < 12 || !isType(b, 0, "RIFF") || !isType(b, 8, "WAVE")) return null
+    var pos = 12
+    var fmtOk = false
+    while (pos + 8 <= n) {
+      val size = le32u(b, pos + 4)
+      val payload = pos + 8
+      if (isType(b, pos, "fmt ")) {
+        if (size < 16 || payload + 16 > n) return null
+        val audioFormat = le16u(b, payload)
+        val bits = le16u(b, payload + 14)
+        if (audioFormat != 1 || bits != 16) return null // integer PCM-16 only
+        fmtOk = true
+      } else if (isType(b, pos, "data")) {
+        if (!fmtOk) return null // data before fmt: malformed
+        if (payload + size > n) return null // truncated data chunk
+        val count = (size / 2).toInt
+        if (count == 0) {
+          return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            Array(0L, 0L, 0L, 0L))
+        }
+        var mn = Long.MaxValue; var mx = Long.MinValue; var sum = 0L
+        var k = 0
+        while (k < count) {
+          val u = le16u(b, payload + k * 2)
+          val s = (if (u >= 32768) u - 65536 else u).toLong
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          sum += s
+          k += 1
+        }
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array(count.toLong, mn, mx, sum))
+      }
+      val hop = size + (size & 1L) // chunks are word-aligned
+      if (hop > n) return null // declared size cannot advance past the end
+      pos = payload + hop.toInt
+    }
+    null
+  }
+
   private def be32u(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
       ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
@@ -893,6 +999,60 @@ case class Mp4DurationMs(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): Mp4DurationMs =
+    copy(child = newChild)
+}
+
+/** Uncompressed-24bpp BMP pixel statistics (see
+  * [[GraftExpressions.computeBmpPixelStats]]).
+  */
+case class BmpPixelStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bmp_pixel_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.computeBmpPixelStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("bmpStats")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+        org.apache.spark.sql.graft.GraftExpressions.computeBmpPixelStats($c);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BmpPixelStats =
+    copy(child = newChild)
+}
+
+/** PCM-16 WAV sample statistics via the RIFF chunk walk (see
+  * [[GraftExpressions.computeWavSampleStats]]).
+  */
+case class WavSampleStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_sample_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.computeWavSampleStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("wavStats")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+        org.apache.spark.sql.graft.GraftExpressions.computeWavSampleStats($c);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WavSampleStats =
     copy(child = newChild)
 }
 

@@ -288,4 +288,85 @@ class MediaSpec extends AnyFunSuite {
       assert(r.getLong(4) === (id % 86400L) * scale, s"duration for $id")
     }
   }
+
+  test("bmpPixelStats: real pixel decode incl. padding, top-down, rejections") {
+    import org.apache.spark.sql.functions.col
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // hand-built 24bpp BMP: w=2 (rowBytes 6, rowSize 8 → 2 pad), h=2
+    def bmp(w: Int, h: Int, bpp: Int, compression: Int, rows: Array[Byte]) =
+      "BM".getBytes("US-ASCII") ++ le32(54 + rows.length) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(bpp) ++
+        le32(compression) ++ le32(rows.length) ++ le32(2835) ++ le32(2835) ++
+        le32(0) ++ le32(0) ++ rows
+    val rows = Array[Byte](10, 20, 30, 40, 50, 60, 99, 99, // row 0 + 2 pad
+      5, 15, 25, 35, 45, 55, 99, 99)                       // row 1 + 2 pad
+    val good = bmp(2, 2, 24, 0, rows)
+    val topDown = bmp(2, -2, 24, 0, rows)        // negative height: top-down
+    val wrongBpp = bmp(2, 2, 8, 0, rows)
+    val compressed = bmp(2, 2, 24, 1, rows)      // BI_RLE8
+    val truncated = bmp(2, 4, 24, 0, rows)       // declares more rows than present
+    val df = Seq((1L, good), (2L, topDown), (3L, wrongBpp), (4L, compressed),
+      (5L, truncated)).toDF("id", "content")
+      .select(col("id"), Media.pixelStats(col("content")).as("st"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    // padding bytes (99) excluded: stats over the 12 pixel bytes only
+    assert(df(1L) === Some(Seq(12L, 5L, 60L, 10 + 20 + 30 + 40 + 50 + 60 + 5 + 15 + 25 + 35 + 45 + 55L)))
+    assert(df(2L) === df(1L)) // stats are row-order-invariant
+    assert(df(3L).isEmpty && df(4L).isEmpty && df(5L).isEmpty)
+  }
+
+  test("wavSampleStats: RIFF chunk walk to data, signed samples, rejections") {
+    import org.apache.spark.sql.functions.col
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def fmt(audioFormat: Int, bits: Int) =
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(audioFormat) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(bits)
+    def data(samples: Seq[Int]) =
+      "data".getBytes("US-ASCII") ++ le32(samples.length * 2) ++
+        samples.toArray.flatMap(le16)
+    def wav(chunks: Array[Byte]) =
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + chunks.length) ++
+        "WAVE".getBytes("US-ASCII") ++ chunks
+    val samples = Seq(-2048, 0, 2047, -1)
+    val good = wav(fmt(1, 16) ++ data(samples))
+    // LIST chunk between fmt and data: the walk must hop it by size
+    val listed = wav(fmt(1, 16) ++
+      ("LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII")) ++
+      data(samples))
+    val floatWav = wav(fmt(3, 32) ++ data(samples)) // IEEE float: rejected
+    val dataFirst = wav(data(samples) ++ fmt(1, 16)) // data before fmt: rejected
+    val truncated = wav(fmt(1, 16) ++ "data".getBytes("US-ASCII") ++ le32(100))
+    val df = Seq((1L, good), (2L, listed), (3L, floatWav), (4L, dataFirst),
+      (5L, truncated)).toDF("id", "content")
+      .select(col("id"), Media.sampleStats(col("content")).as("st"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(df(1L) === Some(Seq(4L, -2048L, 2047L, -2L)))
+    assert(df(2L) === df(1L))
+    assert(df(3L).isEmpty && df(4L).isEmpty && df(5L).isEmpty)
+  }
+
+  test("fromDocumentsPixels -> real decode round-trips the planted formulas") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, SparkTestSession.sfTiny)
+    val media = Media.fromDocumentsPixels(docs).toDF()
+    val out = media.select(col("media_id"), col("kind"),
+        org.apache.spark.sql.functions.coalesce(
+          Media.pixelStats(col("content")),
+          Media.sampleStats(col("content"))).as("st"))
+      .as[(Long, String, Option[Seq[Long]])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, kind, st) =>
+      val Some(Seq(n, mn, mx, sum)) = st: @unchecked
+      if (kind == "audio") {
+        val s = (0L until (64 + id % 32)).map(k => ((id * 13 + k * 37) % 4096) - 2048)
+        assert((n, mn, mx, sum) === ((s.length.toLong, s.min, s.max, s.sum)), s"audio $id")
+      } else {
+        val w = 4 + id % 5; val h = 2 + id % 3
+        val p = for (r <- 0L until h; j <- 0L until w * 3) yield (id + r * 31 + j * 7) % 256
+        assert((n, mn, mx, sum) === ((p.length.toLong, p.min, p.max, p.sum)), s"$kind $id")
+      }
+    }
+  }
 }
