@@ -1140,11 +1140,13 @@ object SparkEntry {
       graft.functions.Relevance.rrf(Seq(lexTop, vecTop), "doc_id", "rnk", k = 60)
     }),
 
-    // Distributed BPE merge induction (rows-only: iterative, not
-    // SQL-expressible; BpeSpec proves exact agreement with a single-node
-    // Sennrich reference incl. tie-breaks). The corpus is scanned once
-    // for the word-frequency dictionary; 16 merge rounds then run over
-    // the dictionary alone.
+    // Distributed BPE merge induction, fully oracled: DuckDB replays
+    // all 16 learning rounds exactly (bpeLearnOracleSql — per-round
+    // Sennrich pair counting, binary-collation tie-break, greedy
+    // rewrite), and BpeSpec proves agreement with the single-node
+    // reference incl. tie-breaks and the O(affected-words) incremental
+    // pair store. The corpus is scanned once for the word-frequency
+    // dictionary; 16 merge rounds then run over the dictionary alone.
     "q75_bpe_merges" -> ((s, dir) => {
       graft.functions.Bpe.learnMerges(Tables.documents(s, dir), "text", 16)
     }),
@@ -2295,12 +2297,59 @@ object SparkEntry {
         |SELECT category, COUNT(*) AS cnt FROM cats GROUP BY category""".stripMargin
   )
 
-  /** Oracles for the SQL-expressible extension queries. q20/q24/q25/q27/
-    * q28 are intentionally absent (LSH banding, custom hash expressions,
-    * stub decode — not expressible in DuckDB SQL); they are verified by
-    * ScalaTest specs instead and get the driver's rows-only check.
+  /** Oracles for the extension queries — every registered query now has
+    * one. Queries whose kernels are not directly SQL-expressible (LSH
+    * banding, custom hash expressions, iterative k-means/BPE/PageRank)
+    * use either an exact unrolled replay (q75/q76) or the q33 contract
+    * form: exact anchors DuckDB recomputes plus required-TRUE
+    * invariants, with ScalaTest specs keeping the algorithmic proofs.
     */
+  /** EXACT replay of distributed BPE merge INDUCTION (q75) — the
+    * learning loop, not just q76's fixed-merge application: `numMerges`
+    * unrolled rounds, each counting every adjacent symbol position of
+    * the previous dictionary state (Sennrich counting, weighted by word
+    * frequency), taking the argmax with the (cnt DESC, l, r) tie-break
+    * (DuckDB's default binary collation = Spark's UTF8 orderBy), and
+    * rewriting via the q76 '|sym ' string encoding, whose replace() is
+    * precisely pairMerge's greedy non-overlapping left-to-right pass.
+    * Counting happens on token LISTS (every position), application on
+    * the rendered string (non-overlapping) — the same asymmetry the
+    * engine implements.
+    */
+  private def bpeLearnOracleSql(numMerges: Int): String = {
+    val sb = new StringBuilder
+    // MATERIALIZED is load-bearing: each d(n) references d(n-1) twice
+    // (pair counting + rewrite), so inlined CTEs would expand the plan
+    // — and the base-table opens — exponentially in numMerges
+    sb ++= """WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents),
+      |dict AS (SELECT w, COUNT(*) AS freq FROM tok WHERE len(w) > 0 GROUP BY w),
+      |d0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '|\1 ', 'g') AS f, freq FROM dict)""".stripMargin
+    for (n <- 1 to numMerges) {
+      sb ++= s""",
+        |c$n AS (SELECT substr(p.l, 2) AS l, substr(p.r, 2) AS r,
+        |  CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, unnest(list_transform(range(1, len(tl)), i ->
+        |          struct_pack(l := tl[i], r := tl[i+1]))) AS p
+        |        FROM (SELECT list_filter(string_split(trim(f), ' '),
+        |                x -> len(x) > 0) AS tl, freq
+        |              FROM d${n - 1}))
+        |  GROUP BY 1, 2),
+        |m$n AS MATERIALIZED (SELECT l, r, cnt FROM c$n ORDER BY cnt DESC, l, r LIMIT 1),
+        |d$n AS MATERIALIZED (SELECT replace(f, '|' || m.l || ' |' || m.r || ' ',
+        |    '|' || m.l || m.r || ' ') AS f, freq
+        |  FROM d${n - 1}, m$n m)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (\n" + (1 to numMerges).map(n =>
+      s"SELECT CAST($n AS BIGINT) AS rank, l AS merge_left, " +
+        s"r AS merge_right, cnt AS pair_count FROM m$n")
+      .mkString("\nUNION ALL\n") + "\n)"
+    sb.toString
+  }
+
   def extensionOracleSql: Map[String, String] = Map(
+
+    // full 16-round learning replay — see bpeLearnOracleSql
+    "q75_bpe_merges" -> bpeLearnOracleSql(16),
     // the sketch estimates themselves are algorithm-specific; what the
     // oracle can check is the exact statistics plus the contract that
     // every sketch landed inside its error bound (Spark computes the

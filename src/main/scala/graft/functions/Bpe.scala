@@ -59,6 +59,16 @@ object Bpe {
     * rounds is NOT possible without changing results: a merge can
     * create new pairs that outrank the next already-counted pair, so
     * rounds are inherently sequential.
+    *
+    * The distributed rounds maintain the pair-count store
+    * INCREMENTALLY (the standard trainer optimization): merging (l, r)
+    * only changes pair counts of words that actually CONTAIN the
+    * adjacent pair, so each round re-counts just those words' pairs
+    * (old counts out, post-merge counts in) and folds the delta into
+    * the persisted (l, r, cnt) store — the per-round shuffle is
+    * O(affected words), not O(dictionary). The dictionary rewrite
+    * stays a map-only pass (pairMerge is the identity on words without
+    * the pair), and the argmax is a TakeOrdered-1 over the store.
     */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
       driverMaxWords: Long = 1L << 20): DataFrame = {
@@ -83,22 +93,35 @@ object Bpe {
           numMerges)
       } else {
         val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+        // the one full-dictionary aggregation; every later round folds
+        // an O(affected-words) delta into this store
+        var pairCounts = adjacentPairCounts(dict).localCheckpoint()
         var rank = 1
         var exhausted = false
         while (rank <= numMerges && !exhausted) {
-          val top = dict
-            .filter(size(col("syms")) >= 2)
-            .select(col("freq"), explode(arrays_zip(
-              slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
-              slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
-            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-            .agg(sum(col("freq")).as("cnt"))
+          val top = pairCounts
             .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
             .limit(1).collect()
           if (top.isEmpty) exhausted = true
           else {
             val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
             acc += ((rank.toLong, l, r, c))
+            // only words CONTAINING adjacent (l, r) change any pair
+            // count — re-count just those, pre- and post-merge
+            val affected = dict.filter(hasAdjacentPair(col("syms"), l, r))
+              .localCheckpoint() // feeds the old- and new-count branches
+            val mergedAffected = affected
+              .select(HashExpressions.pairMerge(col("syms"), l, r).as("syms"),
+                col("freq"))
+            val delta = adjacentPairCounts(mergedAffected)
+              .unionByName(adjacentPairCounts(affected)
+                .select(col("l"), col("r"), (-col("cnt")).as("cnt")))
+            pairCounts = pairCounts.unionByName(delta)
+              .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
+              .filter(col("cnt") > 0)
+              .localCheckpoint()
+            // map-only rewrite (pairMerge is the identity on words
+            // without the pair)
             dict = dict
               .select(HashExpressions.pairMerge(col("syms"), l, r).as("syms"), col("freq"))
               .localCheckpoint()
@@ -109,6 +132,23 @@ object Bpe {
       }
     merges.toDF("rank", "merge_left", "merge_right", "pair_count")
   }
+
+  /** Weighted adjacent-pair counts of a (syms, freq) dictionary:
+    * `(l, r, cnt)` — every adjacent position counts (Sennrich).
+    */
+  private def adjacentPairCounts(dict: DataFrame): DataFrame =
+    dict.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+        slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** True when `syms` contains `l` immediately followed by `r`. */
+  private def hasAdjacentPair(syms: Column, l: String, r: String): Column =
+    exists(zip_with(
+      slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+      (a, b) => a === lit(l) && b === lit(r)), x => x)
 
   private def utf8Compare(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(

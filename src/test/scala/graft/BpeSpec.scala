@@ -104,6 +104,54 @@ class BpeSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("distributed rounds shuffle O(affected words) per merge, not O(dictionary)") {
+    // 2000 distinct digit words (the bulk of the dictionary) plus one
+    // hot letter word driving the first merge: rounds after the initial
+    // full aggregation must re-count ONLY words containing the merged
+    // pair, so extra merges add shuffle records proportional to the
+    // affected family — a fraction of the dictionary — per round. The
+    // old implementation re-aggregated every word's pairs every round
+    // (~6000 shuffle records per merge here), which this bound catches.
+    val filler = (0 until 2000).map(i => f"$i%04d")
+    val corpus = (Seq.fill(200)("zzzz") ++ filler).mkString(" ")
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    def shuffleRecords(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) acc.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        org.apache.spark.graft.ListenerSync.waitUntilEmpty(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    def run(n: Int): Long = shuffleRecords {
+      Bpe.learnMerges(docs, "text", n, driverMaxWords = 0).collect()
+    }
+    val one = run(1)
+    val five = run(5)
+    // 4 extra merges: each may touch at most a few-hundred-word family
+    // (one digit pair spans ~60 words; the z-family is 1 word) plus the
+    // ~100-row pair store. The full dictionary re-count would add
+    // ~6000 records per round; require the increment to stay well under
+    // ONE such round per 4 merges.
+    assert(five - one < 4000,
+      s"per-merge shuffle grew like O(dictionary): $one -> $five records")
+    // and the result is still exactly the reference sequence
+    val got = Bpe.learnMerges(docs, "text", 5, driverMaxWords = 0)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val wordFreqs = corpus.split(" ").groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+    assert(got === refLearn(wordFreqs, 5))
+  }
+
   test("driver and distributed paths agree merge-for-merge") {
     val docs = Seq(
       (1L, "banana bandana cabana"),
