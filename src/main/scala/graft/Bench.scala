@@ -68,7 +68,17 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset selection for targeted scale runs (e.g. the heavy
+    // dedup/versioned-table families at sf10): comma-separated query-name
+    // prefixes. Unset (the driver's case) → every registered query runs.
+    val nameFilter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = nameFilter match {
+      case Some(prefixes) => SparkEntry.queries.filter { case (n, _) =>
+        prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: evaluates every output column (unlike count(), which
       // lets the optimizer prune projection-only queries to a row count).
       // ANY failed trial marks the query failed and fails the run via
@@ -95,7 +105,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
     val total = results.collect { case (_, v, _, true) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"n_trials":$trials,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    val filt = nameFilter.map(p => s""","filter":"${p.mkString(",")}"""").getOrElse("")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"n_trials":$trials,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"$filt}"""
     println(json)
     // the artifact must stand on its own: a log-tail capture truncated the
     // round-3 JSON head, so the result also lands in a file

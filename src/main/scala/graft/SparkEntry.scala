@@ -2027,6 +2027,72 @@ object SparkEntry {
           struct(length(col("text")), -col("doc_id")))
         .select(col("doc_id"), col("cluster"), col("keeper_id"),
           col("is_kept"))
+    }),
+
+    // C4 page/line cleaning (Raffel et al. 2020 §2.2) on a planted
+    // page shape: three prose lines that pass every rule, a too-short
+    // line, the corpus text (no terminal punctuation), a javascript
+    // notice, plus page-killing lorem-ipsum (%13) and code-brace (%17)
+    // lines — so line rules, page rules, and their interaction are all
+    // exercised and the oracle replays every decision. One codegen
+    // projection, zero shuffles.
+    "q104_c4_line_clean" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"), concat(
+        lit("Alpha section covers doc number "),
+        (col("doc_id") % 11).cast("string"), lit(" today.\n"),
+        lit("Beta sentence keeps exactly seven words here.\n"),
+        lit("Gamma line closes with a question mark?\n"),
+        lit("tiny line.\n"),
+        col("text"), lit("\n"),
+        lit("Please enable javascript to view this page."),
+        when(col("doc_id") % 13 === 0,
+          lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit("\nif (x) { return y; }")).otherwise(lit(""))).as("text"))
+      graft.functions.CorpusFilters.c4LineClean(planted, "doc_id", "text")
+    }),
+
+    // Gopher/MassiveText document-quality rules (Rae et al. 2021 table
+    // A1) on planted pages: the corpus text supplies natural word-count
+    // and word-length variance, residue-classed lines plant stopword
+    // boosts (%3), bullet lines (%4), ellipsis lines (%6) and
+    // hash-symbol spam (%9) — every signal fires on a known subset and
+    // the keep decision varies realistically. One codegen projection.
+    "q105_gopher_rules" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("the data goes to all of them and that would have been " +
+              "fine with everyone")).otherwise(lit("closing words here")),
+          when(col("doc_id") % 4 === 0, lit("- bullet item one"))
+            .otherwise(lit("plain line one")),
+          when(col("doc_id") % 6 === 0, lit("trailing thought..."))
+            .otherwise(lit("trailing thought")),
+          when(col("doc_id") % 9 === 0,
+            lit("#tag #promo #spam #viral #follow #like #share #win " +
+              "#free #now #deal #hot")).otherwise(lit("regular closing line")))
+          .as("text"))
+      graft.functions.CorpusFilters.gopherQuality(planted, "doc_id", "text")
+    }),
+
+    // Within-document paragraph dedup (first occurrence wins, order
+    // preserved): planted pages repeat their intro, duplicate a footer
+    // back-to-back, and re-paste the body on even ids — the oracle
+    // replays first-occurrence selection positionally. Map-only; the
+    // corpus-WIDE frequency pass is q101's job.
+    "q106_paragraph_dedup" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n\n",
+          concat(lit("INTRO "), (col("doc_id") % 7).cast("string")),
+          col("text"),
+          concat(lit("INTRO "), (col("doc_id") % 7).cast("string")),
+          lit("FOOTER common"),
+          lit("FOOTER common"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(lit("UNIQUE "), col("doc_id").cast("string"))))
+          .as("text"))
+      graft.functions.CorpusFilters.dedupParagraphs(planted, "doc_id", "text")
     })
   )
 
@@ -2539,6 +2605,135 @@ object SparkEntry {
         |    ORDER BY len DESC, doc_id ASC) AS keeper_id,
         |  doc_id = first_value(doc_id) OVER (PARTITION BY cluster
         |    ORDER BY len DESC, doc_id ASC) AS is_kept
+        |FROM k""".stripMargin,
+
+    // full declarative replay of the C4 rule set over the same planted
+    // page: line keep = terminal punctuation + >=5 words + no
+    // javascript; page keep = no brace, no lorem ipsum, >=3 kept lines
+    "q104_c4_line_clean" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    'Alpha section covers doc number ' || CAST(doc_id % 11 AS VARCHAR)
+        |      || ' today.' || chr(10) ||
+        |    'Beta sentence keeps exactly seven words here.' || chr(10) ||
+        |    'Gamma line closes with a question mark?' || chr(10) ||
+        |    'tiny line.' || chr(10) ||
+        |    text || chr(10) ||
+        |    'Please enable javascript to view this page.' ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN chr(10) || 'if (x) { return y; }' ELSE '' END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+        |      FROM planted),
+        |k AS (SELECT doc_id, text, ls,
+        |        list_filter(ls, x -> right(x, 1) IN ('.', '!', '?', '"')
+        |          AND len(string_split(trim(x), ' ')) >= 5
+        |          AND NOT contains(lower(x), 'javascript')) AS kept
+        |      FROM l),
+        |p AS (SELECT doc_id, ls, kept,
+        |        contains(text, '{') AS has_code,
+        |        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |        (NOT contains(text, '{'))
+        |          AND (NOT contains(lower(text), 'lorem ipsum'))
+        |          AND len(kept) >= 3 AS page_kept
+        |      FROM k)
+        |SELECT doc_id, page_kept, has_code, has_lorem,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(CASE WHEN page_kept THEN len(kept) ELSE 0 END AS BIGINT)
+        |    AS n_lines_kept,
+        |  CASE WHEN page_kept THEN array_to_string(kept, chr(10))
+        |       ELSE '' END AS clean_text
+        |FROM p""".stripMargin,
+
+    // full declarative replay of the Gopher table-A1 rules over the
+    // same planted page; ratios are exact-int / exact-int in doubles on
+    // both engines, so threshold comparisons hash-match bit-exactly
+    "q105_gopher_rules" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'the data goes to all of them and that would have been fine with everyone'
+        |      ELSE 'closing words here' END || chr(10) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '- bullet item one'
+        |      ELSE 'plain line one' END || chr(10) ||
+        |    CASE WHEN doc_id % 6 = 0 THEN 'trailing thought...'
+        |      ELSE 'trailing thought' END || chr(10) ||
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN '#tag #promo #spam #viral #follow #like #share #win #free #now #deal #hot'
+        |      ELSE 'regular closing line' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+        |        list_filter(flatten(list_transform(
+        |          string_split(text, chr(10)),
+        |          l -> string_split(trim(l), ' '))), w -> len(w) > 0) AS toks
+        |      FROM planted),
+        |s AS (SELECT doc_id, ls, toks,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CASE WHEN len(toks) > 0 THEN
+        |          CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+        |            / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+        |        CASE WHEN len(toks) > 0 THEN
+        |          CAST(len(list_filter(toks, w -> contains(w, '#')
+        |            OR contains(w, '...'))) AS DOUBLE)
+        |            / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+        |        CASE WHEN len(toks) > 0 THEN
+        |          CAST(len(list_filter(toks,
+        |            w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |            / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
+        |        CASE WHEN len(ls) > 0 THEN
+        |          CAST(len(list_filter(ls, l -> starts_with(l, '- ')
+        |            OR starts_with(l, '• '))) AS DOUBLE)
+        |            / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS bullet_line_frac,
+        |        CASE WHEN len(ls) > 0 THEN
+        |          CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
+        |            / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS ellipsis_line_frac,
+        |        CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS stopword_hits
+        |      FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |  alpha_word_frac, bullet_line_frac, ellipsis_line_frac,
+        |  stopword_hits,
+        |  n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |    AND stopword_hits >= 2 AS keep
+        |FROM s""".stripMargin,
+
+    // positional first-occurrence replay (DuckDB's 1-based lambda index
+    // mirrors list_position exactly)
+    "q106_paragraph_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    'INTRO ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || chr(10) ||
+        |    text || chr(10) || chr(10) ||
+        |    'INTRO ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || chr(10) ||
+        |    'FOOTER common' || chr(10) || chr(10) ||
+        |    'FOOTER common' || chr(10) || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN text
+        |      ELSE 'UNIQUE ' || CAST(doc_id AS VARCHAR) END AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |        string_split(text, chr(10) || chr(10)) AS paras
+        |      FROM planted),
+        |k AS (SELECT doc_id, paras,
+        |        list_filter(paras,
+        |          (x, i) -> list_position(paras, x) = i) AS kept
+        |      FROM p)
+        |SELECT doc_id,
+        |  array_to_string(kept, chr(10) || chr(10)) AS clean_text,
+        |  CAST(len(paras) AS BIGINT) AS n_paras,
+        |  CAST(len(paras) - len(kept) AS BIGINT) AS n_paras_dropped
         |FROM k""".stripMargin,
 
     "q16_dedup_exact" ->
