@@ -2093,6 +2093,42 @@ object SparkEntry {
             .otherwise(concat(lit("UNIQUE "), col("doc_id").cast("string"))))
           .as("text"))
       graft.functions.CorpusFilters.dedupParagraphs(planted, "doc_id", "text")
+    }),
+
+    // Int8 scalar quantization of the embedding column — the
+    // memory-bound ANN scale path (float32 → uint8 codes, ~3.2×
+    // scan-bandwidth cut, composes with brute/LSH/IVF as compressed
+    // storage). Every output is exact replayable arithmetic: the code
+    // construction uses explicit floor(+0.5) rounding (never engine
+    // round() — half-even vs half-up differs across engines), the
+    // approximate dot against the min-id probe is the affine
+    // decomposition over integer code sums, and the reconstruction
+    // error bound (half quantization step) is a required-TRUE
+    // invariant. One projection + a 1-row broadcast; no shuffle.
+    "q107_embedding_quantize" -> ((s, dir) => {
+      import graft.similarity.ScalarQuant
+      val e = Tables.embeddings(s, dir)
+      val v = col("embedding")
+      val q = e.select(col("vec_id"), v,
+        ScalarQuant.codes(v).as("codes"),
+        array_min(v).cast("double").as("q_min"),
+        ScalarQuant.qscale(v).as("q_scale"))
+      val probe = q.orderBy(col("vec_id")).limit(1)
+        .select(col("codes").as("pcodes"), col("q_min").as("p_min"),
+          col("q_scale").as("p_scale"))
+      q.crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          size(col("codes")).cast("long").as("n_dims"),
+          col("q_min"), col("q_scale"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c.cast("long"))
+            .as("code_sum"),
+          array_min(col("codes")).cast("long").as("code_min"),
+          array_max(col("codes")).cast("long").as("code_max"),
+          (ScalarQuant.reconError(v, col("codes"), col("q_min"),
+            col("q_scale")) <= col("q_scale") / 2 + 1e-9).as("recon_ok"),
+          ScalarQuant.approxDot(col("codes"), col("q_min"), col("q_scale"),
+            col("pcodes"), col("p_min"), col("p_scale"))
+            .as("approx_dot_probe"))
     })
   )
 
@@ -2735,6 +2771,43 @@ object SparkEntry {
         |  CAST(len(paras) AS BIGINT) AS n_paras,
         |  CAST(len(paras) - len(kept) AS BIGINT) AS n_paras_dropped
         |FROM k""".stripMargin,
+
+    // exact replay of the affine int8 quantization (floor(+0.5)
+    // rounding, clamp, scale-0 guard) and the integer-decomposed
+    // approximate dot against the min-id probe; the recon bound is the
+    // required-TRUE invariant (half quantization step, proven in
+    // ScalarQuantSpec)
+    "q107_embedding_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS qmin,
+        |    (CAST(list_max(embedding) AS DOUBLE)
+        |      - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS qs
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, qmin, qs,
+        |    CASE WHEN qs = 0 THEN list_transform(embedding, x -> 0)
+        |      ELSE list_transform(embedding, x ->
+        |        CAST(least(greatest(
+        |          floor((CAST(x AS DOUBLE) - qmin) / qs + 0.5), 0.0), 255.0)
+        |          AS INT)) END AS codes
+        |  FROM q),
+        |p AS (
+        |  SELECT qmin AS pmin, qs AS ps, codes AS pcodes FROM c
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+        |SELECT c.vec_id,
+        |  CAST(len(codes) AS BIGINT) AS n_dims,
+        |  qmin AS q_min, qs AS q_scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  CAST(list_min(codes) AS BIGINT) AS code_min,
+        |  CAST(list_max(codes) AS BIGINT) AS code_max,
+        |  TRUE AS recon_ok,
+        |  qs * ps * CAST(list_sum(list_transform(list_zip(codes, pcodes),
+        |      z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))) AS DOUBLE)
+        |    + qs * pmin * CAST(list_sum(codes) AS DOUBLE)
+        |    + ps * qmin * CAST(list_sum(pcodes) AS DOUBLE)
+        |    + CAST(len(codes) AS DOUBLE) * qmin * pmin AS approx_dot_probe
+        |FROM c, p""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,
