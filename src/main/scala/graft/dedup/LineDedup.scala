@@ -98,6 +98,8 @@ object LineDedup {
     * not a regex. `maxBroadcastLines` gates the broadcast of the
     * frequent-line hash set (8 bytes/entry; the 4M default is ~32 MB,
     * inside a typical executor broadcast budget).
+    * Runs the frequency aggregation eagerly at call time — see the
+    * object scaladoc for the eager-action / executor-liveness contract.
     */
   def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
       minDocFreq: Long, sep: String = "\n",

@@ -96,6 +96,23 @@ class PlansSpec extends AnyFunSuite {
       s"byte-arithmetic header parsing must not shuffle anything:\n$p")
   }
 
+  test("q104/q105/q106 corpus filters are pure narrow maps — zero exchanges") {
+    Seq("q104_c4_line_clean", "q105_gopher_rules", "q106_paragraph_dedup")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Exchange"),
+          s"$q: per-doc line/token HOF rules must not shuffle anything:\n$p")
+      }
+  }
+
+  test("q107 quantization broadcasts the 1-row probe — no shuffled join") {
+    val p = plan("q107_embedding_quantize")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe must ride a broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantization must not shuffle the embeddings:\n$p")
+  }
+
   test("q58 profiling runs as ONE aggregation job (Expand for the distincts, 2 exchanges)") {
     val p = plan("q58_profile")
     assert(p.contains("Expand"),
