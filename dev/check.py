@@ -21,6 +21,12 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 
+# optional 3rd arg: comma-separated query names to (re)check — lets a
+# long sweep resume after the fast prefix already passed
+if len(sys.argv) > 3:
+    only = set(sys.argv[3].split(","))
+    oracles = {k: v for k, v in oracles.items() if k in only}
+
 def norm(v):
     if v is None:
         return "NULL"
@@ -39,6 +45,10 @@ def canon(df):
 
 fails = 0
 for name in sorted(oracles):
+    # progress is tee'd to a file so a long sweep behind a pipe buffer
+    # (exhaustive pair oracles run for minutes each) stays observable
+    with open("/tmp/check_progress.txt", "a") as pf:
+        pf.write(f"{name}\n")
     try:
         got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
         exp = con.sql(oracles[name]).df()
@@ -57,7 +67,7 @@ for name in sorted(oracles):
                 print(f"   row count mismatch {len(gr)} vs {len(er)}")
             fails += 1
         else:
-            print(f"OK   {name} ({len(gr)} rows)")
+            print(f"OK   {name} ({len(gr)} rows)", flush=True)
     except Exception as e:
         print(f"ERR  {name}: {e}")
         fails += 1

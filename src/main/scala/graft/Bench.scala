@@ -9,9 +9,17 @@ object Bench {
     // 3x reality from co-tenant load). The min of N trials estimates
     // the code's cost; raw trials ship in the JSON for auditability.
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt.max(1)
+    // Shuffle parallelism must scale with the data, not the core count:
+    // at 100x the bench SF a 32-partition shuffle is ~500 MB/partition
+    // and every sort/agg spills (measured super-linear wall time). The
+    // driver's per-round run keeps the default (= cpus); scale-ladder
+    // runs pass SPARK_GRAFT_SHUFFLE_PARTITIONS sized to the SF — the
+    // local analog of a real cluster growing executors with the data.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is TIMESTAMP(NANOS); session-level, never set
       // inside a query (see SparkEntry.events)

@@ -2110,9 +2110,11 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val v = col("embedding")
       val q = e.select(col("vec_id"), v,
-        ScalarQuant.codes(v).as("codes"),
-        array_min(v).cast("double").as("q_min"),
-        ScalarQuant.qscale(v).as("q_scale"))
+          array_min(v).cast("double").as("q_min"),
+          ScalarQuant.qscale(v).as("q_scale"))
+        .select(col("vec_id"), v,
+          ScalarQuant.codes(v, col("q_min"), col("q_scale")).as("codes"),
+          col("q_min"), col("q_scale"))
       val probe = q.orderBy(col("vec_id")).limit(1)
         .select(col("codes").as("pcodes"), col("q_min").as("p_min"),
           col("q_scale").as("p_scale"))

@@ -38,16 +38,21 @@ object ScalarQuant {
 
   /** Int codes in [0,255] under per-vector affine min-max quantization.
     * Scale-0 (constant) vectors code to all zeros.
+    *
+    * `vmin`/`scale` MUST be pre-bound columns (attribute references),
+    * not inline `array_min(vec)`/[[qscale]] expressions: an expression
+    * embedded in a `transform` lambda is re-evaluated PER ELEMENT
+    * (interpreted HOF bodies get no common-subexpression elimination),
+    * which turns an O(d) pass into O(d²) array scans per row. Use
+    * [[quantize]] — it binds the params in a first projection — or
+    * mirror its two-step select.
     */
-  def codes(vec: Column): Column = {
-    val vmin = array_min(vec).cast("double")
-    val s = qscale(vec)
+  def codes(vec: Column, vmin: Column, scale: Column): Column =
     transform(vec, x =>
-      when(s === 0.0, lit(0))
+      when(scale === 0.0, lit(0))
         .otherwise(least(greatest(
-          floor((x.cast("double") - vmin) / s + 0.5), lit(0.0)), lit(255.0))
+          floor((x.cast("double") - vmin) / scale + 0.5), lit(0.0)), lit(255.0))
           .cast("int")))
-  }
 
   /** Dequantized (reconstructed) double array from codes + params. */
   def dequantize(codes: Column, vmin: Column, scale: Column): Column =
@@ -60,10 +65,12 @@ object ScalarQuant {
     */
   def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)
-    df.select(col(idCol),
-      codes(v).as("q_codes"),
-      array_min(v).cast("double").as("q_min"),
-      qscale(v).as("q_scale"))
+    df.select(col(idCol), v.as("__v"),
+        array_min(v).cast("double").as("q_min"),
+        qscale(v).as("q_scale"))
+      .select(col(idCol),
+        codes(col("__v"), col("q_min"), col("q_scale")).as("q_codes"),
+        col("q_min"), col("q_scale"))
   }
 
   /** Approximate dot product from two quantized representations (codes

@@ -39,10 +39,15 @@ class ScalarQuantSpec extends AnyFunSuite {
     val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "vec")
     val v = col("vec")
-    val checked = df.select(
-      ScalarQuant.reconError(v, ScalarQuant.codes(v),
-        array_min(v).cast("double"), ScalarQuant.qscale(v)).as("err"),
-      ScalarQuant.qscale(v).as("s")).as[(Double, Double)].collect()
+    val checked = df
+      .select(v, array_min(v).cast("double").as("mn"),
+        ScalarQuant.qscale(v).as("s"))
+      .select(
+        ScalarQuant.reconError(v,
+          ScalarQuant.codes(v, col("mn"), col("s")),
+          col("mn"), col("s")).as("err"),
+        col("s"))
+      .as[(Double, Double)].collect()
     checked.foreach { case (err, s) =>
       assert(err <= s / 2 + 1e-9, s"recon err $err exceeds half-step ${s / 2}")
     }
@@ -52,16 +57,18 @@ class ScalarQuantSpec extends AnyFunSuite {
     val a = (1 to 64).map(i => (math.cos(i * 0.3)).toFloat)
     val b = (1 to 64).map(i => (math.sin(i * 0.5) * 0.8).toFloat)
     val df = Seq((a, b)).toDF("a", "b")
-    val qa = ScalarQuant.codes(col("a"))
-    val qb = ScalarQuant.codes(col("b"))
+      .select(col("a"), col("b"),
+        array_min(col("a")).cast("double").as("mna"),
+        ScalarQuant.qscale(col("a")).as("sa"),
+        array_min(col("b")).cast("double").as("mnb"),
+        ScalarQuant.qscale(col("b")).as("sb"))
+    val qa = ScalarQuant.codes(col("a"), col("mna"), col("sa"))
+    val qb = ScalarQuant.codes(col("b"), col("mnb"), col("sb"))
     val (approx, exact, sa, sb) = df.select(
-      ScalarQuant.approxDot(
-        qa, array_min(col("a")).cast("double"), ScalarQuant.qscale(col("a")),
-        qb, array_min(col("b")).cast("double"), ScalarQuant.qscale(col("b")))
-        .as("ad"),
+      ScalarQuant.approxDot(qa, col("mna"), col("sa"),
+        qb, col("mnb"), col("sb")).as("ad"),
       graft.functions.VectorFunctions.dot(col("a"), col("b")).as("ed"),
-      ScalarQuant.qscale(col("a")).as("sa"),
-      ScalarQuant.qscale(col("b")).as("sb"))
+      col("sa"), col("sb"))
       .as[(Double, Double, Double, Double)].collect().head
     // |a_i| ≤ 1, |b_i| ≤ 0.8, d=64: error ≤ d·(sa/2·max|b| + sb/2·max|a|
     // + sa·sb/4) — generous envelope, still ~1e-1 tight at int8 steps
@@ -73,10 +80,11 @@ class ScalarQuantSpec extends AnyFunSuite {
   test("dequantize round-trips codes exactly and constants exactly") {
     val got = Seq((1L, Seq(4f, 8f, 6f)))
       .toDF("id", "vec")
+      .select(col("vec"), array_min(col("vec")).cast("double").as("mn"),
+        ScalarQuant.qscale(col("vec")).as("s"))
       .select(ScalarQuant.dequantize(
-        ScalarQuant.codes(col("vec")),
-        array_min(col("vec")).cast("double"),
-        ScalarQuant.qscale(col("vec"))).as("r"))
+        ScalarQuant.codes(col("vec"), col("mn"), col("s")),
+        col("mn"), col("s")).as("r"))
       .as[Seq[Double]].collect().head
     assert(math.abs(got(0) - 4.0) < 1e-9 && math.abs(got(1) - 8.0) < 1e-9)
     assert(math.abs(got(2) - 6.0) <= (4.0 / 255.0) / 2 + 1e-12)
