@@ -8,7 +8,7 @@ Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
   - compares row multisets after sorting columns by name and rows by value
 Usage: python3 dev/check.py [sfDir] [outDir]
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -17,15 +17,33 @@ out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # driver testdata is one file per table; ScaleData dirs are
+    # Spark-written parquet DIRECTORIES — glob those
+    path = f"{sf}/{t}.parquet"
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+# DuckDB grabs every core by default; cap it when a sweep shares the box
+# with a Spark bench (CHECK_THREADS=16 leaves headroom for local[32])
+if os.environ.get("CHECK_THREADS"):
+    con.execute(f"SET threads={int(os.environ['CHECK_THREADS'])}")
 
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 
 # optional 3rd arg: comma-separated query names to (re)check — lets a
-# long sweep resume after the fast prefix already passed
+# long sweep resume after the fast prefix already passed. `^name` EXCLUDES
+# instead (all-exclusion and all-inclusion lists can't be mixed).
+subset_label = ""
 if len(sys.argv) > 3:
-    only = set(sys.argv[3].split(","))
-    oracles = {k: v for k, v in oracles.items() if k in only}
+    names = sys.argv[3].split(",")
+    if names and all(n.startswith("^") for n in names):
+        drop = {n[1:] for n in names}
+        oracles = {k: v for k, v in oracles.items() if k not in drop}
+        subset_label = f" of subset (excluded {sorted(drop)})"
+    else:
+        only = set(names)
+        oracles = {k: v for k, v in oracles.items() if k in only}
+        subset_label = f" of FILTERED subset {sorted(only)}"
 
 def norm(v):
     if v is None:
@@ -43,11 +61,16 @@ def canon(df):
     rows = [tuple(norm(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
     return cols, sorted(rows)
 
+# per-run progress file (inside outDir, truncated at start): concurrent
+# sweeps no longer interleave into one shared unbounded /tmp file
+progress_path = f"{out}/check_progress.txt"
+open(progress_path, "w").close()
+
 fails = 0
 for name in sorted(oracles):
     # progress is tee'd to a file so a long sweep behind a pipe buffer
     # (exhaustive pair oracles run for minutes each) stays observable
-    with open("/tmp/check_progress.txt", "a") as pf:
+    with open(progress_path, "a") as pf:
         pf.write(f"{name}\n")
     try:
         got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
@@ -72,6 +95,7 @@ for name in sorted(oracles):
         print(f"ERR  {name}: {e}")
         fails += 1
 
-missing = [q for q in oracles if q not in oracles]
-print(f"\n{len(oracles) - fails}/{len(oracles)} queries match")
+# a resumed/partial run must be self-describing: the summary names the
+# subset so a log tail can't be mistaken for a full-registry pass
+print(f"\n{len(oracles) - fails}/{len(oracles)} queries match{subset_label}")
 sys.exit(1 if fails else 0)

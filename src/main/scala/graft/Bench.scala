@@ -11,15 +11,31 @@ object Bench {
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt.max(1)
     // Shuffle parallelism must scale with the data, not the core count:
     // at 100x the bench SF a 32-partition shuffle is ~500 MB/partition
-    // and every sort/agg spills (measured super-linear wall time). The
-    // driver's per-round run keeps the default (= cpus); scale-ladder
-    // runs pass SPARK_GRAFT_SHUFFLE_PARTITIONS sized to the SF — the
-    // local analog of a real cluster growing executors with the data.
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // and every sort/agg spills (measured super-linear wall time; the
+    // sf100 ladder went from 15.8x/decade at 32 partitions to ~linear at
+    // 256). Derive it from the input size — one shuffle partition per
+    // 64 MB of compressed parquet, floored at the core count — and let
+    // AQE coalesce DOWN at runtime when a stage's actual shuffle volume
+    // is small. 16 GB (sf100) / 64 MB = 256, exactly the value the
+    // hand-tuned ladder converged on; no per-run env knob. On a real
+    // cluster this is the same policy: initialPartitionNum sized to the
+    // job's input, AQE coalescing to the observed bytes.
+    val shufflePartitions = {
+      def dirBytes(p: java.nio.file.Path): Long =
+        try {
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        } catch { case _: Throwable => 0L }
+      val bytes = dirBytes(java.nio.file.Paths.get(sfDir))
+      math.max(cpus.toInt, (bytes / (64L << 20)).toInt)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is TIMESTAMP(NANOS); session-level, never set
       // inside a query (see SparkEntry.events)
@@ -77,13 +93,15 @@ object Bench {
       System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
     }
     // Optional subset selection for targeted scale runs (e.g. the heavy
-    // dedup/versioned-table families at sf10): comma-separated query-name
-    // prefixes. Unset (the driver's case) → every registered query runs.
+    // dedup/versioned-table families at sf10): comma-separated query
+    // names, matched exactly or as a prefix up to the underscore ("q10"
+    // selects q10_merge_upsert but NOT q100-q107). Unset (the driver's
+    // case) → every registered query runs.
     val nameFilter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = nameFilter match {
-      case Some(prefixes) => SparkEntry.queries.filter { case (n, _) =>
-        prefixes.exists(n.startsWith) }
+      case Some(names) => SparkEntry.queries.filter { case (n, _) =>
+        names.exists(p => n == p || n.startsWith(p + "_")) }
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -114,7 +132,10 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
     val total = results.collect { case (_, v, _, true) => v }.sum
     val filt = nameFilter.map(p => s""","filter":"${p.mkString(",")}"""").getOrElse("")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"n_trials":$trials,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"$filt}"""
+    // a filtered run is labeled "subtotal" so its total can never be
+    // compared against a full-registry "total" by accident
+    val metric = if (nameFilter.isDefined) "subtotal" else "total"
+    val json = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"n_trials":$trials,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"$filt,"shuffle_partitions":$shufflePartitions}"""
     println(json)
     // the artifact must stand on its own: a log-tail capture truncated the
     // round-3 JSON head, so the result also lands in a file
