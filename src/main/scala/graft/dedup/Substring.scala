@@ -82,11 +82,19 @@ object Substring {
     * longest_span_tokens)` — the removal decision inputs (Lee et al.
     * cut spans with `longest_span_tokens >= threshold`).
     *
-    * Scale shape: windows travel as 64-bit hashes; the dup-window
-    * probe is one (gram, doc)-distinct aggregation + one keyed join
-    * back to positions (both shuffle on the gram hash — inherently the
-    * heavy stage, see [[windowStats]]'s sketch-gating note); the
-    * run-length scan is a per-doc keyed window, bounded by doc length.
+    * Scale shape: windows travel as 64-bit hashes, and the gram stream
+    * (one row per window position — the ~linear-in-corpus bulk) goes
+    * through exactly ONE wide exchange: a (gram, doc) hash-aggregation
+    * that rolls the doc's positions into a list. The cross-doc count is
+    * then a window over that rollup (gid rows are distinct per
+    * (gram, doc), so the gram-partition row count IS the doc count —
+    * [[windowStats]]'s trick), and only positions of ACTUALLY-duplicated
+    * grams re-explode into the per-doc run-length scan. The previous
+    * shape (distinct + re-aggregate + sort-merge join of the full
+    * position stream back onto the dup-gram set) exchanged the gram
+    * stream three times, computed the explode twice, and sorted all of
+    * it in the join — measured 24×/decade at the sf100 ladder point;
+    * this shape removes the join and two of the three wide exchanges.
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
@@ -98,15 +106,21 @@ object Substring {
       coalesce(size(col("__g")), lit(0)).cast("long").as("n_windows"))
     val pos = base.select(col(idCol), posexplode(col("__g")))
       .toDF(idCol, "__i", "__gram")
-    // grams seen in more than one distinct doc
-    val crossDoc = pos.select(col("__gram"), col(idCol)).distinct()
-      .groupBy(col("__gram")).agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") > 1).select(col("__gram"))
+    // one row per (gram, doc) carrying that doc's window positions; the
+    // cross-doc count rides a window over the same rollup, and only
+    // dup-gram positions survive to the explode
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("__gram"))
+    val dupPos = pos
+      .groupBy(col("__gram"), col(idCol))
+      .agg(collect_list(col("__i")).as("__is"))
+      .withColumn("__nd", count(lit(1)).over(wg))
+      .filter(col("__nd") > 1)
+      .select(col(idCol), explode(col("__is")).as("__i"))
     // islands of consecutive duplicated positions per doc: the classic
     // i - row_number() grouping key is constant exactly along a run
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__i"))
-    val spans = pos.join(crossDoc, Seq("__gram"))
+    val spans = dupPos
       .withColumn("__grp", col("__i") - row_number().over(w))
       .groupBy(col(idCol), col("__grp"))
       .agg(count(lit(1)).as("__run"))

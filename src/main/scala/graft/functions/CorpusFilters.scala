@@ -159,14 +159,24 @@ object CorpusFilters {
     * inside one `filter` HOF — O(paras²) character comparisons per doc,
     * a per-row constant for real page shapes (tens of paragraphs), in
     * exchange for zero shuffles and no explode/window pass.
+    *
+    * The split array is PRE-BOUND as its own projection before the
+    * lambda references it: an expression captured inside a HOF lambda is
+    * re-evaluated per element (no common-subexpression elimination in
+    * interpreted lambda bodies — the [[graft.similarity.ScalarQuant
+    * .codes]] contract), so an inline `lines(...)` here would re-split
+    * the whole document once per paragraph on top of the documented
+    * O(paras²) scans. CollapseProject keeps the two selects apart
+    * because `__ps` is referenced more than once and is non-cheap.
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
-    val paras = lines(col(textCol), sep)
+    val paras = col("__ps")
     val kept = filter(paras, (p, i) => array_position(paras, p) === i + 1L)
-    docs.select(col(idCol),
-      array_join(kept, sep).as("clean_text"),
-      size(paras).cast("long").as("n_paras"),
-      (size(paras) - size(kept)).cast("long").as("n_paras_dropped"))
+    docs.select(col(idCol), lines(col(textCol), sep).as("__ps"))
+      .select(col(idCol),
+        array_join(kept, sep).as("clean_text"),
+        size(paras).cast("long").as("n_paras"),
+        (size(paras) - size(kept)).cast("long").as("n_paras_dropped"))
   }
 }
