@@ -34,6 +34,16 @@ import graft.expressions.HashExpressions
   */
 object Bpe {
 
+  /** Test instrumentation for the distributed path (BpeSpec's
+    * materialization-bound assertion): when [[collectRoundMetrics]] is
+    * set, each merge round appends `(affectedRows, touchedOverlayRows)`
+    * — the only row sets the round materializes. Off by default (the
+    * counts cost one extra job per round).
+    */
+  private[graft] var collectRoundMetrics = false
+  private[graft] val roundMetrics =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+
   /** Learn up to `numMerges` merges from the corpus; returns
     * `(rank, merge_left, merge_right, pair_count)` ordered by rank.
     * Stops early if no adjacent pair remains.
@@ -66,9 +76,18 @@ object Bpe {
     * adjacent pair, so each round re-counts just those words' pairs
     * (old counts out, post-merge counts in) and folds the delta into
     * the persisted (l, r, cnt) store — the per-round shuffle is
-    * O(affected words), not O(dictionary). The dictionary rewrite
-    * stays a map-only pass (pairMerge is the identity on words without
-    * the pair), and the argmax is a TakeOrdered-1 over the store.
+    * O(affected words), not O(dictionary). The dictionary itself is
+    * NEVER rewritten: the initial char-split dictionary checkpoints
+    * once as `dict0`, and only the current symbolization of words some
+    * merge has actually rewritten lives in a `touched` overlay
+    * (rewritten rows swap in, untouched rows never materialize again).
+    * Finding the affected words needs no full-dict pass either, except
+    * a map-only filter scan for SINGLE-char pairs: a word no merge has
+    * touched still has all-single-char symbols, so a pair with a
+    * multi-char side can only match inside `touched`. Per-merge
+    * materialization is O(|touched| + |affected|); the argmax is a
+    * TakeOrdered-1 over the store. BpeSpec asserts both the shuffle
+    * and the materialization bounds with Spark metrics.
     */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
       driverMaxWords: Long = 1L << 20): DataFrame = {
@@ -96,6 +115,15 @@ object Bpe {
         // the one full-dictionary aggregation; every later round folds
         // an O(affected-words) delta into this store
         var pairCounts = adjacentPairCounts(dict).localCheckpoint()
+        // dict0 checkpoints ONCE (keyed by the reconstructed word — the
+        // initial syms are the char split, so concat_ws restores it) and
+        // is never rewritten; `touched` overlays the current
+        // symbolization of every word some merge has rewritten
+        val dict0 = dict
+          .select(concat_ws("", col("syms")).as("w"), col("syms"), col("freq"))
+          .localCheckpoint()
+        var touched = dict0.limit(0)
+        if (collectRoundMetrics) roundMetrics.clear()
         var rank = 1
         var exhausted = false
         while (rank <= numMerges && !exhausted) {
@@ -106,12 +134,23 @@ object Bpe {
           else {
             val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
             acc += ((rank.toLong, l, r, c))
-            // only words CONTAINING adjacent (l, r) change any pair
-            // count — re-count just those, pre- and post-merge
-            val affected = dict.filter(hasAdjacentPair(col("syms"), l, r))
-              .localCheckpoint() // feeds the old- and new-count branches
+            // only words whose CURRENT syms contain adjacent (l, r)
+            // change any pair count. Multi-char pairs can only live in
+            // `touched` (an untouched word still has single-char syms);
+            // single-char pairs additionally probe dict0 minus the
+            // already-overlaid words — a map-only filter scan, with the
+            // anti-join's build side just the touched KEYS
+            val touchedAff = touched.filter(hasAdjacentPair(col("syms"), l, r))
+            val baseAff =
+              if (l.length == 1 && r.length == 1)
+                dict0.filter(hasAdjacentPair(col("syms"), l, r))
+                  .join(touched.select(col("w")), Seq("w"), "left_anti")
+              else dict0.limit(0)
+            val affected = touchedAff.unionByName(baseAff)
+              .localCheckpoint() // feeds old/new count branches + overlay
             val mergedAffected = affected
-              .select(HashExpressions.pairMerge(col("syms"), l, r).as("syms"),
+              .select(col("w"),
+                HashExpressions.pairMerge(col("syms"), l, r).as("syms"),
                 col("freq"))
             val delta = adjacentPairCounts(mergedAffected)
               .unionByName(adjacentPairCounts(affected)
@@ -120,11 +159,13 @@ object Bpe {
               .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
               .filter(col("cnt") > 0)
               .localCheckpoint()
-            // map-only rewrite (pairMerge is the identity on words
-            // without the pair)
-            dict = dict
-              .select(HashExpressions.pairMerge(col("syms"), l, r).as("syms"), col("freq"))
+            // overlay update: rewritten rows swap in; rows of OTHER
+            // touched words pass through; dict0 never materializes
+            touched = touched.filter(!hasAdjacentPair(col("syms"), l, r))
+              .unionByName(mergedAffected)
               .localCheckpoint()
+            if (collectRoundMetrics)
+              roundMetrics += ((affected.count(), touched.count()))
             rank += 1
           }
         }

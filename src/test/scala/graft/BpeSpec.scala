@@ -152,6 +152,27 @@ class BpeSpec extends AnyFunSuite {
     assert(got === refLearn(wordFreqs, 5))
   }
 
+  test("distributed rounds materialize O(affected) rows per merge, never the dictionary") {
+    // same fixture as the shuffle bound: 2001 distinct words, the first
+    // merges touch the 1-word z-family and ≤ ~150-word digit families.
+    // The per-round row sets the loop checkpoints (affected + the
+    // touched overlay) must stay a fraction of the dictionary — the old
+    // implementation re-materialized all 2001 words EVERY round
+    val filler = (0 until 2000).map(i => f"$i%04d")
+    val corpus = (Seq.fill(200)("zzzz") ++ filler).mkString(" ")
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    Bpe.collectRoundMetrics = true
+    try {
+      Bpe.learnMerges(docs, "text", 5, driverMaxWords = 0).collect()
+      val m = Bpe.roundMetrics.toSeq
+      assert(m.size === 5)
+      m.zipWithIndex.foreach { case ((aff, touched), i) =>
+        assert(aff < 600, s"round $i affected=$aff looks like a dictionary pass")
+        assert(touched < 1000, s"round $i overlay=$touched looks like a dictionary pass")
+      }
+    } finally Bpe.collectRoundMetrics = false
+  }
+
   test("driver and distributed paths agree merge-for-merge") {
     val docs = Seq(
       (1L, "banana bandana cabana"),
