@@ -84,17 +84,18 @@ object Substring {
     *
     * Scale shape: windows travel as 64-bit hashes, and the gram stream
     * (one row per window position — the ~linear-in-corpus bulk) goes
-    * through exactly ONE wide exchange: a (gram, doc) hash-aggregation
-    * that rolls the doc's positions into a list. The cross-doc count is
-    * then a window over that rollup (gid rows are distinct per
-    * (gram, doc), so the gram-partition row count IS the doc count —
-    * [[windowStats]]'s trick), and only positions of ACTUALLY-duplicated
-    * grams re-explode into the per-doc run-length scan. The previous
-    * shape (distinct + re-aggregate + sort-merge join of the full
-    * position stream back onto the dup-gram set) exchanged the gram
-    * stream three times, computed the explode twice, and sorted all of
-    * it in the join — measured 24×/decade at the sf100 ladder point;
-    * this shape removes the join and two of the three wide exchanges.
+    * through exactly ONE wide exchange, with NO aggregation buffering at
+    * all: a position is cross-doc duplicated iff `min(doc) != max(doc)`
+    * over its gram's window partition, so the whole dup probe is one
+    * sorted gram-window pass and only duplicated positions continue into
+    * the per-doc run-length scan. Measured at the 100× ladder point
+    * against the alternatives: the original shape (distinct +
+    * re-aggregate + sort-merge join of the full position stream back
+    * onto the dup-gram set: three wide exchanges, double explode) ran
+    * 24×/decade; a (gram, doc) `collect_list` rollup halves that but
+    * pays ObjectHashAggregate's sort-based fallback at corpus-scale
+    * group counts; the min/max window runs at the single-exchange floor
+    * (~linear per decade once shuffle parallelism scales with data).
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
@@ -106,16 +107,16 @@ object Substring {
       coalesce(size(col("__g")), lit(0)).cast("long").as("n_windows"))
     val pos = base.select(col(idCol), posexplode(col("__g")))
       .toDF(idCol, "__i", "__gram")
-    // one row per (gram, doc) carrying that doc's window positions; the
-    // cross-doc count rides a window over the same rollup, and only
-    // dup-gram positions survive to the explode
+    // cross-doc test per position without aggregating: min(doc) !=
+    // max(doc) over the gram's window partition ⇔ the gram occurs in
+    // more than one distinct doc (both extremes computed in the same
+    // single window pass)
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("__gram"))
     val dupPos = pos
-      .groupBy(col("__gram"), col(idCol))
-      .agg(collect_list(col("__i")).as("__is"))
-      .withColumn("__nd", count(lit(1)).over(wg))
-      .filter(col("__nd") > 1)
-      .select(col(idCol), explode(col("__is")).as("__i"))
+      .withColumn("__xdoc",
+        min(col(idCol)).over(wg) =!= max(col(idCol)).over(wg))
+      .filter(col("__xdoc"))
+      .select(col(idCol), col("__i"))
     // islands of consecutive duplicated positions per doc: the classic
     // i - row_number() grouping key is constant exactly along a run
     val w = org.apache.spark.sql.expressions.Window
