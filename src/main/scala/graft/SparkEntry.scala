@@ -682,13 +682,28 @@ object SparkEntry {
     // partition-pruned scale path; spec-verified recall vs bruteForce)
     "q30_knn_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val probes = e.filter(col("vec_id") < 5)
+      // probes as an INDEPENDENT read, not a filter of `e`: sharing the
+      // corpus DataFrame's attribute ids across both sides of ivf's
+      // candidate join makes the analyzer's self-join deduplication
+      // rewrite the probe subtree, and on a fresh session it misses a
+      // reference inside ivf's centroid-routing lambda — the query then
+      // dies at execution with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (only
+      // when q30 is the first query the session plans; a warmed session
+      // optimizes the same tree differently). A separate scan gets fresh
+      // ids, so no dedup rewrite ever runs. Same rows, same plan shape.
+      val probes = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
       annRecallContract(e, probes,
         graft.similarity.Knn.ivf(e, probes, "vec_id", "embedding",
-          k = 10, nlist = 16, nprobe = 4),
-        // nprobe/nlist = 1/4 of the lists scanned: measured aggregate
-        // recall 0.42-0.54 across the sf sweep; floor 0.35
-        k = 10, minRecall = 0.35)
+          k = 10, nlist = 16, nprobe = 8),
+        // nprobe/nlist = 1/2 of the lists scanned — the measured
+        // operating point on these STRUCTURE-FREE synthetic embeddings
+        // (uniform vectors barely cluster, so IVF recall is inherently
+        // nprobe-bound; the round-10 curve: nprobe 4 → 0.42-0.88,
+        // 6 → 0.64-0.94, 8 → 0.74-0.96, 12 → 0.92+ across
+        // sf0.001/0.01/0.1/1). Floor = the measured nprobe-8 minimum
+        // (0.74) minus margin; latency is flat in nprobe here because
+        // the probe side is 5 broadcast rows
+        k = 10, minRecall = 0.6)
     }),
 
     // Product-quantization ANN: corpus compresses to 8 codebook codes
