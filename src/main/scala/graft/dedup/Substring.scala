@@ -26,13 +26,63 @@ import graft.functions.TextFunctions
   */
 object Substring {
 
+  /** Positions-per-gram bound above which a gram is routed through the
+    * hot path (see [[hotGrams]]). 256K positions ≈ a few MB per window
+    * partition — comfortably one task, far below spill territory.
+    */
+  val DefaultHotGramCap: Long = 1L << 18
+
+  /** Doc-sampling fraction for the hot-gram probe. */
+  val DefaultSampleFrac: Double = 0.01
+
+  /** Sample-probed hot grams WITH exact cross-doc witnesses — the skew
+    * guard for the gram windows below. A real corpus is Zipfian in the
+    * gram key (one boilerplate license header present in millions of
+    * documents), and a window partition cannot be split by AQE, so the
+    * raw `partitionBy(__gram)` pass would funnel every occurrence of
+    * such a gram into a single task's sort. This probe tokenizes a
+    * `frac` doc-sample and flags grams that are BOTH frequent in the
+    * sample (estimated count above `cap`, with 4× slack so a true-hot
+    * gram is flagged with overwhelming probability) AND seen in ≥ 2
+    * distinct sampled docs. The second condition makes the flag an
+    * exact WITNESS, not an estimate: those two docs really do contain
+    * the gram, so every flagged gram is cross-doc duplicated by
+    * definition and its positions need no sort at all — the callers
+    * give flagged rows a salted singleton window key and force the dup
+    * verdict. Routing is sample-dependent; ANSWERS are not (both paths
+    * are exact). Grams hot within a single doc are deliberately left
+    * cold: their partition size is bounded by one document's length.
+    *
+    * The flagged set is small by construction (≤ corpus positions /
+    * cap), so it broadcasts. At 100 TB the probe is the cheap pass that
+    * replaces the doc-frequency sketch production would maintain.
+    */
+  private[graft] def hotGrams(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, cap: Long, frac: Double): DataFrame = {
+    val thresh = math.max(16L, (cap * frac / 4).toLong)
+    val gh = TextFunctions.ngramHashes(
+      TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), n)
+    docs.sample(withReplacement = false, frac, seed = 42L)
+      .select(col(idCol), explode(gh).as("__gram"))
+      .groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__sn"),
+        min(col(idCol)).as("__smn"), max(col(idCol)).as("__smx"))
+      .filter(col("__sn") > thresh && col("__smn") =!= col("__smx"))
+      .select(col("__gram"), lit(true).as("__hot"))
+  }
+
   /** Per-doc window statistics: `(idCol, n_windows, dup_windows,
     * dup_frac)` where `dup_windows` counts window POSITIONS whose n-gram
     * also appears in another doc, and `dup_frac` = dup_windows /
     * n_windows (0 for docs shorter than n tokens).
+    *
+    * `hotGramCap` enables the [[hotGrams]] skew guard (≤ 0 disables):
+    * witnessed-hot grams take a salted singleton window partition with
+    * the dup verdict forced — identical answers, bounded task input.
     */
   def windowStats(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
+      n: Int = 8, hotGramCap: Long = DefaultHotGramCap,
+      sampleFrac: Double = DefaultSampleFrac): DataFrame = {
     require(n >= 2, "window length must be >= 2 tokens")
     val gh = TextFunctions.ngramHashes(
       TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), n)
@@ -45,15 +95,29 @@ object Substring {
     // cross-doc doc-count as a WINDOW over the same rollup (gid is
     // distinct per (gram, doc), so the partition row count IS the doc
     // count) — no second aggregation branch, no semi-join, no barrier:
-    // one linear pipeline (gram,doc)-agg → gram-window → doc-agg
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__gram"))
-    val stats = base
+    // one linear pipeline (gram,doc)-agg → gram-window → doc-agg.
+    // Witnessed-hot grams (broadcast flag) are already known cross-doc,
+    // so their rollup rows take a per-doc-salted singleton partition
+    // instead of piling a Zipfian doc set into one task.
+    val rollup = base
       .select(col(idCol), explode(col("__g")).as("__gram"))
       .groupBy(col("__gram"), col(idCol))
       .agg(count(lit(1)).as("__occ"))
-      .withColumn("__nd", count(lit(1)).over(w))
+    val stats = (if (hotGramCap <= 0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__gram"))
+      rollup.withColumn("__isdup", count(lit(1)).over(w) > 1)
+    } else {
+      val hot = hotGrams(docs, idCol, textCol, n, hotGramCap, sampleFrac)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(
+        col("__gram"),
+        when(col("__hot"), xxhash64(col(idCol))).otherwise(lit(0L)))
+      rollup.join(broadcast(hot), Seq("__gram"), "left")
+        .withColumn("__hot", coalesce(col("__hot"), lit(false)))
+        .withColumn("__isdup", col("__hot") || count(lit(1)).over(w) > 1)
+    })
       .groupBy(col(idCol))
-      .agg(sum(when(col("__nd") > 1, col("__occ")).otherwise(lit(0L)))
+      .agg(sum(when(col("__isdup"), col("__occ")).otherwise(lit(0L)))
         .as("__dup"))
 
     // docs below n tokens never enter the rollup — restore them with 0s
@@ -96,9 +160,18 @@ object Substring {
     * pays ObjectHashAggregate's sort-based fallback at corpus-scale
     * group counts; the min/max window runs at the single-exchange floor
     * (~linear per decade once shuffle parallelism scales with data).
+    *
+    * `hotGramCap` bounds that exchange's worst task (≤ 0 disables): a
+    * [[hotGrams]]-witnessed gram is already PROVEN cross-doc, so its
+    * positions skip the min/max test entirely — they get a salted
+    * per-position window key (singleton partitions, spread across the
+    * cluster by hash) and a forced dup verdict. The Zipfian boilerplate
+    * gram that would otherwise put millions of rows into one window
+    * sort never reaches a shared partition; answers are unchanged.
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
+      n: Int = 8, hotGramCap: Long = DefaultHotGramCap,
+      sampleFrac: Double = DefaultSampleFrac): DataFrame = {
     require(n >= 2, "window length must be >= 2 tokens")
     val gh = TextFunctions.ngramHashes(
       TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), n)
@@ -111,10 +184,22 @@ object Substring {
     // max(doc) over the gram's window partition ⇔ the gram occurs in
     // more than one distinct doc (both extremes computed in the same
     // single window pass)
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("__gram"))
-    val dupPos = pos
-      .withColumn("__xdoc",
+    val dupPos = (if (hotGramCap <= 0) {
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__gram"))
+      pos.withColumn("__xdoc",
         min(col(idCol)).over(wg) =!= max(col(idCol)).over(wg))
+    } else {
+      val hot = hotGrams(docs, idCol, textCol, n, hotGramCap, sampleFrac)
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy(
+        col("__gram"),
+        when(col("__hot"), xxhash64(col(idCol), col("__i")))
+          .otherwise(lit(0L)))
+      pos.join(broadcast(hot), Seq("__gram"), "left")
+        .withColumn("__hot", coalesce(col("__hot"), lit(false)))
+        .withColumn("__xdoc", col("__hot") ||
+          min(col(idCol)).over(wg) =!= max(col(idCol)).over(wg))
+    })
       .filter(col("__xdoc"))
       .select(col(idCol), col("__i"))
     // islands of consecutive duplicated positions per doc: the classic

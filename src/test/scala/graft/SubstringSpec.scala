@@ -145,6 +145,61 @@ class SubstringSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("hot-gram guard: planted boilerplate keeps answers and salts the gram window") {
+    // one 8-token boilerplate span present in a third of the docs — the
+    // Zipfian shape that would pile every occurrence into ONE window
+    // task without the guard
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = (1L to 200L).map { i =>
+      if (i % 3 == 0) (i, boiler + s" u${i}a u${i}b u${i}c")
+      else (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h w${i}i")
+    }.toDF("doc_id", "text")
+
+    // the probe flags exactly the planted gram (66 witnessed docs), and
+    // nothing else — every other window contains doc-unique tokens
+    val flagged = Substring.hotGrams(docs, "doc_id", "text",
+      n = 8, cap = 16, frac = 1.0).collect()
+    assert(flagged.length == 1, s"expected 1 hot gram, got ${flagged.length}")
+
+    for ((guarded, unguarded) <- Seq(
+        (Substring.dupSpans(docs, "doc_id", "text", n = 8,
+          hotGramCap = 16, sampleFrac = 1.0),
+         Substring.dupSpans(docs, "doc_id", "text", n = 8, hotGramCap = 0)),
+        (Substring.windowStats(docs, "doc_id", "text", n = 8,
+          hotGramCap = 16, sampleFrac = 1.0),
+         Substring.windowStats(docs, "doc_id", "text", n = 8, hotGramCap = 0)))) {
+      // identical answers — the guard only reroutes, never re-decides
+      assert(guarded.collect().toSet === unguarded.collect().toSet)
+      // the gram window is salted: its partitionSpec gained the hot-hash
+      // expression (2 exprs), so no single partition can hold a hot gram
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      val specs = guarded.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w.partitionSpec.length }
+      assert(specs.contains(2),
+        s"expected a salted 2-expr window partitionSpec, got $specs")
+      val cold = unguarded.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w.partitionSpec.length }
+      assert(!cold.contains(2), "guard-off plan must keep the raw gram key")
+    }
+  }
+
+  test("hot-gram guard: single-doc repetition is never flagged hot") {
+    // a gram repeated 200× inside ONE doc clears any count threshold but
+    // has no cross-doc witness — it must stay cold (and non-dup)
+    val span = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val docs = Seq(
+      (1L, Seq.fill(200)(span).mkString(" ")),
+      (2L, "o1 o2 o3 o4 o5 o6 o7 o8 o9"))
+      .toDF("doc_id", "text")
+    assert(Substring.hotGrams(docs, "doc_id", "text",
+      n = 8, cap = 16, frac = 1.0).isEmpty)
+    val got = Substring.dupSpans(docs, "doc_id", "text", n = 8,
+        hotGramCap = 16, sampleFrac = 1.0)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(1L) == 0L, "within-doc repeats must not become dup spans")
+  }
+
   test("property: window stats match a Scala brute oracle on random corpora") {
     val word = Gen.oneOf("a", "b", "c", "d", "e")
     val docGen = Gen.nonEmptyListOf(Gen.zip(
