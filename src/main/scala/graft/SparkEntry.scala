@@ -691,6 +691,8 @@ object SparkEntry {
       // when q30 is the first query the session plans; a warmed session
       // optimizes the same tree differently). A separate scan gets fresh
       // ids, so no dedup rewrite ever runs. Same rows, same plan shape.
+      // KnnSpec "q30 executes as the FIRST query of a fresh session"
+      // pins this — do not re-share the corpus DataFrame.
       val probes = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
       annRecallContract(e, probes,
         graft.similarity.Knn.ivf(e, probes, "vec_id", "embedding",

@@ -218,6 +218,26 @@ class KnnSpec extends AnyFunSuite {
       "is_outlier must be exactly the threshold predicate")
   }
 
+  test("q30 executes as the FIRST query of a fresh session (analyzer dedup regression)") {
+    // Pins the q30 workaround (SparkEntry: probes as an INDEPENDENT
+    // read). Minimal repro of the bug it dodges — on a session that has
+    // planned nothing else, share the corpus DataFrame's attribute ids
+    // across both sides of ivf's candidate join:
+    //   val e = Tables.embeddings(fresh, dir)
+    //   Knn.ivf(e, e.filter($"vec_id" < 5), ...).collect()
+    // → the analyzer's self-join deduplication rewrites the probe
+    // subtree and loses a reference inside ivf's centroid-routing
+    // lambda: execution dies with [INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND]
+    // "Could not find embedding#N in [query_id, q_vec, cluster_id]"
+    // (verified still failing on Spark 4.1.2, round 11). A warmed
+    // session optimizes the same tree differently, so ONLY a fresh
+    // session catches a workaround revert — newSession() gives fresh
+    // session state while sharing the test JVM's SparkContext.
+    val fresh = spark.newSession()
+    val out = SparkEntry.queries("q30_knn_ivf")(fresh, SparkTestSession.sfTiny)
+    assert(out.collect().length === 5)
+  }
+
   test("PQ with a codebook entry per corpus vector is exact") {
     // 16 corpus vectors, ksub = 16: every vector becomes its own
     // centroid in every block, decode is the identity, and the PQ
