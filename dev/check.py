@@ -36,7 +36,13 @@ oracles = json.load(open(f"{out}/oracle_sql.json"))
 subset_label = ""
 if len(sys.argv) > 3:
     names = sys.argv[3].split(",")
-    if names and all(n.startswith("^") for n in names):
+    excl = [n for n in names if n.startswith("^")]
+    if excl and len(excl) != len(names):
+        # a mixed list would silently fall through to inclusion mode,
+        # where '^name' entries match no oracle key
+        sys.exit(f"error: name list mixes '^'-exclusions ({excl}) with "
+                 f"plain inclusions — use one mode per invocation")
+    if excl:
         drop = {n[1:] for n in names}
         oracles = {k: v for k, v in oracles.items() if k not in drop}
         subset_label = f" of subset (excluded {sorted(drop)})"

@@ -27,7 +27,15 @@ object Bench {
           try s.filter(java.nio.file.Files.isRegularFile(_))
             .mapToLong(java.nio.file.Files.size(_)).sum()
           finally s.close()
-        } catch { case _: Throwable => 0L }
+        } catch { case e: Throwable =>
+          // a mistyped/unreadable sfDir must not silently fall back to
+          // core-count parallelism — the later read failure would hide
+          // why the partition count was wrong
+          System.err.println(
+            s"[bench] could not size $p (${e.getMessage}); " +
+              "falling back to core-count shuffle partitions")
+          0L
+        }
       val bytes = dirBytes(java.nio.file.Paths.get(sfDir))
       math.max(cpus.toInt, (bytes / (64L << 20)).toInt)
     }
@@ -103,6 +111,17 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) =>
         names.exists(p => n == p || n.startsWith(p + "_")) }
       case None => SparkEntry.queries
+    }
+    // an old-style family filter (bare "q2" used to prefix-match
+    // q20-q29) now selects nothing — fail instead of shipping a
+    // passing EMPTY bench a stale sweep script would read as green
+    if (nameFilter.isDefined && selected.isEmpty) {
+      System.err.println(s"[bench] SPARK_GRAFT_QUERY_FILTER=" +
+        s"${nameFilter.get.mkString(",")} matched no registered query " +
+        "(matching is exact or underscore-prefix); refusing to emit an " +
+        "empty subtotal")
+      spark.stop()
+      sys.exit(2)
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: evaluates every output column (unlike count(), which

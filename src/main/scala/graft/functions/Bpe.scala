@@ -34,16 +34,6 @@ import graft.expressions.HashExpressions
   */
 object Bpe {
 
-  /** Test instrumentation for the distributed path (BpeSpec's
-    * materialization-bound assertion): when [[collectRoundMetrics]] is
-    * set, each merge round appends `(affectedRows, touchedOverlayRows)`
-    * — the only row sets the round materializes. Off by default (the
-    * counts cost one extra job per round).
-    */
-  private[graft] var collectRoundMetrics = false
-  private[graft] val roundMetrics =
-    scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-
   /** Learn up to `numMerges` merges from the corpus; returns
     * `(rank, merge_left, merge_right, pair_count)` ordered by rank.
     * Stops early if no adjacent pair remains.
@@ -90,7 +80,21 @@ object Bpe {
     * and the materialization bounds with Spark metrics.
     */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
-      driverMaxWords: Long = 1L << 20): DataFrame = {
+      driverMaxWords: Long = 1L << 20): DataFrame =
+    learnMergesInstrumented(docs, textCol, numMerges, driverMaxWords, None)
+
+  /** [[learnMerges]] with test instrumentation for the distributed path
+    * (BpeSpec's materialization-bound assertion): each merge round
+    * appends `(affectedRows, touchedOverlayRows)` — the only row sets
+    * the round materializes — to the caller-owned `metricsSink`. An
+    * explicit sink (not object-level state) so concurrent trainings
+    * can't interleave or clear each other's metrics; None skips the two
+    * extra count jobs per round.
+    */
+  private[graft] def learnMergesInstrumented(docs: DataFrame,
+      textCol: String, numMerges: Int, driverMaxWords: Long,
+      metricsSink: Option[scala.collection.mutable.ArrayBuffer[(Long, Long)]])
+      : DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -123,7 +127,7 @@ object Bpe {
           .select(concat_ws("", col("syms")).as("w"), col("syms"), col("freq"))
           .localCheckpoint()
         var touched = dict0.limit(0)
-        if (collectRoundMetrics) roundMetrics.clear()
+        metricsSink.foreach(_.clear())
         var rank = 1
         var exhausted = false
         while (rank <= numMerges && !exhausted) {
@@ -164,8 +168,7 @@ object Bpe {
             touched = touched.filter(!hasAdjacentPair(col("syms"), l, r))
               .unionByName(mergedAffected)
               .localCheckpoint()
-            if (collectRoundMetrics)
-              roundMetrics += ((affected.count(), touched.count()))
+            metricsSink.foreach(_ += ((affected.count(), touched.count())))
             rank += 1
           }
         }

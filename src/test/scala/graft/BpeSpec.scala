@@ -161,16 +161,15 @@ class BpeSpec extends AnyFunSuite {
     val filler = (0 until 2000).map(i => f"$i%04d")
     val corpus = (Seq.fill(200)("zzzz") ++ filler).mkString(" ")
     val docs = Seq((1L, corpus)).toDF("doc_id", "text")
-    Bpe.collectRoundMetrics = true
-    try {
-      Bpe.learnMerges(docs, "text", 5, driverMaxWords = 0).collect()
-      val m = Bpe.roundMetrics.toSeq
-      assert(m.size === 5)
-      m.zipWithIndex.foreach { case ((aff, touched), i) =>
-        assert(aff < 600, s"round $i affected=$aff looks like a dictionary pass")
-        assert(touched < 1000, s"round $i overlay=$touched looks like a dictionary pass")
-      }
-    } finally Bpe.collectRoundMetrics = false
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    Bpe.learnMergesInstrumented(docs, "text", 5, driverMaxWords = 0,
+      metricsSink = Some(sink)).collect()
+    val m = sink.toSeq
+    assert(m.size === 5)
+    m.zipWithIndex.foreach { case ((aff, touched), i) =>
+      assert(aff < 600, s"round $i affected=$aff looks like a dictionary pass")
+      assert(touched < 1000, s"round $i overlay=$touched looks like a dictionary pass")
+    }
   }
 
   test("driver and distributed paths agree merge-for-merge") {
