@@ -36,14 +36,23 @@ object HotGramStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val boiler = "hot1 hot2 hot3 hot4 hot5 hot6 hot7 hot8"
+    // a license-header-sized boilerplate block: 64 tokens = 57 hot
+    // 8-grams, each landing in 30% of the corpus — at sf100 that is
+    // ~1.5M positions PER GRAM, far over the 2^18 cap, so the probe
+    // must engage; at sf1 it correctly stays cold (15K positions is a
+    // trivial window partition)
+    val boiler = (1 to 64).map(i => s"hot$i").mkString(" ")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
         when(col("doc_id") % 10 < 3, concat(col("text"), lit(" " + boiler)))
           .otherwise(col("text")).as("text"))
       .localCheckpoint()
     val n = docs.count()
-    println(s"[hotgram] corpus=$n docs, ${(n * 3) / 10} carry the planted span")
+    println(s"[hotgram] corpus=$n docs, ${(n * 3) / 10} carry the 64-token block")
+    val flagged = graft.dedup.Substring.hotGrams(docs, "doc_id", "text",
+      n = 8, cap = graft.dedup.Substring.DefaultHotGramCap,
+      frac = graft.dedup.Substring.DefaultSampleFrac).count()
+    println(s"[hotgram] probe flags $flagged grams at the default operating point")
 
     def time(label: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -53,15 +62,24 @@ object HotGramStress {
       s
     }
 
+    // untimed warmup so neither leg pays first-touch JIT/classload/IO
+    graft.dedup.Substring.dupSpans(docs.limit(2000), "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
+
     val guarded = graft.dedup.Substring.dupSpans(docs, "doc_id", "text")
-    time("dupSpans GUARDED (default cap)") {
-      guarded.write.format("noop").mode("overwrite").save()
+    val trials = sys.env.getOrElse("TRIALS", "2").toInt
+    (1 to trials).foreach { t =>
+      time(s"dupSpans GUARDED (default cap) trial $t") {
+        guarded.write.format("noop").mode("overwrite").save()
+      }
     }
     if (runUnguarded) {
       val unguarded = graft.dedup.Substring
         .dupSpans(docs, "doc_id", "text", hotGramCap = 0)
-      time("dupSpans UNGUARDED (cap=0)") {
-        unguarded.write.format("noop").mode("overwrite").save()
+      (1 to trials).foreach { t =>
+        time(s"dupSpans UNGUARDED (cap=0) trial $t") {
+          unguarded.write.format("noop").mode("overwrite").save()
+        }
       }
       val diff = guarded.exceptAll(unguarded).count() +
         unguarded.exceptAll(guarded).count()
