@@ -133,6 +133,30 @@ object SparkEntry {
 
   private lazy val jvmId: String = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Per-JVM scratch location for the queries that demonstrate table
+    * maintenance / DML by writing real files (q36/q59/q81/q84/q88/q89/
+    * q90/q91/q99/q100). The per-JVM suffix keeps concurrent processes
+    * apart and repeated in-process runs overwriting; the shutdown hook
+    * deletes everything this JVM created — at the sf100 ladder point
+    * one bench run's scratch is ~15 GB, which silently accumulated
+    * across runs (and eventually filled the disk) before this hook.
+    */
+  private val scratchCreated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      scratchCreated.forEach(dir => rm(new java.io.File(dir)))
+    }))
+  private def scratchPath(tag: String): String = {
+    scratchHookInstalled
+    val p = System.getProperty("java.io.tmpdir") + s"/graft_${tag}_$jvmId"
+    scratchCreated.add(p)
+    p
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q02_top_parts_per_flag")(spark, "/root/testdata/sf0.001")
@@ -346,7 +370,7 @@ object SparkEntry {
     "q36_bucketed_join" -> ((s, dir) => {
       // per-JVM location + Overwrite: repeated runs in one process replace
       // (no accumulation), concurrent processes never clobber each other
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q36_$jvmId"
+      val tmp = scratchPath("q36")
       Bucketing.writeBucketed(Tables.orders(s, dir), "q36_orders", 8,
         Seq("o_custkey"), Seq("o_custkey"), Some(s"$tmp/orders"))
       Bucketing.writeBucketed(
@@ -1005,7 +1029,7 @@ object SparkEntry {
     // build, which is the amortized cost being demonstrated.
     "q59_incremental_bucketed" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q59_$jvmId"
+      val tmp = scratchPath("q59")
       // signatures feed both the banded-store write and the verify's
       // shingle lookup — checkpoint so the minhash pass runs once
       val store = graft.dedup.IncrementalDedup.signatureStore(
@@ -1374,7 +1398,7 @@ object SparkEntry {
     // layout actually bounds both dimensions per file). Same per-JVM
     // tmp + overwrite convention as q36.
     "q81_zorder_roundtrip" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q81_$jvmId"
+      val tmp = scratchPath("q81")
       graft.sources.Sources.zorderWrite(
         Tables.lineitem(s, dir)
           .select("l_partkey", "l_extendedprice", "l_returnflag", "l_quantity"),
@@ -1430,7 +1454,7 @@ object SparkEntry {
     // Fresh table per invocation so version numbers are pinned.
     "q84_versioned_table" -> ((s, dir) => {
       import graft.sources.VersionedTable
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q84_$jvmId"
+      val tmp = scratchPath("q84")
       val p = new org.apache.hadoop.fs.Path(tmp)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val o = Tables.orders(s, dir)
@@ -1489,7 +1513,7 @@ object SparkEntry {
     // VersionedTableSpec proves it). Fresh table per invocation.
     "q88_versioned_merge" -> ((s, dir) => {
       import graft.sources.VersionedTable
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q88_$jvmId"
+      val tmp = scratchPath("q88")
       val p = new org.apache.hadoop.fs.Path(tmp)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val p0 = Tables.part(s, dir).select("p_partkey", "p_brand", "p_retailprice")
@@ -1514,7 +1538,7 @@ object SparkEntry {
     // old snapshot around. Fresh table per invocation.
     "q89_version_cdc" -> ((s, dir) => {
       import graft.sources.VersionedTable
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q89_$jvmId"
+      val tmp = scratchPath("q89")
       val p = new org.apache.hadoop.fs.Path(tmp)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val o = Tables.orders(s, dir)
@@ -1546,7 +1570,7 @@ object SparkEntry {
     // clustered pair plus a timestamp bound on a third stats column.
     "q90_skipping_scan" -> ((s, dir) => {
       import graft.sources.VersionedTable
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q90_$jvmId"
+      val tmp = scratchPath("q90")
       val p = new org.apache.hadoop.fs.Path(tmp)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity",
@@ -1573,7 +1597,7 @@ object SparkEntry {
     // aggregate reads the post-DML latest version.
     "q91_dml_cow" -> ((s, dir) => {
       import graft.sources.VersionedTable
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q91_$jvmId"
+      val tmp = scratchPath("q91")
       val p = new org.apache.hadoop.fs.Path(tmp)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val o = Tables.orders(s, dir)
@@ -2159,7 +2183,7 @@ object SparkEntry {
   private def ordersHistoryTable(s: SparkSession, dir: String,
       tag: String): String = {
     import graft.sources.VersionedTable
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$jvmId"
+    val tmp = scratchPath(tag)
     val p = new org.apache.hadoop.fs.Path(tmp)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val o = Tables.orders(s, dir).select(col("o_orderkey"),
