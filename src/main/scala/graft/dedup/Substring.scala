@@ -35,6 +35,16 @@ object Substring {
   /** Doc-sampling fraction for the hot-gram probe. */
   val DefaultSampleFrac: Double = 0.01
 
+  /** Salt-bucket count for witnessed-hot rows. A hot gram's rows spread
+    * over this many window partitions — enough that even a
+    * 30-billion-position boilerplate gram lands ~7M rows per task, few
+    * enough that WindowExec's per-partition setup stays negligible
+    * (the first cut used per-ROW singleton salts: correct, but 85M
+    * one-row window groups measured 1.75× slower than no guard at all
+    * on the sf100 stress corpus — per-group overhead swamped the win).
+    */
+  val HotSaltBuckets: Int = 4096
+
   /** Sample-probed hot grams WITH exact cross-doc witnesses — the skew
     * guard for the gram windows below. A real corpus is Zipfian in the
     * gram key (one boilerplate license header present in millions of
@@ -48,7 +58,7 @@ object Substring {
     * exact WITNESS, not an estimate: those two docs really do contain
     * the gram, so every flagged gram is cross-doc duplicated by
     * definition and its positions need no sort at all — the callers
-    * give flagged rows a salted singleton window key and force the dup
+    * give flagged rows a salt-bucketed window key and force the dup
     * verdict. Routing is sample-dependent; ANSWERS are not (both paths
     * are exact). Grams hot within a single doc are deliberately left
     * cold: their partition size is bounded by one document's length.
@@ -77,7 +87,7 @@ object Substring {
     * n_windows (0 for docs shorter than n tokens).
     *
     * `hotGramCap` enables the [[hotGrams]] skew guard (≤ 0 disables):
-    * witnessed-hot grams take a salted singleton window partition with
+    * witnessed-hot grams take salt-bucketed window partitions with
     * the dup verdict forced — identical answers, bounded task input.
     */
   def windowStats(docs: DataFrame, idCol: String, textCol: String,
@@ -97,7 +107,7 @@ object Substring {
     // count) — no second aggregation branch, no semi-join, no barrier:
     // one linear pipeline (gram,doc)-agg → gram-window → doc-agg.
     // Witnessed-hot grams (broadcast flag) are already known cross-doc,
-    // so their rollup rows take a per-doc-salted singleton partition
+    // so their rollup rows spread over per-doc-hash salt buckets
     // instead of piling a Zipfian doc set into one task.
     val rollup = base
       .select(col(idCol), explode(col("__g")).as("__gram"))
@@ -111,7 +121,8 @@ object Substring {
       val hot = hotGrams(docs, idCol, textCol, n, hotGramCap, sampleFrac)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(
         col("__gram"),
-        when(col("__hot"), xxhash64(col(idCol))).otherwise(lit(0L)))
+        when(col("__hot"), pmod(xxhash64(col(idCol)), lit(HotSaltBuckets.toLong)))
+          .otherwise(lit(0L)))
       rollup.join(broadcast(hot), Seq("__gram"), "left")
         .withColumn("__hot", coalesce(col("__hot"), lit(false)))
         .withColumn("__isdup", col("__hot") || count(lit(1)).over(w) > 1)
@@ -164,7 +175,7 @@ object Substring {
     * `hotGramCap` bounds that exchange's worst task (≤ 0 disables): a
     * [[hotGrams]]-witnessed gram is already PROVEN cross-doc, so its
     * positions skip the min/max test entirely — they get a salted
-    * per-position window key (singleton partitions, spread across the
+    * per-position bucketed window key (bounded partitions, spread across the
     * cluster by hash) and a forced dup verdict. The Zipfian boilerplate
     * gram that would otherwise put millions of rows into one window
     * sort never reaches a shared partition; answers are unchanged.
@@ -193,7 +204,8 @@ object Substring {
       val hot = hotGrams(docs, idCol, textCol, n, hotGramCap, sampleFrac)
       val wg = org.apache.spark.sql.expressions.Window.partitionBy(
         col("__gram"),
-        when(col("__hot"), xxhash64(col(idCol), col("__i")))
+        when(col("__hot"),
+            pmod(xxhash64(col(idCol), col("__i")), lit(HotSaltBuckets.toLong)))
           .otherwise(lit(0L)))
       pos.join(broadcast(hot), Seq("__gram"), "left")
         .withColumn("__hot", coalesce(col("__hot"), lit(false)))
