@@ -143,16 +143,17 @@ object CorpusPipeline {
     * order while the RUNNING token total stays within `budget`; the doc
     * that would cross the budget (and everything after it) is dropped.
     *
-    * One window cumsum per group = one shuffle on the group key. Ties in
-    * `orderCols` must be pinned (include a unique id) or the kept set is
-    * nondeterministic.
+    * The cumsum runs on [[graft.operators.Prefix.groupedCumsum]] — the
+    * distributed two-phase prefix sum — rather than a window, so one
+    * giant group (a whole dataset/source at 100 TB) never serializes
+    * into a single task. Ties in `orderCols` must be pinned (include a
+    * unique id) or the kept set is nondeterministic.
     */
   def tokenBudget(annotated: DataFrame, groupCol: String, tokenCol: String,
       budget: Long, orderCols: Seq[Column]): DataFrame = {
     require(!annotated.columns.contains("__cum"), "tokenBudget reserves __cum")
-    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    annotated.withColumn("__cum", sum(col(tokenCol)).over(w))
+    graft.operators.Prefix.groupedCumsum(
+        annotated, groupCol, tokenCol, orderCols, "__cum")
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
@@ -165,19 +166,21 @@ object CorpusPipeline {
     * straddling a boundary spills into the next sequence; the offset
     * lets the consumer split or pad — policy stays downstream).
     *
-    * One window cumsum per group = one shuffle on the group key, exactly
-    * like [[tokenBudget]]. All arithmetic is integer (cumsum, mod) plus
-    * one exact sub-2^53 floor-division, so any engine reproduces the
-    * identical packing — same determinism contract as [[datasetSplit]].
-    * Ties in `orderCols` must be pinned with a unique id.
+    * The cumsum runs on the distributed
+    * [[graft.operators.Prefix.groupedCumsum]], exactly like
+    * [[tokenBudget]] — a whole-source group parallelizes instead of
+    * serializing into one window task. All arithmetic is integer
+    * (cumsum, mod) plus one exact sub-2^53 floor-division, so any
+    * engine reproduces the identical packing — same determinism
+    * contract as [[datasetSplit]]. Ties in `orderCols` must be pinned
+    * with a unique id.
     */
   def packSequences(annotated: DataFrame, groupCol: String, tokenCol: String,
       seqLen: Long, orderCols: Seq[Column]): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     require(!annotated.columns.contains("__cum"), "packSequences reserves __cum")
-    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    annotated.withColumn("__cum", sum(col(tokenCol)).over(w))
+    graft.operators.Prefix.groupedCumsum(
+        annotated, groupCol, tokenCol, orderCols, "__cum")
       .withColumn("seq_id",
         floor((col("__cum") - col(tokenCol)).cast("double") / seqLen))
       .withColumn("seq_offset", (col("__cum") - col(tokenCol)) % seqLen)
