@@ -69,19 +69,37 @@ object Knn {
     * xxhash64(id) rows seed, `lloydIters` distributed refinement passes.
     * Driver state is nlist × dim floats — bounded and broadcast back.
     */
+  /** Training-set cap for the k-means quantizers: codebook quality
+    * saturates at a few thousand samples per centroid, so Lloyd passes
+    * never need the full corpus — at 100 TB they would otherwise scan
+    * billions of vectors per iteration (q65 measured 406 s at the sf100
+    * rung, dominated by full-corpus assignment passes). The cap is a
+    * deterministic uniform sample (smallest xxhash64(id) prefix), so
+    * corpora at or under it train on everything — bit-identical to the
+    * uncapped form at every spec/fixture scale — and the seed protocol
+    * (the first `nlist`/`ksub` of the same ordering) is unchanged at
+    * any scale.
+    */
+  val DefaultTrainMax: Int = 1 << 16
+
   private[graft] def trainQuantizer(corpus: DataFrame, idCol: String,
-      vecCol: String, nlist: Int, lloydIters: Int): Array[Array[Float]] = {
-    // 1. deterministic seed centroids: smallest xxhash64(id) wins
-    var centroids: Array[Array[Float]] = corpus
+      vecCol: String, nlist: Int, lloydIters: Int,
+      trainMax: Int = DefaultTrainMax): Array[Array[Float]] = {
+    // bounded deterministic training set; see [[DefaultTrainMax]]
+    val train = corpus
       .select(col(idCol), col(vecCol))
       .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy("__h").limit(trainMax)
+      .localCheckpoint()
+    // 1. deterministic seed centroids: smallest xxhash64(id) wins
+    var centroids: Array[Array[Float]] = train
       .orderBy("__h").limit(nlist)
       .select(vecCol).collect()
       .map(_.getSeq[Float](0).toArray)
 
     // 2. Lloyd refinement: assign → per-cluster elementwise mean
     for (_ <- 0 until lloydIters) {
-      val assigned = corpus
+      val assigned = train
         .withColumn("__c", element_at(centroidTop(col(vecCol), centroids, 1), 1)("idx"))
       val means = assigned
         .select(col("__c"), posexplode(col(vecCol)).as(Seq("__p", "__v")))
@@ -192,9 +210,14 @@ object Knn {
         argBest(slice(col("c_vec"), b * sub + 1, sub), cents(b))
       }: _*)
 
+    // bounded deterministic training set ([[DefaultTrainMax]]): Lloyd
+    // refinement never scans the full corpus, only the final encode does
+    val train = corp.withColumn("__h", xxhash64(col("neighbor_id")))
+      .orderBy(col("__h"), col("neighbor_id")).limit(DefaultTrainMax)
+      .localCheckpoint()
     // deterministic seeds: the ksub smallest-xxhash64(id) vectors, block
     // slices taken driver-side (one bounded collect covers all blocks)
-    val seedVecs = corp.withColumn("__h", xxhash64(col("neighbor_id")))
+    val seedVecs = train
       .orderBy(col("__h"), col("neighbor_id")).limit(ksub)
       .select("c_vec").collect().map(_.getSeq[Double](0).toArray)
     var cents: Array[Array[Array[Double]]] = Array.tabulate(blocks) { b =>
@@ -203,7 +226,7 @@ object Knn {
 
     // Lloyd refinement: ONE aggregation per iter over (block, code, pos)
     for (_ <- 0 until lloydIters) {
-      val means = corp.withColumn("__codes", codesExpr(cents))
+      val means = train.withColumn("__codes", codesExpr(cents))
         .select(col("__codes"), posexplode(col("c_vec")).as(Seq("__p", "__x")))
         .withColumn("__b", (col("__p") / sub).cast("int"))
         .withColumn("__c", element_at(col("__codes"), col("__b") + 1))
