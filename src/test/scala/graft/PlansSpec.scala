@@ -47,18 +47,28 @@ class PlansSpec extends AnyFunSuite {
       s"md5 split must not shuffle anything:\n$p")
   }
 
-  test("q44 token budget runs as one window pass over one key shuffle") {
+  test("q44 token budget consumes the distributed prefix sum, not a window") {
+    // round-11: the cumsum moved off the per-group window (one task per
+    // group — a 100 TB dataset-group would serialize) onto
+    // Prefix.groupedCumsum; the visible plan is a narrow filter over
+    // the prefix-summed RDD and must NOT reintroduce a Window
     val p = plan("q44_token_budget")
-    assert("Exchange".r.findAllIn(p).size <= 1,
-      s"cumsum budget must shuffle once on the group key:\n$p")
-    assert(p.contains("Window"), "running total must be a window aggregate")
+    assert(p.contains("Scan ExistingRDD"),
+      s"budget cumsum must come from Prefix.groupedCumsum:\n$p")
+    assert(!p.contains("Window"),
+      "a window cumsum would serialize each group into one task")
+    assert(!p.contains("Exchange"),
+      s"the budget filter over the prefix sum must stay narrow:\n$p")
   }
 
-  test("q54 sequence packing runs as one window pass over one key shuffle") {
+  test("q54 sequence packing consumes the distributed prefix sum, not a window") {
     val p = plan("q54_sequence_pack")
-    assert("Exchange".r.findAllIn(p).size <= 1,
-      s"packing cumsum must shuffle once on the group key:\n$p")
-    assert(p.contains("Window"), "running total must be a window aggregate")
+    assert(p.contains("Scan ExistingRDD"),
+      s"packing cumsum must come from Prefix.groupedCumsum:\n$p")
+    assert(!p.contains("Window"),
+      "a window cumsum would serialize each group into one task")
+    assert(!p.contains("Exchange"),
+      s"seq_id/seq_offset arithmetic over the prefix sum must stay narrow:\n$p")
   }
 
   test("q50 sessionization shares one sort across both windows and the aggregate") {
