@@ -181,9 +181,9 @@ object Sources {
     *      (driver holds `buckets-1` doubles per column — bounded; skew
     *      cannot starve buckets the way min/max scaling would);
     *   2. Morton interleave of the two bucket ids (codegen'd kernel);
-    *   3. `repartitionByRange` on the z-value into `targetFiles` files
-    *      (range, not hash: contiguous z-runs stay together) with an
-    *      in-partition z-sort for row-group-level stats.
+    *   3. contiguous z-runs routed into `targetFiles` files by an EXACT
+    *      z-bucket histogram (see [[zArrange]]) with an in-partition
+    *      z-sort for row-group-level stats.
     *
     * The z-value is a write-time ordering device only — it is dropped
     * from the written schema, and layout never affects query answers.
@@ -196,6 +196,30 @@ object Sources {
   /** The z-order arrangement itself, shared by [[zorderWrite]] and
     * `VersionedTable.cluster`: rows of `df` re-laid-out so each output
     * file covers a compact 2-D box of the clustering pair.
+    *
+    * Routing is an EXACT histogram split, not `repartitionByRange`.
+    * RangePartitioner's reservoir-sampling pass evaluates the FULL child
+    * plan — every payload column is read from parquet just to sketch the
+    * key, so a z-order of a wide 100 TB table would scan all 100 TB
+    * twice. Instead:
+    *   1. `groupBy(__z).count()` — column pruning reaches the scan (only
+    *      the two clustering columns are read), map-side partial
+    *      aggregation collapses the stream to ≤ `buckets²` fixed-width
+    *      rows before the (tiny) shuffle, and the driver folds the
+    *      sorted histogram into contiguous row-balanced bucket→slot cuts
+    *      (EXACT boundaries, where sampled ones drift under skew);
+    *   2. each slot is addressed by a probe integer chosen so Spark's
+    *      hash partitioning (`pmod(murmur3(pid), targetFiles)`) maps the
+    *      `targetFiles` pids onto the `targetFiles` partitions
+    *      bijectively — hash `repartition` then delivers RANGE semantics
+    *      (contiguous z-runs stay together) without any sampling pass,
+    *      and the explicit partition count keeps AQE from coalescing the
+    *      file count away;
+    *   3. the ≤ `buckets²`-row bucket→pid map broadcast-joins back onto
+    *      the stream — the one full-payload pass is the shuffle+write
+    *      itself.
+    * A single over-full z bucket cannot be split (equal keys), the same
+    * property RangePartitioner has; its slot just runs long.
     */
   private[graft] def zArrange(df: DataFrame, zCols: (String, String),
       targetFiles: Int, buckets: Int): DataFrame = {
@@ -204,20 +228,64 @@ object Sources {
       "buckets must be a power of two")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.GraftExpressions
+    val spark = df.sparkSession
     val bits = java.lang.Integer.numberOfTrailingZeros(buckets)
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
     // BOTH columns' boundaries from one scan (driver-bounded result:
     // 2 × (buckets-1) doubles)
     val Array(bx, by) =
       df.stat.approxQuantile(Array(zCols._1, zCols._2), probes, 0.001)
-    df
-      .withColumn("__z", GraftExpressions.interleaveBits(
-        GraftExpressions.rangeBucket(col(zCols._1).cast("double"), bx).cast("long"),
-        GraftExpressions.rangeBucket(col(zCols._2).cast("double"), by).cast("long"),
-        bits))
-      .repartitionByRange(targetFiles, col("__z"))
+    // nulls in either clustering column bucket to z = -1: they sort
+    // first, exactly as repartitionByRange placed them (layout-only)
+    val zExpr = coalesce(GraftExpressions.interleaveBits(
+      GraftExpressions.rangeBucket(col(zCols._1).cast("double"), bx).cast("long"),
+      GraftExpressions.rangeBucket(col(zCols._2).cast("double"), by).cast("long"),
+      bits), lit(-1L))
+    val withZ = df.withColumn("__z", zExpr)
+    val hist = withZ.groupBy(col("__z")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (hist.isEmpty) return df // nothing to arrange
+    val total = hist.map(_._2).sum
+    // contiguous prefix-sum cuts: a bucket whose rows START in slot s
+    // belongs wholly to s — monotonic in z, so every slot is one z-run
+    var before = 0L
+    val bucketSlot = hist.map { case (z, n) =>
+      val slot = math.min(targetFiles - 1L, before * targetFiles / total).toInt
+      before += n
+      (z, slot)
+    }
+    val slotPid = bijectivePids(targetFiles)
+    val route = spark.createDataFrame(
+      bucketSlot.toIndexedSeq.map { case (z, s) => (z, slotPid(s)) })
+      .toDF("__z", "__pid")
+    withZ
+      .join(broadcast(route), Seq("__z"))
+      .repartition(targetFiles, col("__pid"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      .drop("__z", "__pid")
+  }
+
+  /** Probe integers whose Spark hash-partition slot
+    * (`pmod(murmur3_int(v, seed=42), n)`) covers 0..n-1 exactly once —
+    * index s holds a pid landing in partition s. Mirrors
+    * `HashPartitioning.partitionIdExpression` for a single non-null
+    * IntegerType column; ZOrderSpec pins the mirror against
+    * `spark_partition_id()` so a Spark-side seed change cannot silently
+    * skew the routing.
+    */
+  private[graft] def bijectivePids(n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    val seen = new Array[Boolean](n)
+    var found = 0
+    var v = 0
+    while (found < n) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+      val s = ((h % n) + n) % n
+      if (!seen(s)) { seen(s) = true; out(s) = v; found += 1 }
+      v += 1
+    }
+    out
   }
 
   /** Object-store-safe "table exists and has files" probe — the one

@@ -848,8 +848,8 @@ object VersionedTable {
   /** Answer-preserving z-order rewrite committed as a new version — the
     * OPTIMIZE ZORDER BY + stats-collection pair in one commit. Same
     * clustering recipe as [[Sources.zorderWrite]] (quantile range
-    * buckets → Morton interleave → `repartitionByRange` on the z-value
-    * with an in-partition z-sort), but the rewritten files land through
+    * buckets → Morton interleave → exact-histogram routing of contiguous
+    * z-runs with an in-partition z-sort), but the rewritten files land through
     * the manifest commit path with skipping stats, so a subsequent
     * [[readWhere]] box predicate on the two clustered dimensions prunes
     * most files BEFORE the scan starts — the mechanism that turns a

@@ -216,4 +216,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.agg(sum("x"), sum("y")).head ===
       df.agg(sum("x"), sum("y")).head)
   }
+
+  test("bijectivePids mirrors Spark's hash partitioner exactly") {
+    // the driver-side murmur mirror must agree with what a real hash
+    // repartition does, or zArrange's routing silently skews — pin it
+    // against spark_partition_id() for several partition counts
+    for (n <- Seq(1, 2, 3, 8, 16, 100)) {
+      val pids = Sources.bijectivePids(n)
+      assert(pids.distinct.length == n)
+      val placed = pids.zipWithIndex.toSeq.toDF("pid", "slot")
+        .repartition(n, col("pid"))
+        .select(col("slot"), spark_partition_id().as("actual"))
+        .collect()
+      placed.foreach(r => assert(r.getInt(0) == r.getInt(1),
+        s"n=$n: slot ${r.getInt(0)} landed in partition ${r.getInt(1)}"))
+    }
+  }
+
+  test("zArrange balances rows exactly and survives a hot z-bucket") {
+    // uniform scatter: every slot within one bucket-count of the ideal
+    val uni = spark.range(8000).select(
+      ((col("id") * 7919) % 1000).cast("double").as("x"),
+      ((col("id") * 104729) % 1000).cast("double").as("y"))
+    val sizes = Sources.zArrange(uni, ("x", "y"), 8, 256)
+      .groupBy(spark_partition_id().as("p")).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length == 8, s"expected 8 non-empty slots, got ${sizes.length}")
+    assert(sizes.max <= 1250 && sizes.min >= 750,
+      s"exact-histogram split should balance 8000/8=1000 ±25%: ${sizes.toSeq}")
+
+    // hot bucket: half the rows share one (x, y) point — its slot takes
+    // the overflow (equal z-keys cannot split) but no rows are lost and
+    // the remaining slots still divide the rest
+    val hot = spark.range(8000).select(
+      when(col("id") < 4000, lit(500.0))
+        .otherwise((col("id") * 7919) % 1000).cast("double").as("x"),
+      when(col("id") < 4000, lit(500.0))
+        .otherwise((col("id") * 104729) % 1000).cast("double").as("y"))
+    val arranged = Sources.zArrange(hot, ("x", "y"), 8, 256)
+    assert(arranged.count() == 8000)
+    val hotSizes = arranged.groupBy(spark_partition_id()).count()
+      .collect().map(_.getLong(1)).sorted
+    assert(hotSizes.sum == 8000)
+    assert(hotSizes.max >= 4000, "the hot bucket stays whole in one slot")
+    // nulls route (z = -1) instead of crashing the histogram fold
+    val withNulls = spark.range(100).select(
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id"))
+        .cast("double").as("x"),
+      col("id").cast("double").as("y"))
+    assert(Sources.zArrange(withNulls, ("x", "y"), 4, 16).count() == 100)
+  }
 }
