@@ -58,8 +58,18 @@ object Prefix {
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val sortKeys = col(groupCol).asc +: orderCols
+    // Materialize the input ONCE before the range exchange:
+    // RangePartitioner's reservoir-sampling pass evaluates the full
+    // child plan, so an un-materialized child runs twice — for the
+    // q44/q54 callers that means re-tokenizing the whole corpus just to
+    // sample the shuffle key. groupedCumsum is already eager (job 1
+    // collects at call time — see the laziness contract above), so the
+    // checkpoint changes no semantics; it pins the (typically narrow,
+    // caller-projected) annotated rows and both the sampler and the
+    // shuffle writer stream them back instead of recomputing upstream.
     val sorted = df
       .withColumn(outCol, coalesce(col(valueCol).cast(LongType), lit(0L)))
+      .localCheckpoint()
       .repartitionByRange(parts, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
     val schema = sorted.schema
