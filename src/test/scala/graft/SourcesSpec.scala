@@ -233,6 +233,34 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("zArrange's histogram pass prunes the scan to the clustering columns") {
+    // the point of the exact-histogram routing: the only full-payload
+    // pass is the shuffle+write itself. The histogram aggregation must
+    // push column pruning into the parquet scan — if the payload column
+    // appears in the hist scan's ReadSchema, the double-scan is back
+    val dir = tempDir() + "/wide"
+    spark.range(2000).select(
+      col("id").cast("double").as("x"),
+      (col("id") % 97).cast("double").as("y"),
+      concat(lit("payload_"), col("id")).as("wide"))
+      .write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    import org.apache.spark.sql.graft.GraftExpressions
+    val probes = (1 until 16).map(_.toDouble / 16).toArray
+    val Array(bx, by) = df.stat.approxQuantile(Array("x", "y"), probes, 0.001)
+    val hist = df.withColumn("__z", GraftExpressions.interleaveBits(
+        GraftExpressions.rangeBucket(col("x").cast("double"), bx).cast("long"),
+        GraftExpressions.rangeBucket(col("y").cast("double"), by).cast("long"),
+        4))
+      .groupBy(col("__z")).agg(count(lit(1)))
+    val scans = hist.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val scan = scans.find(_.contains("ReadSchema")).getOrElse(
+      fail(s"no parquet scan leaf found in: ${scans.mkString("\n")}"))
+    assert(scan.contains("x") && scan.contains("y"))
+    assert(!scan.substring(scan.indexOf("ReadSchema")).contains("wide"),
+      s"histogram scan must not read the payload column:\n$scan")
+  }
+
   test("zArrange balances rows exactly and survives a hot z-bucket") {
     // uniform scatter: every slot within one bucket-count of the ideal
     val uni = spark.range(8000).select(
