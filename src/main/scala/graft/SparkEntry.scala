@@ -157,6 +157,16 @@ object SparkEntry {
     p
   }
 
+  /** Planted-twin id offset: the smallest multiple of 1,000,000 past the
+    * table's max id. A FIXED 1M offset collided with real ids once the
+    * corpus passed 1M rows — at sf100 every planted twin id named an
+    * existing doc too, and id-keyed anchor joins went ambiguous (the q25
+    * sf100 gate caught it). Oracles replay the same derivation as a
+    * scalar subquery: `(max(id) // 1000000 + 1) * 1000000`.
+    */
+  private def plantOffset(df: DataFrame, idCol: String): Long =
+    (df.agg(max(col(idCol))).head.getLong(0) / 1000000L + 1L) * 1000000L
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q02_top_parts_per_flag")(spark, "/root/testdata/sf0.001")
@@ -590,19 +600,27 @@ object SparkEntry {
     // q33 contract form (hamming over xxhash64-derived fingerprints has
     // no SQL twin; DedupSpec keeps the brute-force recall proof). The
     // corpus is augmented with planted exact-text twins — every 7th doc
-    // re-enters under doc_id+1,000,000 with IDENTICAL text, a derivation
-    // DuckDB replays verbatim. Identical text ⇒ identical fingerprint ⇒
-    // hamming 0 ⇒ all four blocks collide, so each planted pair MUST
-    // surface (required-TRUE anchor; a pair could only vanish if all
-    // four of its block values were boilerplate-hot, which the gate
-    // would then catch). Global invariants over ALL emitted pairs ride
+    // re-enters with IDENTICAL text under doc_id + off, where off is the
+    // smallest megabyte-round value past max(doc_id) — a derivation
+    // DuckDB replays verbatim (a FIXED 1M offset collided with real ids
+    // once the corpus passed 1M docs: at sf100 two docs shared each
+    // planted id, and the pair dedup's arbitrary pick over their two
+    // hamming values flipped 346 anchors — this gate caught it).
+    // Identical text ⇒ identical fingerprint ⇒ hamming 0, and the
+    // hamming-0 rescue lane guarantees the pair surfaces whatever the
+    // block heat (also a gate catch at sf100: 346 planted pairs lost to
+    // all-four-blocks-hot bit bias — see Dedup.simHashPairs' scaladoc;
+    // the anchor's only remaining out is an identical-sig group above
+    // the clique cap, and the planted groups are ≤78 at sf100 vs the
+    // 2000 default). Global invariants over ALL emitted pairs ride
     // along as required-TRUE booleans: canonical id_a<id_b order,
     // hamming within [0, maxHamming], and pair-list distinctness.
     "q25_simhash_neardup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val off = plantOffset(docs, "doc_id")
       val plantBase = docs.filter(col("doc_id") % 7 === 0)
       val corpus = docs.unionByName(
-        plantBase.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        plantBase.select((col("doc_id") + off).as("doc_id"), col("text")))
       val pairs = graft.dedup.Dedup.simHashPairs(corpus, "doc_id", "text",
         maxHamming = 3) // eager internal checkpoint: pairs feed two consumers
       val inv = pairs.agg(
@@ -615,7 +633,7 @@ object SparkEntry {
       val found = pairs.select(col("id_a").as("doc_id"),
         col("id_b").as("twin_id"), col("hamming"))
       plantBase.select(col("doc_id"),
-          (col("doc_id") + 1000000L).as("twin_id"),
+          (col("doc_id") + off).as("twin_id"),
           length(col("text")).cast("long").as("n_chars"))
         .join(found, Seq("doc_id", "twin_id"), "left")
         .crossJoin(broadcast(inv))
@@ -882,18 +900,21 @@ object SparkEntry {
     // the q33 contract form (the component structure of hash-derived
     // pairs has no SQL twin; ComponentsSpec keeps the union-find
     // equality proof). Planted anchors: every 11th doc re-enters TWICE
-    // with identical text (doc_id+1,000,000 and +2,000,000), a clique
-    // DuckDB replays — all three members must co-cluster (hamming-0
-    // pairs always surface, q25's argument, and components only need
+    // with identical text (doc_id + off and + 2·off, off scale-derived
+    // past max(doc_id) — see plantOffset), a clique DuckDB replays —
+    // all three members must co-cluster (hamming-0 pairs are
+    // rescue-lane-guaranteed under the clique cap — q25's argument,
+    // post-sf100-fix — and components only need
     // connectivity). Global invariants ride along: every id appears
     // exactly once, and each cluster's label IS its minimum member id
     // (the min-label-propagation postcondition).
     "q38_dup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val off = plantOffset(docs, "doc_id")
       val base = docs.filter(col("doc_id") % 11 === 0)
-      def shifted(off: Long) =
-        base.select((col("doc_id") + off).as("doc_id"), col("text"))
-      val corpus = docs.unionByName(shifted(1000000L)).unionByName(shifted(2000000L))
+      def shifted(o: Long) =
+        base.select((col("doc_id") + o).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(shifted(off)).unionByName(shifted(2 * off))
       val pairs = graft.dedup.Dedup.simHashPairs(corpus, "doc_id", "text",
         maxHamming = 3)
       val comps = graft.dedup.Components.connectedComponents(pairs)
@@ -908,8 +929,8 @@ object SparkEntry {
         comps.select((col("id") - off).as("doc_id"), col("cluster_id").as(as))
       base.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         .join(memberLabel(0L, "__c0"), Seq("doc_id"), "left")
-        .join(memberLabel(1000000L, "__c1"), Seq("doc_id"), "left")
-        .join(memberLabel(2000000L, "__c2"), Seq("doc_id"), "left")
+        .join(memberLabel(off, "__c1"), Seq("doc_id"), "left")
+        .join(memberLabel(2 * off, "__c2"), Seq("doc_id"), "left")
         .crossJoin(broadcast(inv))
         .select(col("doc_id"), col("n_chars"),
           (col("__c0").isNotNull && col("__c0") === col("__c1") &&
@@ -3529,7 +3550,9 @@ object SparkEntry {
     // planted exact-text twins must pair at hamming 0; list-wide
     // invariants required TRUE (q33 contract form — see the query body)
     "q25_simhash_neardup" ->
-      """SELECT doc_id, doc_id + 1000000 AS twin_id,
+      """SELECT doc_id,
+        |  doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000
+        |            FROM documents) AS twin_id,
         |  CAST(len(text) AS BIGINT) AS n_chars,
         |  TRUE AS twin_pair_found, TRUE AS pairs_canonical,
         |  TRUE AS hamming_within_bound, TRUE AS pairs_distinct

@@ -53,14 +53,30 @@ object Dedup {
     * only (block_idx, block_value, id, sig). `maxBucketSize` drops hot
     * blocks (a boilerplate cluster sharing one 16-bit block value would
     * otherwise put O(b²) pairs on a single reducer — same key, so AQE
-    * skew-split can't help). Recall tradeoff: a pair is lost iff every
-    * block it MATCHES on is hot — a Hamming≤3 pair matches ≥1 of 4
-    * blocks, so pairs matching only one block are at risk when that
-    * block value is boilerplate-hot; identical-fingerprint clusters are
-    * exact-duplicate territory that `exactByKey` removes upstream.
+    * skew-split can't help). Recall tradeoff: a NON-identical pair is
+    * lost iff every block it matches on is hot — a Hamming≤3 pair
+    * matches ≥1 of 4 blocks, so pairs matching only one block are at
+    * risk when that block value is boilerplate-hot.
+    *
+    * Hamming-0 rescue lane: 16-bit block values go hot from corpus-wide
+    * BIT BIAS, not only from identical text — at 5.7M synthetic docs,
+    * 147 block buckets crossed the default cap and 2,060 fingerprints
+    * had ALL FOUR blocks hot, silently dropping their exact twins (the
+    * q25 sf100 oracle caught exactly this). Identical-fingerprint pairs
+    * therefore ALSO route through a direct equality self-join on the
+    * full 64-bit `sig` — a different key space whose skew comes only
+    * from genuinely identical-ish documents, bounded by its own
+    * `maxSigClique` cap (an identical-sig clique above the cap is
+    * definitional exact-dup boilerplate: `exactByKey` territory, and
+    * emitting its O(b²) pairs would be the same reducer blowup the
+    * block cap exists to stop; 0 = follow `maxBucketSize`). Net recall
+    * contract: Hamming-0 pairs are guaranteed whenever their
+    * identical-sig group is within the clique cap, regardless of block
+    * heat; Hamming 1-3 pairs keep the every-matching-block-hot caveat.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 2000,
+      maxSigClique: Int = 0): DataFrame = {
     require(maxHamming <= 3, "4-block banding only guarantees recall for Hamming <= 3")
     val sigs = docs.select(col(idCol),
       HashExpressions.simHash64(TextFunctions.tokens(col(textCol))).as("sig"))
@@ -80,12 +96,29 @@ object Dedup {
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = bounded.select(col("block_idx"), col("block_value"),
       col(idCol).as("id_b"), col("sig").as("sig_b"))
-    val result = a.join(b, Seq("block_idx", "block_value"))
+    val banded = a.join(b, Seq("block_idx", "block_value"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         HashExpressions.hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+    // Hamming-0 rescue lane (see scaladoc): identical-sig pairs via the
+    // cached exploded rows (block 0 carries one row per doc), capped on
+    // the full-sig key so an identical-doc flood stays bounded
+    val sigRows = exploded.filter(col("block_idx") === 0)
+      .select(col(idCol), col("sig"))
+    val sigCap = if (maxSigClique > 0) maxSigClique else maxBucketSize
+    val sigBounded = LshGuards.dropHotKeys(sigRows, Seq("sig"), sigCap)
+    val sameSig = sigBounded.select(col("sig"), col(idCol).as("id_a"))
+      .join(sigBounded.select(col("sig"), col(idCol).as("id_b")), Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast("int").as("hamming"))
+    // min-hamming per id pair, not dropDuplicates: under duplicate ids
+    // (two docs sharing one id) the same (id_a, id_b) can carry several
+    // hamming values, and an arbitrary pick is nondeterministic — the
+    // q25 sf100 gate caught exactly that via its planted-id collision
+    val result = banded.unionByName(sameSig)
+      .groupBy(col("id_a"), col("id_b")).agg(min(col("hamming")).as("hamming"))
     val out = result.localCheckpoint() // eager
     exploded.unpersist()
     out

@@ -191,6 +191,39 @@ class DedupSpec extends AnyFunSuite {
     assert(cappedPairs === uncappedNormal)
   }
 
+  test("SimHash hamming-0 rescue lane survives all-blocks-hot; clique cap bounds it") {
+    // the q25 sf100 finding: 16-bit block values go hot from corpus-wide
+    // bit bias, and a fingerprint whose FOUR blocks are all hot loses
+    // every banded route — including its exact twin. Model the extreme
+    // with maxBucketSize=1 (every block bucket of any pair is "hot"):
+    // the identical pair must still surface via the sig-equality lane.
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (1000001L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (5L, "completely different text with no relation to anything at all"))
+      .toDF("doc_id", "text")
+    val rescued = Dedup.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 1, maxSigClique = 10)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(rescued.contains((1L, 1000001L, 0)),
+      s"identical pair must survive all-hot blocks via the rescue lane: $rescued")
+
+    // the lane keeps its own skew bound: an identical-sig clique above
+    // maxSigClique is dropped (definitional exact-dup boilerplate), and
+    // by default the clique cap follows maxBucketSize
+    val clique = (0L until 6L).map(i => (i, "same same same text here ok"))
+      .toDF("doc_id", "text")
+    val bounded = Dedup.simHashPairs(clique, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 1, maxSigClique = 5).count()
+    assert(bounded === 0L, "an over-cap identical-sig clique must stay dropped")
+    val defaulted = Dedup.simHashPairs(clique, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 5).count()
+    assert(defaulted === 0L, "clique cap must follow maxBucketSize by default")
+    val under = Dedup.simHashPairs(clique, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 1, maxSigClique = 6).count()
+    assert(under === 15L, "6-clique within the cap yields all C(6,2) pairs")
+  }
+
   test("selectKeepers: priority wins, id breaks ties, singletons keep themselves") {
     val docs = Seq(
       (1L, "c1", 100L), (2L, "c1", 300L), (3L, "c1", 300L), // 2 beats 3 on tie
