@@ -164,8 +164,14 @@ object SparkEntry {
     * sf100 gate caught it). Oracles replay the same derivation as a
     * scalar subquery: `(max(id) // 1000000 + 1) * 1000000`.
     */
-  private def plantOffset(df: DataFrame, idCol: String): Long =
-    (df.agg(max(col(idCol))).head.getLong(0) / 1000000L + 1L) * 1000000L
+  private def plantOffset(df: DataFrame, idCol: String): Long = {
+    // max() of an empty table is null — fail with the real diagnosis
+    // (mis-pointed sfDir) instead of an opaque NullPointerException
+    val mx = df.agg(max(col(idCol))).head.getAs[java.lang.Long](0)
+    require(mx != null,
+      s"plantOffset: table is empty (max($idCol) is null) — check sfDir")
+    (mx / 1000000L + 1L) * 1000000L
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1286,9 +1292,12 @@ object SparkEntry {
       val planted = Tables.embeddings(s, dir)
         .filter(col("vec_id") < 2000 && col("vec_id") % 9 === 0)
         .select("vec_id", "embedding")
+      // scale-derived twin offset (q25 convention): a FIXED +1M would
+      // collide with real vec_ids once the table passes 1M rows
+      val off = plantOffset(Tables.embeddings(s, dir), "vec_id")
       // checkpointed for the same two reasons as q79's corpus
       val corpus = e.unionByName(planted
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .select((col("vec_id") + off).as("vec_id"), col("embedding")))
         .localCheckpoint()
       val surv = graft.similarity.Knn.semanticDedup(corpus, "vec_id",
           "embedding", threshold = 0.5, nlist = 16)
@@ -1299,7 +1308,7 @@ object SparkEntry {
         .crossJoin(broadcast(corpus.agg(min(col("vec_id")).as("__mnc"))))
         .select(col("survivors_unique"),
           (col("__mns") === col("__mnc")).as("global_min_survives"))
-      planted.select(col("vec_id"), (col("vec_id") + 1000000L).as("twin_id"))
+      planted.select(col("vec_id"), (col("vec_id") + off).as("twin_id"))
         .join(surv.select(col("vec_id").as("twin_id"), lit(true).as("__s")),
           Seq("twin_id"), "left")
         .crossJoin(broadcast(inv))
@@ -1332,11 +1341,13 @@ object SparkEntry {
       val planted = Tables.embeddings(s, dir)
         .filter(col("vec_id") < 2000 && col("vec_id") % 13 === 0)
         .select("vec_id", "embedding")
+      // scale-derived twin offset (q25 convention, as in q78)
+      val off = plantOffset(Tables.embeddings(s, dir), "vec_id")
       // checkpointed: (a) the quantizer + scoring pass read the corpus
       // several times, (b) leaving the union in the plan trips
       // Catalyst's union constraint rewrite under the later projections
       val corpus = e.unionByName(planted
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .select((col("vec_id") + off).as("vec_id"), col("embedding")))
         .localCheckpoint()
       val out = graft.similarity.Knn.embeddingOutliers(corpus, "vec_id",
           "embedding", minCentroidCosine = 0.16, nlist = 16)
@@ -1356,7 +1367,7 @@ object SparkEntry {
       def scored(idExpr: org.apache.spark.sql.Column, pre: String) =
         out.select(idExpr.as("vec_id"), col("cluster_id").as(s"__${pre}c"),
           col("centroid_cosine").as(s"__${pre}s"), col("is_outlier").as(s"__${pre}o"))
-      planted.select(col("vec_id"), (col("vec_id") + 1000000L).as("twin_id"))
+      planted.select(col("vec_id"), (col("vec_id") + off).as("twin_id"))
         .join(scored(col("vec_id"), "a"), Seq("vec_id"))
         .join(scored(col("vec_id"), "b")
           .withColumnRenamed("vec_id", "twin_id"), Seq("twin_id"))
@@ -3608,7 +3619,10 @@ object SparkEntry {
     // planted coincident twins must be SemDeDup'd away; the corpus
     // minimum can never be (drops always take the larger id)
     "q78_semantic_dedup" ->
-      """SELECT vec_id, vec_id + 1000000 AS twin_id, TRUE AS twin_dropped,
+      """SELECT vec_id,
+        |  vec_id + (SELECT (max(vec_id) // 1000000 + 1) * 1000000
+        |            FROM embeddings) AS twin_id,
+        |  TRUE AS twin_dropped,
         |  TRUE AS survivors_unique, TRUE AS global_min_survives
         |FROM embeddings WHERE vec_id < 2000 AND vec_id % 9 = 0""".stripMargin,
 
@@ -3618,7 +3632,9 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id FROM embeddings WHERE vec_id < 2000),
         |n AS (SELECT CAST((SELECT COUNT(*) FROM e) +
         |  (SELECT COUNT(*) FROM e WHERE vec_id % 13 = 0) AS BIGINT) AS n_scored)
-        |SELECT e.vec_id, e.vec_id + 1000000 AS twin_id,
+        |SELECT e.vec_id,
+        |  e.vec_id + (SELECT (max(vec_id) // 1000000 + 1) * 1000000
+        |              FROM embeddings) AS twin_id,
         |  TRUE AS twin_consistent, n.n_scored, TRUE AS scored_once,
         |  TRUE AS flag_matches_score, TRUE AS cluster_in_range,
         |  TRUE AS cosine_bounded, TRUE AS outlier_fraction_sane

@@ -67,7 +67,31 @@ object Substring {
     * cap), so it broadcasts. At 100 TB the probe is the cheap pass that
     * replaces the doc-frequency sketch production would maintain.
     */
+  /** Session cache for [[hotGrams]]: the probe result depends only on
+    * (corpus, n, cap, frac), and q62 + q94 probe the SAME corpus with
+    * the same parameters — one sample+aggregate pass per corpus per
+    * session instead of one per call. Key = session UUID + the
+    * canonicalized-plan hash + the concrete input-file inventory (a
+    * parquet rewrite mints new part-file names, so an in-place table
+    * swap misses the cache rather than serving a stale witness — the
+    * forced-dup verdict is only correct while its two witness docs
+    * exist). Values are localCheckpointed (executor-stored, driver
+    * never holds the flagged set; bounded ≤ positions/cap).
+    */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private[graft] def hotGrams(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, cap: Long, frac: Double): DataFrame = {
+    val key = Seq(System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.analyzed.semanticHash(),
+      docs.inputFiles.toSeq.sorted.hashCode,
+      idCol, textCol, n, cap, frac).mkString(":")
+    probeCache.computeIfAbsent(key,
+      _ => probeHotGrams(docs, idCol, textCol, n, cap, frac).localCheckpoint())
+  }
+
+  private def probeHotGrams(docs: DataFrame, idCol: String,
       textCol: String, n: Int, cap: Long, frac: Double): DataFrame = {
     val thresh = math.max(16L, (cap * frac / 4).toLong)
     val gh = TextFunctions.ngramHashes(

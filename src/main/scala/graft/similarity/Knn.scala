@@ -85,15 +85,18 @@ object Knn {
   private[graft] def trainQuantizer(corpus: DataFrame, idCol: String,
       vecCol: String, nlist: Int, lloydIters: Int,
       trainMax: Int = DefaultTrainMax): Array[Array[Float]] = {
-    // bounded deterministic training set; see [[DefaultTrainMax]]
+    // bounded deterministic training set; see [[DefaultTrainMax]].
+    // id tiebreaker: xxhash64 ties at the limit() cut boundary would
+    // otherwise make the training set (hence centroids and ANN output)
+    // run-dependent — same ordering contract as the PQ codebook path.
     val train = corpus
       .select(col(idCol), col(vecCol))
       .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy("__h").limit(trainMax)
+      .orderBy(col("__h"), col(idCol)).limit(trainMax)
       .localCheckpoint()
     // 1. deterministic seed centroids: smallest xxhash64(id) wins
     var centroids: Array[Array[Float]] = train
-      .orderBy("__h").limit(nlist)
+      .orderBy(col("__h"), col(idCol)).limit(nlist)
       .select(vecCol).collect()
       .map(_.getSeq[Float](0).toArray)
 

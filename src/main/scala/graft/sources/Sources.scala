@@ -220,9 +220,20 @@ object Sources {
     *      itself.
     * A single over-full z bucket cannot be split (equal keys), the same
     * property RangePartitioner has; its slot just runs long.
+    *
+    * Below `minExactBytes` of (optimizer-estimated) input the exact
+    * histogram pass costs more than it saves — RangePartitioner's
+    * double evaluation of a sub-GB child is noise — so small inputs
+    * take the sampled `repartitionByRange` route instead. Both routes
+    * are layout-only and oracle-gated (q81/q90 exercise the sampled
+    * route at bench SF; ZOrderSpec forces the exact route with
+    * `minExactBytes = 0`).
     */
+  private[graft] val DefaultZExactMinBytes: Long = 1L << 30
+
   private[graft] def zArrange(df: DataFrame, zCols: (String, String),
-      targetFiles: Int, buckets: Int): DataFrame = {
+      targetFiles: Int, buckets: Int,
+      minExactBytes: Long = DefaultZExactMinBytes): DataFrame = {
     require(targetFiles > 0, "targetFiles must be positive")
     require(buckets > 1 && (buckets & (buckets - 1)) == 0,
       "buckets must be a power of two")
@@ -242,16 +253,29 @@ object Sources {
       GraftExpressions.rangeBucket(col(zCols._2).cast("double"), by).cast("long"),
       bits), lit(-1L))
     val withZ = df.withColumn("__z", zExpr)
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(minExactBytes)) {
+      // small input: the sampling pass is cheap here and cannot lose
+      // rows by construction
+      return withZ.repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    }
     val hist = withZ.groupBy(col("__z")).agg(count(lit(1)).as("__n"))
       .orderBy(col("__z"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (hist.isEmpty) return df // nothing to arrange
     val total = hist.map(_._2).sum
     // contiguous prefix-sum cuts: a bucket whose rows START in slot s
-    // belongs wholly to s — monotonic in z, so every slot is one z-run
+    // belongs wholly to s — monotonic in z, so every slot is one z-run.
+    // Double-based cut: the Long product `before * targetFiles` would
+    // overflow past ~1e12 rows × ~1e7 files; the double form is exact
+    // to the row (targetFiles ≤ 2^31, so the quotient error is far
+    // below one slot) and clamped either side.
     var before = 0L
     val bucketSlot = hist.map { case (z, n) =>
-      val slot = math.min(targetFiles - 1L, before * targetFiles / total).toInt
+      val slot = math.max(0L, math.min(targetFiles - 1L,
+        (before.toDouble / total * targetFiles).toLong)).toInt
       before += n
       (z, slot)
     }
@@ -259,8 +283,17 @@ object Sources {
     val route = spark.createDataFrame(
       bucketSlot.toIndexedSeq.map { case (z, s) => (z, slotPid(s)) })
       .toDF("__z", "__pid")
+    // LEFT join with a pmod fallback: the input is re-evaluated between
+    // the histogram collect and this shuffle+write pass, so a
+    // nondeterministic column (rand/uuid) or a source mutated between
+    // passes could mint __z values absent from the route map. An inner
+    // join would silently DROP those rows from a write path; the
+    // fallback merely misplaces them (layout-only, same worst case as
+    // repartitionByRange's sampled boundaries).
     withZ
-      .join(broadcast(route), Seq("__z"))
+      .join(broadcast(route), Seq("__z"), "left")
+      .withColumn("__pid",
+        coalesce(col("__pid"), pmod(col("__z"), lit(targetFiles)).cast("int")))
       .repartition(targetFiles, col("__pid"))
       .sortWithinPartitions(col("__z"))
       .drop("__z", "__pid")

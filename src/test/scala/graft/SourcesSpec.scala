@@ -262,11 +262,14 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("zArrange balances rows exactly and survives a hot z-bucket") {
+    // minExactBytes = 0 forces the exact-histogram route (these tiny
+    // in-memory inputs would otherwise take the sampled small-input
+    // route the gate reserves for them)
     // uniform scatter: every slot within one bucket-count of the ideal
     val uni = spark.range(8000).select(
       ((col("id") * 7919) % 1000).cast("double").as("x"),
       ((col("id") * 104729) % 1000).cast("double").as("y"))
-    val sizes = Sources.zArrange(uni, ("x", "y"), 8, 256)
+    val sizes = Sources.zArrange(uni, ("x", "y"), 8, 256, minExactBytes = 0L)
       .groupBy(spark_partition_id().as("p")).count()
       .collect().map(_.getLong(1))
     assert(sizes.length == 8, s"expected 8 non-empty slots, got ${sizes.length}")
@@ -281,7 +284,7 @@ class SourcesSpec extends AnyFunSuite {
         .otherwise((col("id") * 7919) % 1000).cast("double").as("x"),
       when(col("id") < 4000, lit(500.0))
         .otherwise((col("id") * 104729) % 1000).cast("double").as("y"))
-    val arranged = Sources.zArrange(hot, ("x", "y"), 8, 256)
+    val arranged = Sources.zArrange(hot, ("x", "y"), 8, 256, minExactBytes = 0L)
     assert(arranged.count() == 8000)
     val hotSizes = arranged.groupBy(spark_partition_id()).count()
       .collect().map(_.getLong(1)).sorted
@@ -292,6 +295,36 @@ class SourcesSpec extends AnyFunSuite {
       when(col("id") % 10 === 0, lit(null)).otherwise(col("id"))
         .cast("double").as("x"),
       col("id").cast("double").as("y"))
-    assert(Sources.zArrange(withNulls, ("x", "y"), 4, 16).count() == 100)
+    assert(Sources.zArrange(withNulls, ("x", "y"), 4, 16,
+      minExactBytes = 0L).count() == 100)
+  }
+
+  test("zArrange small-input gate takes the sampled route; exact route " +
+      "joins LEFT so recompute drift cannot drop rows") {
+    val df = spark.range(4000).select(
+      ((col("id") * 7919) % 1000).cast("double").as("x"),
+      ((col("id") * 104729) % 1000).cast("double").as("y"))
+    // default gate: a few-KB input routes through repartitionByRange —
+    // the exchange is RANGE partitioning and no join appears
+    val sampled = Sources.zArrange(df, ("x", "y"), 4, 64)
+    val sampledPlan = sampled.queryExecution.executedPlan.toString
+    assert(sampledPlan.contains("rangepartitioning"),
+      s"small input should take the sampled route:\n$sampledPlan")
+    assert(!sampledPlan.contains("BroadcastHashJoin"))
+    assert(sampled.count() == 4000)
+    // results agree across routes on everything layout-independent
+    val exact = Sources.zArrange(df, ("x", "y"), 4, 64, minExactBytes = 0L)
+    assert(exact.agg(sum("x"), sum("y")).head ===
+      sampled.agg(sum("x"), sum("y")).head)
+    // the exact route's bucket→pid join must be LEFT outer: an inner
+    // join would silently DROP rows whose recomputed __z is absent
+    // from the histogram-pass route map (nondeterministic columns,
+    // source mutated between passes) — a write-path data-loss class
+    val joins = exact.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType
+    }
+    assert(joins.nonEmpty, "exact route should contain the route join")
+    assert(joins.forall(_ == org.apache.spark.sql.catalyst.plans.LeftOuter),
+      s"route join must be LeftOuter, got: $joins")
   }
 }
