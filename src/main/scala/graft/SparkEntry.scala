@@ -2047,6 +2047,16 @@ object SparkEntry {
         concat(
           lit("NAV "), (col("doc_id") % 5).cast("string"), lit("\n"),
           lit("RARE "), (col("doc_id") % 60).cast("string"), lit("\n"),
+          // the body line carries a per-doc unique prefix: the corpus
+          // contains EXACT-duplicate texts at scale (sf100: 1.2M of 5M
+          // docs share their text with >=8 others after ScaleData's
+          // no-jitter copy-0 chain), so a bare text line can
+          // legitimately cross minDocFreq and be dropped as
+          // boilerplate - correct operator behavior the fixed-form
+          // oracle can't price. Uniqueness pins body df to 1 at every
+          // scale (found by the r12 sf100 answer sweep, q25's cause-2
+          // class)
+          lit("BODY "), col("doc_id").cast("string"), lit(" "),
           col("text"), lit("\n"),
           lit("(c) example corp")).as("text"))
       graft.dedup.LineDedup.dropFrequentLines(planted, "doc_id", "text",
@@ -2067,6 +2077,16 @@ object SparkEntry {
         concat(
           lit("NAV "), (col("doc_id") % 5).cast("string"), lit("\n"),
           lit("RARE "), (col("doc_id") % 60).cast("string"), lit("\n"),
+          // the body line carries a per-doc unique prefix: the corpus
+          // contains EXACT-duplicate texts at scale (sf100: 1.2M of 5M
+          // docs share their text with >=8 others after ScaleData's
+          // no-jitter copy-0 chain), so a bare text line can
+          // legitimately cross minDocFreq and be dropped as
+          // boilerplate - correct operator behavior the fixed-form
+          // oracle can't price. Uniqueness pins body df to 1 at every
+          // scale (found by the r12 sf100 answer sweep, q25's cause-2
+          // class)
+          lit("BODY "), col("doc_id").cast("string"), lit(" "),
           col("text"), lit("\n"),
           lit("(c) example corp")).as("text"))
       val old = planted.filter(col("doc_id") < 250)
@@ -2668,15 +2688,19 @@ object SparkEntry {
 
     // recomputes the per-residue doc frequency and the threshold
     // decision: NAV (~n/5 docs) and the footer (all docs) always drop,
-    // RARE keeps iff its %60 class holds fewer than 9 docs, own text
-    // is unique and always survives
+    // RARE keeps iff its %60 class holds fewer than 9 docs, the
+    // id-prefixed body line is unique by construction (df=1 at every
+    // scale - a bare text body line crosses the threshold at sf100
+    // where 1.2M docs share exact texts) and always survives
     "q101_line_dedup" ->
       """WITH f AS (SELECT doc_id % 60 AS r, COUNT(*) AS df
         |           FROM documents GROUP BY 1)
         |SELECT d.doc_id,
-        |  CASE WHEN f.df >= 9 THEN d.text
+        |  CASE WHEN f.df >= 9
+        |       THEN 'BODY ' || CAST(d.doc_id AS VARCHAR) || ' ' || d.text
         |       ELSE 'RARE ' || CAST(d.doc_id % 60 AS VARCHAR) || chr(10)
-        |         || d.text END AS clean_text,
+        |         || 'BODY ' || CAST(d.doc_id AS VARCHAR) || ' ' || d.text
+        |       END AS clean_text,
         |  CAST(CASE WHEN f.df >= 9 THEN 1 ELSE 2 END AS BIGINT)
         |    AS n_lines_kept,
         |  CAST(CASE WHEN f.df >= 9 THEN 3 ELSE 2 END AS BIGINT)
@@ -2690,9 +2714,11 @@ object SparkEntry {
       """WITH f AS (SELECT doc_id % 60 AS r, COUNT(*) AS df
         |           FROM documents GROUP BY 1)
         |SELECT d.doc_id,
-        |  CASE WHEN f.df >= 9 THEN d.text
+        |  CASE WHEN f.df >= 9
+        |       THEN 'BODY ' || CAST(d.doc_id AS VARCHAR) || ' ' || d.text
         |       ELSE 'RARE ' || CAST(d.doc_id % 60 AS VARCHAR) || chr(10)
-        |         || d.text END AS clean_text,
+        |         || 'BODY ' || CAST(d.doc_id AS VARCHAR) || ' ' || d.text
+        |       END AS clean_text,
         |  CAST(CASE WHEN f.df >= 9 THEN 1 ELSE 2 END AS BIGINT)
         |    AS n_lines_kept,
         |  CAST(CASE WHEN f.df >= 9 THEN 3 ELSE 2 END AS BIGINT)
