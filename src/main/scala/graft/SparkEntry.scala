@@ -1122,6 +1122,16 @@ object SparkEntry {
         lit("2020-01-01").cast("timestamp").as("valid_from"),
         lit(null).cast("timestamp").as("valid_to"),
         lit(true).as("is_current"))
+      // scale-derived insert offset (q25 convention): the fixed +10M
+      // collided with real part keys at sf100 (part holds 20M keys),
+      // and SCD2 is JOIN-asymmetric - a colliding "insert" closes the
+      // real key's current version, which the closed-form oracle can't
+      // price. Found by the r12 sf100 answer sweep. The CDC families
+      // (q71/q88/q89) keep their fixed offsets: their oracles REPLAY
+      // the same union arithmetic, so a collision is mirrored on both
+      // sides and answers stay self-consistent (q89 green at sf100
+      // over 150M colliding-range keys).
+      val off = plantOffset(part, "p_partkey")
       val updates =
         part.filter(col("p_partkey") % 7 === 0)
           .select(col("p_partkey"), col("p_brand"),
@@ -1129,7 +1139,7 @@ object SparkEntry {
         .unionByName(part.filter(col("p_partkey") % 7 === 1)
           .select("p_partkey", "p_brand", "p_retailprice"))
         .unionByName(part.filter(col("p_partkey") % 7 === 2)
-          .select((col("p_partkey") + 10000000L).as("p_partkey"),
+          .select((col("p_partkey") + off).as("p_partkey"),
             col("p_brand"), (col("p_retailprice") * 2.0).as("p_retailprice")))
       Scd.applyType2(dim, updates, Seq("p_partkey"),
           Seq("p_brand", "p_retailprice"),
@@ -3379,7 +3389,9 @@ object SparkEntry {
         |  TIMESTAMP '2021-06-01', CAST(NULL AS TIMESTAMP), TRUE
         |FROM p WHERE p_partkey % 7 = 0
         |UNION ALL
-        |SELECT p_partkey + 10000000, p_brand, p_retailprice * 2.0,
+        |SELECT p_partkey + (SELECT (max(p_partkey) // 1000000 + 1) * 1000000
+        |                    FROM part),
+        |  p_brand, p_retailprice * 2.0,
         |  TIMESTAMP '2021-06-01', CAST(NULL AS TIMESTAMP), TRUE
         |FROM p WHERE p_partkey % 7 = 2""".stripMargin,
 
