@@ -130,8 +130,11 @@ object StreamSoak {
         Streams.scdIngest(Streams.fileIngest(spark, src, schema),
           Seq("k"), Seq("v"), "ts", dim, ckpt)
         val secs = (System.nanoTime() - t0) / 1e9
+        // dim DIR accumulates one full snapshot per batch (vacuum-able
+        // by design); the logical dim is the latest snapshot
         val st = count(spark, dim)
-        println(f"[soak] scd batch=$b%2d secs=$secs%6.2f dimRows=$st%9d")
+        val cur = Streams.currentDim(spark, dim).map(_.count()).getOrElse(0L)
+        println(f"[soak] scd batch=$b%2d secs=$secs%6.2f dimRows=$cur%9d storeRows=$st%9d")
         if (b > 0 && b % 6 == 0) {
           val before = count(spark, dim)
           Streams.processScdBatch(wave, b.toLong, Seq("k"), Seq("v"), "ts", dim)
