@@ -166,8 +166,11 @@ object SparkEntry {
     */
   private def plantOffset(df: DataFrame, idCol: String): Long = {
     // max() of an empty table is null — fail with the real diagnosis
-    // (mis-pointed sfDir) instead of an opaque NullPointerException
-    val mx = df.agg(max(col(idCol))).head.getAs[java.lang.Long](0)
+    // (mis-pointed sfDir) instead of an opaque NullPointerException.
+    // cast("long") first: a physically-narrowed id column (the pyarrow
+    // int32 drift class Tables.normalize handles) must not turn the
+    // derivation into a ClassCastException
+    val mx = df.agg(max(col(idCol).cast("long"))).head.getAs[java.lang.Long](0)
     require(mx != null,
       s"plantOffset: table is empty (max($idCol) is null) — check sfDir")
     (mx / 1000000L + 1L) * 1000000L
@@ -303,13 +306,17 @@ object SparkEntry {
         length(col("c_name")).cast(IntegerType).as("name_len"))
     }),
 
-    // S11: MERGE upsert emulation (reference: breed_mapping.py:596-603)
+    // S11: MERGE upsert emulation (reference: breed_mapping.py:596-603).
+    // Insert keys use the scale-derived plantOffset so the insert lane
+    // exercises TRUE inserts at every rung (a fixed +1M partly collided
+    // with real part keys at sf100, turning "inserts" into updates)
     "q10_merge_upsert" -> ((s, dir) => {
       val target = Tables.part(s, dir)
+      val off = plantOffset(target, "p_partkey")
       val changed = target.filter(col("p_partkey") % 7 === 0)
         .withColumn("p_name", concat(col("p_name"), lit(" v2")))
         .withColumn("p_retailprice", col("p_retailprice") + 50.0)
-      val inserts = changed.withColumn("p_partkey", col("p_partkey") + 1000000L)
+      val inserts = changed.withColumn("p_partkey", col("p_partkey") + off)
       Merge.upsert(target, changed.unionByName(inserts), Seq("p_partkey"))
     }),
 
@@ -1113,8 +1120,9 @@ object SparkEntry {
     // upsert. The dim is `part` seeded as all-current at 2020-01-01; the
     // update batch (derived deterministically from the key) changes
     // p_retailprice for keys ≡0 (mod 7), re-delivers identical rows for
-    // keys ≡1 (no-op proof in the result), and brings new keys (+10M
-    // offset) for keys ≡2. One full-outer shuffle; history never moves.
+    // keys ≡1 (no-op proof in the result), and brings new keys at the
+    // scale-derived plantOffset for keys ≡2. One full-outer shuffle;
+    // history never moves.
     "q70_scd2" -> ((s, dir) => {
       val part = Tables.part(s, dir)
       val dim = part.select(
@@ -1126,11 +1134,10 @@ object SparkEntry {
       // collided with real part keys at sf100 (part holds 20M keys),
       // and SCD2 is JOIN-asymmetric - a colliding "insert" closes the
       // real key's current version, which the closed-form oracle can't
-      // price. Found by the r12 sf100 answer sweep. The CDC families
-      // (q71/q88/q89) keep their fixed offsets: their oracles REPLAY
-      // the same union arithmetic, so a collision is mirrored on both
-      // sides and answers stay self-consistent (q89 green at sf100
-      // over 150M colliding-range keys).
+      // price. Found by the r12 sf100 answer sweep. Round 13 migrated
+      // the rest of the planted-offset class (q10/q71/q80/q88/q89 and
+      // the q99/q100 history) to the same derivation, so every insert
+      // lane exercises true inserts at every rung.
       val off = plantOffset(part, "p_partkey")
       val updates =
         part.filter(col("p_partkey") % 7 === 0)
@@ -1149,13 +1156,18 @@ object SparkEntry {
     }),
 
     // Snapshot CDC diff: classify the delta between two deterministic
-    // snapshots of `orders` (new drops keys ≡0 mod 13, adds keys via
-    // +10M offset for ≡0 mod 17, bumps o_totalprice for ≡0 mod 7 and
-    // clears o_orderpriority for ≡0 mod 5). One full-outer shuffle;
-    // output is the delta only.
+    // snapshots of `orders` (new drops keys ≡0 mod 13, adds keys at the
+    // scale-derived plantOffset for ≡0 mod 17, bumps o_totalprice for
+    // ≡0 mod 7 and clears o_orderpriority for ≡0 mod 5). One full-outer
+    // shuffle; output is the delta only. The added keys formerly used a
+    // fixed +10M, which collided with real order keys at sf100 — the
+    // oracle mirrored the collision so answers stayed green, but the
+    // "insert" lane was partly classifying updates; plantOffset makes
+    // every added key a true insert at every rung.
     "q71_snapshot_cdc" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val off = plantOffset(o, "o_orderkey")
       val newSnap = o.filter(col("o_orderkey") % 13 =!= 0)
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
@@ -1164,7 +1176,7 @@ object SparkEntry {
           when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
             .otherwise(col("o_orderpriority")))
         .unionByName(o.filter(col("o_orderkey") % 17 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + off).as("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority")))
       Merge.snapshotDiff(o, newSnap, Seq("o_orderkey"))
     }),
@@ -1403,6 +1415,10 @@ object SparkEntry {
     // unmatched left join that the oracle could never catch).
     "q80_scd2_asof" -> ((s, dir) => {
       val part = Tables.part(s, dir)
+      // scale-derived insert offset (the q70 convention): SCD2 is
+      // join-asymmetric, so a colliding "insert" would close a real
+      // key's current version and shift which dim version facts resolve
+      val off = plantOffset(part, "p_partkey")
       val base = part.select(
         col("p_partkey"), col("p_brand"), col("p_retailprice"),
         lit("1995-01-01").cast("timestamp").as("valid_from"),
@@ -1415,7 +1431,7 @@ object SparkEntry {
         .unionByName(part.filter(col("p_partkey") % 7 === 1)
           .select("p_partkey", "p_brand", "p_retailprice"))
         .unionByName(part.filter(col("p_partkey") % 7 === 2)
-          .select((col("p_partkey") + 10000000L).as("p_partkey"),
+          .select((col("p_partkey") + off).as("p_partkey"),
             col("p_brand"), (col("p_retailprice") * 2.0).as("p_retailprice")))
       val dim = Scd.applyType2(base, updates, Seq("p_partkey"),
           Seq("p_brand", "p_retailprice"),
@@ -1549,22 +1565,26 @@ object SparkEntry {
     }),
 
     // MERGE INTO a versioned table under the oracle gate: create part,
-    // merge price bumps (%4=0) + inserts (%9=0, +30M keys), read the
-    // post-merge latest — SQL MERGE semantics composed with the atomic
-    // commit layer (pre-merge version stays time-travelable,
-    // VersionedTableSpec proves it). Fresh table per invocation.
+    // merge price bumps (%4=0) + inserts (%9=0, scale-derived offset
+    // keys), read the post-merge latest — SQL MERGE semantics composed
+    // with the atomic commit layer (pre-merge version stays
+    // time-travelable, VersionedTableSpec proves it). Fresh table per
+    // invocation. MERGE is join-asymmetric like SCD2, so the insert
+    // lane uses plantOffset: a colliding fixed-offset "insert" would be
+    // silently matched and applied as an update instead.
     "q88_versioned_merge" -> ((s, dir) => {
       import graft.sources.VersionedTable
       val tmp = scratchPath("q88")
       val p = new org.apache.hadoop.fs.Path(tmp)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val p0 = Tables.part(s, dir).select("p_partkey", "p_brand", "p_retailprice")
+      val off = plantOffset(p0, "p_partkey")
       VersionedTable.create(p0, tmp)
       val updates = p0.filter(col("p_partkey") % 4 === 0)
         .select(col("p_partkey"), col("p_brand"),
           (col("p_retailprice") + 25.0).as("p_retailprice"))
         .unionByName(p0.filter(col("p_partkey") % 9 === 0)
-          .select((col("p_partkey") + 30000000L).as("p_partkey"),
+          .select((col("p_partkey") + off).as("p_partkey"),
             col("p_brand"), col("p_retailprice")))
       VersionedTable.merge(updates, tmp, Seq("p_partkey"))
       VersionedTable.read(s, tmp).groupBy(col("p_brand"))
@@ -1585,6 +1605,9 @@ object SparkEntry {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val o = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      // same scale-derived offset as q71 (shared oracle): both sides
+      // must add the SAME keys for the time-travel diff to equal q71's
+      val off = plantOffset(o, "o_orderkey")
       VersionedTable.create(o, tmp)
       val newSnap = o.filter(col("o_orderkey") % 13 =!= 0)
         .withColumn("o_totalprice",
@@ -1594,7 +1617,7 @@ object SparkEntry {
           when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
             .otherwise(col("o_orderpriority")))
         .unionByName(o.filter(col("o_orderkey") % 17 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + off).as("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority")))
       VersionedTable.overwrite(newSnap, tmp)
       Merge.snapshotDiff(
@@ -2239,8 +2262,11 @@ object SparkEntry {
 
   /** Shared four-commit versioned-orders history for q99/q100 (fresh
     * per query invocation): v1 create, v2 DELETE %13, v3 UPDATE price
-    * +1 for %7, v4 APPEND offset %17 keys at ORIGINAL prices. Decimal
-    * price so downstream sums are cross-engine exact.
+    * +1 for %7, v4 APPEND scale-derived-offset %17 keys at ORIGINAL
+    * prices (plantOffset — a fixed +10M collided with real order keys
+    * at sf100, so the "append of new keys" lane partly re-appended
+    * live keys). Decimal price so downstream sums are cross-engine
+    * exact.
     */
   private def ordersHistoryTable(s: SparkSession, dir: String,
       tag: String): String = {
@@ -2251,13 +2277,14 @@ object SparkEntry {
     val o = Tables.orders(s, dir).select(col("o_orderkey"),
       col("o_orderstatus"),
       col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+    val off = plantOffset(o, "o_orderkey")
     VersionedTable.create(o, tmp, Seq("o_orderkey"))
     VersionedTable.delete(s, tmp, col("o_orderkey") % 13 === 0)
     VersionedTable.update(s, tmp, col("o_orderkey") % 7 === 0,
       Map("o_price" -> (col("o_price") +
         lit(1).cast("decimal(18,2)")).cast("decimal(18,2)")))
     VersionedTable.append(o.filter(col("o_orderkey") % 17 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + 10000000L),
+      .withColumn("o_orderkey", col("o_orderkey") + off),
       tmp, Seq("o_orderkey"))
     tmp
   }
@@ -2361,7 +2388,9 @@ object SparkEntry {
         |    p_retailprice + 50.0 AS p_retailprice
         |  FROM part WHERE p_partkey % 7 = 0
         |  UNION ALL
-        |  SELECT p_partkey + 1000000, p_name || ' v2', p_brand, p_type, p_size,
+        |  SELECT p_partkey + (SELECT (max(p_partkey) // 1000000 + 1) * 1000000
+        |                      FROM part),
+        |    p_name || ' v2', p_brand, p_type, p_size,
         |    p_retailprice + 50.0
         |  FROM part WHERE p_partkey % 7 = 0)
         |SELECT COALESCE(u.p_partkey, t.p_partkey) AS p_partkey,
@@ -2692,7 +2721,9 @@ object SparkEntry {
         |  'update_postimage', CAST(3 AS BIGINT)
         |FROM o WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
         |UNION ALL
-        |SELECT o_orderkey + 10000000, o_orderstatus, CAST(p AS DOUBLE),
+        |SELECT o_orderkey + (SELECT (max(o_orderkey) // 1000000 + 1) * 1000000
+        |                     FROM orders),
+        |  o_orderstatus, CAST(p AS DOUBLE),
         |  'insert', CAST(4 AS BIGINT)
         |FROM o WHERE o_orderkey % 17 = 0""".stripMargin,
 
@@ -3408,7 +3439,9 @@ object SparkEntry {
         |         ELSE o_orderpriority END AS o_orderpriority
         |  FROM o WHERE o_orderkey % 13 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice, o_orderpriority
+        |  SELECT o_orderkey + (SELECT (max(o_orderkey) // 1000000 + 1) * 1000000
+        |                       FROM orders),
+        |    o_orderstatus, o_totalprice, o_orderpriority
         |  FROM o WHERE o_orderkey % 17 = 0),
         |j AS (
         |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
@@ -3540,7 +3573,9 @@ object SparkEntry {
         |  SELECT p_partkey, p_retailprice + 10.0, TIMESTAMP '1998-06-01'
         |  FROM p WHERE p_partkey % 7 = 0
         |  UNION ALL
-        |  SELECT p_partkey + 10000000, p_retailprice * 2.0, TIMESTAMP '1998-06-01'
+        |  SELECT p_partkey + (SELECT (max(p_partkey) // 1000000 + 1) * 1000000
+        |                      FROM part),
+        |    p_retailprice * 2.0, TIMESTAMP '1998-06-01'
         |  FROM p WHERE p_partkey % 7 = 2),
         |f AS (SELECT l_partkey AS p_partkey, l_shipdate, l_returnflag
         |      FROM lineitem WHERE l_partkey % 7 = 0)
@@ -3807,7 +3842,7 @@ object SparkEntry {
         |SELECT source, doc_id, n_chars, rnk FROM r WHERE rnk <= 20""".stripMargin,
 
     // the merged state replayed declaratively: matched keys take the
-    // bumped price, %9=0 keys insert under +30M ids
+    // bumped price, %9=0 keys insert under scale-derived offset ids
     "q88_versioned_merge" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_retailprice FROM part),
         |m AS (
@@ -3816,7 +3851,9 @@ object SparkEntry {
         |         ELSE p_retailprice END AS p_retailprice
         |  FROM p
         |  UNION ALL
-        |  SELECT p_partkey + 30000000, p_brand, p_retailprice
+        |  SELECT p_partkey + (SELECT (max(p_partkey) // 1000000 + 1) * 1000000
+        |                      FROM part),
+        |    p_brand, p_retailprice
         |  FROM p WHERE p_partkey % 9 = 0)
         |SELECT p_brand, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)

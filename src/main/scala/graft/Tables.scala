@@ -57,9 +57,37 @@ object Tables {
     "embedding" -> ArrayType(FloatType),
     "label" -> IntegerType)
 
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
-  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  // TPC-H-ish canon (round-13): a testdata regeneration that narrows
+  // int64 keys to int32 or doubles to float32 (the pyarrow drift class
+  // that bit events in r7 and documents/embeddings in r12) would
+  // otherwise silently change join/agg result types across the core
+  // family. Timestamps are canonized to session-zoned TimestampType
+  // (an NTZ drift casts; Verify/Bench/tests all run UTC so the cast is
+  // identity on the instant).
+  private val lineitemCanon: Map[String, DataType] = Map(
+    "l_orderkey" -> LongType, "l_partkey" -> LongType,
+    "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+    "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+    "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+    "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+    "l_shipdate" -> TimestampType)
+
+  private val ordersCanon: Map[String, DataType] = Map(
+    "o_orderkey" -> LongType, "o_custkey" -> LongType,
+    "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+    "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType)
+
+  private val partCanon: Map[String, DataType] = Map(
+    "p_partkey" -> LongType, "p_name" -> StringType,
+    "p_brand" -> StringType, "p_type" -> StringType,
+    "p_size" -> IntegerType, "p_retailprice" -> DoubleType)
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    normalize(load(spark, sfDir, "lineitem"), lineitemCanon)
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    normalize(load(spark, sfDir, "orders"), ordersCanon)
+  def part(spark: SparkSession, sfDir: String): DataFrame =
+    normalize(load(spark, sfDir, "part"), partCanon)
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")

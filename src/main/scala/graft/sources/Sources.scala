@@ -228,6 +228,28 @@ object Sources {
     * are layout-only and oracle-gated (q81/q90 exercise the sampled
     * route at bench SF; ZOrderSpec forces the exact route with
     * `minExactBytes = 0`).
+    *
+    * The gate trusts `optimizedPlan.stats.sizeInBytes`, which is an
+    * ESTIMATE with two failure modes — both safe, neither silent at the
+    * wrong end of the scale:
+    *   - OVER-estimate (the common direction: a selective filter or
+    *     aggregate above a big scan, or a child with no stats at all —
+    *     leaf nodes without statistics report the
+    *     `spark.sql.defaultSizeInBytes` sentinel, Long.MaxValue by
+    *     default): a genuinely small input takes the exact-histogram
+    *     route and pays ~0.5 s of histogram overhead. Unknown stats
+    *     therefore deliberately route EXACT — the conservative choice,
+    *     since the exact route's worst case is bounded overhead while
+    *     the sampled route's is a second full evaluation of an
+    *     arbitrarily large child (ZOrderSpec pins this routing for an
+    *     RDD-backed child, which always reports the sentinel).
+    *   - UNDER-estimate (rare: a join/generate whose output dwarfs its
+    *     inputs): a large input takes the sampled route and pays
+    *     RangePartitioner's double evaluation — the pre-round-11
+    *     behavior for every input, slow but correct.
+    * Callers arranging a post-join/generate child at scale should pass
+    * `minExactBytes = 0` to force the exact route rather than rely on
+    * the estimate.
     */
   private[graft] val DefaultZExactMinBytes: Long = 1L << 30
 
@@ -269,9 +291,11 @@ object Sources {
     // contiguous prefix-sum cuts: a bucket whose rows START in slot s
     // belongs wholly to s — monotonic in z, so every slot is one z-run.
     // Double-based cut: the Long product `before * targetFiles` would
-    // overflow past ~1e12 rows × ~1e7 files; the double form is exact
-    // to the row (targetFiles ≤ 2^31, so the quotient error is far
-    // below one slot) and clamped either side.
+    // overflow past ~1e12 rows × ~1e7 files; the double quotient stays
+    // monotone in `before` and within one slot of the exact integer
+    // floor (a 53-bit mantissa can land an exact-boundary cut one slot
+    // early/late — layout-only, since the bucket→slot mapping stays
+    // monotonic), and is clamped either side.
     var before = 0L
     val bucketSlot = hist.map { case (z, n) =>
       val slot = math.max(0L, math.min(targetFiles - 1L,

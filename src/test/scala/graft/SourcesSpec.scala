@@ -327,4 +327,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(joins.forall(_ == org.apache.spark.sql.catalyst.plans.LeftOuter),
       s"route join must be LeftOuter, got: $joins")
   }
+
+  test("zArrange routes an unknown-stats child through the EXACT path") {
+    // an RDD-backed child has no statistics: its leaf reports the
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), which the
+    // byte gate must treat as "potentially huge" — the exact route's
+    // worst case is bounded histogram overhead, while mis-routing a
+    // truly large child through repartitionByRange would evaluate the
+    // full plan twice. This pins the conservative default the zArrange
+    // scaladoc promises.
+    val rdd = spark.sparkContext.parallelize(
+      (0 until 500).map(i => org.apache.spark.sql.Row(
+        (i * 7919 % 100).toDouble, (i * 104729 % 100).toDouble)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.DoubleType)))
+    val noStats = spark.createDataFrame(rdd, schema)
+    val est = noStats.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est >= BigInt(Sources.DefaultZExactMinBytes),
+      s"precondition: RDD-backed child must report the unknown-stats " +
+        s"sentinel, got $est")
+    val arranged = Sources.zArrange(noStats, ("x", "y"), 4, 64)
+    val joins = arranged.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType
+    }
+    assert(joins.nonEmpty,
+      "unknown-stats child must take the exact-histogram route " +
+        "(route join present), not the sampled route")
+    assert(arranged.count() == 500)
+  }
 }
