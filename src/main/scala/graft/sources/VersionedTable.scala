@@ -24,19 +24,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * CREATING THE NEXT MANIFEST IS THE COMMIT. A writer stages data files
   * in a fresh `data/v<N>_<rand>/` subdir (invisible: readers only look
-  * at manifests), then EXCLUSIVE-CREATES `v<N>.manifest` and writes the
-  * body through that handle. Exclusive create (O_EXCL via nio on
-  * `file://`, the namenode's atomic create-no-overwrite on HDFS) either
-  * claims version N or fails because a concurrent writer claimed it
-  * first (optimistic concurrency: the loser's staged files become
-  * debris, never visible, and the caller retries on the new snapshot).
-  * Rename is deliberately NOT the commit primitive: POSIX rename
-  * REPLACES an existing destination, so a rename-based commit would let
-  * a racing writer silently overwrite the winner's manifest on local
-  * filesystems. Because the body is written after the claim, a manifest
-  * is only COMMITTED once its `end` terminator line is present — readers
-  * treat a terminator-less manifest (a writer crashed mid-commit) as
-  * absent, and the stranded claim is repaired by deleting that file.
+  * at manifests), then EXCLUSIVE-PUBLISHES `v<N>.manifest`: on local
+  * filesystems the complete body is staged in a hidden temp and
+  * published with an atomic-and-exclusive hard link (link(2) fails on
+  * an existing destination and exposes the full content in one step, so
+  * a writer killed at ANY instant leaves either no manifest or a
+  * complete one); on HDFS-like filesystems the namenode's atomic
+  * create-no-overwrite claims the name and the body streams through the
+  * claimed handle. Either way the publish claims version N or fails
+  * because a concurrent writer claimed it first (optimistic
+  * concurrency: the loser's staged files become debris, never visible,
+  * and the caller retries on the new snapshot). Rename is deliberately
+  * NOT the commit primitive: POSIX rename REPLACES an existing
+  * destination, so a rename-based commit would let a racing writer
+  * silently overwrite the winner's manifest. A manifest is only
+  * COMMITTED once its `end` terminator line is present — readers treat
+  * a terminator-less manifest (an HDFS-path writer crashed mid-body, or
+  * foreign debris) as absent, and writers repair such a stranded claim
+  * by deleting it once it is older than the [[TornClaimGraceMs]] grace.
   * There is no LATEST pointer to swap and therefore no pointer to
   * corrupt: `latest = max(version among complete manifests)`.
   *
@@ -352,32 +357,101 @@ object VersionedTable {
     resolved
   }
 
+  /** Fault-injection seam (test scope only, mirrors [[appendRebase]]'s
+    * `onStaged`): invoked between staging the complete manifest body in
+    * the hidden temp and the atomic hard-link publish — exactly the
+    * window a crashed writer dies in. The commit-race harness points
+    * this at `Runtime.halt` to prove a kill there leaves only invisible
+    * temp debris, never a torn or claimed manifest.
+    */
+  private[graft] var commitCrashPoint: () => Unit = () => ()
+
+  /** How stale a TORN manifest claim (file present, `end` terminator
+    * absent) must be before a competing writer may delete and re-claim
+    * its version. Local-FS commits publish via hard link and can never
+    * tear, so this only fires on (a) HDFS-path crashes, where claim and
+    * body are separate operations, or (b) foreign debris (partial
+    * copies). The grace protects a slow-but-alive writer mid-body-write
+    * from being robbed of its claim. Overridable for tests via
+    * `-Dgraft.vt.tornGraceMs=`.
+    */
+  private[graft] val TornClaimGraceMs: Long =
+    sys.props.get("graft.vt.tornGraceMs").flatMap(_.toLongOption)
+      .getOrElse(10L * 60 * 1000)
+
   private def writeExclusive(spark: SparkSession, dir: String, v: Long,
       bytes: Array[Byte]): Unit = {
     val (fs, _) = fsFor(spark, dir)
     val mdir = new Path(dir, ManifestDir)
     fs.mkdirs(mdir)
     val dest = new Path(mdir, manifestName(v))
-    try {
-      if (dest.toUri.getScheme == null || dest.toUri.getScheme == "file") {
-        // local FS: true O_EXCL atomicity via nio (Hadoop's local
-        // create(overwrite=false) is a non-atomic check-then-create)
-        val p = java.nio.file.Paths.get(
-          new Path(fs.makeQualified(dest).toUri.getPath).toString)
-        java.nio.file.Files.write(p, bytes,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-      } else {
-        // HDFS-like: create-no-overwrite is atomic at the namenode
-        val out = fs.create(dest, false)
-        try out.write(bytes) finally out.close()
+    var reclaimed = false
+    while (true) {
+      try {
+        if (dest.toUri.getScheme == null || dest.toUri.getScheme == "file") {
+          // local FS: stage the COMPLETE body in a hidden temp (readers
+          // skip dot-names), fsync, then publish via hard link. link(2)
+          // is atomic AND exclusive AND makes the full content appear
+          // in one step, so a writer killed at ANY point — before,
+          // during, or after the body write — leaves either no manifest
+          // or a complete one, never a torn claim that would wedge the
+          // version. (Files.write(CREATE_NEW) claims on open and writes
+          // after: a kill between the two tears.) EEXIST from link is
+          // the concurrent-writer loss, same as O_EXCL.
+          val destNio = java.nio.file.Paths.get(
+            new Path(fs.makeQualified(dest).toUri.getPath).toString)
+          val tmp = destNio.resolveSibling(
+            s".${manifestName(v)}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+          val ch = java.nio.channels.FileChannel.open(tmp,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            ch.write(java.nio.ByteBuffer.wrap(bytes))
+            ch.force(true)
+          } finally ch.close()
+          commitCrashPoint()
+          try java.nio.file.Files.createLink(destNio, tmp)
+          finally java.nio.file.Files.deleteIfExists(tmp)
+        } else {
+          // HDFS-like: create-no-overwrite is atomic at the namenode
+          // (the claim), but the body streams through the claimed
+          // handle afterwards — a crash between the two leaves a torn
+          // claim, repaired below by the next writer after the grace
+          val out = fs.create(dest, false)
+          try out.write(bytes) finally out.close()
+        }
+        return
+      } catch {
+        case e @ (_: java.nio.file.FileAlreadyExistsException |
+                  _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
+          // The claim is taken. If the claimant COMMITTED (complete
+          // manifest) this is the normal optimistic-concurrency loss.
+          // If the existing file is TORN it will never complete, and
+          // without repair the version — and with it every future
+          // commit — is wedged forever: latest() skips the torn file
+          // and returns v-1, so every rebase retry re-claims v and
+          // loses to dead debris. Reclaim (delete + retry the claim)
+          // iff the torn claim is older than [[TornClaimGraceMs]]; at
+          // most once per call so a pathological directory can't loop.
+          val torn =
+            try fs.exists(dest) && readManifestFile(fs, dest).isEmpty
+            catch { case _: java.io.FileNotFoundException => false }
+          val stale = torn && {
+            try System.currentTimeMillis() -
+              fs.getFileStatus(dest).getModificationTime >= TornClaimGraceMs
+            catch { case _: java.io.FileNotFoundException => false }
+          }
+          if (stale && !reclaimed) {
+            reclaimed = true
+            fs.delete(dest, false)
+          } else throw new ConcurrentCommitException(
+            s"VersionedTable: version $v of $dir was " +
+              (if (torn) "claimed by a writer that has not finished " +
+                s"committing (torn manifest within the ${TornClaimGraceMs} ms " +
+                "grace); retry later"
+              else "committed by a concurrent writer; re-read the latest " +
+                "snapshot and retry"), e)
       }
-    } catch {
-      case e @ (_: java.nio.file.FileAlreadyExistsException |
-                _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
-        throw new ConcurrentCommitException(
-          s"VersionedTable: version $v of $dir was committed by a " +
-            "concurrent writer; re-read the latest snapshot and retry", e)
     }
   }
 
@@ -1038,11 +1112,12 @@ object VersionedTable {
     deleted
   }
 
-  /** Delete ORPHANED staging subdirs: `data/v*_*` subdirs that no
-    * committed manifest references and never will — the debris of
-    * crashed writers and conflict losers (their staged subdirs are
-    * invisible to readers but [[vacuum]] never touches them, because
-    * vacuum only walks manifest file lists).
+  /** Delete ORPHANED staging debris: `data/v*_*` subdirs that no
+    * committed manifest references and never will, plus hidden
+    * manifest-body temps — the debris of crashed writers and conflict
+    * losers (their staged subdirs are invisible to readers but
+    * [[vacuum]] never touches them, because vacuum only walks manifest
+    * file lists).
     *
     * SUBDIR-granular by design: [[stageFiles]] gives every commit
     * attempt its own `data/v<N>_<rand>/` subdir and a committing writer
@@ -1065,6 +1140,20 @@ object VersionedTable {
       graceMs: Long = 24L * 3600 * 1000): Int = {
     require(graceMs >= 0, "graceMs must be non-negative")
     val (fs, _) = fsFor(spark, dir)
+    // manifest-dir temp debris: a local writer killed between staging
+    // its manifest body and the hard-link publish leaves a hidden
+    // `.v*.manifest.*.tmp` (invisible to readers — dot-name). Same
+    // grace contract as the data sweep below.
+    val mdir = new Path(dir, ManifestDir)
+    if (fs.exists(mdir)) {
+      val mcut = System.currentTimeMillis() - graceMs
+      fs.listStatus(mdir).foreach { s =>
+        if (s.isFile && s.getPath.getName.startsWith(".") &&
+            s.getPath.getName.endsWith(".tmp") &&
+            s.getModificationTime < mcut)
+          fs.delete(s.getPath, false)
+      }
+    }
     val dataDir = new Path(dir, "data")
     if (!fs.exists(dataDir)) return 0
     val referencedSubs = snapshots(spark, dir).flatMap(_.files)

@@ -100,12 +100,14 @@ class VersionedTableSpec extends AnyFunSuite {
       "debris must never surface in reads")
     assert(VersionedTable.snapshots(spark, dir).map(_.version) === Seq(1L),
       "a terminator-less manifest is in-flight/torn, not committed")
-    // the stranded claim still blocks version 2 (single-writer repair =
-    // delete the torn file), which the conflict error reports
+    // the FRESH stranded claim still blocks version 2 (within the
+    // torn-claim grace a slow writer may be mid-body-write), and the
+    // conflict error says so; stale-claim reclamation is covered by its
+    // own test below
     val e = intercept[java.io.IOException] {
       VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), dir)
     }
-    assert(e.getMessage.contains("concurrent writer"))
+    assert(e.getMessage.contains("torn"))
   }
 
   test("merge upserts as a new version; the pre-merge state stays time-travelable") {
@@ -581,5 +583,69 @@ class VersionedTableSpec extends AnyFunSuite {
         })
     }
     assert(e.getMessage.contains("schema"))
+  }
+
+  // ---- crash-atomicity + torn-claim repair (round 13) ----
+
+  private def manifestPath(dir: String, v: Long) =
+    java.nio.file.Paths.get(dir, "_manifests", f"v$v%08d.manifest")
+
+  test("a writer crashing between body staging and publish leaves no " +
+      "manifest, readers unaffected, version still claimable") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    // simulate kill -9 in the claimed window: the crash seam throws, so
+    // the hidden temp is stranded exactly as a halted JVM would leave it
+    object Die extends RuntimeException("crash injection")
+    VersionedTable.commitCrashPoint = () => throw Die
+    try intercept[RuntimeException] {
+      VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    } finally VersionedTable.commitCrashPoint = () => ()
+    // no manifest claimed (complete or torn), so the reader sees v1 and
+    // the version is not wedged
+    assert(!java.nio.file.Files.exists(manifestPath(dir, 2L)))
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L))
+    // the stranded dot-temp is invisible to readers and reclaimed by
+    // the orphan vacuum under the usual grace contract
+    val mdir = java.nio.file.Paths.get(dir, "_manifests")
+    val temps = java.nio.file.Files.list(mdir).iterator()
+    val strandedTmp = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(temps).asScala
+      .filter(p => p.getFileName.toString.startsWith(".") &&
+        p.getFileName.toString.endsWith(".tmp")).toSeq
+    assert(strandedTmp.nonEmpty, "crash window should strand a temp")
+    VersionedTable.vacuumOrphans(spark, dir, graceMs = 0L)
+    assert(!java.nio.file.Files.exists(strandedTmp.head))
+    // the version is immediately claimable by the next writer
+    VersionedTable.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L, 3L))
+  }
+
+  test("a STALE torn claim is reclaimed; a FRESH one is respected") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    // plant a torn claim at v2 — the debris an HDFS-path writer crash
+    // (claim atomic, body streamed after) leaves behind
+    val torn = manifestPath(dir, 2L)
+    java.nio.file.Files.write(torn,
+      "version=2\ntimestamp=1\noperation=append\n".getBytes("UTF-8"))
+    // fresh: within the grace, the claim is respected — the writer gets
+    // the concurrency loss, the torn file survives
+    val e = intercept[graft.sources.ConcurrentCommitException] {
+      VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    }
+    assert(e.getMessage.contains("torn"))
+    assert(java.nio.file.Files.exists(torn))
+    // readers skip the torn claim throughout
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L))
+    // stale: age the claim past the grace — the next writer deletes the
+    // debris and commits v2 itself (the wedge this repair exists for)
+    java.nio.file.Files.setLastModifiedTime(torn,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - VersionedTable.TornClaimGraceMs - 60000))
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    val snaps = VersionedTable.snapshots(spark, dir)
+    assert(snaps.map(_.version) === Seq(1L, 2L))
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L, 2L))
   }
 }
