@@ -100,6 +100,34 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
     }
+    // Calibration anchor (round-13): a fixed, sfDir-independent,
+    // in-memory aggregate whose cost depends only on host speed —
+    // recorded alongside the queries so round-over-round totals are
+    // interpretable from the JSON alone (sf0.1 totals drifted
+    // 55.1 -> 62.3 s across r10-r12 with flat-to-better plans, purely
+    // co-tenant host drift; without an anchor that is indistinguishable
+    // from a regression). Work: sum(xxhash64(id)) over a 32-slice
+    // range — whole-stage codegen, zero I/O, zero shuffle beyond the
+    // final partial-agg gather, so it prices CPU + scheduler, not disk
+    // (bit_xor, not sum: ANSI mode overflows a sum of 2e9 hashes).
+    // AnchorRefSec pins the round-13 recording (best of 3, cpus=32,
+    // quiet host); host_drift = anchor_sec / AnchorRefSec (> 1 = this
+    // host is slower than the reference recording), total_normalized =
+    // value / host_drift. Comparable only at equal cpus — the driver
+    // always runs cpus=32, and the JSON now records cpus.
+    // r13 recording: best-of-3 readings 1.168/1.180/1.188 s across
+    // three JVMs, cpus=32
+    val AnchorRefSec = 1.17
+    val anchorSec = {
+      import org.apache.spark.sql.functions.{col, expr, xxhash64}
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 10000000000L, 1L, 32)
+          .select(xxhash64(col("id")).as("h")).agg(expr("bit_xor(h)")).head
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val hostDrift = anchorSec / AnchorRefSec
     // Optional subset selection for targeted scale runs (e.g. the heavy
     // dedup/versioned-table families at sf10): comma-separated query
     // names, matched exactly or as a prefix up to the underscore ("q10"
@@ -154,7 +182,7 @@ object Bench {
     // a filtered run is labeled "subtotal" so its total can never be
     // compared against a full-registry "total" by accident
     val metric = if (nameFilter.isDefined) "subtotal" else "total"
-    val json = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"n_trials":$trials,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"$filt,"shuffle_partitions":$shufflePartitions}"""
+    val json = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"n_trials":$trials,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"$filt,"shuffle_partitions":$shufflePartitions,"cpus":$cpus,"anchor_sec":$anchorSec,"anchor_ref_sec":$AnchorRefSec,"host_drift":$hostDrift,"total_normalized":${total / hostDrift}}"""
     println(json)
     // the artifact must stand on its own: a log-tail capture truncated the
     // round-3 JSON head, so the result also lands in a file

@@ -36,13 +36,26 @@ object Tables {
     case _ => a == b
   }
 
+  private def isTimestamp(t: DataType): Boolean =
+    t == TimestampType || t == TimestampNTZType
+
   private def normalize(df: DataFrame, canon: Map[String, DataType]): DataFrame = {
     val needs = df.schema.fields.exists(f =>
       canon.get(f.name).exists(t => !sameShape(f.dataType, t)))
     if (!needs) df
     else df.select(df.schema.fields.map { f =>
       canon.get(f.name) match {
-        case Some(t) if !sameShape(f.dataType, t) => col(f.name).cast(t).as(f.name)
+        case Some(t) if !sameShape(f.dataType, t) =>
+          // a timestamp column may only drift between timestamp
+          // flavors (zoned <-> NTZ casts are instant-identity under
+          // UTC); a numeric arrival would cast as SECONDS and corrupt
+          // every date silently — the events-table nanos lesson
+          if (isTimestamp(t) && !isTimestamp(f.dataType))
+            throw new IllegalStateException(
+              s"unsupported ${f.name} encoding: ${f.dataType.simpleString}" +
+                " (expected a timestamp flavor; numeric epoch encodings" +
+                " need an explicit decode like SparkEntry.events)")
+          col(f.name).cast(t).as(f.name)
         case _ => col(f.name)
       }
     }.toIndexedSeq: _*)
@@ -61,21 +74,27 @@ object Tables {
   // int64 keys to int32 or doubles to float32 (the pyarrow drift class
   // that bit events in r7 and documents/embeddings in r12) would
   // otherwise silently change join/agg result types across the core
-  // family. Timestamps are canonized to session-zoned TimestampType
-  // (an NTZ drift casts; Verify/Bench/tests all run UTC so the cast is
-  // identity on the instant).
+  // family. Timestamps canonize to TimestampNTZType — what the driver's
+  // pyarrow writer has ALWAYS shipped for these tables (timestamp[us],
+  // isAdjustedToUTC=false) and what 12 rounds of oracles validated; a
+  // zoned drift casts (identity on the instant under the UTC sessions
+  // every entrypoint pins), and canonical inputs pay NO projection, so
+  // parquet pushdown on the date columns is untouched. A numeric epoch
+  // encoding fails loudly instead of silently mis-casting (see
+  // [[normalize]]); events is the one table with nanos-as-long
+  // provenance and keeps its dedicated decode in SparkEntry.events.
   private val lineitemCanon: Map[String, DataType] = Map(
     "l_orderkey" -> LongType, "l_partkey" -> LongType,
     "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
     "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
     "l_discount" -> DoubleType, "l_tax" -> DoubleType,
     "l_returnflag" -> StringType, "l_linestatus" -> StringType,
-    "l_shipdate" -> TimestampType)
+    "l_shipdate" -> TimestampNTZType)
 
   private val ordersCanon: Map[String, DataType] = Map(
     "o_orderkey" -> LongType, "o_custkey" -> LongType,
     "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
-    "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType)
+    "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType)
 
   private val partCanon: Map[String, DataType] = Map(
     "p_partkey" -> LongType, "p_name" -> StringType,

@@ -20,8 +20,11 @@ class TpchEncodingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  // All doubles minted FROM float-representable values (x.25 steps) so
-  // the float32-narrowed drift encoding round-trips bit-identically.
+  // All doubles minted FROM float-representable values (x.25 / x.03125
+  // steps) so the float32-narrowed drift encoding round-trips
+  // bit-identically. Timestamps built as NTZ — the canonical form the
+  // driver's pyarrow writer ships (timestamp[us], isAdjustedToUTC =
+  // false).
   private lazy val lineitemBase: DataFrame = {
     (0 until 300).map { i =>
       val day = 1 + i % 28
@@ -33,6 +36,7 @@ class TpchEncodingSpec extends AnyFunSuite {
     }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax",
       "l_returnflag", "l_linestatus", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast(TimestampNTZType))
   }
 
   private lazy val ordersBase: DataFrame = {
@@ -43,6 +47,7 @@ class TpchEncodingSpec extends AnyFunSuite {
         s"${1 + i % 5}-PRIO")
     }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderdate", col("o_orderdate").cast(TimestampNTZType))
   }
 
   private lazy val partBase: DataFrame = {
@@ -65,7 +70,7 @@ class TpchEncodingSpec extends AnyFunSuite {
     _ => identity)
 
   // the drift class pyarrow regenerations have actually shipped:
-  // narrowed integer keys, float32 measures, NTZ timestamps, and
+  // narrowed integer keys, float32 measures, zoned timestamps, and
   // un-annotated BYTE_ARRAY (binary) strings
   private lazy val driftDir = writeAll(
     java.nio.file.Files.createTempDirectory("graft-tpchenc").toString,
@@ -81,13 +86,13 @@ class TpchEncodingSpec extends AnyFunSuite {
         col("l_tax").cast(FloatType).as("l_tax"),
         col("l_returnflag").cast(BinaryType).as("l_returnflag"),
         col("l_linestatus").cast(BinaryType).as("l_linestatus"),
-        col("l_shipdate").cast(TimestampNTZType).as("l_shipdate"))
+        col("l_shipdate").cast(TimestampType).as("l_shipdate"))
       case "orders" => df => df.select(
         col("o_orderkey").cast(IntegerType).as("o_orderkey"),
         col("o_custkey").cast(IntegerType).as("o_custkey"),
         col("o_orderstatus").cast(BinaryType).as("o_orderstatus"),
         col("o_totalprice").cast(FloatType).as("o_totalprice"),
-        col("o_orderdate").cast(TimestampNTZType).as("o_orderdate"),
+        col("o_orderdate").cast(TimestampType).as("o_orderdate"),
         col("o_orderpriority").cast(BinaryType).as("o_orderpriority"))
       case "part" => df => df.select(
         col("p_partkey").cast(IntegerType).as("p_partkey"),
@@ -105,11 +110,11 @@ class TpchEncodingSpec extends AnyFunSuite {
       assert(li.schema("l_linenumber").dataType === IntegerType, dir)
       assert(li.schema("l_extendedprice").dataType === DoubleType, dir)
       assert(li.schema("l_returnflag").dataType === StringType, dir)
-      assert(li.schema("l_shipdate").dataType === TimestampType, dir)
+      assert(li.schema("l_shipdate").dataType === TimestampNTZType, dir)
       val o = Tables.orders(spark, dir)
       assert(o.schema("o_orderkey").dataType === LongType, dir)
       assert(o.schema("o_totalprice").dataType === DoubleType, dir)
-      assert(o.schema("o_orderdate").dataType === TimestampType, dir)
+      assert(o.schema("o_orderdate").dataType === TimestampNTZType, dir)
       val p = Tables.part(spark, dir)
       assert(p.schema("p_partkey").dataType === LongType, dir)
       assert(p.schema("p_size").dataType === IntegerType, dir)
@@ -138,5 +143,17 @@ class TpchEncodingSpec extends AnyFunSuite {
       assert(canon.nonEmpty, s"$q returned no rows on canonical encoding")
       assert(drift === canon, s"$q: drifted encoding disagrees")
     }
+  }
+
+  test("a numeric timestamp encoding fails loudly, not silently") {
+    // a long epoch column would cast as SECONDS and corrupt every date
+    // silently; the normalizer must refuse (the events-table nanos
+    // class gets an explicit decode instead — SparkEntry.events)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tpchenc").toString
+    lineitemBase.withColumn("l_shipdate",
+        unix_micros(col("l_shipdate").cast(TimestampType)))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val e = intercept[IllegalStateException](Tables.lineitem(spark, dir))
+    assert(e.getMessage.contains("unsupported l_shipdate encoding"))
   }
 }
