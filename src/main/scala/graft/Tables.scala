@@ -101,16 +101,36 @@ object Tables {
     "p_brand" -> StringType, "p_type" -> StringType,
     "p_size" -> IntegerType, "p_retailprice" -> DoubleType)
 
+  // the small dims, same contract (note the driver ships nation/region
+  // keys as int32 TODAY — canon matches, so these are no-ops until a
+  // regeneration widens or re-encodes them)
+  private val customerCanon: Map[String, DataType] = Map(
+    "c_custkey" -> LongType, "c_name" -> StringType,
+    "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+    "c_mktsegment" -> StringType)
+  private val supplierCanon: Map[String, DataType] = Map(
+    "s_suppkey" -> LongType, "s_name" -> StringType,
+    "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
+  private val nationCanon: Map[String, DataType] = Map(
+    "n_nationkey" -> IntegerType, "n_name" -> StringType,
+    "n_regionkey" -> IntegerType)
+  private val regionCanon: Map[String, DataType] = Map(
+    "r_regionkey" -> IntegerType, "r_name" -> StringType)
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     normalize(load(spark, sfDir, "lineitem"), lineitemCanon)
   def orders(spark: SparkSession, sfDir: String): DataFrame =
     normalize(load(spark, sfDir, "orders"), ordersCanon)
   def part(spark: SparkSession, sfDir: String): DataFrame =
     normalize(load(spark, sfDir, "part"), partCanon)
-  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
-  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
-  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
-  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def customer(spark: SparkSession, sfDir: String): DataFrame =
+    normalize(load(spark, sfDir, "customer"), customerCanon)
+  def supplier(spark: SparkSession, sfDir: String): DataFrame =
+    normalize(load(spark, sfDir, "supplier"), supplierCanon)
+  def nation(spark: SparkSession, sfDir: String): DataFrame =
+    normalize(load(spark, sfDir, "nation"), nationCanon)
+  def region(spark: SparkSession, sfDir: String): DataFrame =
+    normalize(load(spark, sfDir, "region"), regionCanon)
   def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     normalize(load(spark, sfDir, "documents"), documentsCanon)

@@ -83,7 +83,11 @@ object Substring {
     * never holds the flagged set; bounded ≤ positions/cap). The inner
     * map is a bounded LRU ([[ProbeCacheMaxEntries]]); evicted entries'
     * checkpoint RDDs are unpersisted eagerly rather than waiting for
-    * the ContextCleaner. The probe itself runs OUTSIDE both locks —
+    * the ContextCleaner (a caller that held a returned DataFrame
+    * across ≥ [[ProbeCacheMaxEntries]] other corpora's probes and then
+    * re-executed it would fail — localCheckpoint lineage is truncated;
+    * callers consume the probe within one query, and a fresh [[hotGrams]]
+    * call always recomputes). The probe itself runs OUTSIDE both locks —
     * two concurrent first probes race benignly (the loser's duplicate
     * checkpoint is unpersisted), instead of one blocking a whole Spark
     * job behind a map bin lock.

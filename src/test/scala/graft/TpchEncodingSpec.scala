@@ -145,6 +145,36 @@ class TpchEncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("customer drift normalizes and q09 agrees across encodings") {
+    val mk = (0 until 80).map { i =>
+      (i.toLong, f"Customer#$i%09d", i % 25, (i % 800) * 0.25 - 50.0,
+        Seq("BUILDING", "MACHINERY", "AUTOMOBILE")(i % 3))
+    }
+    val base = mk.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    val canonDir = java.nio.file.Files.createTempDirectory("graft-tpchenc").toString
+    base.write.mode("overwrite").parquet(s"$canonDir/customer.parquet")
+    val driftDir = java.nio.file.Files.createTempDirectory("graft-tpchenc").toString
+    base.select(
+      col("c_custkey").cast(IntegerType).as("c_custkey"),
+      col("c_name").cast(BinaryType).as("c_name"),
+      col("c_nationkey").cast(ShortType).as("c_nationkey"),
+      col("c_acctbal").cast(FloatType).as("c_acctbal"),
+      col("c_mktsegment").cast(BinaryType).as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$driftDir/customer.parquet")
+    assert(Tables.customer(spark, canonDir).queryExecution.logical.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+    }.isEmpty, "canonical customer must not pay a projection")
+    val c = Tables.customer(spark, driftDir)
+    assert(c.schema("c_custkey").dataType === LongType)
+    assert(c.schema("c_nationkey").dataType === IntegerType)
+    val canon = SparkEntry.queries("q09_standardize_text")(spark, canonDir)
+      .collect().map(_.toString).sorted.toSeq
+    val drift = SparkEntry.queries("q09_standardize_text")(spark, driftDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon.nonEmpty && drift === canon)
+  }
+
   test("a numeric timestamp encoding fails loudly, not silently") {
     // a long epoch column would cast as SECONDS and corrupt every date
     // silently; the normalizer must refuse (the events-table nanos
