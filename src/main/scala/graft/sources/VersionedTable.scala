@@ -379,6 +379,18 @@ object VersionedTable {
     sys.props.get("graft.vt.tornGraceMs").flatMap(_.toLongOption)
       .getOrElse(10L * 60 * 1000)
 
+  /** Retry pacing for the rebase loops: when a commit attempt loses
+    * and the table's latest version has NOT advanced since the last
+    * attempt, the blocker is not a faster competitor but a stalled
+    * claim (a fresh torn manifest inside its grace) — immediate
+    * retries would burn every attempt in microseconds against the same
+    * corpse. Sleeps a bounded linear backoff in that case; a normal
+    * race (latest advanced) retries immediately.
+    */
+  private def pace(prevVersion: Long, newVersion: Long, attempt: Int): Unit =
+    if (newVersion <= prevVersion)
+      Thread.sleep(math.min(200L * attempt, 2000L))
+
   private def writeExclusive(spark: SparkSession, dir: String, v: Long,
       bytes: Array[Byte]): Unit = {
     val (fs, _) = fsFor(spark, dir)
@@ -564,8 +576,10 @@ object VersionedTable {
         case e: ConcurrentCommitException =>
           if (attempt >= maxAttempts) throw e
           attempt += 1
-          prev = latest(spark, dir).getOrElse(
+          val np = latest(spark, dir).getOrElse(
             sys.error(s"table $dir lost all commits mid-append"))
+          pace(prev.version, np.version, attempt)
+          prev = np
       }
     }
     sys.error("unreachable")
@@ -750,8 +764,10 @@ object VersionedTable {
         case e: ConcurrentCommitException =>
           if (attempt >= maxAttempts) throw e
           attempt += 1
-          prev = rebaseOrConflict(spark, dir, prev, keyRangePred, touched,
+          val np = rebaseOrConflict(spark, dir, prev, keyRangePred, touched,
             "merge")
+          pace(prev.version, np.version, attempt)
+          prev = np
       }
     }
     sys.error("unreachable")
@@ -853,7 +869,9 @@ object VersionedTable {
         case e: ConcurrentCommitException =>
           if (attempt >= maxAttempts) throw e
           attempt += 1
-          prev = rebaseOrConflict(spark, dir, prev, predicate, touched, op)
+          val np = rebaseOrConflict(spark, dir, prev, predicate, touched, op)
+          pace(prev.version, np.version, attempt)
+          prev = np
       }
     }
     sys.error("unreachable")

@@ -648,4 +648,24 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(snaps.map(_.version) === Seq(1L, 2L))
     assert(ids(VersionedTable.read(spark, dir)) === Set(1L, 2L))
   }
+
+  test("retries against a stalled claim back off instead of hot-looping") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    java.nio.file.Files.write(manifestPath(dir, 2L),
+      "version=2\ntimestamp=1\noperation=append\n".getBytes("UTF-8"))
+    // a fresh torn claim never advances latest, so each retry would
+    // otherwise fire microseconds after the last; the pacing sleep
+    // (200ms * attempt, attempts 2 and 3 here) makes the retry budget
+    // mean something in wall time
+    val t0 = System.nanoTime()
+    intercept[graft.sources.ConcurrentCommitException] {
+      VersionedTable.appendWithRetry(Seq((2L, "b")).toDF("id", "v"), dir,
+        maxAttempts = 3)
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(elapsedMs >= 600,
+      s"3 attempts against a stalled claim should pace >= 600ms of " +
+        s"backoff, took ${elapsedMs}ms")
+  }
 }
