@@ -198,6 +198,45 @@ object CommitRace {
     audit(spark, dir, BaseRows, RowsPerAppend, wLogs, allowUnclaimed = 0,
       "phase1")
 
+    // ---- phase 1b: SIGKILL racing writers at ARBITRARY instants ----
+    // phases 2/3 kill at CHOSEN windows (staging, claim); this kills
+    // two ACTIVELY RACING writers at uncorrelated moments — whatever
+    // they happen to be doing (scanning, staging, claiming, logging) —
+    // and requires the survivors + audit invariants to hold. A writer
+    // killed after publish but before logging its success leaves an
+    // unclaimed committed version, bounded by the kill count.
+    println("[race] phase 1b: SIGKILL two racing writers mid-flight")
+    val bLogs = (3 to 5).map(w => outDir.resolve(s"writer$w.jsonl"))
+    val rLog2 = outDir.resolve("reader1b.jsonl")
+    val stop2 = outDir.resolve("stop1b")
+    val bWriters = (3 to 5).map(w =>
+      spawn(outDir, s"writer$w", "graft.tools.RaceWriter",
+        Seq(dir, w.toString, if (w == 5) "mixed" else "append", "40",
+          bLogs(w - 3).toString, barrier.toString)))
+    val reader2 = spawn(outDir, "reader1b", "graft.tools.RaceReader",
+      Seq(dir, stop2.toString, rLog2.toString, BaseRows.toString,
+        RowsPerAppend.toString))
+    // kill each target once it has demonstrably raced (>=3 commits) —
+    // it is then mid-flight in whatever its 4th+ operation happens to
+    // be doing when the SIGKILL lands
+    def killMidFlight(idx: Int): Int = {
+      val t0 = System.currentTimeMillis()
+      while (readLog(bLogs(idx)).count(_.get("event").contains("commit")) < 3 &&
+          System.currentTimeMillis() - t0 < 120000) Thread.sleep(25)
+      bWriters(idx).destroyForcibly()
+      bWriters(idx).waitFor()
+    }
+    val k1 = killMidFlight(0)
+    val k2 = killMidFlight(1)
+    check(k1 == 137 && k2 == 137,
+      s"phase1b: both racing writers SIGKILLed mid-flight (exit $k1/$k2)")
+    check(bWriters(2).waitFor() == 0, "phase1b: surviving writer exited 0")
+    Files.write(stop2, Array.emptyByteArray)
+    check(reader2.waitFor() == 0,
+      "phase1b: reader saw only committed snapshots through both kills")
+    audit(spark, dir, BaseRows, RowsPerAppend, wLogs ++ bLogs,
+      allowUnclaimed = 2, "phase1b")
+
     // ---- phase 2: SIGKILL while staging data files ----
     println("[race] phase 2: SIGKILL a writer mid-staging")
     val v2 = VersionedTable.latest(spark, dir).get.version
@@ -284,10 +323,10 @@ object CommitRace {
       healed.last.version > v4,
       s"phase4: torn claim reclaimed, chain contiguous to ${healed.last.version}")
 
-    // final audit over everything (phase-3 orchestrator append + phase-4
-    // writer append both add RowsPerAppend rows; all claims logged)
+    // final audit over everything: unclaimed-commit budget = the two
+    // phase-1b mid-race kills + the orchestrator's own phase-3 append
     audit(spark, dir, BaseRows, RowsPerAppend,
-      wLogs ++ Seq(healLog), allowUnclaimed = 1, "final")
+      wLogs ++ bLogs ++ Seq(healLog), allowUnclaimed = 3, "final")
 
     println(s"[race] done: ${if (failures == 0) "ALL CHECKS PASSED"
       else s"$failures CHECKS FAILED"}")
