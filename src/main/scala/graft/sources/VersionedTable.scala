@@ -595,36 +595,68 @@ object VersionedTable {
     */
   def appendTagged(df: DataFrame, dir: String, tag: String,
       statsCols: Seq[String] = Seq.empty): Snapshot =
-    appendTagged(df, dir, tag, latest(df.sparkSession, dir), statsCols)
+    appendTagged(df, dir, tag, latest(df.sparkSession, dir), statsCols,
+      maxAttempts = 5)
 
   /** [[appendTagged]] against an already-resolved latest snapshot, so a
     * caller that has just listed the manifests (the streaming sink does,
     * for its replay check) does not list them a second time.
+    *
+    * Retries the version claim up to `maxAttempts` times (data staged
+    * ONCE, appendRebase-style): a streaming sink must not die because a
+    * routine [[compactTable]]/[[cluster]] in another process claimed
+    * the version first — appends commute with everything, so the
+    * staged batch simply re-commits against the new latest. The tag is
+    * re-checked against each new snapshot chain (a replayed batch
+    * whose earlier attempt actually won must no-op, not double-commit),
+    * and the schema contract is re-run in case the competitor evolved
+    * the table mid-retry.
     */
   private[graft] def appendTagged(df: DataFrame, dir: String, tag: String,
-      prevOpt: Option[Snapshot],
-      statsCols: Seq[String]): Snapshot = {
-    // same fail-fast contract as append(): a drifted batch must not
-    // silently lose (or null-fill) columns under the recorded schema —
-    // streaming evolution is an explicit upstream decision, not a
-    // side effect
-    prevOpt.flatMap(_.schema).foreach { ps =>
-      val same = ps.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq ==
-        df.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
-      require(same,
-        s"streamed batch schema ${df.schema.simpleString} does not match " +
-          s"table schema ${ps.simpleString}")
+      prevOpt0: Option[Snapshot],
+      statsCols: Seq[String], maxAttempts: Int): Snapshot = {
+    val spark = df.sparkSession
+    def checkSchema(p: Option[Snapshot]): Unit =
+      // same fail-fast contract as append(): a drifted batch must not
+      // silently lose (or null-fill) columns under the recorded schema —
+      // streaming evolution is an explicit upstream decision, not a
+      // side effect
+      p.flatMap(_.schema).foreach { ps =>
+        val same = ps.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq ==
+          df.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+        require(same,
+          s"streamed batch schema ${df.schema.simpleString} does not match " +
+            s"table schema ${ps.simpleString}")
+      }
+    checkSchema(prevOpt0)
+    val v0 = prevOpt0.map(_.version + 1).getOrElse(1L)
+    val (files, st) = stageWithStats(df, dir, v0, statsCols)
+    var prevOpt = prevOpt0
+    var attempt = 1
+    while (true) {
+      try {
+        return prevOpt match {
+          case Some(prev) =>
+            commitDelta(spark, dir, prev, tag, files, Nil, st,
+              prev.schemaJson.orElse(Some(df.schema.json)))
+          case None =>
+            commit(spark, dir, 1L, tag, files, st, Some(df.schema.json))
+        }
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          val chain = snapshots(spark, dir)
+          if (chain.exists(_.operation == tag))
+            return chain.find(_.operation == tag).get
+          val np = chain.lastOption
+          checkSchema(np)
+          pace(prevOpt.map(_.version).getOrElse(0L),
+            np.map(_.version).getOrElse(0L), attempt)
+          prevOpt = np
+      }
     }
-    val v = prevOpt.map(_.version + 1).getOrElse(1L)
-    val (files, st) = stageWithStats(df, dir, v, statsCols)
-    prevOpt match {
-      case Some(prev) =>
-        commitDelta(df.sparkSession, dir, prev, tag, files, Nil, st,
-          prev.schemaJson.orElse(Some(df.schema.json)))
-      case None =>
-        commit(df.sparkSession, dir, 1L, tag, files, st,
-          Some(df.schema.json))
-    }
+    sys.error("unreachable")
   }
 
   /** True iff some committed version carries `tag` as its operation. */

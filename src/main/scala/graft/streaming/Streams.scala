@@ -531,7 +531,7 @@ object Streams {
     if (snaps.exists(_.operation == tag)) return
     if (batch.isEmpty) return
     VersionedTable.appendTagged(batch, tableDir, tag, snaps.lastOption,
-      statsCols)
+      statsCols, maxAttempts = 5)
   }
 
   /** Streaming maintenance of an additive aggregate view — the

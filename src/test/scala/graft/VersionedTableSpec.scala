@@ -649,6 +649,35 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(ids(VersionedTable.read(spark, dir)) === Set(1L, 2L))
   }
 
+  test("a tagged (streaming) append rebases over a concurrent commit " +
+      "and no-ops when its own tag already won") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    // the streaming sink's exact window: it lists the snapshot chain
+    // (replay check), then a maintenance process commits first
+    val stale = VersionedTable.latest(spark, dir)
+    VersionedTable.compactTable(spark, dir, targetFiles = 1)
+    val s = VersionedTable.appendTagged(
+      Seq((2L, "b")).toDF("id", "v"), dir, "append#7", stale, Seq.empty,
+      maxAttempts = 5)
+    assert(s.version === 3L, "the batch must rebase onto the compact")
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L, 2L))
+    assert(VersionedTable.hasOperation(spark, dir, "append#7"))
+    // replay delivered with a stale snapshot AND a competitor in
+    // between: the retry path must find its own committed tag and
+    // no-op instead of double-committing the batch
+    val stale2 = stale
+    VersionedTable.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    val replay = VersionedTable.appendTagged(
+      Seq((2L, "b")).toDF("id", "v"), dir, "append#7", stale2, Seq.empty,
+      maxAttempts = 5)
+    assert(replay.operation === "append#7")
+    assert(VersionedTable.snapshots(spark, dir)
+      .count(_.operation == "append#7") === 1,
+      "a replayed tag must not commit twice")
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L, 2L, 3L))
+  }
+
   test("retries against a stalled claim back off instead of hot-looping") {
     val dir = tmp()
     VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)

@@ -397,6 +397,16 @@ object RaceWriter {
               ev("event" -> "commit", "writer" -> wid, "iter" -> i,
                 "op" -> "append", "version" -> s.version)
             }
+          case "compact" =>
+            // maintenance loop for StreamMaintRace: repeated compactions
+            // racing a streaming ingest in another JVM
+            ev("event" -> "intent", "writer" -> wid, "iter" -> i,
+              "op" -> "compact")
+            val s = VersionedTable.compactTable(spark, dir,
+              targetFiles = 4, statsCols = Seq.empty)
+            ev("event" -> "commit", "writer" -> wid, "iter" -> i,
+              "op" -> "compact", "version" -> s.version)
+            Thread.sleep(150)
           case "stall" =>
             // park in the staged-but-unclaimed window; the orchestrator
             // SIGKILLs us here
