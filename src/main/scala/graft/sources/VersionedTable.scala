@@ -1132,9 +1132,17 @@ object VersionedTable {
     // the oldest RETAINED manifest must become self-contained before its
     // ancestors disappear: a delta whose base chain is vacuumed away
     // would strand every later version. Materialize it as a full
-    // manifest (Delta's checkpoint-before-clean). Temp-then-rename under
-    // a dot-name readers already skip; vacuum is a maintenance op under
-    // the module's effectively-serial orchestration contract.
+    // manifest (Delta's checkpoint-before-clean), staged under a
+    // dot-name readers already skip and swapped in ATOMICALLY: on local
+    // filesystems via rename(2) with replace (a crash leaves either the
+    // old delta — chain intact, ancestors not yet dropped — or the new
+    // full manifest, both valid states; the previous delete-then-rename
+    // had a crash window that left the version MISSING and every later
+    // delta's base chain broken). HDFS rename cannot replace, so that
+    // path keeps delete+rename — its crash window leaves the complete
+    // `.ckpt` temp alongside for manual recovery, and vacuum remains a
+    // maintenance op under the module's effectively-serial
+    // orchestration contract.
     keep.headOption.foreach { s =>
       val mdir = new Path(dir, ManifestDir)
       val mpath = new Path(mdir, manifestName(s.version))
@@ -1146,9 +1154,18 @@ object VersionedTable {
         val tmpP = new Path(mdir, s".${manifestName(s.version)}.ckpt")
         val out = fs.create(tmpP, true)
         try out.write(renderManifest(s).getBytes("UTF-8")) finally out.close()
-        fs.delete(mpath, false)
-        if (!fs.rename(tmpP, mpath)) sys.error(
-          s"vacuum: failed to materialize manifest for version ${s.version}")
+        if (mpath.toUri.getScheme == null || mpath.toUri.getScheme == "file") {
+          val mq = fs.makeQualified(mpath).toUri.getPath
+          val tq = fs.makeQualified(tmpP).toUri.getPath
+          java.nio.file.Files.move(java.nio.file.Paths.get(tq),
+            java.nio.file.Paths.get(mq),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } else {
+          fs.delete(mpath, false)
+          if (!fs.rename(tmpP, mpath)) sys.error(
+            s"vacuum: failed to materialize manifest for version ${s.version}")
+        }
       }
     }
     val live = keep.flatMap(_.files).toSet
