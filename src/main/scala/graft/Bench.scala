@@ -116,18 +116,29 @@ object Bench {
     // value / host_drift. Comparable only at equal cpus — the driver
     // always runs cpus=32, and the JSON now records cpus.
     // r13 recording: best-of-3 readings 1.168/1.180/1.188 s across
-    // three JVMs, cpus=32
+    // three JVMs, cpus=32. The reference is ONLY valid at cpus=32 (the
+    // driver's setting): at other core counts the fixed 32-slice job
+    // times a different parallelism and host_drift would read ~8x
+    // inflated at the local[4] default — so the anchor runs (and its
+    // derived fields are emitted) only at cpus=32, or when forced via
+    // SPARK_GRAFT_ANCHOR=1 for ad-hoc calibration (raw anchor_sec only,
+    // drift fields stay null).
     val AnchorRefSec = 1.17
-    val anchorSec = {
-      import org.apache.spark.sql.functions.{col, expr, xxhash64}
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(0L, 10000000000L, 1L, 32)
-          .select(xxhash64(col("id")).as("h")).agg(expr("bit_xor(h)")).head
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    }
-    val hostDrift = anchorSec / AnchorRefSec
+    val anchorValid = cpus.toInt == 32
+    val anchorSec: Option[Double] =
+      if (!anchorValid && !sys.env.get("SPARK_GRAFT_ANCHOR").contains("1"))
+        None
+      else Some {
+        import org.apache.spark.sql.functions.{col, expr, xxhash64}
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(0L, 10000000000L, 1L, 32)
+            .select(xxhash64(col("id")).as("h")).agg(expr("bit_xor(h)")).head
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+    val hostDrift: Option[Double] =
+      if (anchorValid) anchorSec.map(_ / AnchorRefSec) else None
     // Optional subset selection for targeted scale runs (e.g. the heavy
     // dedup/versioned-table families at sf10): comma-separated query
     // names, matched exactly or as a prefix up to the underscore ("q10"
@@ -182,7 +193,16 @@ object Bench {
     // a filtered run is labeled "subtotal" so its total can never be
     // compared against a full-registry "total" by accident
     val metric = if (nameFilter.isDefined) "subtotal" else "total"
-    val json = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"n_trials":$trials,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"$filt,"shuffle_partitions":$shufflePartitions,"cpus":$cpus,"anchor_sec":$anchorSec,"anchor_ref_sec":$AnchorRefSec,"host_drift":$hostDrift,"total_normalized":${total / hostDrift}}"""
+    // noise policy, machine-readable (round-14): within one session the
+    // full sf0.1 bench's total spreads ~3-5% across identical runs
+    // (r13: 64.6-66.6 s over 3 runs at anchor parity) — consumers must
+    // not adjudicate sub-noise_floor_pct round-over-round deltas as
+    // regressions; isolate the query solo before diagnosing.
+    val noiseNote = "within-session full-bench total varies ~3-5% across " +
+      "identical runs (r13: 64.6-66.6s x3 at anchor parity); deltas under " +
+      "noise_floor_pct are noise - isolate solo readings before diagnosing"
+    def num(o: Option[Double]) = o.map(_.toString).getOrElse("null")
+    val json = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"n_trials":$trials,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"$filt,"shuffle_partitions":$shufflePartitions,"cpus":$cpus,"anchor_sec":${num(anchorSec)},"anchor_ref_sec":$AnchorRefSec,"host_drift":${num(hostDrift)},"total_normalized":${num(hostDrift.map(total / _))},"noise_floor_pct":5,"variance_note":"$noiseNote"}"""
     println(json)
     // the artifact must stand on its own: a log-tail capture truncated the
     // round-3 JSON head, so the result also lands in a file

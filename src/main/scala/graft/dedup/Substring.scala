@@ -71,10 +71,14 @@ object Substring {
     * (corpus, n, cap, frac), and q62 + q94 probe the SAME corpus with
     * the same parameters — one sample+aggregate pass per corpus per
     * session instead of one per call. Scoped PER SparkSession via a
-    * weak-keyed outer map: a stopped (and dropped) session's entries
-    * become unreachable with it, so checkpoint blocks never outlive
-    * their session in a long-lived multi-session JVM, and a recycled
-    * identity hash can't alias a dead session's entries. Inner key =
+    * strong-keyed outer map with EAGER eviction: every access first
+    * sweeps entries whose session's SparkContext is stopped (their
+    * executor-stored checkpoint blocks died with the context, so
+    * dropping the map entry is the whole cleanup). A weak-keyed map
+    * cannot do this job — the cached DataFrames strongly reference
+    * their SparkSession, so the weak key stays reachable through its
+    * own value and never collects; strong keys also mean a recycled
+    * identity hash can never alias a dead session's entries. Inner key =
     * canonicalized-plan hash + the concrete input-file inventory (a
     * parquet rewrite mints new part-file names, so an in-place table
     * swap misses the cache rather than serving a stale witness — the
@@ -93,8 +97,21 @@ object Substring {
     * job behind a map bin lock.
     */
   private val probeCaches =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession,
       java.util.LinkedHashMap[String, DataFrame]]()
+
+  /** The per-session inner cache, after sweeping every DEAD session's
+    * entry (context stopped → its checkpoint blocks are already gone;
+    * removing the entry releases the DataFrames and the session).
+    */
+  private def probeCacheFor(session: org.apache.spark.sql.SparkSession):
+      java.util.LinkedHashMap[String, DataFrame] = {
+    val it = probeCaches.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    probeCaches.computeIfAbsent(session,
+      _ => new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true))
+  }
 
   private[graft] val ProbeCacheMaxEntries = 8
 
@@ -116,15 +133,8 @@ object Substring {
     val key = Seq(docs.queryExecution.analyzed.semanticHash(),
       docs.inputFiles.toSeq.sorted.hashCode,
       idCol, textCol, n, cap, frac).mkString(":")
-    val cache = probeCaches.synchronized {
-      var c = probeCaches.get(session)
-      if (c == null) {
-        // accessOrder = true: iteration order is LRU for eviction
-        c = new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true)
-        probeCaches.put(session, c)
-      }
-      c
-    }
+    // accessOrder = true inside: iteration order is LRU for eviction
+    val cache = probeCacheFor(session)
     cache.synchronized { Option(cache.get(key)) } match {
       case Some(hit) => hit
       case None =>

@@ -122,6 +122,14 @@ object VersionedTable {
 
   private def manifestName(v: Long) = f"v$v%08d.manifest"
 
+  /** Inverse of [[manifestName]] — lets listings filter by version
+    * WITHOUT opening files (the zero-padded name encodes it).
+    */
+  private def versionOfName(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".manifest"))
+      name.stripSuffix(".manifest").drop(1).toLongOption
+    else None
+
   /** One on-disk manifest: either a self-contained snapshot or a delta
     * against its base version.
     */
@@ -155,12 +163,90 @@ object VersionedTable {
         && !s.getPath.getName.startsWith("."))
   }
 
+  /** Manifest-file reads since JVM start — observability for the
+    * metadata-cost specs (e.g. proving an [[appendTagged]] retry reads
+    * O(new versions), not O(table history)).
+    */
+  private[graft] val manifestReadCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Option[ManifestRec] = {
+    manifestReadCount.incrementAndGet()
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     parseManifest(body)
+  }
+
+  /** [[readManifestFile]] tolerating the file VANISHING between the
+    * directory listing and the open: a concurrent [[vacuum]] deleting
+    * dropped manifests is the one legal cause, and vacuum's
+    * newest-first deletion order inside the drop set guarantees the
+    * surviving reads still form a resolvable chain (a delta's base is
+    * always deleted AFTER the delta itself, so an already-read delta
+    * can never be stranded by a later FNF on its base).
+    */
+  private def readManifestIfPresent(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[ManifestRec] =
+    try readManifestFile(fs, p)
+    catch { case _: java.io.FileNotFoundException => None }
+
+  /** Auto-repair the vacuum-materialization crash window on the
+    * delete+rename (HDFS-class) path: [[vacuum]] stages the oldest
+    * retained version's full manifest as a hidden `.v<N>.manifest.ckpt`
+    * temp before swapping it in, and a crash between the delete and the
+    * rename leaves the version MISSING with the COMPLETE temp alongside.
+    * When a reader's chain resolution hits that exact state — manifest
+    * absent, complete same-version `.ckpt` present — it publishes the
+    * temp (exclusive-create, so concurrent recoverers race safely and
+    * at most one wins) and the chain self-heals, replacing the old
+    * "manual recovery" runbook note. A torn or version-mismatched temp
+    * is never published. Returns true iff this call published it.
+    */
+  private def recoverCkpt(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Long): Boolean = {
+    val mdir = new Path(dir, ManifestDir)
+    val dest = new Path(mdir, manifestName(v))
+    val tmp = new Path(mdir, s".${manifestName(v)}.ckpt")
+    try {
+      if (fs.exists(dest) || !fs.exists(tmp)) return false
+      val in = fs.open(tmp)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val ok = parseManifest(body).exists(_.version == v)
+      if (!ok) return false
+      if (dest.toUri.getScheme == null || dest.toUri.getScheme == "file") {
+        // local: publish exactly like a commit — staged temp + atomic
+        // exclusive hard link — so a concurrent reader can never observe
+        // the recovered manifest torn, and racing recoverers serialize
+        // on EEXIST. (create-then-write would expose a partial body.)
+        val destNio = java.nio.file.Paths.get(
+          new Path(fs.makeQualified(dest).toUri.getPath).toString)
+        val rec = destNio.resolveSibling(
+          s".${manifestName(v)}.rec.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+        java.nio.file.Files.write(rec, body.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try java.nio.file.Files.createLink(destNio, rec)
+        finally java.nio.file.Files.deleteIfExists(rec)
+      } else {
+        // HDFS-class: exclusive create claims, body streams through the
+        // handle. A recoverer crashing mid-body leaves a torn manifest at
+        // dest — readers skip it, and since the `.ckpt` temp is only
+        // deleted after a COMPLETE publish, the repair can be retried by
+        // hand after removing the torn file (same residual class as a
+        // writer crash mid-body on this path).
+        val out = fs.create(dest, false) // exclusive: one recoverer publishes
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+      }
+      fs.delete(tmp, false)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.io.FileNotFoundException => false
+    }
   }
 
   /** All committed snapshots, ascending by version. A manifest without
@@ -170,10 +256,19 @@ object VersionedTable {
     * total parse cost is O(checkpoints + changed files), not
     * O(versions × live files).
     */
-  def snapshots(spark: SparkSession, dir: String): Seq[Snapshot] = {
+  def snapshots(spark: SparkSession, dir: String): Seq[Snapshot] =
+    snapshotsAttempt(spark, dir, recover = true)
+
+  private def snapshotsAttempt(spark: SparkSession, dir: String,
+      recover: Boolean): Seq[Snapshot] = {
     val (fs, _) = fsFor(spark, dir)
+    // read ASCENDING by version: a concurrent vacuum deletes dropped
+    // manifests newest-first, so reading oldest-first means any version
+    // whose read FNF'd was deleted before every LATER version we then
+    // try — the surviving reads are always a resolvable prefix
     val recs = manifestFiles(fs, dir)
-      .flatMap(s => readManifestFile(fs, s.getPath))
+      .sortBy(_.getPath.getName) // zero-padded name = version order
+      .flatMap(s => readManifestIfPresent(fs, s.getPath))
       .sortBy(_.version)
     val out = Seq.newBuilder[Snapshot]
     var byVersion = Map.empty[Long, Snapshot]
@@ -181,9 +276,20 @@ object VersionedTable {
       case FullRec(s) =>
         out += s; byVersion += (s.version -> s)
       case d: DeltaRec =>
-        val base = byVersion.getOrElse(d.base, sys.error(
-          s"manifest chain broken: version ${d.version} of $dir is a " +
-            s"delta on missing/torn base ${d.base}"))
+        val base = byVersion.get(d.base) match {
+          case Some(s) => s
+          case None if recover =>
+            // either the vacuum-materialization crash state (heal the
+            // complete `.ckpt` back into place, then re-list) or a
+            // concurrent vacuum swept manifests between this listing
+            // and the reads — ONE clean re-list resolves both; a chain
+            // still broken on the fresh listing is real corruption.
+            recoverCkpt(fs, dir, d.base)
+            return snapshotsAttempt(spark, dir, recover = false)
+          case None => sys.error(
+            s"manifest chain broken: version ${d.version} of $dir is a " +
+              s"delta on missing/torn base ${d.base}")
+        }
         val s = applyDelta(base, d)
         out += s; byVersion += (s.version -> s)
     }
@@ -256,13 +362,17 @@ object VersionedTable {
     * manifest reads regardless of table history length. Torn claims
     * (crashed writers) are skipped, exactly as in [[snapshots]].
     */
-  def latest(spark: SparkSession, dir: String): Option[Snapshot] = {
+  def latest(spark: SparkSession, dir: String): Option[Snapshot] =
+    latestAttempt(spark, dir, retries = 2)
+
+  private def latestAttempt(spark: SparkSession, dir: String,
+      retries: Int): Option[Snapshot] = {
     val (fs, _) = fsFor(spark, dir)
     val mdir = new Path(dir, ManifestDir)
     manifestFiles(fs, dir)
       .sortBy(_.getPath.getName)(Ordering[String].reverse) // zero-padded
       .iterator
-      .flatMap(s => readManifestFile(fs, s.getPath))
+      .flatMap(s => readManifestIfPresent(fs, s.getPath))
       .nextOption()
       .map {
         case FullRec(s) => s
@@ -270,13 +380,23 @@ object VersionedTable {
           // walk the base chain back to the nearest full manifest, then
           // fold forward. A complete delta can never sit on a torn base
           // (a writer only claims v+1 after reading a COMPLETE v), so a
-          // missing/torn base here is real corruption — fail loudly.
+          // missing/torn base here is (a) the vacuum-materialization
+          // crash state — manifest absent, complete `.ckpt` alongside,
+          // self-healed via [[recoverCkpt]] — (b) a LIVE concurrent
+          // vacuum that swapped an ancestor to a full checkpoint and
+          // swept its bases between our read and this walk — retried
+          // on a fresh listing — or (c) real corruption (loud).
           var stack = List(d)
           var full: Option[Snapshot] = None
           while (full.isEmpty) {
-            readManifestFile(fs, new Path(mdir, manifestName(stack.head.base))) match {
+            val basePath = new Path(mdir, manifestName(stack.head.base))
+            readManifestIfPresent(fs, basePath) match {
               case Some(FullRec(s)) => full = Some(s)
               case Some(d2: DeltaRec) => stack = d2 :: stack
+              case None if recoverCkpt(fs, dir, stack.head.base) =>
+                // healed: loop re-reads the just-published manifest
+              case None if retries > 0 =>
+                return latestAttempt(spark, dir, retries - 1)
               case None => sys.error(
                 s"manifest chain broken at version ${stack.head.base} of $dir")
             }
@@ -366,6 +486,15 @@ object VersionedTable {
     */
   private[graft] var commitCrashPoint: () => Unit = () => ()
 
+  /** Fault-injection seam (test scope only): invoked between detecting
+    * a stale torn claim and the re-stat that guards its deletion — the
+    * TOCTOU window in which a competing reclaimer can have replaced the
+    * corpse with a committed manifest. The spec points this at a
+    * competitor publish to prove the guard aborts instead of deleting
+    * an acknowledged commit.
+    */
+  private[graft] var reclaimPause: () => Unit = () => ()
+
   /** How stale a TORN manifest claim (file present, `end` terminator
     * absent) must be before a competing writer may delete and re-claim
     * its version. Local-FS commits publish via hard link and can never
@@ -424,6 +553,19 @@ object VersionedTable {
           commitCrashPoint()
           try java.nio.file.Files.createLink(destNio, tmp)
           finally java.nio.file.Files.deleteIfExists(tmp)
+          // DURABILITY, not just atomicity: the temp's DATA was forced
+          // above, but the new directory ENTRY lives in the manifest
+          // directory's metadata — without a directory fsync a power
+          // loss after this return could make the acknowledged version
+          // vanish (process-kill atomicity alone never could). Mirror
+          // the data fsync with an fsync of the directory itself.
+          // Filesystems that cannot open a directory for force() skip
+          // (the atomicity contract still holds there).
+          try {
+            val dch = java.nio.channels.FileChannel.open(destNio.getParent,
+              java.nio.file.StandardOpenOption.READ)
+            try dch.force(true) finally dch.close()
+          } catch { case _: UnsupportedOperationException => }
         } else {
           // HDFS-like: create-no-overwrite is atomic at the namenode
           // (the claim), but the body streams through the claimed
@@ -445,17 +587,38 @@ object VersionedTable {
           // loses to dead debris. Reclaim (delete + retry the claim)
           // iff the torn claim is older than [[TornClaimGraceMs]]; at
           // most once per call so a pathological directory can't loop.
-          val torn =
-            try fs.exists(dest) && readManifestFile(fs, dest).isEmpty
-            catch { case _: java.io.FileNotFoundException => false }
-          val stale = torn && {
-            try System.currentTimeMillis() -
-              fs.getFileStatus(dest).getModificationTime >= TornClaimGraceMs
+          val st0 =
+            try Some(fs.getFileStatus(dest))
+            catch { case _: java.io.FileNotFoundException => None }
+          val torn = st0.isDefined && {
+            try readManifestFile(fs, dest).isEmpty
             catch { case _: java.io.FileNotFoundException => false }
           }
+          val stale = torn && st0.exists(s =>
+            System.currentTimeMillis() - s.getModificationTime >=
+              TornClaimGraceMs)
           if (stale && !reclaimed) {
             reclaimed = true
-            fs.delete(dest, false)
+            reclaimPause()
+            // TOCTOU guard on the reclaim: between detecting the stale
+            // torn claim and this delete, a COMPETING reclaimer can
+            // have deleted the corpse and published a COMPLETE manifest
+            // at this name — deleting now would silently destroy its
+            // acknowledged commit (lost update). Re-stat and re-parse
+            // immediately before acting: any change in (mtime, length),
+            // or the file now parsing complete, aborts the reclaim and
+            // falls through to the claim retry, which then loses to the
+            // competitor's commit the normal typed way.
+            val stillSameCorpse = try {
+              val st1 = fs.getFileStatus(dest)
+              st0.exists(s0 =>
+                st1.getModificationTime == s0.getModificationTime &&
+                  st1.getLen == s0.getLen) &&
+                readManifestFile(fs, dest).isEmpty
+            } catch { case _: java.io.FileNotFoundException => false }
+            if (stillSameCorpse) fs.delete(dest, false)
+            // !stillSameCorpse: leave the changed claim alone; the loop
+            // retries the claim and surfaces the competitor normally
           } else throw new ConcurrentCommitException(
             s"VersionedTable: version $v of $dir was " +
               (if (torn) "claimed by a writer that has not finished " +
@@ -646,10 +809,34 @@ object VersionedTable {
         case e: ConcurrentCommitException =>
           if (attempt >= maxAttempts) throw e
           attempt += 1
-          val chain = snapshots(spark, dir)
-          if (chain.exists(_.operation == tag))
-            return chain.find(_.operation == tag).get
-          val np = chain.lastOption
+          // Tag re-check SHORT-CIRCUIT: only versions committed AFTER
+          // the initially-resolved latest can carry this tag (the
+          // caller's replay check covered everything at or below it),
+          // and the zero-padded manifest NAME encodes the version, so
+          // filtering the listing costs no opens. A retry therefore
+          // reads O(versions committed since this call began) manifests
+          // plus latest()'s checkpoint-bounded chain — NOT the whole
+          // table history: a streaming sink retrying against a
+          // thousand-version table no longer re-lists its entire past.
+          // A torn manifest in the window parses to None and is simply
+          // re-examined next retry (it may still complete).
+          val (fs, _) = fsFor(spark, dir)
+          val base0 = prevOpt0.map(_.version).getOrElse(0L)
+          val newRecs = manifestFiles(fs, dir)
+            .filter(s =>
+              versionOfName(s.getPath.getName).exists(_ > base0))
+            .sortBy(_.getPath.getName)
+            .flatMap(s => readManifestIfPresent(fs, s.getPath))
+          val tagged = newRecs.exists {
+            case FullRec(s) => s.operation == tag
+            case d: DeltaRec => d.operation == tag
+          }
+          if (tagged)
+            // an earlier attempt actually WON (or a concurrent replay
+            // landed): resolve the tagged version through the normal
+            // chain — rare, so the full cost stays off the hot path
+            return snapshots(spark, dir).find(_.operation == tag).get
+          val np = latest(spark, dir)
           checkSchema(np)
           pace(prevOpt.map(_.version).getOrElse(0L),
             np.map(_.version).getOrElse(0L), attempt)
@@ -1139,10 +1326,11 @@ object VersionedTable {
     // full manifest, both valid states; the previous delete-then-rename
     // had a crash window that left the version MISSING and every later
     // delta's base chain broken). HDFS rename cannot replace, so that
-    // path keeps delete+rename — its crash window leaves the complete
-    // `.ckpt` temp alongside for manual recovery, and vacuum remains a
-    // maintenance op under the module's effectively-serial
-    // orchestration contract.
+    // path keeps delete+rename — its crash window leaves the version
+    // MISSING with the complete `.ckpt` temp alongside, a state the
+    // next chain resolution AUTO-REPAIRS by publishing the temp
+    // ([[recoverCkpt]]): the chain self-heals on first read instead of
+    // waiting for manual recovery.
     keep.headOption.foreach { s =>
       val mdir = new Path(dir, ManifestDir)
       val mpath = new Path(mdir, manifestName(s.version))
@@ -1169,12 +1357,27 @@ object VersionedTable {
       }
     }
     val live = keep.flatMap(_.files).toSet
+    // Drop the MANIFESTS first, NEWEST-first: at every instant during
+    // the sweep (and after a mid-sweep crash) the remaining manifests
+    // form a resolvable chain — a delta is always deleted before the
+    // base it depends on, so a concurrent snapshots()/latest() never
+    // observes a broken chain, it just sees retention shrink. Data
+    // files go second: once a version's manifest is gone no NEW reader
+    // can resolve to its files, and a reader already holding a
+    // resolved file list PAST retention fails loudly (FileNotFound on
+    // the scan), never silently wrong — Delta VACUUM's contract. Files
+    // referenced by ANY retained version (`live`, which also covers
+    // every concurrent commit: appends/CoW-DML only carry files forward
+    // from the retained latest) are never touched.
+    drop.reverse.foreach { s =>
+      fs.delete(new Path(new Path(dir, ManifestDir),
+        manifestName(s.version)), false)
+    }
     var deleted = 0
     drop.foreach { s =>
       s.files.filterNot(live).foreach { f =>
         if (fs.delete(new Path(s"$dir/$f"), false)) deleted += 1
       }
-      fs.delete(new Path(new Path(dir, ManifestDir), manifestName(s.version)), false)
     }
     deleted
   }

@@ -678,6 +678,137 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(ids(VersionedTable.read(spark, dir)) === Set(1L, 2L, 3L))
   }
 
+  test("the vacuum-materialization crash state self-heals on read " +
+      "(manifest missing, complete .ckpt alongside)") {
+    val dir = tmp()
+    VersionedTable.create(Seq((0L, "a")).toDF("id", "v"), dir)
+    (1L to 6L).foreach(i =>
+      VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v"), dir))
+    VersionedTable.vacuum(spark, dir, retainVersions = 3) // keep v5,v6,v7
+    // simulate the HDFS-path vacuum crash BETWEEN delete and rename:
+    // v5's (materialized, full) manifest is gone, the complete `.ckpt`
+    // temp sits alongside — exactly what the delete+rename window leaves
+    val m5 = manifestPath(dir, 5L)
+    val body5 = java.nio.file.Files.readAllBytes(m5)
+    val ckpt = m5.resolveSibling(".v00000005.manifest.ckpt")
+    java.nio.file.Files.write(ckpt, body5)
+    java.nio.file.Files.delete(m5)
+    // chain resolution heals it: v6 (delta on 5) resolves, the manifest
+    // is republished, the temp is consumed
+    assert(VersionedTable.snapshots(spark, dir).map(_.version) ===
+      Seq(5L, 6L, 7L))
+    assert(java.nio.file.Files.exists(m5), "recovered manifest republished")
+    assert(!java.nio.file.Files.exists(ckpt), "consumed .ckpt removed")
+    assert(ids(VersionedTable.read(spark, dir)) === (0L to 6L).toSet)
+    // latest()'s base-chain walk heals the same state independently
+    java.nio.file.Files.write(ckpt,
+      java.nio.file.Files.readAllBytes(m5))
+    java.nio.file.Files.delete(m5)
+    assert(VersionedTable.latest(spark, dir).get.version === 7L)
+    assert(java.nio.file.Files.exists(m5))
+    // a TORN temp (crash while writing the ckpt itself) must never be
+    // published: resolution fails loudly instead of resurrecting a
+    // truncated manifest
+    val torn = new String(body5, "UTF-8").linesIterator
+      .filterNot(_.startsWith("end=")).mkString("\n")
+    java.nio.file.Files.write(ckpt, torn.getBytes("UTF-8"))
+    java.nio.file.Files.delete(m5)
+    val e = intercept[RuntimeException] {
+      VersionedTable.snapshots(spark, dir)
+    }
+    assert(e.getMessage.contains("chain broken"))
+    assert(!java.nio.file.Files.exists(m5),
+      "a torn ckpt must not be published")
+    // restore for subsequent cleanliness
+    java.nio.file.Files.write(m5, body5)
+    java.nio.file.Files.delete(ckpt)
+  }
+
+  test("a crashed mid-sweep vacuum (newest-first manifest deletion) " +
+      "leaves a resolvable chain; the next vacuum completes it") {
+    val dir = tmp()
+    VersionedTable.create(Seq((0L, "a")).toDF("id", "v"), dir)
+    (1L to 7L).foreach(i =>
+      VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v"), dir))
+    val m1 = manifestPath(dir, 1L)
+    val body1 = java.nio.file.Files.readAllBytes(m1)
+    VersionedTable.vacuum(spark, dir, retainVersions = 5)
+    // reconstruct the mid-sweep crash state: manifests are deleted
+    // NEWEST-first within the drop set {v1,v2,v3}, so a crash before
+    // the FINAL delete leaves exactly v1 — put it back. (The keep-head
+    // v4 was already materialized full before any deletion.) A delta
+    // surviving without its base is impossible in this order.
+    java.nio.file.Files.write(m1, body1)
+    val snaps = VersionedTable.snapshots(spark, dir)
+    assert(snaps.map(_.version) === Seq(1L, 4L, 5L, 6L, 7L, 8L),
+      "mid-sweep state must resolve: v1 full + materialized v4 + deltas")
+    assert(ids(VersionedTable.read(spark, dir)) === (0L to 7L).toSet)
+    // the next vacuum completes the interrupted sweep
+    VersionedTable.vacuum(spark, dir, retainVersions = 5)
+    assert(VersionedTable.snapshots(spark, dir).map(_.version) ===
+      Seq(4L, 5L, 6L, 7L, 8L))
+    assert(ids(VersionedTable.read(spark, dir)) === (0L to 7L).toSet)
+  }
+
+  test("the stale-claim reclaim re-checks before deleting: a competitor's " +
+      "commit replacing the corpse is never destroyed (TOCTOU guard)") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    val torn = manifestPath(dir, 2L)
+    java.nio.file.Files.write(torn,
+      "version=2\ntimestamp=1\noperation=append\n".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(torn,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - VersionedTable.TornClaimGraceMs - 60000))
+    // in the window between our writer detecting the stale corpse and
+    // deleting it, a COMPETING reclaimer deletes the corpse itself and
+    // publishes a complete v2 — without the re-stat guard, our delete
+    // would silently destroy that acknowledged commit (lost update)
+    var fired = false
+    VersionedTable.reclaimPause = () => if (!fired) {
+      fired = true
+      java.nio.file.Files.delete(torn)
+      VersionedTable.append(Seq((100L, "competitor")).toDF("id", "v"), dir)
+    }
+    try {
+      val e = intercept[graft.sources.ConcurrentCommitException] {
+        VersionedTable.append(Seq((2L, "ours")).toDF("id", "v"), dir)
+      }
+      assert(e.getMessage.contains("concurrent writer"))
+    } finally VersionedTable.reclaimPause = () => ()
+    assert(fired, "the TOCTOU window seam must have fired")
+    // the competitor's commit SURVIVED: v2 is its row, not ours
+    val snaps = VersionedTable.snapshots(spark, dir)
+    assert(snaps.map(_.version) === Seq(1L, 2L))
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L, 100L),
+      "the competitor's acknowledged v2 must never be reclaimed away")
+  }
+
+  test("an appendTagged retry reads O(new versions) manifests, not the " +
+      "table's whole history") {
+    val dir = tmp()
+    VersionedTable.create(Seq((0L, "a")).toDF("id", "v"), dir)
+    (1L to 30L).foreach(i =>
+      VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v"), dir))
+    // the streaming sink resolved latest = v31, then two maintenance
+    // commits land first — the retry must re-check its tag against the
+    // NEW versions only (zero-padded names filter without opens) plus
+    // latest()'s checkpoint-bounded chain, never the 31-manifest past
+    val stale = VersionedTable.latest(spark, dir)
+    VersionedTable.append(Seq((200L, "x")).toDF("id", "v"), dir)
+    VersionedTable.compactTable(spark, dir, targetFiles = 1)
+    val before = VersionedTable.manifestReadCount.get()
+    val s = VersionedTable.appendTagged(
+      Seq((300L, "b")).toDF("id", "v"), dir, "append#9", stale, Seq.empty,
+      maxAttempts = 5)
+    val reads = VersionedTable.manifestReadCount.get() - before
+    assert(s.operation === "append#9" && s.version === 34L)
+    assert(reads <= 15,
+      s"a retry against a 33-version table must read O(new) manifests " +
+        s"(got $reads; the full chain would be 30+)")
+    assert(ids(VersionedTable.read(spark, dir)).contains(300L))
+  }
+
   test("retries against a stalled claim back off instead of hot-looping") {
     val dir = tmp()
     VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
