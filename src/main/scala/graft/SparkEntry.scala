@@ -2257,6 +2257,23 @@ object SparkEntry {
           ScalarQuant.approxDot(col("codes"), col("q_min"), col("q_scale"),
             col("pcodes"), col("p_min"), col("p_scale"))
             .as("approx_dot_probe"))
+    }),
+
+    // REAL compressed-pixel decode (round 14): documents synthesize
+    // spec-valid PNGs — 8-bit RGB scanlines carrying the SAME planted
+    // formula as the BMP tier, DEFLATE-compressed with
+    // java.util.zip.Deflater (even ids: STORED blocks; odd ids: real
+    // Huffman streams) — and Media.decodePngPixels inflates and
+    // de-filters the actual bitstream in a bounded mapPartitions (one
+    // Inflater per partition, the codec-pool shape). The oracle
+    // replays every statistic arithmetically, so a bug on EITHER side
+    // of the compress→decompress round trip breaks the hash. This
+    // retires the last fully-stubbed tier for PNG; JPEG/GIF/MP4 pixel
+    // decode remains behind the declared Media.decodeStub.
+    "q108_png_pixels" -> ((s, dir) => {
+      graft.multimodal.Media.decodePngPixels(
+        graft.multimodal.Media.fromDocumentsPngPixels(
+          Tables.documents(s, dir)))
     })
   )
 
@@ -2950,6 +2967,25 @@ object SparkEntry {
         |    + ps * qmin * CAST(list_sum(pcodes) AS DOUBLE)
         |    + CAST(len(codes) AS DOUBLE) * qmin * pmin AS approx_dot_probe
         |FROM c, p""".stripMargin,
+
+    // arithmetic replay of the PNG pixel ground truth: the DEFLATE
+    // round trip (Deflater on the Spark write side, Inflater + filter
+    // reconstruction on the decode side) must hand back exactly the
+    // planted scanline bytes
+    "q108_png_pixels" ->
+      """WITH base AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, flatten(list_transform(range(h), r ->
+        |         list_transform(range(w*3), j -> (doc_id + r*31 + j*7) % 256))) AS pl
+        |       FROM base)
+        |SELECT b.doc_id AS media_id,
+        |  CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+        |  CAST(b.w*3*b.h AS BIGINT) AS n_units,
+        |  CAST(list_min(p.pl) AS BIGINT) AS unit_min,
+        |  CAST(list_max(p.pl) AS BIGINT) AS unit_max,
+        |  CAST(list_sum(p.pl) AS BIGINT) AS unit_sum
+        |FROM base b JOIN px p USING (doc_id)""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

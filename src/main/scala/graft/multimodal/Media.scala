@@ -17,14 +17,22 @@ import org.apache.spark.sql.functions._
   *     samples ([[sampleStats]]) are plain bytes, decoded by native
   *     byte-walk kernels (q27's gate round-trips planted pixel/sample
   *     statistics through them).
-  *   - PIXEL decode for TRUE codec formats (PNG/JPEG bitstreams,
-  *     compressed audio) stays behind [[decodeStub]] — this container
-  *     ships no codecs, so it derives deterministic fake features from
-  *     the bytes. Everything around it is the real Spark shape a
-  *     production pipeline needs: binary column + metadata struct
-  *     schema, per-partition batch iteration (amortizes codec init, the
-  *     expensive part of real decoders), and a bounded-width feature
-  *     output schema. No registered gate query consumes it.
+  *   - PIXEL decode for PNG (a true compressed format) is REAL since
+  *     round 14: [[decodePngPixels]] inflates the DEFLATE bitstream
+  *     (stored and Huffman blocks) with `java.util.zip.Inflater` and
+  *     reconstructs all five scanline filters, in a bounded
+  *     mapPartitions with a per-partition codec instance (q108's gate
+  *     round-trips planted pixels through the actual compressed
+  *     bitstream).
+  *   - PIXEL decode for the REMAINING codec formats (JPEG entropy
+  *     decode, GIF LZW, compressed audio, video codecs) stays behind
+  *     [[decodeStub]] — this container ships no codec libraries, so it
+  *     derives deterministic fake features from the bytes. Everything
+  *     around it is the real Spark shape a production pipeline needs:
+  *     binary column + metadata struct schema, per-partition batch
+  *     iteration (amortizes codec init, the expensive part of real
+  *     decoders), and a bounded-width feature output schema. No
+  *     registered gate query consumes it.
   *
   * Scale notes: binary payloads dominate I/O at 100 TB — the media table
   * should be partitioned by kind and bucketed by media_id so feature
@@ -449,6 +457,206 @@ object Media {
       col("source"))
       .withColumn("n_bytes", length(col("content")).cast("long"))
       .as[MediaRecord]
+  }
+
+  // ---------- PNG pixel tier: REAL deflate decode (round 14) ----------
+
+  /** Build a COMPLETE spec-valid PNG — signature, IHDR (8-bit RGB color
+    * type 2, non-interlaced), one IDAT holding the zlib/DEFLATE stream
+    * of filter-0 scanlines whose pixel bytes follow the SAME planted
+    * formula as the BMP tier (`(id + r*31 + j*7) % 256`), and IEND —
+    * CRCs included. JVM-side, not a Column: DEFLATE needs stateful
+    * window state byte arithmetic cannot express. `level` 0 emits
+    * STORED deflate blocks, higher levels real Huffman streams — both
+    * must inflate identically through [[decodePngPixels]].
+    */
+  private[graft] def pngPixelBytes(id: Long, w: Int, h: Int,
+      level: Int): Array[Byte] = {
+    val rowBytes = 3 * w + 1
+    val raw = new Array[Byte](h * rowBytes)
+    var r = 0
+    while (r < h) {
+      val base = r * rowBytes
+      raw(base) = 0 // filter: None
+      var j = 0
+      while (j < 3 * w) {
+        raw(base + 1 + j) = ((id + r * 31L + j * 7L) % 256L).toByte
+        j += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater(level)
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) {
+      val k = defl.deflate(tmp)
+      zout.write(tmp, 0, k)
+    }
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(tb).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (RGB)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zout.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Deflate-compressed PNG payloads over the documents table: image
+    * dims follow the BMP tier's family (w = 4 + id%5, h = 2 + id%3),
+    * even ids deflate as STORED blocks and odd ids at the default
+    * Huffman level, so the decoder's Inflater is exercised on both
+    * block types. [[headerDims]] still parses these (real IHDR), and
+    * [[decodePngPixels]] recovers the planted pixel bytes from the
+    * actual compressed bitstream — q108's oracle replays them
+    * arithmetically.
+    */
+  def fromDocumentsPngPixels(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, source) =>
+          val w = (4 + id % 5).toInt
+          val h = (2 + id % 3).toInt
+          val level =
+            if (id % 2 == 0) java.util.zip.Deflater.NO_COMPRESSION
+            else java.util.zip.Deflater.DEFAULT_COMPRESSION
+          val bytes = pngPixelBytes(id, w, h, level)
+          MediaRecord(id, "image", bytes, source, bytes.length.toLong)
+        }
+      }
+  }
+
+  private def beInt(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def chunkTypeIs(b: Array[Byte], o: Int, t: String): Boolean =
+    b(o) == t.charAt(0).toByte && b(o + 1) == t.charAt(1).toByte &&
+      b(o + 2) == t.charAt(2).toByte && b(o + 3) == t.charAt(3).toByte
+
+  /** Decode one PNG's pixel statistics: inflate the IDAT stream through
+    * the caller's (partition-pooled) Inflater, reconstruct all five PNG
+    * scanline filters in place, and return (width, height, n_pixel_bytes,
+    * min, max, sum) over the RECONSTRUCTED bytes. None for anything
+    * outside the supported envelope — non-PNG bytes, color types other
+    * than 8-bit RGB, interlaced streams, corrupt/truncated DEFLATE data,
+    * or an IHDR declaring more than the 64 MiB per-image reconstruction
+    * cap (a hostile header must not OOM an executor).
+    */
+  private[graft] def pngStats(inf: java.util.zip.Inflater,
+      bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
+    if (bytes.length < 45) return None // sig 8 + IHDR 25 + IEND 12
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
+    if (beInt(bytes, 8) != 13 || !chunkTypeIs(bytes, 12, "IHDR")) return None
+    val w = beInt(bytes, 16)
+    val h = beInt(bytes, 20)
+    val depth = bytes(24) & 0xff
+    val color = bytes(25) & 0xff
+    val interlace = bytes(28) & 0xff
+    if (depth != 8 || color != 2 || interlace != 0) return None
+    if (w <= 0 || h <= 0) return None
+    val rowBytes = 3L * w + 1L
+    val total = rowBytes * h
+    if (total > (64L << 20)) return None
+    val out = new Array[Byte](total.toInt)
+    val rb = rowBytes.toInt
+    inf.reset()
+    var produced = 0
+    try {
+      var off = 33 // first chunk after IHDR
+      var done = false
+      while (!done && off + 8 <= bytes.length) {
+        val len = beInt(bytes, off)
+        if (len < 0 || off.toLong + 12L + len > bytes.length) return None
+        if (chunkTypeIs(bytes, off + 4, "IDAT")) {
+          inf.setInput(bytes, off + 8, len)
+          var n = 1
+          while (n > 0 && produced < out.length) {
+            n = inf.inflate(out, produced, out.length - produced)
+            produced += n
+          }
+        } else if (chunkTypeIs(bytes, off + 4, "IEND")) done = true
+        off += 12 + len
+      }
+      if (produced != out.length || !inf.finished()) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    // reconstruct filters in place (bpp = 3): None/Sub/Up/Average/Paeth
+    var r = 0
+    while (r < h) {
+      val base = r * rb
+      val f = out(base) & 0xff
+      if (f > 4) return None
+      var j = 1
+      while (j <= 3 * w) {
+        val x = out(base + j) & 0xff
+        val left = if (j > 3) out(base + j - 3) & 0xff else 0
+        val up = if (r > 0) out(base - rb + j) & 0xff else 0
+        val ul = if (r > 0 && j > 3) out(base - rb + j - 3) & 0xff else 0
+        val recon = f match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case _ =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        out(base + j) = (recon & 0xff).toByte
+        j += 1
+      }
+      r += 1
+    }
+    var mn = 255L; var mx = 0L; var sum = 0L
+    r = 0
+    while (r < h) {
+      val base = r * rb
+      var j = 1
+      while (j <= 3 * w) {
+        val v = (out(base + j) & 0xff).toLong
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sum += v
+        j += 1
+      }
+      r += 1
+    }
+    Some((w.toLong, h.toLong, 3L * w * h, mn, mx, sum))
+  }
+
+  /** REAL compressed-pixel decode for PNG — the tier that was formerly
+    * fully stubbed: the DEFLATE bitstream is inflated
+    * (`java.util.zip.Inflater`, ONE per partition, reset per record —
+    * the codec-pool shape real decoders need) and the scanlines
+    * de-filtered, inside a bounded mapPartitions, the one place a
+    * codegen kernel cannot reach (DEFLATE's dictionary window is
+    * stateful). Columns are null outside the supported envelope (see
+    * [[pngStats]]) — bounded honesty, not a libpng; JPEG/GIF-LZW/MP4
+    * pixel decode remains behind [[decodeStub]].
+    */
+  def decodePngPixels(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      val inf = new java.util.zip.Inflater()
+      batch.map { m =>
+        val st = pngStats(inf, m.content)
+        (m.media_id, st.map(_._1), st.map(_._2), st.map(_._3),
+          st.map(_._4), st.map(_._5), st.map(_._6))
+      }
+    }.toDF("media_id", "width", "height", "n_units",
+      "unit_min", "unit_max", "unit_sum")
   }
 
   /** STUB decoder: deterministic fake decode/resize/frame-sample deriving

@@ -278,22 +278,62 @@ object VersionedTable {
       case d: DeltaRec =>
         val base = byVersion.get(d.base) match {
           case Some(s) => s
-          case None if recover =>
-            // either the vacuum-materialization crash state (heal the
-            // complete `.ckpt` back into place, then re-list) or a
-            // concurrent vacuum swept manifests between this listing
-            // and the reads — ONE clean re-list resolves both; a chain
-            // still broken on the fresh listing is real corruption.
-            recoverCkpt(fs, dir, d.base)
-            return snapshotsAttempt(spark, dir, recover = false)
-          case None => sys.error(
-            s"manifest chain broken: version ${d.version} of $dir is a " +
-              s"delta on missing/torn base ${d.base}")
+          case None =>
+            // not in the fold: fetch the base chain directly by NAME
+            // ([[resolveByName]] — covers the non-atomic-readdir miss
+            // and the vacuum `.ckpt` crash state), then as a last
+            // resort one clean re-list (a concurrent vacuum sweeping
+            // between listing and reads); still broken after both =
+            // real corruption, loud.
+            resolveByName(fs, dir, d.base, byVersion) match {
+              case Some(s) =>
+                // the recovered base IS committed — emit it too (every
+                // delta bases on version-1, so ascending order holds)
+                out += s; byVersion += (s.version -> s); s
+              case None if recover =>
+                return snapshotsAttempt(spark, dir, recover = false)
+              case None => sys.error(
+                s"manifest chain broken: version ${d.version} of $dir is " +
+                  s"a delta on missing/torn base ${d.base}")
+            }
         }
         val s = applyDelta(base, d)
         out += s; byVersion += (s.version -> s)
     }
     out.result()
+  }
+
+  /** Resolve version `v` by walking its manifest chain DIRECTLY BY NAME
+    * (manifest names are deterministic), independent of any directory
+    * listing. This is the backstop for two benign races a listing-based
+    * fold cannot see through: (a) directory listings are NOT atomic
+    * against concurrent commits — a writer publishing version v while
+    * the listing iterates can leave v out even though v+1 (committed
+    * later) is included, because readdir returns hash order, not
+    * creation order; (b) the vacuum-materialization crash state, healed
+    * inline via [[recoverCkpt]]. Walks back until it reaches a version
+    * in `resolved` or a full manifest; None only when a manifest is
+    * truly absent and unrecoverable.
+    */
+  private def resolveByName(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long,
+      resolved: Map[Long, Snapshot]): Option[Snapshot] = {
+    val mdir = new Path(dir, ManifestDir)
+    var stack = List.empty[DeltaRec]
+    var cur = v
+    while (true) {
+      resolved.get(cur) match {
+        case Some(s) => return Some(stack.foldLeft(s)(applyDelta))
+        case None =>
+          readManifestIfPresent(fs, new Path(mdir, manifestName(cur))) match {
+            case Some(FullRec(s)) => return Some(stack.foldLeft(s)(applyDelta))
+            case Some(d: DeltaRec) => stack = d :: stack; cur = d.base
+            case None if recoverCkpt(fs, dir, cur) => () // healed: re-read
+            case None => return None
+          }
+      }
+    }
+    None // unreachable
   }
 
   /** None for a torn (terminator-less or truncated) manifest. A `kind=
@@ -1434,12 +1474,24 @@ object VersionedTable {
       if (!referencedSubs.contains(s"data/${sub.getPath.getName}")) {
         var fresh = sub.getModificationTime >= cutoff
         var parquet = 0
-        val it = fs.listFiles(sub.getPath, true)
-        while (it.hasNext && !fresh) {
-          val st = it.next()
-          if (st.getModificationTime >= cutoff) fresh = true
-          else if (st.getPath.getName.endsWith(".parquet") &&
-              !st.getPath.getName.startsWith(".")) parquet += 1
+        try {
+          val it = fs.listFiles(sub.getPath, true)
+          while (it.hasNext && !fresh) {
+            val st = it.next()
+            if (st.getModificationTime >= cutoff) fresh = true
+            else if (st.getPath.getName.endsWith(".parquet") &&
+                !st.getPath.getName.startsWith(".")) parquet += 1
+          }
+        } catch {
+          // the recursive walk raced an IN-FLIGHT writer mutating its
+          // staging subdir: task `_temporary` entries vanish between
+          // the directory list and the per-file stat (which on the
+          // local FS can even shell out and surface a RuntimeException
+          // rather than FNF). Active mutation IS freshness — keep the
+          // subdir this sweep; a genuinely dead subdir stops mutating
+          // and is reclaimed by the next one.
+          case _: java.io.FileNotFoundException => fresh = true
+          case _: RuntimeException => fresh = true
         }
         if (!fresh && fs.delete(sub.getPath, true)) deleted += parquet
       }

@@ -632,6 +632,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(VersionedTable.snapshots(spark, view).map(_.version).max === before)
   }
 
+  test("viewIngest losing the version claim mid-batch fails TYPED; a " +
+      "restart resumes exactly-once with no lost or duplicate view version") {
+    import graft.operators.IncrementalView
+    import graft.sources.{ConcurrentCommitException, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft-viewconflict")
+    val (src, view, ckpt) = (s"$root/src", s"$root/view", s"$root/ckpt")
+    def mk(rows: Seq[(Long, String, String)]) = rows.toDF("id", "g", "xs")
+      .select(col("id"), col("g"), col("xs").cast("decimal(10,2)").as("x"))
+    mk(Seq((1L, "a", "1.10"), (2L, "b", "2.20")))
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Streams.viewIngest(Streams.fileIngest(spark, src, schema), view, ckpt,
+      Seq("g"), Seq("x")) // batch 0 commits view#0
+    // batch 1 arrives; a maintenance compaction wins the version claim
+    // in the sink's commit window (the commitCrashPoint seam fires with
+    // the manifest body staged, right before the publish — exactly
+    // "compactor committed first"). The view sink is deliberately
+    // single-attempt: overwrites do not commute, so it must FAIL with
+    // the typed conflict rather than rebase a stale aggregate.
+    mk(Seq((3L, "a", "3.30"))).write.mode("append").parquet(src)
+    var fired = false
+    VersionedTable.commitCrashPoint = () => if (!fired) {
+      fired = true
+      VersionedTable.compactTable(spark, view, targetFiles = 1)
+    }
+    val e = intercept[Throwable] {
+      try Streams.viewIngest(Streams.fileIngest(spark, src, schema), view,
+        ckpt, Seq("g"), Seq("x"))
+      finally VersionedTable.commitCrashPoint = () => ()
+    }
+    assert(fired, "the conflict seam must have fired")
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .take(10).toSeq
+    assert(chain.exists(_.isInstanceOf[ConcurrentCommitException]),
+      s"the stream must die on the TYPED conflict, got: " +
+        s"${chain.map(_.getClass.getSimpleName).mkString(" <- ")}")
+    // the failed batch committed NOTHING: the compactor's version is
+    // the latest, no view#1 tag exists, and the view still answers as
+    // of batch 0 (fail-stop, never a torn refresh)
+    val snaps1 = VersionedTable.snapshots(spark, view)
+    assert(snaps1.last.operation === "compact" &&
+      !snaps1.exists(_.operation == "view#1"),
+      s"failed batch must leave no view version: ${snaps1.map(_.operation)}")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("g"), col("n_rows"), col("sum_x").cast("string"))
+        .as[(String, Long, String)].collect()
+        .map(t => t._1 -> ((t._2, BigDecimal(t._3)))).toMap
+    assert(asMap(VersionedTable.read(spark, view)) ===
+      Map("a" -> ((1L, BigDecimal("1.10"))), "b" -> ((1L, BigDecimal("2.20")))))
+    // restart off the SAME checkpoint: batch 1 replays, finds no view#1
+    // tag in the ledger, recomputes against the post-compaction latest,
+    // and commits EXACTLY once — no duplicate fold, no lost batch
+    Streams.viewIngest(Streams.fileIngest(spark, src, schema), view, ckpt,
+      Seq("g"), Seq("x"))
+    val snaps2 = VersionedTable.snapshots(spark, view)
+    assert(snaps2.count(_.operation == "view#1") === 1,
+      s"restart must commit the replayed batch exactly once: " +
+        s"${snaps2.map(_.operation)}")
+    assert(asMap(VersionedTable.read(spark, view)) ===
+      asMap(IncrementalView.full(spark.read.parquet(src), Seq("g"), Seq("x"))),
+      "the resumed view must equal the batch full recompute")
+  }
+
   test("file-source streaming reads the real events parquet") {
     // events.parquet carries TIMESTAMP(NANOS); read nanos as long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

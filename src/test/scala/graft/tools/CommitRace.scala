@@ -68,7 +68,7 @@ object CommitRace {
     s
   }
 
-  private def spawn(outDir: Path, name: String, mainCls: String,
+  private[tools] def spawn(outDir: Path, name: String, mainCls: String,
       args: Seq[String], extraJvm: Seq[String] = Nil): Process = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val inherited = java.lang.management.ManagementFactory
@@ -85,7 +85,7 @@ object CommitRace {
     pb.start()
   }
 
-  private def readLog(p: Path): Seq[Map[String, String]] =
+  private[tools] def readLog(p: Path): Seq[Map[String, String]] =
     if (!Files.exists(p)) Seq.empty
     else scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(p)).asScala.toSeq.flatMap(parseLine)
@@ -397,6 +397,19 @@ object RaceWriter {
               ev("event" -> "commit", "writer" -> wid, "iter" -> i,
                 "op" -> "append", "version" -> s.version)
             }
+          case "dml" =>
+            // copy-on-write UPDATE over the base key range (id < 50):
+            // with id-stats on every file, append files (ids >= 10M) are
+            // carried BY REFERENCE — the exact interaction [[VacuumRace]]
+            // races against a concurrent vacuum, whose live-set must
+            // cover carried files at every instant. Row count invariant.
+            ev("event" -> "intent", "writer" -> wid, "iter" -> i,
+              "op" -> "update")
+            val s = VersionedTable.update(spark, dir,
+              col("id") < 50L, Map("v" -> lit(s"dml$wid-$i")),
+              maxAttempts = 500)
+            ev("event" -> "commit", "writer" -> wid, "iter" -> i,
+              "op" -> "update", "version" -> s.version)
           case "compact" =>
             // maintenance loop for StreamMaintRace: repeated compactions
             // racing a streaming ingest in another JVM
