@@ -210,7 +210,24 @@ object VersionedTable {
     val dest = new Path(mdir, manifestName(v))
     val tmp = new Path(mdir, s".${manifestName(v)}.ckpt")
     try {
-      if (fs.exists(dest) || !fs.exists(tmp)) return false
+      if (fs.exists(dest)) {
+        // a PREVIOUS recovery attempt can itself have crashed mid-body
+        // on the HDFS-class path, leaving a TORN manifest at dest that
+        // blocks every future repair (writers never re-claim an OLD
+        // version, so the standard torn-claim reclaim can't help here).
+        // If dest is torn, the complete `.ckpt` is still present, and
+        // the corpse is older than the torn-claim grace (a live slow
+        // recoverer is never robbed), clear it and fall through to
+        // republish; otherwise respect it.
+        val tornStale =
+          try readManifestFile(fs, dest).isEmpty && fs.exists(tmp) &&
+            System.currentTimeMillis() -
+              fs.getFileStatus(dest).getModificationTime >= TornClaimGraceMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (!tornStale) return false
+        fs.delete(dest, false)
+      }
+      if (!fs.exists(tmp)) return false
       val in = fs.open(tmp)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -1413,14 +1430,35 @@ object VersionedTable {
       fs.delete(new Path(new Path(dir, ManifestDir),
         manifestName(s.version)), false)
     }
+    vacuumPause()
+    // Re-list RIGHT BEFORE touching data files and union the FRESH
+    // live-set over the one computed at sweep start: any commit that
+    // landed during the sweep — most dangerously a RESTORE, which
+    // resurrects old files BY NAME into the new latest — is invisible
+    // to the original point-in-time listing but visible here. Restore
+    // remains contractually serial w.r.t. vacuum (the module's
+    // documented orchestration contract), but an accidental overlap now
+    // endangers data only in the instants between this re-list and the
+    // deletes, not across the whole sweep; the common case (the restore
+    // committed before the data sweep begins) is fully safe. One extra
+    // chain listing per vacuum — O(retained manifests), trivial next to
+    // the deletes themselves.
+    val live2 = live ++ snapshots(spark, dir).flatMap(_.files)
     var deleted = 0
     drop.foreach { s =>
-      s.files.filterNot(live).foreach { f =>
+      s.files.filterNot(live2).foreach { f =>
         if (fs.delete(new Path(s"$dir/$f"), false)) deleted += 1
       }
     }
     deleted
   }
+
+  /** Fault-injection seam (test scope only): invoked between [[vacuum]]'s
+    * manifest sweep and the data-file deletion pass — the window in
+    * which a concurrent commit (e.g. a restore resurrecting
+    * vacuum-eligible files) must be caught by the pre-delete re-list.
+    */
+  private[graft] var vacuumPause: () => Unit = () => ()
 
   /** Delete ORPHANED staging debris: `data/v*_*` subdirs that no
     * committed manifest references and never will, plus hidden

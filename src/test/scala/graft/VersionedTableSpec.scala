@@ -750,6 +750,67 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(ids(VersionedTable.read(spark, dir)) === (0L to 7L).toSet)
   }
 
+  test("vacuum's pre-delete re-list protects files a mid-sweep commit " +
+      "resurrected (the restore window, narrowed)") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)      // v1
+    VersionedTable.overwrite(Seq((2L, "b")).toDF("id", "v"), dir)   // v2
+    VersionedTable.overwrite(Seq((3L, "c")).toDF("id", "v"), dir)   // v3
+    VersionedTable.append(Seq((4L, "d")).toDF("id", "v"), dir)      // v4
+    // a restore-like commit lands INSIDE the sweep window (after the
+    // manifest drop, before the data deletes), resurrecting v1's files
+    // into the new latest — the point-in-time live-set cannot see it;
+    // the pre-delete re-list must
+    val v1 = VersionedTable.snapshots(spark, dir).head
+    var fired = false
+    VersionedTable.vacuumPause = () => if (!fired) {
+      fired = true
+      VersionedTable.commit(spark, dir, 5L, "restore", v1.files,
+        v1.stats, v1.schemaJson)
+    }
+    try VersionedTable.vacuum(spark, dir, retainVersions = 2)
+    finally VersionedTable.vacuumPause = () => ()
+    assert(fired)
+    // v1's files survived the sweep and the restored version reads
+    assert(v1.files.forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, f))),
+      "files resurrected mid-sweep must never be deleted")
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L),
+      "the mid-sweep restore is the latest and fully readable")
+  }
+
+  test("a recovery attempt that itself crashed mid-publish (torn dest + " +
+      "complete ckpt) is repaired once stale") {
+    val dir = tmp()
+    VersionedTable.create(Seq((0L, "a")).toDF("id", "v"), dir)
+    (1L to 6L).foreach(i =>
+      VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v"), dir))
+    VersionedTable.vacuum(spark, dir, retainVersions = 3) // keep v5..v7
+    val m5 = manifestPath(dir, 5L)
+    val body5 = java.nio.file.Files.readAllBytes(m5)
+    val ckpt = m5.resolveSibling(".v00000005.manifest.ckpt")
+    // crash state: complete ckpt alongside, and the dest holds a TORN
+    // body (a previous HDFS-class recovery died mid-stream)
+    java.nio.file.Files.write(ckpt, body5)
+    val torn = new String(body5, "UTF-8").linesIterator
+      .filterNot(_.startsWith("end=")).mkString("\n")
+    java.nio.file.Files.write(m5, torn.getBytes("UTF-8"))
+    // FRESH corpse: respected (a slow live recoverer is never robbed) —
+    // resolution fails loudly rather than racing it
+    intercept[RuntimeException] { VersionedTable.snapshots(spark, dir) }
+    assert(java.nio.file.Files.readAllBytes(ckpt).nonEmpty)
+    // STALE corpse: cleared and republished from the complete ckpt
+    java.nio.file.Files.setLastModifiedTime(m5,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - VersionedTable.TornClaimGraceMs - 60000))
+    assert(VersionedTable.snapshots(spark, dir).map(_.version) ===
+      Seq(5L, 6L, 7L))
+    assert(new String(java.nio.file.Files.readAllBytes(m5), "UTF-8")
+      .contains("end="), "the torn dest must be replaced by the complete body")
+    assert(!java.nio.file.Files.exists(ckpt))
+    assert(ids(VersionedTable.read(spark, dir)) === (0L to 6L).toSet)
+  }
+
   test("the stale-claim reclaim re-checks before deleting: a competitor's " +
       "commit replacing the corpse is never destroyed (TOCTOU guard)") {
     val dir = tmp()
