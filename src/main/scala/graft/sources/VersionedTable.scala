@@ -907,6 +907,43 @@ object VersionedTable {
   def hasOperation(spark: SparkSession, dir: String, tag: String): Boolean =
     snapshots(spark, dir).exists(_.operation == tag)
 
+  /** Incremental ledger scan for streaming sinks: the operation tags of
+    * committed versions STRICTLY newer than `afterVersion` (the
+    * zero-padded name encodes the version, so the filter costs no
+    * opens), the resolved latest snapshot, and the new scan floor — the
+    * largest version V such that every version in (afterVersion, V] was
+    * read COMPLETE. The floor never advances past a torn manifest (a
+    * slow writer's claim may still complete, tag included), so
+    * consecutive scans with the returned floor cover every committed
+    * version exactly once: a sink that accumulates the returned tags
+    * has seen the tag of EVERY committed version, no matter which
+    * process committed it or when. Cost per call: O(versions since the
+    * floor) + latest()'s checkpoint-bounded chain — not O(history).
+    */
+  private[graft] def opsAndLatestAfter(spark: SparkSession, dir: String,
+      afterVersion: Long): (Seq[String], Option[Snapshot], Long) = {
+    val (fs, _) = fsFor(spark, dir)
+    val recs = manifestFiles(fs, dir)
+      .filter(s => versionOfName(s.getPath.getName).exists(_ > afterVersion))
+      .sortBy(_.getPath.getName)
+      .flatMap(s => readManifestIfPresent(fs, s.getPath)
+        .map(r => (r.version, r match {
+          case FullRec(snap) => snap.operation
+          case d: DeltaRec => d.operation
+        })))
+    // advance the floor only through the CONTIGUOUS run of complete
+    // versions (versions are claimed sequentially, so a gap = a torn
+    // or in-flight claim that must be re-examined next scan)
+    var through = afterVersion
+    val it = recs.iterator
+    var contiguous = true
+    while (it.hasNext && contiguous) {
+      val (v, _) = it.next()
+      if (v == through + 1) through = v else contiguous = false
+    }
+    (recs.map(_._2), latest(spark, dir), through)
+  }
+
   /** Replace the table's contents as a new version. Old versions remain
     * readable until [[vacuum]].
     */

@@ -695,6 +695,57 @@ class StreamingSpec extends AnyFunSuite {
       "the resumed view must equal the batch full recompute")
   }
 
+  test("the versioned sink's ledger cursor makes per-batch manifest cost " +
+      "O(new versions); replay, zombie tags, and recreation stay exact") {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-cursor")
+    val table = s"$root/table"
+    def b(i: Long) = Seq((100 * i, s"b$i")).toDF("id", "v")
+    Streams.resetSinkCursors()
+    (0L to 11L).foreach(i => Streams.processVersionedBatch(b(i), i, table))
+    assert(VersionedTable.snapshots(spark, table).size === 12)
+    // warm batch: manifest reads bounded by the scan window + latest()'s
+    // checkpoint chain — NOT the 12-version history (the old code read
+    // every manifest every batch, quadratic over a stream's lifetime)
+    val before = VersionedTable.manifestReadCount.get()
+    Streams.processVersionedBatch(b(12L), 12L, table)
+    val warmReads = VersionedTable.manifestReadCount.get() - before
+    assert(warmReads <= 8,
+      s"a warm batch against a 12-version table must read O(new) " +
+        s"manifests, got $warmReads")
+    // replayed batch (tag far below the floor): no-op off the seen-set,
+    // still O(new) reads
+    val v0 = VersionedTable.snapshots(spark, table).size
+    Streams.processVersionedBatch(Seq((999L, "dup")).toDF("id", "v"), 3L, table)
+    assert(VersionedTable.snapshots(spark, table).size === v0,
+      "a replayed batch must not re-commit")
+    // ZOMBIE driver: a foreign process commits a future batch's tag
+    // directly; the window scan must see it and no-op our delivery
+    VersionedTable.appendTagged(Seq((777L, "zombie")).toDF("id", "v"),
+      table, "append#13")
+    Streams.processVersionedBatch(b(13L), 13L, table)
+    assert(VersionedTable.snapshots(spark, table)
+      .count(_.operation == "append#13") === 1,
+      "a zombie-committed tag must suppress the local delivery")
+    // COLD restart (new JVM simulated): full scan once, replay still no-ops
+    Streams.resetSinkCursors()
+    val v1 = VersionedTable.snapshots(spark, table).size
+    Streams.processVersionedBatch(Seq((998L, "dup2")).toDF("id", "v"), 5L, table)
+    assert(VersionedTable.snapshots(spark, table).size === v1,
+      "after a cold restart the full scan must find the old tag")
+    // RECREATION at the same path: the stale cursor must not serve the
+    // dead incarnation's tags — batch 0 of the new table must commit
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table), true)
+    Streams.processVersionedBatch(Seq((1L, "fresh")).toDF("id", "v"), 0L, table)
+    assert(VersionedTable.snapshots(spark, table).map(_.operation) ===
+      Seq("append#0"),
+      "a recreated table must accept batch 0 despite the stale cursor")
+    assert(VersionedTable.read(spark, table).select("id")
+      .as[Long].collect().toSet === Set(1L))
+  }
+
   test("file-source streaming reads the real events parquet") {
     // events.parquet carries TIMESTAMP(NANOS); read nanos as long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
