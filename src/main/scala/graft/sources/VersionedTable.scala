@@ -344,7 +344,14 @@ object VersionedTable {
         case None =>
           readManifestIfPresent(fs, new Path(mdir, manifestName(cur))) match {
             case Some(FullRec(s)) => return Some(stack.foldLeft(s)(applyDelta))
-            case Some(d: DeltaRec) => stack = d :: stack; cur = d.base
+            case Some(d: DeltaRec) =>
+              // commits only ever base on version-1; a non-decreasing
+              // base is corruption — fail loudly instead of walking a
+              // cycle forever
+              require(d.base < d.version,
+                s"manifest corruption: version ${d.version} of $dir " +
+                  s"declares base ${d.base}")
+              stack = d :: stack; cur = d.base
             case None if recoverCkpt(fs, dir, cur) => () // healed: re-read
             case None => return None
           }
@@ -449,7 +456,11 @@ object VersionedTable {
             val basePath = new Path(mdir, manifestName(stack.head.base))
             readManifestIfPresent(fs, basePath) match {
               case Some(FullRec(s)) => full = Some(s)
-              case Some(d2: DeltaRec) => stack = d2 :: stack
+              case Some(d2: DeltaRec) =>
+                require(d2.base < d2.version,
+                  s"manifest corruption: version ${d2.version} of $dir " +
+                    s"declares base ${d2.base}")
+                stack = d2 :: stack
               case None if recoverCkpt(fs, dir, stack.head.base) =>
                 // healed: loop re-reads the just-published manifest
               case None if retries > 0 =>
