@@ -1,6 +1,75 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** I/O calibration anchor (round-15), the disk-side sibling of the
+    * CPU anchor below: best-of-3 of [write 256 MiB in 4 MiB chunks +
+    * fsync, read it back bypassing the page cache (O_DIRECT via
+    * reflection — a just-written cached read would price memory
+    * bandwidth, not the device), delete]. Single-threaded and
+    * Spark-free, so it is valid at ANY core count and prices exactly
+    * what the CPU anchor provably cannot see: co-tenant disk
+    * contention. The r14 sf100 session showed same-JVM adjacent trials
+    * swinging up to 3.7x (q50 127->34 s) at a FLAT CPU anchor — this
+    * probe makes such recordings self-interpreting. Runs in the scratch
+    * filesystem the queries' own writes land on (java.io.tmpdir;
+    * override: SPARK_GRAFT_IO_DIR).
+    */
+  private[graft] def ioAnchorSec(): Double = {
+    val MiB = 1 << 20
+    val chunkBytes = 4 * MiB
+    val nChunks = 64 // 256 MiB total
+    val dir = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_IO_DIR",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+    val payload = new Array[Byte](chunkBytes)
+    new java.util.Random(42).nextBytes(payload) // zeros invite FS holes
+    val wbuf = java.nio.ByteBuffer.allocateDirect(chunkBytes)
+    // O_DIRECT needs 4096-aligned address/position/length; alignedSlice
+    // guarantees the address, sequential 4 MiB reads from 0 the rest
+    val rbuf = java.nio.ByteBuffer.allocateDirect(chunkBytes + 4096)
+      .alignedSlice(4096)
+    val directOpt: Option[java.nio.file.OpenOption] =
+      try Class.forName("com.sun.nio.file.ExtendedOpenOption")
+        .getEnumConstants.collectFirst {
+          case e: java.nio.file.OpenOption if e.toString == "DIRECT" => e
+        }
+      catch { case _: Throwable => None }
+    (1 to 3).map { _ =>
+      val f = dir.resolve(
+        s".graft_io_probe_${java.util.UUID.randomUUID.toString.take(8)}")
+      val t0 = System.nanoTime()
+      val wch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var i = 0
+        while (i < nChunks) {
+          wbuf.clear(); wbuf.put(payload); wbuf.flip()
+          while (wbuf.hasRemaining) wch.write(wbuf)
+          i += 1
+        }
+        wch.force(true)
+      } finally wch.close()
+      val rch =
+        try java.nio.channels.FileChannel.open(f,
+          (java.nio.file.StandardOpenOption.READ +:
+            directOpt.toSeq): _*)
+        catch { case _: Throwable => // platform without O_DIRECT
+          java.nio.channels.FileChannel.open(f,
+            java.nio.file.StandardOpenOption.READ)
+        }
+      try {
+        var done = false
+        while (!done) {
+          rbuf.clear()
+          if (rch.read(rbuf) < 0) done = true
+        }
+      } finally rch.close()
+      java.nio.file.Files.delete(f)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -139,6 +208,30 @@ object Bench {
       }
     val hostDrift: Option[Double] =
       if (anchorValid) anchorSec.map(_ / AnchorRefSec) else None
+    // I/O anchor (round-15, [[ioAnchorSec]]): unlike the CPU anchor it
+    // is single-threaded, so it is valid — and emitted — at every core
+    // count. IoAnchorRefSec pins the r15 recording: best-of-3 probe
+    // readings across 3 JVMs (0.628/0.646/0.662 s, min 0.628) on the
+    // same /tmp device the scratch writes land on; re-pin with
+    // graft.tools.IoPin.
+    val IoAnchorRefSec = 0.63
+    val ioAnchor: Option[Double] =
+      try Some(ioAnchorSec())
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] io anchor failed: ${e.getMessage}")
+        None
+      }
+    val ioDrift: Option[Double] = ioAnchor.map(_ / IoAnchorRefSec)
+    // total_normalized previously divided by the CPU drift alone, which
+    // OVERCORRECTS whenever the total is I/O- and scheduling-bound (r14:
+    // raw 60.6 -> 62.5 s read as normalized 75.0 on a fast-CPU host).
+    // Normalize against the geometric blend of both drifts instead —
+    // equal log-weight, since the sf0.1 total is a mix of scan/write
+    // and compute — and keep it honest: indicative, not a measurement.
+    // Emission policy is unchanged from r14: total_normalized stays
+    // null away from cpus=32 (the CPU drift is only valid there).
+    val blendDrift: Option[Double] =
+      hostDrift.map(c => ioDrift.fold(c)(i => math.sqrt(c * i)))
     // Optional subset selection for targeted scale runs (e.g. the heavy
     // dedup/versioned-table families at sf10): comma-separated query
     // names, matched exactly or as a prefix up to the underscore ("q10"
@@ -202,7 +295,7 @@ object Bench {
       "identical runs (r13: 64.6-66.6s x3 at anchor parity); deltas under " +
       "noise_floor_pct are noise - isolate solo readings before diagnosing"
     def num(o: Option[Double]) = o.map(_.toString).getOrElse("null")
-    val json = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"n_trials":$trials,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"$filt,"shuffle_partitions":$shufflePartitions,"cpus":$cpus,"anchor_sec":${num(anchorSec)},"anchor_ref_sec":$AnchorRefSec,"host_drift":${num(hostDrift)},"total_normalized":${num(hostDrift.map(total / _))},"noise_floor_pct":5,"variance_note":"$noiseNote"}"""
+    val json = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"n_trials":$trials,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"$filt,"shuffle_partitions":$shufflePartitions,"cpus":$cpus,"anchor_sec":${num(anchorSec)},"anchor_ref_sec":$AnchorRefSec,"host_drift":${num(hostDrift)},"io_anchor_sec":${num(ioAnchor)},"io_anchor_ref_sec":$IoAnchorRefSec,"io_drift":${num(ioDrift)},"total_normalized":${num(blendDrift.map(total / _))},"noise_floor_pct":5,"variance_note":"$noiseNote"}"""
     println(json)
     // the artifact must stand on its own: a log-tail capture truncated the
     // round-3 JSON head, so the result also lands in a file

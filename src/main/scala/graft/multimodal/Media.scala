@@ -24,8 +24,16 @@ import org.apache.spark.sql.functions._
   *     mapPartitions with a per-partition codec instance (q108's gate
   *     round-trips planted pixels through the actual compressed
   *     bitstream).
+  *   - PIXEL decode for GIF (a true compressed format) is REAL since
+  *     round 15: [[decodeGifPixels]] decodes the variable-width LZW
+  *     code stream with a hand-rolled kernel — CLEAR/EOI, dictionary
+  *     growth through 9-12 bit codes, KwKwK, deferred-clear tolerance —
+  *     in the same bounded mapPartitions shape (q109's gate round-trips
+  *     planted indexes through the actual compressed code stream, and
+  *     the spec cross-checks both directions against the JDK's own
+  *     independent javax.imageio GIF codec).
   *   - PIXEL decode for the REMAINING codec formats (JPEG entropy
-  *     decode, GIF LZW, compressed audio, video codecs) stays behind
+  *     decode, compressed audio, video codecs) stays behind
   *     [[decodeStub]] — this container ships no codec libraries, so it
   *     derives deterministic fake features from the bytes. Everything
   *     around it is the real Spark shape a production pipeline needs:
@@ -635,6 +643,308 @@ object Media {
     Some((w.toLong, h.toLong, 3L * w * h, mn, mx, sum))
   }
 
+  // ---------- GIF pixel tier: REAL LZW decode (round 15) ----------
+
+  /** GIF-LZW compress `data` (palette indexes) at `minCodeSize`,
+    * returning the raw code stream (NOT yet sub-blocked). Spec-faithful:
+    * LSB-first bit packing, CLEAR emitted first, code width grows when
+    * the next assignable code reaches 2^width (cap 12), dictionary
+    * cleared via an explicit CLEAR when full — and, when `clearEvery`
+    * > 0, after every `clearEvery` emitted codes, producing the
+    * reset-heavy streams old encoders emit. Synth-side only (the
+    * decode path never sees this code), like the PNG tier's Deflater.
+    */
+  private def lzwEncode(data: Array[Byte], minCodeSize: Int,
+      clearEvery: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    def reset(): Unit = { dict.clear(); next = eoi + 1; width = minCodeSize + 1 }
+    emit(clear)
+    var prefix = -1
+    var emitted = 0
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      require(k < clear, s"index $k exceeds palette for minCodeSize $minCodeSize")
+      if (prefix < 0) prefix = k
+      else {
+        val key = Integer.valueOf((prefix << 8) | k)
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          emit(prefix); emitted += 1
+          if (next < 4096) {
+            dict.put(key, Integer.valueOf(next))
+            // grow at the same inter-code boundary the decoder does:
+            // the just-assigned code is the first that needs width+1
+            if (next == (1 << width) && width < 12) width += 1
+            next += 1
+          } else { emit(clear); reset() }
+          if (clearEvery > 0 && emitted % clearEvery == 0) {
+            emit(clear); reset()
+          }
+          prefix = k
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) emit(prefix)
+    emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt) // flush padding
+    out.toByteArray
+  }
+
+  /** Build a COMPLETE spec-valid GIF89a — header, logical screen
+    * descriptor, a grayscale global color table, a Graphic Control
+    * Extension (so the decoder's extension-skipping walk is exercised),
+    * one non-interlaced image descriptor, the LZW-compressed index
+    * stream in 255-byte sub-blocks, and the trailer. Pixel indexes
+    * follow the planted formula `(id + r*31 + j*7) % palette` so the
+    * DuckDB oracle can replay every statistic arithmetically.
+    */
+  private[graft] def gifPixelBytes(id: Long, w: Int, h: Int,
+      minCodeSize: Int, clearEvery: Int): Array[Byte] = {
+    val palette = 1 << minCodeSize
+    val raw = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      var j = 0
+      while (j < w) {
+        raw(r * w + j) = ((id + r * 31L + j * 7L) % palette).toByte
+        j += 1
+      }
+      r += 1
+    }
+    val codes = lzwEncode(raw, minCodeSize, clearEvery)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    val gctBits = minCodeSize - 1 // 2^(bits+1) entries = palette
+    out.write(0x80 | (gctBits << 4) | gctBits) // GCT present, size field
+    out.write(0); out.write(0) // background index, aspect
+    var c = 0
+    while (c < palette) { // grayscale ramp
+      val v = (c * 255) / (palette - 1)
+      out.write(v); out.write(v); out.write(v)
+      c += 1
+    }
+    // Graphic Control Extension: the decoder must HOP extensions by
+    // their sub-block lengths, never scan their bodies
+    out.write(0x21); out.write(0xF9); out.write(4)
+    out.write(0); le16(0); out.write(0); out.write(0)
+    out.write(0x2C) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0) // no local color table, NOT interlaced
+    out.write(minCodeSize)
+    var off = 0
+    while (off < codes.length) {
+      val n = math.min(255, codes.length - off)
+      out.write(n); out.write(codes, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** LZW-compressed GIF payloads over the documents table, the GIF
+    * sibling of [[fromDocumentsPngPixels]]: dims are large enough that
+    * the dictionary genuinely grows through 9->10->11-bit codes
+    * (w = 40 + id%17, h = 12 + id%7); ids %3==0 use a 16-color palette
+    * (minCodeSize 4 — different CLEAR/EOI/width start), the rest the
+    * full 256-color palette (minCodeSize 8); even ids emit a CLEAR
+    * every 16 codes (the reset-heavy old-encoder shape), odd ids grow
+    * the dictionary freely. [[headerDims]] still parses these (real
+    * logical-screen header) and [[decodeGifPixels]] recovers the
+    * planted indexes from the actual compressed code stream.
+    */
+  def fromDocumentsGifPixels(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, source) =>
+          val w = (40 + id % 17).toInt
+          val h = (12 + id % 7).toInt
+          val minCodeSize = if (id % 3 == 0) 4 else 8
+          val clearEvery = if (id % 2 == 0) 16 else 0
+          val bytes = gifPixelBytes(id, w, h, minCodeSize, clearEvery)
+          MediaRecord(id, "image", bytes, source, bytes.length.toLong)
+        }
+      }
+  }
+
+  /** Decode one GIF's pixel-index statistics: walk the container (skip
+    * the global color table and any extensions), hand-rolled LZW decode
+    * of the first image's code stream — variable-width codes LSB-first,
+    * CLEAR/EOI, KwKwK case, 12-bit cap with deferred-clear tolerance —
+    * and return (width, height, n_pixels, min, max, sum) over the
+    * reconstructed palette INDEXES (the planted payload; mapping
+    * through the palette would just apply a fixed ramp). None outside
+    * the supported envelope — non-GIF bytes, interlaced images, local
+    * color tables, a corrupt/short/overlong code stream, or dims whose
+    * index buffer would exceed the 64 MiB reconstruction cap (a hostile
+    * header must not OOM an executor).
+    */
+  private[graft] def gifStats(
+      bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
+    if (bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    def u8(o: Int): Int = bytes(o) & 0xff
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    val packed = u8(10)
+    var off = 13
+    if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 7) + 1))
+    // walk to the first image descriptor, hopping extensions
+    while (off < bytes.length && u8(off) == 0x21) {
+      off += 2 // introducer + label
+      while (off < bytes.length && u8(off) != 0) off += 1 + u8(off)
+      off += 1 // sub-block terminator
+    }
+    if (off + 10 > bytes.length || u8(off) != 0x2C) return None
+    val w = le16(off + 5)
+    val h = le16(off + 7)
+    val ipacked = u8(off + 9)
+    if ((ipacked & 0x40) != 0) return None // interlaced: out of envelope
+    if ((ipacked & 0x80) != 0) return None // local color table: ditto
+    if (w <= 0 || h <= 0) return None
+    val total = w.toLong * h.toLong
+    if (total > (64L << 20)) return None
+    off += 10
+    if (off >= bytes.length) return None
+    val minCodeSize = u8(off)
+    off += 1
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    // concatenate the data sub-blocks into one code buffer
+    val codeBuf = new java.io.ByteArrayOutputStream()
+    var blockLen = -1
+    while (off < bytes.length && { blockLen = u8(off); blockLen != 0 }) {
+      if (off + 1 + blockLen > bytes.length) return None
+      codeBuf.write(bytes, off + 1, blockLen)
+      off += 1 + blockLen
+    }
+    val codes = codeBuf.toByteArray
+    // ---- LZW decode ----
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Byte](4096)
+    val out = new Array[Byte](total.toInt)
+    var produced = 0
+    var width = minCodeSize + 1
+    var next = eoi + 1
+    var prev = -1
+    var bitPos = 0
+    val nBits = codes.length * 8
+    def firstByte(code0: Int): Int = {
+      var c = code0
+      while (c >= clear) c = prefixOf(c)
+      c
+    }
+    // expand `code`'s string into out (tail-first via a walk to measure,
+    // then fill backwards — no per-code stack allocation)
+    def expand(code0: Int): Boolean = {
+      var len = 0
+      var c = code0
+      while (c >= clear) { len += 1; c = prefixOf(c) }
+      len += 1
+      if (produced + len > out.length) return false
+      var pos = produced + len - 1
+      c = code0
+      while (c >= clear) { out(pos) = suffixOf(c); pos -= 1; c = prefixOf(c) }
+      out(pos) = c.toByte
+      produced += len
+      true
+    }
+    var finished = false
+    while (!finished) {
+      if (bitPos + width > nBits) return None // ran out mid-code
+      var v = 0
+      var got = 0
+      while (got < width) {
+        val byteIdx = (bitPos + got) >> 3
+        val bitIdx = (bitPos + got) & 7
+        val take = math.min(8 - bitIdx, width - got)
+        v |= (((codes(byteIdx) & 0xff) >> bitIdx) & ((1 << take) - 1)) << got
+        got += take
+      }
+      bitPos += width
+      val code = v
+      if (code == clear) {
+        width = minCodeSize + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        finished = true
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code must be a literal
+        if (produced >= out.length) return None
+        out(produced) = code.toByte; produced += 1
+        prev = code
+        // no dict add and no width check here: the first assignable
+        // code is 2^min + 2, which can never equal 2^(min+1) for the
+        // spec's minCodeSize >= 2, so growth is impossible this early
+      } else if (code <= next && code < 4096) {
+        val kwkwk = code == next
+        if (kwkwk && next >= 4096) return None
+        val fb = firstByte(if (kwkwk) prev else code)
+        if (next < 4096) {
+          prefixOf(next) = prev; suffixOf(next) = fb.toByte
+          next += 1
+        }
+        if (!expand(code)) return None
+        prev = code
+        if (next == (1 << width) && width < 12) width += 1
+      } else return None // code beyond the dictionary: corrupt
+    }
+    if (produced != out.length) return None
+    var mn = (1 << minCodeSize).toLong
+    var mx = 0L
+    var sum = 0L
+    var i = 0
+    while (i < out.length) {
+      val x = (out(i) & 0xff).toLong
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      sum += x
+      i += 1
+    }
+    Some((w.toLong, h.toLong, total, mn, mx, sum))
+  }
+
+  /** REAL compressed-pixel decode for GIF — the LZW sibling of
+    * [[decodePngPixels]], closing another tier of [[decodeStub]]: the
+    * variable-width LZW code stream is decoded by a hand-rolled kernel
+    * inside a bounded mapPartitions (LZW's dictionary is stateful
+    * across the whole stream, the one shape codegen cannot express),
+    * columns null outside the supported envelope (see [[gifStats]]).
+    */
+  def decodeGifPixels(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val st = gifStats(m.content)
+        (m.media_id, st.map(_._1), st.map(_._2), st.map(_._3),
+          st.map(_._4), st.map(_._5), st.map(_._6))
+      }
+    }.toDF("media_id", "width", "height", "n_units",
+      "unit_min", "unit_max", "unit_sum")
+  }
+
   /** REAL compressed-pixel decode for PNG — the tier that was formerly
     * fully stubbed: the DEFLATE bitstream is inflated
     * (`java.util.zip.Inflater`, ONE per partition, reset per record —
@@ -650,6 +960,12 @@ object Media {
     import spark.implicits._
     media.mapPartitions { batch =>
       val inf = new java.util.zip.Inflater()
+      // zlib's dictionary window is NATIVE memory — end() releases it
+      // deterministically at partition end; leaving it to finalization
+      // accumulates off-heap usage the executor heap sizing never sees
+      // (one window per processed partition until a GC happens to run)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => inf.end()))
       batch.map { m =>
         val st = pngStats(inf, m.content)
         (m.media_id, st.map(_._1), st.map(_._2), st.map(_._3),

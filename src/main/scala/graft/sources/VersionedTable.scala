@@ -81,6 +81,17 @@ final class ConcurrentCommitException(msg: String, cause: Throwable)
 final class ConflictingCommitException(msg: String)
   extends java.io.IOException(msg)
 
+/** The filesystem behind a table lacks the primitive the commit
+  * protocol's atomicity rests on — exclusive create-no-overwrite
+  * (conditional put). Raised by a capability probe BEFORE any manifest
+  * is claimed, so a store that silently overwrites (S3-class without
+  * conditional PUT) produces this typed error up front instead of
+  * silent manifest corruption under concurrent writers at scale. Not
+  * retryable: the store itself is unsuitable.
+  */
+final class UnsupportedCommitSubstrateException(msg: String)
+  extends java.io.IOException(msg)
+
 object VersionedTable {
 
   /** One committed version: `operation` ∈ create|append|overwrite|compact|
@@ -92,7 +103,8 @@ object VersionedTable {
   final case class Snapshot(version: Long, timestampMs: Long,
       operation: String, files: Seq[String],
       stats: Map[String, DataSkipping.FileStats] = Map.empty,
-      schemaJson: Option[String] = None) {
+      schemaJson: Option[String] = None,
+      tableId: Option[String] = None) {
     /** The snapshot's recorded table schema (versions committed before
       * schema tracking have none and read footer-first as before).
       */
@@ -151,8 +163,18 @@ object VersionedTable {
     Snapshot(d.version, d.timestampMs, d.operation,
       prev.files.filterNot(removed) ++ d.adds,
       (prev.stats -- removed) ++ d.addStats,
-      d.schemaJson.orElse(prev.schemaJson))
+      d.schemaJson.orElse(prev.schemaJson),
+      prev.tableId) // identity is immutable: deltas always inherit
   }
+
+  /** Test seam: manifest names dropped from directory listings,
+    * deterministically simulating the non-atomic-readdir race (a
+    * version published mid-listing can be MISSING while versions
+    * committed later are included — ext4 returns hash order). By-name
+    * reads ([[resolveByName]]) are unaffected, exactly like the real
+    * race. Empty in production.
+    */
+  private[graft] var listingDropNames: Set[String] = Set.empty
 
   private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
@@ -160,7 +182,8 @@ object VersionedTable {
     if (!fs.exists(mdir)) Seq.empty
     else fs.listStatus(mdir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".manifest")
-        && !s.getPath.getName.startsWith("."))
+        && !s.getPath.getName.startsWith(".")
+        && !listingDropNames.contains(s.getPath.getName))
   }
 
   /** Manifest-file reads since JVM start — observability for the
@@ -303,10 +326,17 @@ object VersionedTable {
             // between listing and reads); still broken after both =
             // real corruption, loud.
             resolveByName(fs, dir, d.base, byVersion) match {
-              case Some(s) =>
-                // the recovered base IS committed — emit it too (every
-                // delta bases on version-1, so ascending order holds)
-                out += s; byVersion += (s.version -> s); s
+              case Some(chain) =>
+                // EVERY version materialized along the walk is a
+                // committed snapshot the listing missed — emit them all,
+                // not just the direct base, or snapshots() silently
+                // omits committed versions when the listing missed >=2
+                // consecutive fresh commits (tag scans would then miss
+                // a committed tag and double-commit a replayed batch).
+                // Ascending order holds: deltas base on version-1, so
+                // the chain fills exactly the gap below d.version.
+                chain.foreach { s => out += s; byVersion += (s.version -> s) }
+                chain.last
               case None if recover =>
                 return snapshotsAttempt(spark, dir, recover = false)
               case None => sys.error(
@@ -331,19 +361,35 @@ object VersionedTable {
     * inline via [[recoverCkpt]]. Walks back until it reaches a version
     * in `resolved` or a full manifest; None only when a manifest is
     * truly absent and unrecoverable.
+    *
+    * Returns EVERY snapshot materialized along the walk that was not
+    * already in `resolved`, ascending — the last element is version `v`
+    * itself. The caller folds all of them into its chain: each one is a
+    * committed version the directory listing missed, and dropping the
+    * intermediates would make `snapshots()` silently omit committed
+    * versions (and their operation tags).
     */
   private def resolveByName(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, v: Long,
-      resolved: Map[Long, Snapshot]): Option[Snapshot] = {
+      resolved: Map[Long, Snapshot]): Option[Seq[Snapshot]] = {
     val mdir = new Path(dir, ManifestDir)
+    def fold(base: Snapshot, baseIsNew: Boolean,
+        stack: List[DeltaRec]): Seq[Snapshot] = {
+      val out = Seq.newBuilder[Snapshot]
+      if (baseIsNew) out += base
+      var acc = base
+      stack.foreach { d => acc = applyDelta(acc, d); out += acc }
+      out.result()
+    }
     var stack = List.empty[DeltaRec]
     var cur = v
     while (true) {
       resolved.get(cur) match {
-        case Some(s) => return Some(stack.foldLeft(s)(applyDelta))
+        case Some(s) => return Some(fold(s, baseIsNew = false, stack))
         case None =>
           readManifestIfPresent(fs, new Path(mdir, manifestName(cur))) match {
-            case Some(FullRec(s)) => return Some(stack.foldLeft(s)(applyDelta))
+            case Some(FullRec(s)) =>
+              return Some(fold(s, baseIsNew = true, stack))
             case Some(d: DeltaRec) =>
               // commits only ever base on version-1; a non-decreasing
               // base is corruption — fail loudly instead of walking a
@@ -393,13 +439,14 @@ object VersionedTable {
         ts <- field("timestamp").flatMap(_.toLongOption)
         op <- field("operation")
       } yield FullRec(Snapshot(v, ts, op, files,
-        DataSkipping.parseLines(lines), schema))
+        DataSkipping.parseLines(lines), schema, field("tableid")))
     }
   }
 
   private def renderManifest(s: Snapshot): String =
     (Seq(s"version=${s.version}", s"timestamp=${s.timestampMs}",
       s"operation=${s.operation}")
+      ++ s.tableId.map(t => s"tableid=$t").toSeq
       ++ s.schemaJson.map(j => s"schema=${java.util.Base64.getEncoder
         .encodeToString(j.getBytes("UTF-8"))}").toSeq
       ++ s.files.map(f => s"file=$f")
@@ -508,9 +555,19 @@ object VersionedTable {
   private[graft] def commit(spark: SparkSession, dir: String, v: Long,
       operation: String, files: Seq[String],
       stats: Map[String, DataSkipping.FileStats] = Map.empty,
-      schemaJson: Option[String] = None): Snapshot = {
+      schemaJson: Option[String] = None,
+      tableId: Option[String] = None): Snapshot = {
+    // Version 1 MINTS the table identity; it is carried forward by
+    // every later manifest (full manifests re-render it, deltas inherit
+    // through applyDelta), so a table deleted and recreated at the same
+    // path is distinguishable no matter how far the new incarnation has
+    // grown — the device behind the streaming sinks' recreation reset.
+    val tid =
+      if (v == 1L) tableId.orElse(
+        Some(java.util.UUID.randomUUID.toString.take(16)))
+      else tableId
     val snap = Snapshot(v, System.currentTimeMillis(), operation, files,
-      stats, schemaJson)
+      stats, schemaJson, tid)
     writeExclusive(spark, dir, v, renderManifest(snap).getBytes("UTF-8"))
     snap
   }
@@ -532,7 +589,8 @@ object VersionedTable {
     val resolved = Snapshot(v, System.currentTimeMillis(), operation,
       prev.files.filterNot(removed) ++ adds,
       (prev.stats -- removed) ++ addStats,
-      schemaJson.orElse(prev.schemaJson))
+      schemaJson.orElse(prev.schemaJson),
+      prev.tableId)
     if (v % CheckpointEvery == 0) {
       writeExclusive(spark, dir, v,
         renderManifest(resolved).getBytes("UTF-8"))
@@ -588,12 +646,190 @@ object VersionedTable {
     if (newVersion <= prevVersion)
       Thread.sleep(math.min(200L * attempt, 2000L))
 
+  /** Grace after which a maintenance lock whose mtime stopped advancing
+    * is considered abandoned (its holder died) and may be reclaimed.
+    * Live holders REFRESH the lock's mtime ([[touchMaintLock]]) far more
+    * often than this, so only a genuinely dead holder's lock is ever
+    * taken. Override for tests: `-Dgraft.vt.maintLockGraceMs=`.
+    */
+  private[graft] val MaintLockGraceMs: Long =
+    sys.props.get("graft.vt.maintLockGraceMs").flatMap(_.toLongOption)
+      .getOrElse(60L * 1000)
+
+  private def maintLockPath(dir: String): Path =
+    new Path(new Path(dir, ManifestDir), ".maint.lock")
+
+  /** Refresh the held lock's mtime so a long legitimate hold (a vacuum
+    * deleting millions of files at 100 TB) is never mistaken for a
+    * dead holder. Called from inside the held section.
+    */
+  private def touchMaintLock(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit =
+    try fs.setTimes(maintLockPath(dir), System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => }
+
+  /** The RESTORE-vs-VACUUM mutex (round-15): both operations run their
+    * critical sections under one exclusive-create lock marker, because
+    * they are the single pair whose interleaving can destroy committed
+    * data — restore re-commits an OLD version's file list as the new
+    * latest (resurrecting files by name), while vacuum deletes files
+    * from a point-in-time live-set; a restore landing between vacuum's
+    * live-set computation and its deletes would have its just-committed
+    * files swept. Appends/DML/compact need no lock: they only carry
+    * files forward from the retained latest, which every live-set
+    * covers by construction.
+    *
+    * Acquisition is the commit primitive itself (atomic exclusive
+    * create — nio CREATE_NEW locally, create-no-overwrite elsewhere,
+    * the same capability [[probeCommitSubstrate]] verifies), so two
+    * maintainers can never both hold it. A crashed holder's lock is
+    * reclaimed once its mtime is older than [[MaintLockGraceMs]] —
+    * live holders refresh it — and the reclaim re-checks staleness
+    * immediately before deleting, the torn-claim TOCTOU discipline.
+    * Waiters poll with bounded sleeps; these are rare, coarse
+    * maintenance ops, not a hot path.
+    */
+  private def withMaintLock[A](spark: SparkSession, dir: String,
+      who: String)(body: => A): A = {
+    val (fs, _) = fsFor(spark, dir)
+    fs.mkdirs(new Path(dir, ManifestDir))
+    val lock = maintLockPath(dir)
+    val isLocal =
+      lock.toUri.getScheme == null || lock.toUri.getScheme == "file"
+    val bytes =
+      s"$who@${System.currentTimeMillis()}".getBytes("UTF-8")
+    var acquired = false
+    val deadline =
+      System.currentTimeMillis() + MaintLockGraceMs + 120000L
+    while (!acquired) {
+      try {
+        if (isLocal) {
+          val nio = java.nio.file.Paths.get(
+            new Path(fs.makeQualified(lock).toUri.getPath).toString)
+          java.nio.file.Files.write(nio, bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+        } else {
+          val out = fs.create(lock, false)
+          try out.write(bytes) finally out.close()
+        }
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          val st0 =
+            try Some(fs.getFileStatus(lock))
+            catch { case _: java.io.FileNotFoundException => None }
+          val stale = st0.exists(s =>
+            System.currentTimeMillis() - s.getModificationTime >=
+              MaintLockGraceMs)
+          if (stale) {
+            // TOCTOU re-stat before the reclaim delete, exactly like
+            // the torn-claim repair: a competing reclaimer may have
+            // deleted the corpse and acquired a FRESH lock here
+            val still = try {
+              val st1 = fs.getFileStatus(lock)
+              st0.exists(s0 =>
+                st1.getModificationTime == s0.getModificationTime)
+            } catch { case _: java.io.FileNotFoundException => false }
+            if (still)
+              try fs.delete(lock, false)
+              catch { case _: java.io.IOException => }
+            // loop retries the exclusive create; one reclaimer wins
+          } else if (System.currentTimeMillis() > deadline) {
+            throw new java.io.IOException(
+              s"maintenance lock on $dir held by a live maintainer for " +
+                s"longer than the wait budget; retry later")
+          } else Thread.sleep(50)
+      }
+    }
+    try body
+    finally {
+      try fs.delete(lock, false) catch { case _: java.io.IOException => }
+    }
+  }
+
+  /** Substrates (scheme://authority) whose exclusive-create capability
+    * has been verified this JVM — the probe runs once per store, not
+    * per commit.
+    */
+  private val probedSubstrates =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test seam: forget verified substrates, forcing the next commit to
+    * re-probe.
+    */
+  private[graft] def resetProbedSubstrates(): Unit = probedSubstrates.clear()
+
+  /** Verify, ONCE per (scheme, authority) per JVM, that the store
+    * actually provides the primitive the non-local commit path claims
+    * versions with: atomic exclusive create-no-overwrite. Two checks on
+    * a throwaway dot-named probe file (readers skip dot-names):
+    *
+    *  1. the created path must be VISIBLE before close() — an object
+    *     store that only materializes keys on close has no namespace
+    *     claim at create time at all, so two "exclusive" writers can
+    *     both hold handles to the same name and the later close wins;
+    *  2. a second exclusive create of the existing path must FAIL —
+    *     a store that silently overwrites turns every optimistic-
+    *     concurrency loss into corruption of the winner's manifest.
+    *
+    * Either violation raises [[UnsupportedCommitSubstrateException]]
+    * BEFORE any manifest claim, turning silent-corruption-at-scale into
+    * a typed error at table creation. POSIX/HDFS pass and pay the probe
+    * once; S3-class stores without conditional PUT fail loudly.
+    */
+  private def probeCommitSubstrate(fs: org.apache.hadoop.fs.FileSystem,
+      mdir: Path): Unit = {
+    val uri = fs.getUri
+    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    if (probedSubstrates.contains(key)) return
+    val probe = new Path(mdir,
+      s".probe_${java.util.UUID.randomUUID.toString.take(8)}")
+    def fail(what: String): Nothing =
+      throw new UnsupportedCommitSubstrateException(
+        s"commit substrate $key lacks atomic exclusive create " +
+          s"(create-no-overwrite / conditional put): $what. The " +
+          "versioned-table commit protocol claims each version by " +
+          "exclusive-creating its manifest; on a store without that " +
+          "primitive, concurrent writers silently overwrite each " +
+          "other's committed manifests. Use HDFS or a POSIX " +
+          "filesystem, or front the store with a conditional-put " +
+          "commit service.")
+    var handle: org.apache.hadoop.fs.FSDataOutputStream = null
+    try {
+      handle = fs.create(probe, false)
+      if (!fs.exists(probe))
+        fail("a path under exclusive create is not visible before " +
+          "close(), so no namespace claim exists at create time")
+      handle.close(); handle = null
+      val second =
+        try Some(fs.create(probe, false))
+        catch { case _: java.io.IOException => None } // refusal = correct
+      second.foreach { s =>
+        try s.close() catch { case _: java.io.IOException => () }
+        fail("a second exclusive create of an existing path succeeded " +
+          "instead of failing")
+      }
+      probedSubstrates.add(key)
+    } finally {
+      if (handle != null)
+        try handle.close() catch { case _: java.io.IOException => () }
+      try fs.delete(probe, false) catch { case _: java.io.IOException => () }
+    }
+  }
+
   private def writeExclusive(spark: SparkSession, dir: String, v: Long,
       bytes: Array[Byte]): Unit = {
     val (fs, _) = fsFor(spark, dir)
     val mdir = new Path(dir, ManifestDir)
     fs.mkdirs(mdir)
     val dest = new Path(mdir, manifestName(v))
+    // the local branch commits via link(2), whose exclusive atomicity
+    // POSIX guarantees; every other scheme claims via create(f, false)
+    // and must prove the store honors it before the first claim
+    if (dest.toUri.getScheme != null && dest.toUri.getScheme != "file")
+      probeCommitSubstrate(fs, mdir)
     var reclaimed = false
     while (true) {
       try {
@@ -627,13 +863,22 @@ object VersionedTable {
           // loss after this return could make the acknowledged version
           // vanish (process-kill atomicity alone never could). Mirror
           // the data fsync with an fsync of the directory itself.
-          // Filesystems that cannot open a directory for force() skip
-          // (the atomicity contract still holds there).
+          // Filesystems that cannot open a directory for force() skip —
+          // and that refusal surfaces as UnsupportedOperationException
+          // OR as plain IOException subclasses (AccessDeniedException on
+          // Windows, EINVAL-mapped IOExceptions elsewhere). Swallow both
+          // (as Lucene's directory-fsync does): the publish above is
+          // already atomic and visible, so letting a best-effort
+          // durability fsync propagate would report an acknowledged-
+          // failed-but-committed write that a naive retry duplicates.
           try {
             val dch = java.nio.channels.FileChannel.open(destNio.getParent,
               java.nio.file.StandardOpenOption.READ)
             try dch.force(true) finally dch.close()
-          } catch { case _: UnsupportedOperationException => }
+          } catch {
+            case _: UnsupportedOperationException =>
+            case _: java.io.IOException =>
+          }
         } else {
           // HDFS-like: create-no-overwrite is atomic at the namenode
           // (the claim), but the body streams through the claimed
@@ -825,9 +1070,19 @@ object VersionedTable {
     * partition-directory ledger can only approximate.
     */
   def appendTagged(df: DataFrame, dir: String, tag: String,
-      statsCols: Seq[String] = Seq.empty): Snapshot =
-    appendTagged(df, dir, tag, latest(df.sparkSession, dir), statsCols,
-      maxAttempts = 5)
+      statsCols: Seq[String] = Seq.empty): Snapshot = {
+    // FULL-chain replay check: the private overload's retry
+    // short-circuit only scans versions newer than the resolved latest
+    // (its documented precondition — the caller covered everything at
+    // or below it). This public entry point has no caller-side ledger,
+    // so it performs that coverage itself: a tag already committed at
+    // ANY version no-ops and returns the tagged snapshot instead of
+    // committing the batch twice.
+    val snaps = snapshots(df.sparkSession, dir)
+    snaps.find(_.operation == tag).getOrElse(
+      appendTagged(df, dir, tag, snaps.lastOption, statsCols,
+        maxAttempts = 5))
+  }
 
   /** [[appendTagged]] against an already-resolved latest snapshot, so a
     * caller that has just listed the manifests (the streaming sink does,
@@ -842,6 +1097,13 @@ object VersionedTable {
     * whose earlier attempt actually won must no-op, not double-commit),
     * and the schema contract is re-run in case the competitor evolved
     * the table mid-retry.
+    *
+    * PRECONDITION: the caller has already verified `tag` is absent from
+    * every version at or below `prevOpt0` (the streaming sinks' ledger
+    * cursor does; the public overload runs a full-chain check). The
+    * retry short-circuit relies on it — it scans only versions
+    * committed AFTER `prevOpt0`, so a pre-existing tag below it would
+    * go undetected here and commit twice.
     */
   private[graft] def appendTagged(df: DataFrame, dir: String, tag: String,
       prevOpt0: Option[Snapshot],
@@ -965,7 +1227,7 @@ object VersionedTable {
     val v = prev.version + 1
     val (files, st) = stageWithStats(df, dir, v, statsCols)
     commit(df.sparkSession, dir, v, "overwrite", files, st,
-      Some(df.schema.json))
+      Some(df.schema.json), prev.tableId)
   }
 
   /** [[overwrite]] under a caller-chosen operation tag, against an
@@ -980,7 +1242,8 @@ object VersionedTable {
       statsCols: Seq[String] = Seq.empty): Snapshot = {
     val v = prevOpt.map(_.version + 1).getOrElse(1L)
     val (files, st) = stageWithStats(df, dir, v, statsCols)
-    commit(df.sparkSession, dir, v, tag, files, st, Some(df.schema.json))
+    commit(df.sparkSession, dir, v, tag, files, st, Some(df.schema.json),
+      prevOpt.flatMap(_.tableId))
   }
 
   /** MERGE (upsert) into the table as a new version: matched keys take
@@ -1258,7 +1521,8 @@ object VersionedTable {
     val current = readSnapshot(spark, dir, prev)
     val (files, st) = stageWithStats(
       current.repartition(targetFiles), dir, v, statsCols)
-    commit(spark, dir, v, "compact", files, st, Some(current.schema.json))
+    commit(spark, dir, v, "compact", files, st, Some(current.schema.json),
+      prev.tableId)
   }
 
   /** Answer-preserving z-order rewrite committed as a new version — the
@@ -1287,7 +1551,8 @@ object VersionedTable {
       ((if (statsCols.nonEmpty) statsCols else Seq(zCols._1, zCols._2))
         ++ prev.stats.values.flatMap(_.cols.keys)).distinct
     val (files, st) = stageWithStats(arranged, dir, v, effStats)
-    commit(spark, dir, v, "cluster", files, st, Some(arranged.schema.json))
+    commit(spark, dir, v, "cluster", files, st, Some(arranged.schema.json),
+      prev.tableId)
   }
 
   private def readSnapshot(spark: SparkSession, dir: String,
@@ -1391,7 +1656,7 @@ object VersionedTable {
         .getOrElse(fs)
     }
     commit(spark, dir, prev.version + 1, "analyze", prev.files,
-      mergedStats, prev.schemaJson)
+      mergedStats, prev.schemaJson, prev.tableId)
   }
 
   /** The table's commit history, newest first — DESCRIBE HISTORY as a
@@ -1416,6 +1681,19 @@ object VersionedTable {
   def vacuum(spark: SparkSession, dir: String,
       retainVersions: Int = 2): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
+    // The WHOLE sweep — live-set computation through the last data
+    // delete — holds the maintenance lock, so a RESTORE (the one
+    // operation that resurrects vacuum-eligible files by name) can
+    // never commit inside the window between the live-set and the
+    // deletes. See [[withMaintLock]]; this closes the window the r14
+    // pre-delete re-list only narrowed.
+    withMaintLock(spark, dir, "vacuum") {
+      vacuumLocked(spark, dir, retainVersions)
+    }
+  }
+
+  private def vacuumLocked(spark: SparkSession, dir: String,
+      retainVersions: Int): Int = {
     val (fs, _) = fsFor(spark, dir)
     val all = snapshots(spark, dir)
     if (all.isEmpty) return 0
@@ -1481,21 +1759,30 @@ object VersionedTable {
     vacuumPause()
     // Re-list RIGHT BEFORE touching data files and union the FRESH
     // live-set over the one computed at sweep start: any commit that
-    // landed during the sweep — most dangerously a RESTORE, which
-    // resurrects old files BY NAME into the new latest — is invisible
-    // to the original point-in-time listing but visible here. Restore
-    // remains contractually serial w.r.t. vacuum (the module's
-    // documented orchestration contract), but an accidental overlap now
-    // endangers data only in the instants between this re-list and the
-    // deletes, not across the whole sweep; the common case (the restore
-    // committed before the data sweep begins) is fully safe. One extra
-    // chain listing per vacuum — O(retained manifests), trivial next to
-    // the deletes themselves.
+    // landed while the manifests were being dropped — appends, DML,
+    // compactions — is invisible to the original point-in-time listing
+    // but visible here. The one commit class this defense-in-depth
+    // re-list could NOT close on its own — a RESTORE resurrecting
+    // dropped files by name in the instants between this re-list and
+    // the deletes — is excluded structurally: restore and vacuum
+    // serialize on the maintenance lock this whole sweep holds
+    // ([[withMaintLock]]), so no restore can commit anywhere inside the
+    // window. One extra chain listing per vacuum — O(retained
+    // manifests), trivial next to the deletes themselves.
     val live2 = live ++ snapshots(spark, dir).flatMap(_.files)
     var deleted = 0
+    var sinceTouch = 0
     drop.foreach { s =>
       s.files.filterNot(live2).foreach { f =>
         if (fs.delete(new Path(s"$dir/$f"), false)) deleted += 1
+        sinceTouch += 1
+        if (sinceTouch >= 4096) {
+          // keep the lock visibly LIVE during a huge delete pass (100 TB
+          // tables can drop millions of files), so the crashed-holder
+          // reclaim never robs a working vacuum
+          touchMaintLock(fs, dir)
+          sinceTouch = 0
+        }
       }
     }
     deleted
@@ -1606,7 +1893,21 @@ object VersionedTable {
     * files mid-flight (the module contract: effectively-serial
     * orchestration, no lock manager).
     */
-  def restore(spark: SparkSession, dir: String, version: Long): Snapshot = {
+  def restore(spark: SparkSession, dir: String, version: Long): Snapshot =
+    // Restore is the ONE commit that resurrects old files by name, so
+    // its read-check-commit runs under the maintenance lock: a vacuum
+    // cannot compute a live-set, delete, or even start while this holds,
+    // and conversely this cannot commit inside a vacuum's delete window
+    // ([[withMaintLock]]). Interleavings either order cleanly: restore
+    // first → the next vacuum's live-set covers the resurrected files;
+    // vacuum first → the target version (or its files) is gone and the
+    // checks below fail LOUDLY — never a silently swept restore.
+    withMaintLock(spark, dir, "restore") {
+      restoreLocked(spark, dir, version)
+    }
+
+  private def restoreLocked(spark: SparkSession, dir: String,
+      version: Long): Snapshot = {
     val all = snapshots(spark, dir)
     val target = all.find(_.version == version).getOrElse(
       sys.error(s"table $dir has no version $version"))
@@ -1629,6 +1930,6 @@ object VersionedTable {
         .parquet(target.files.map(f => s"$dir/$f"): _*).schema.json))
     val latestV = all.last.version
     commit(spark, dir, latestV + 1, "restore",
-      target.files, target.stats, schema)
+      target.files, target.stats, schema, all.last.tableId)
   }
 }

@@ -535,6 +535,10 @@ object Streams {
   private final class SinkCursor {
     val seen = new java.util.HashSet[String]()
     var through: Long = -1L
+    // identity of the incarnation the cursor was built against (the
+    // table UUID minted by its version-1 commit and carried by every
+    // later manifest); None for pre-identity legacy tables
+    var tableId: Option[String] = None
   }
   private val sinkCursors =
     new java.util.concurrent.ConcurrentHashMap[String, SinkCursor]()
@@ -563,17 +567,38 @@ object Streams {
       if (c.through >= 0) {
         val (ops, latestOpt, through) =
           VersionedTable.opsAndLatestAfter(spark, dir, c.through)
-        if (latestOpt.exists(_.version >= c.through)) {
+        // Recreation detection is IDENTITY-first: every table mints a
+        // UUID at version 1 that all later manifests carry, so a table
+        // deleted and recreated at this path is caught even when the
+        // new incarnation has already grown PAST the old floor (a
+        // long-idle sink restarting on a fresh checkpoint would
+        // otherwise keep the dead incarnation's seen tags and silently
+        // skip legitimate batches whose append#N tags collide). The
+        // version-floor heuristic stays as the fallback for legacy
+        // tables committed before identities existed.
+        val sameIncarnation = latestOpt.exists { l =>
+          l.version >= c.through &&
+            ((l.tableId, c.tableId) match {
+              case (Some(a), Some(b)) => a == b
+              case _ => true // legacy (no id): version heuristic only
+            })
+        }
+        if (sameIncarnation) {
           ops.foreach(c.seen.add)
           c.through = through
+          // adopt the identity as soon as one is visible: a cursor
+          // cold-started against an EMPTY table has none until the
+          // first committed version shows it
+          c.tableId = latestOpt.flatMap(_.tableId).orElse(c.tableId)
           return (c, latestOpt)
         }
-        // table shrank below the floor: recreated at this path — reset
-        c.seen.clear(); c.through = -1L
+        // different incarnation at this path — reset cold
+        c.seen.clear(); c.through = -1L; c.tableId = None
       }
       val snaps = VersionedTable.snapshots(spark, dir)
       snaps.foreach(s => c.seen.add(s.operation))
       c.through = snaps.lastOption.map(_.version).getOrElse(0L)
+      c.tableId = snaps.lastOption.flatMap(_.tableId)
       (c, snaps.lastOption)
     }
   }

@@ -746,6 +746,36 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().toSet === Set(1L))
   }
 
+  test("a recreated table that has GROWN PAST the old cursor floor is " +
+      "still detected (identity, not version ordering)") {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-cursor2")
+    val table = s"$root/table"
+    def b(i: Long) = Seq((100 * i, s"b$i")).toDF("id", "v")
+    Streams.resetSinkCursors()
+    (0L to 5L).foreach(i => Streams.processVersionedBatch(b(i), i, table))
+    // the sink idles; the table is deleted and recreated at the same
+    // path by ANOTHER pipeline, and the new incarnation grows PAST the
+    // old floor (6) before our sink wakes up — the version-ordering
+    // heuristic alone would keep the dead incarnation's seen tags
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table), true)
+    VersionedTable.create(Seq((1L, "fresh")).toDF("id", "v"), table)
+    (2L to 9L).foreach(i => VersionedTable.append(
+      Seq((i, s"n$i")).toDF("id", "v"), table)) // latest = v9 > floor 6
+    // redeliver batch 5: its append#5 tag collided in the DEAD
+    // incarnation; the new one has never seen it — it must commit
+    Streams.processVersionedBatch(b(5L), 5L, table)
+    assert(VersionedTable.snapshots(spark, table)
+      .count(_.operation == "append#5") === 1,
+      "the new incarnation must accept a batch whose tag only the dead " +
+        "incarnation had seen")
+    assert(VersionedTable.read(spark, table).select("id")
+      .as[Long].collect().toSet.contains(500L),
+      "batch 5's rows must land in the recreated table")
+  }
+
   test("file-source streaming reads the real events parquet") {
     // events.parquet carries TIMESTAMP(NANOS); read nanos as long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

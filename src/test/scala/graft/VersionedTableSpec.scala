@@ -889,4 +889,170 @@ class VersionedTableSpec extends AnyFunSuite {
       s"3 attempts against a stalled claim should pace >= 600ms of " +
         s"backoff, took ${elapsedMs}ms")
   }
+
+  test("restore SERIALIZES against vacuum's delete window on the " +
+      "maintenance lock — it cannot commit inside the sweep") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    (2L to 8L).foreach(i => VersionedTable.append(
+      Seq((i, s"v$i")).toDF("id", "v"), dir))
+    val restored =
+      new java.util.concurrent.atomic.AtomicReference[
+        VersionedTable.Snapshot]()
+    val restoredAtNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val pauseEndNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val restoreCommittedInWindow =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    var t: Thread = null
+    // fire a REAL restore from another thread inside vacuum's locked
+    // window (vacuumPause sits between the manifest drops and the
+    // pre-delete re-list): it must BLOCK on the lock until the whole
+    // sweep — including every data-file delete — has finished
+    VersionedTable.vacuumPause = () => if (t == null) {
+      t = new Thread(() => {
+        val keepOldest = VersionedTable.snapshots(spark, dir).head
+        restored.set(VersionedTable.restore(spark, dir, keepOldest.version))
+        restoredAtNs.set(System.nanoTime())
+      })
+      t.start()
+      Thread.sleep(600) // ample time for the thread to attempt the lock
+      restoreCommittedInWindow.set(
+        VersionedTable.snapshots(spark, dir).exists(_.operation == "restore"))
+      pauseEndNs.set(System.nanoTime())
+    }
+    try VersionedTable.vacuum(spark, dir, retainVersions = 3)
+    finally VersionedTable.vacuumPause = () => ()
+    t.join(30000)
+    assert(restoredAtNs.get() != 0L, "the restore thread must complete")
+    assert(!restoreCommittedInWindow.get(),
+      "no restore may commit inside vacuum's locked window")
+    assert(restoredAtNs.get() > pauseEndNs.get(),
+      "the restore must land only after the sweep's window")
+    // the restored latest is fully intact: every file exists, reads whole
+    val latest = VersionedTable.latest(spark, dir).get
+    assert(latest.operation === "restore")
+    assert(latest.files.forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, f))),
+      "no restored file may have been swept")
+    assert(ids(VersionedTable.read(spark, dir)).nonEmpty)
+  }
+
+  test("a dead maintainer's abandoned lock is reclaimed after the grace; " +
+      "maintenance then proceeds and releases") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    (2L to 4L).foreach(i => VersionedTable.append(
+      Seq((i, s"v$i")).toDF("id", "v"), dir))
+    val lock = java.nio.file.Paths.get(dir, "_manifests", ".maint.lock")
+    java.nio.file.Files.write(lock, "dead-vacuum@0".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - VersionedTable.MaintLockGraceMs - 60000))
+    val s = VersionedTable.restore(spark, dir, 2L) // reclaims, proceeds
+    assert(s.operation === "restore" && s.version === 5L)
+    assert(!java.nio.file.Files.exists(lock),
+      "the lock must be released after the reclaimed restore")
+    // vacuum takes and releases it the same way
+    VersionedTable.vacuum(spark, dir, retainVersions = 2)
+    assert(!java.nio.file.Files.exists(lock))
+    assert(ids(VersionedTable.read(spark, dir)) === Set(1L, 2L))
+  }
+
+  test("a store that lies about exclusive create fails TYPED before any " +
+      "manifest is claimed; an honest non-local store commits fine") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.lying.impl", classOf[LyingFileSystem].getName)
+    conf.set("fs.honest.impl", classOf[HonestFileSystem].getName)
+    graft.sources.VersionedTable.resetProbedSubstrates()
+    val base = java.nio.file.Files.createTempDirectory("graft-substrate")
+    val lyingDir = s"lying://$base/table"
+    val e = intercept[graft.sources.UnsupportedCommitSubstrateException] {
+      VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), lyingDir)
+    }
+    assert(e.getMessage.contains("exclusive create"),
+      "the error must name the missing capability")
+    // never a torn chain: the probe fires BEFORE the first claim, so
+    // the table directory holds zero manifests, committed or torn
+    assert(VersionedTable.latest(spark, lyingDir).isEmpty)
+    assert(VersionedTable.snapshots(spark, lyingDir).isEmpty)
+    // control: the SAME local store under an honest non-file scheme
+    // passes the probe once and commits through the HDFS-class branch
+    val honestDir = s"honest://$base/table2"
+    val s = VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), honestDir)
+    assert(s.version === 1L)
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), honestDir)
+    assert(ids(VersionedTable.read(spark, honestDir)) === Set(1L, 2L))
+  }
+
+  test("snapshots() emits EVERY committed version a racing listing " +
+      "missed, not just the delta's direct base") {
+    // the non-atomic-readdir race: a listing taken while writers commit
+    // can miss >=2 CONSECUTIVE fresh versions while including a later
+    // one. resolveByName must fold every version it materializes along
+    // the by-name walk into the chain — dropping the intermediates
+    // would make tag scans miss a committed tag and double-commit a
+    // replayed batch.
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    (2L to 5L).foreach(i => VersionedTable.appendTagged(
+      Seq((i, s"v$i")).toDF("id", "v"), dir, s"batch#$i"))
+    VersionedTable.listingDropNames = Set("v00000003.manifest",
+      "v00000004.manifest") // v5 (delta on 4) IS listed; 3 and 4 are not
+    try {
+      val snaps = VersionedTable.snapshots(spark, dir)
+      assert(snaps.map(_.version) === Seq(1L, 2L, 3L, 4L, 5L),
+        "missed-but-committed versions must be emitted via the by-name walk")
+      assert(snaps.map(_.operation).toSet ===
+        Set("create", "batch#2", "batch#3", "batch#4", "batch#5"),
+        "every committed tag must survive the listing race")
+      assert(VersionedTable.hasOperation(spark, dir, "batch#3"),
+        "a tag scan must see the tag of a listing-missed version")
+    } finally VersionedTable.listingDropNames = Set.empty
+  }
+
+  test("the public appendTagged no-ops on a tag committed at ANY version") {
+    val dir = tmp()
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    val first = VersionedTable.appendTagged(
+      Seq((2L, "b")).toDF("id", "v"), dir, "batch#1")
+    assert(first.version === 2L)
+    // bury the tag below the latest — the private overload's retry
+    // short-circuit would never look at or below here
+    VersionedTable.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    VersionedTable.append(Seq((4L, "d")).toDF("id", "v"), dir)
+    val replay = VersionedTable.appendTagged(
+      Seq((99L, "dup")).toDF("id", "v"), dir, "batch#1")
+    assert(replay.operation === "batch#1" && replay.version === 2L,
+      "the replay must resolve to the originally tagged snapshot")
+    assert(VersionedTable.snapshots(spark, dir)
+      .count(_.operation == "batch#1") === 1,
+      "a replayed tag must not commit twice through the public overload")
+    assert(!ids(VersionedTable.read(spark, dir)).contains(99L),
+      "the replayed batch's rows must not land")
+  }
+
+  test("the table identity minted at version 1 is carried by every " +
+      "manifest flavor and survives vacuum's checkpoint rewrite") {
+    val dir = tmp()
+    val created = VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    val tid = created.tableId
+    assert(tid.isDefined, "version 1 must mint a table identity")
+    (2L to 7L).foreach(i => VersionedTable.append(
+      Seq((i, s"v$i")).toDF("id", "v"), dir)) // deltas inherit
+    VersionedTable.compactTable(spark, dir, targetFiles = 1) // full rerender
+    VersionedTable.vacuum(spark, dir, retainVersions = 2) // ckpt rewrite
+    val snaps = VersionedTable.snapshots(spark, dir)
+    assert(snaps.nonEmpty && snaps.forall(_.tableId == tid),
+      s"every surviving version must carry the minted identity $tid")
+    val restored = VersionedTable.restore(spark, dir, snaps.head.version)
+    assert(restored.tableId === tid, "restore must carry the identity")
+    // a recreated table at the same path mints a DIFFERENT identity
+    val (fs, _) = (new org.apache.hadoop.fs.Path(dir)).getFileSystem(
+      spark.sparkContext.hadoopConfiguration) -> ()
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val recreated = VersionedTable.create(
+      Seq((9L, "z")).toDF("id", "v"), dir)
+    assert(recreated.tableId.isDefined && recreated.tableId != tid,
+      "a new incarnation at the same path must have a new identity")
+  }
 }
