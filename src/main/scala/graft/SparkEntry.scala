@@ -2274,6 +2274,24 @@ object SparkEntry {
       graft.multimodal.Media.decodePngPixels(
         graft.multimodal.Media.fromDocumentsPngPixels(
           Tables.documents(s, dir)))
+    }),
+
+    // REAL GIF-LZW pixel decode (round 15): documents become complete
+    // spec-valid GIF89a payloads — grayscale palettes of 16 (ids %3==0,
+    // minCodeSize 4) or 256 colors (minCodeSize 8), planted indexes
+    // (id + r*31 + j*7) % palette, LZW-compressed with real dictionary
+    // growth through 9-12 bit codes (odd ids) or reset-heavy CLEAR
+    // cycles (even ids) — and Media.decodeGifPixels recovers the
+    // indexes from the actual variable-width code stream with a
+    // hand-rolled LZW kernel in a bounded mapPartitions (MediaSpec
+    // cross-checks both directions against the JDK's independent
+    // javax.imageio GIF codec). The oracle replays every statistic
+    // arithmetically; Media.decodeStub now covers only the
+    // JPEG-entropy and MP4 pixel tiers.
+    "q109_gif_pixels" -> ((s, dir) => {
+      graft.multimodal.Media.decodeGifPixels(
+        graft.multimodal.Media.fromDocumentsGifPixels(
+          Tables.documents(s, dir)))
     })
   )
 
@@ -2982,6 +3000,26 @@ object SparkEntry {
         |SELECT b.doc_id AS media_id,
         |  CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
         |  CAST(b.w*3*b.h AS BIGINT) AS n_units,
+        |  CAST(list_min(p.pl) AS BIGINT) AS unit_min,
+        |  CAST(list_max(p.pl) AS BIGINT) AS unit_max,
+        |  CAST(list_sum(p.pl) AS BIGINT) AS unit_sum
+        |FROM base b JOIN px p USING (doc_id)""".stripMargin,
+
+    // arithmetic replay of the GIF index ground truth: the LZW round
+    // trip (dictionary encoder on the Spark write side, hand-rolled
+    // variable-width decoder on the read side) must hand back exactly
+    // the planted palette indexes
+    "q109_gif_pixels" ->
+      """WITH base AS (
+        |  SELECT doc_id, 40 + doc_id % 17 AS w, 12 + doc_id % 7 AS h,
+        |    CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 256 END AS pal
+        |  FROM documents),
+        |px AS (SELECT doc_id, flatten(list_transform(range(h), r ->
+        |         list_transform(range(w), j -> (doc_id + r*31 + j*7) % pal))) AS pl
+        |       FROM base)
+        |SELECT b.doc_id AS media_id,
+        |  CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+        |  CAST(b.w*b.h AS BIGINT) AS n_units,
         |  CAST(list_min(p.pl) AS BIGINT) AS unit_min,
         |  CAST(list_max(p.pl) AS BIGINT) AS unit_max,
         |  CAST(list_sum(p.pl) AS BIGINT) AS unit_sum

@@ -795,8 +795,8 @@ object Media {
     * and return (width, height, n_pixels, min, max, sum) over the
     * reconstructed palette INDEXES (the planted payload; mapping
     * through the palette would just apply a fixed ramp). None outside
-    * the supported envelope — non-GIF bytes, interlaced images, local
-    * color tables, a corrupt/short/overlong code stream, or dims whose
+    * the supported envelope — non-GIF bytes, interlaced images,
+    * a corrupt/short/overlong code stream, or dims whose
     * index buffer would exceed the 64 MiB reconstruction cap (a hostile
     * header must not OOM an executor).
     */
@@ -821,11 +821,13 @@ object Media {
     val h = le16(off + 7)
     val ipacked = u8(off + 9)
     if ((ipacked & 0x40) != 0) return None // interlaced: out of envelope
-    if ((ipacked & 0x80) != 0) return None // local color table: ditto
     if (w <= 0 || h <= 0) return None
     val total = w.toLong * h.toLong
     if (total > (64L << 20)) return None
     off += 10
+    // a local color table changes colors, not indexes — hop it (the
+    // JDK's own GIF writer emits one)
+    if ((ipacked & 0x80) != 0) off += 3 * (1 << ((ipacked & 7) + 1))
     if (off >= bytes.length) return None
     val minCodeSize = u8(off)
     off += 1

@@ -8,7 +8,14 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[cores, maxTaskFailures]: allow ONE task retry, so the
+      // task-retry idempotency specs (TaskRetrySpec) can plant
+      // first-attempt failures inside write stages — a real cluster's
+      // most common failure mode — and prove the staged-write paths
+      // commit exactly-once anyway. (In local mode the conf key
+      // spark.task.maxFailures is ignored; only the master string
+      // carries it.)
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
