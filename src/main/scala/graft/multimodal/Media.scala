@@ -800,7 +800,17 @@ object Media {
     * index buffer would exceed the 64 MiB reconstruction cap (a hostile
     * header must not OOM an executor).
     */
-  private[graft] def gifStats(
+  /** Reusable per-partition LZW workspace — the codec-pool shape, like
+    * the PNG tier's pooled Inflater: the 4096-entry dictionary arrays
+    * are allocated once per partition, not once per record (5M records
+    * x ~20 KB would be pure GC churn at sf100).
+    */
+  private[graft] final class LzwWorkspace {
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Byte](4096)
+  }
+
+  private[graft] def gifStats(ws: LzwWorkspace,
       bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
     if (bytes.length < 14) return None
     val sig = new String(bytes, 0, 6, "US-ASCII")
@@ -844,8 +854,8 @@ object Media {
     // ---- LZW decode ----
     val clear = 1 << minCodeSize
     val eoi = clear + 1
-    val prefixOf = new Array[Int](4096)
-    val suffixOf = new Array[Byte](4096)
+    val prefixOf = ws.prefixOf
+    val suffixOf = ws.suffixOf
     val out = new Array[Byte](total.toInt)
     var produced = 0
     var width = minCodeSize + 1
@@ -938,8 +948,9 @@ object Media {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { batch =>
+      val ws = new LzwWorkspace() // one dictionary pool per partition
       batch.map { m =>
-        val st = gifStats(m.content)
+        val st = gifStats(ws, m.content)
         (m.media_id, st.map(_._1), st.map(_._2), st.map(_._3),
           st.map(_._4), st.map(_._5), st.map(_._6))
       }

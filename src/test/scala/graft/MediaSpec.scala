@@ -8,6 +8,9 @@ class MediaSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  // shared LZW dictionary workspace, as a partition would pool it
+  private lazy val gifWs = new Media.LzwWorkspace()
+
   test("media plumbing: binary column synthesis, batch decode shape, deterministic features") {
     val docs = Tables.documents(spark, SparkTestSession.sfTiny)
     val media = Media.fromDocuments(docs)
@@ -466,7 +469,7 @@ class MediaSpec extends AnyFunSuite {
     writer.write(null, new javax.imageio.IIOImage(img2, null, null), param)
     ios.close(); writer.dispose()
     val flat = planted.flatten.map(_.toLong)
-    assert(Media.gifStats(buf.toByteArray) === Some((w2.toLong, h2.toLong,
+    assert(Media.gifStats(gifWs, buf.toByteArray) === Some((w2.toLong, h2.toLong,
       flat.length.toLong, flat.min, flat.max, flat.sum)),
       "our LZW decoder must agree with ImageIO's encoder")
   }
@@ -474,7 +477,7 @@ class MediaSpec extends AnyFunSuite {
   test("GIF pixel decode: interlaced, hostile-dims, truncated and " +
       "corrupt streams return null, never garbage") {
     val good = Media.gifPixelBytes(11L, 20, 10, 8, 0)
-    assert(Media.gifStats(good).nonEmpty)
+    assert(Media.gifStats(gifWs, good).nonEmpty)
     // interlace flag on the image descriptor: out of envelope, rejected
     val interlaced = good.clone()
     // descriptor starts after header(6)+LSD(7)+GCT(768)+GCE(8): 0x2C at
@@ -482,14 +485,14 @@ class MediaSpec extends AnyFunSuite {
     val descOff = interlaced.indexOfSlice(Array[Byte](0x2C, 0, 0, 0, 0))
     assert(descOff > 0)
     interlaced(descOff + 9) = (interlaced(descOff + 9) | 0x40).toByte
-    assert(Media.gifStats(interlaced).isEmpty, "interlaced must reject")
+    assert(Media.gifStats(gifWs, interlaced).isEmpty, "interlaced must reject")
     // hostile logical/image dims: 65535x65535 (4.3e9 indexes) must cap
     val hostile = good.clone()
     hostile(descOff + 5) = 0xFF.toByte; hostile(descOff + 6) = 0xFF.toByte
     hostile(descOff + 7) = 0xFF.toByte; hostile(descOff + 8) = 0xFF.toByte
-    assert(Media.gifStats(hostile).isEmpty, "64 MiB cap must hold")
+    assert(Media.gifStats(gifWs, hostile).isEmpty, "64 MiB cap must hold")
     // truncated code stream: drop the tail (trailer + last sub-blocks)
-    assert(Media.gifStats(good.dropRight(24)).isEmpty)
+    assert(Media.gifStats(gifWs, good.dropRight(24)).isEmpty)
     // corrupt stream: a code beyond the dictionary. Handcraft: header +
     // LSD (no GCT) + descriptor 2x1 + minCode 8, one sub-block whose
     // first 9-bit code is 300 (> clear+2) instead of a literal/CLEAR
@@ -501,9 +504,9 @@ class MediaSpec extends AnyFunSuite {
     val code300 = 300 // 9-bit LSB-first: bytes 0x2C, 0x01
     bad.write(2); bad.write(code300 & 0xff); bad.write(code300 >> 8)
     bad.write(0); bad.write(0x3B)
-    assert(Media.gifStats(bad.toByteArray).isEmpty,
+    assert(Media.gifStats(gifWs, bad.toByteArray).isEmpty,
       "a code beyond the dictionary must reject")
-    assert(Media.gifStats("not a gif".getBytes).isEmpty)
+    assert(Media.gifStats(gifWs, "not a gif".getBytes).isEmpty)
   }
 
   test("PNG pixel decode: all five scanline filters reconstruct; " +
