@@ -2286,11 +2286,28 @@ object SparkEntry {
     // hand-rolled LZW kernel in a bounded mapPartitions (MediaSpec
     // cross-checks both directions against the JDK's independent
     // javax.imageio GIF codec). The oracle replays every statistic
-    // arithmetically; Media.decodeStub now covers only the
-    // JPEG-entropy and MP4 pixel tiers.
+    // arithmetically; see q110 for the JPEG entropy tier.
     "q109_gif_pixels" -> ((s, dir) => {
       graft.multimodal.Media.decodeGifPixels(
         graft.multimodal.Media.fromDocumentsGifPixels(
+          Tables.documents(s, dir)))
+    }),
+
+    // REAL JPEG ENTROPY decode (round 15): documents become complete
+    // spec-valid baseline JPEGs (SOI/DQT/SOF0/DHT/SOS, Annex-K Huffman
+    // tables, byte stuffing, differential DC, run/size AC with
+    // ZRL/EOB) whose QUANTIZED COEFFICIENTS follow a planted formula,
+    // and Jpeg.decodeJpegCoefficients recovers the dequantized
+    // coefficients from the actual Huffman bitstream. Coefficients,
+    // not pixels, deliberately: entropy decode is exact (so the DuckDB
+    // oracle replays it arithmetically), while pixels would drag the
+    // lossy DCT into the oracle. JpegSpec closes the pixel loop
+    // against the JDK's independent javax.imageio codec in both
+    // directions. Media.decodeStub now covers only the MP4/video
+    // pixel tier.
+    "q110_jpeg_coefficients" -> ((s, dir) => {
+      graft.multimodal.Jpeg.decodeJpegCoefficients(
+        graft.multimodal.Jpeg.fromDocumentsJpegCoefs(
           Tables.documents(s, dir)))
     })
   )
@@ -3024,6 +3041,26 @@ object SparkEntry {
         |  CAST(list_max(p.pl) AS BIGINT) AS unit_max,
         |  CAST(list_sum(p.pl) AS BIGINT) AS unit_sum
         |FROM base b JOIN px p USING (doc_id)""".stripMargin,
+
+    // arithmetic replay of the JPEG entropy ground truth: the Huffman
+    // round trip (bit-level encoder on the Spark write side, canonical
+    // mincode/maxcode decoder on the read side) must hand back exactly
+    // the planted dequantized coefficients
+    "q110_jpeg_coefficients" ->
+      """WITH base AS (
+        |  SELECT doc_id, 2 + doc_id % 5 AS wb, 1 + doc_id % 3 AS hb
+        |  FROM documents),
+        |cf AS (SELECT doc_id, flatten(list_transform(range(wb*hb), b ->
+        |         list_transform(range(64), k ->
+        |           (((doc_id + b*7 + k*3) % 9) - 4) * (1 + k % 4)))) AS cl
+        |       FROM base)
+        |SELECT b.doc_id AS media_id,
+        |  CAST(b.wb*8 AS BIGINT) AS width, CAST(b.hb*8 AS BIGINT) AS height,
+        |  CAST(b.wb*b.hb*64 AS BIGINT) AS n_units,
+        |  CAST(list_min(c.cl) AS BIGINT) AS unit_min,
+        |  CAST(list_max(c.cl) AS BIGINT) AS unit_max,
+        |  CAST(list_sum(c.cl) AS BIGINT) AS unit_sum
+        |FROM base b JOIN cf c USING (doc_id)""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

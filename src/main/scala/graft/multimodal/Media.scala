@@ -32,8 +32,15 @@ import org.apache.spark.sql.functions._
   *     planted indexes through the actual compressed code stream, and
   *     the spec cross-checks both directions against the JDK's own
   *     independent javax.imageio GIF codec).
-  *   - PIXEL decode for the REMAINING codec formats (JPEG entropy
-  *     decode, compressed audio, video codecs) stays behind
+  *   - JPEG ENTROPY decode (the stateful layer: Huffman bitstream,
+  *     byte unstuffing, differential DC) is REAL since round 15 —
+  *     [[Jpeg.decodeJpegCoefficients]] recovers dequantized
+  *     coefficients from baseline bitstreams, cross-checked in both
+  *     directions against the JDK's javax.imageio codec (q110's gate);
+  *     the final IDCT-to-pixel step is plain math the oracle cannot
+  *     replay losslessly, so the registered contract is coefficients.
+  *   - PIXEL decode for the REMAINING codec formats (compressed
+  *     audio, video codecs) stays behind
   *     [[decodeStub]] — this container ships no codec libraries, so it
   *     derives deterministic fake features from the bytes. Everything
   *     around it is the real Spark shape a production pipeline needs:
