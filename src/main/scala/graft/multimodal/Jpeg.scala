@@ -136,8 +136,24 @@ object Jpeg {
     * coefficients follow [[plantedCoef]]: grayscale, `wb` x `hb` full
     * 8x8 blocks, planted DQT, Annex-K DHT, differential DC, run/size
     * AC with ZRL and EOB, byte-stuffed entropy data.
+    *
+    * NOTE the planted formula's zero-run structure: zeros land where
+    * (id + b*7 + k*3) % 9 == 4, and the +3 stride makes CONSECUTIVE
+    * zeros impossible — so this corpus exercises runs of 0 and 1 only.
+    * The long-run and ZRL encoder/decoder paths are exercised by
+    * [[jpegBytesFromBlocks]] fixtures in JpegSpec instead.
     */
-  private[graft] def jpegCoefBytes(id: Long, wb: Int, hb: Int): Array[Byte] = {
+  private[graft] def jpegCoefBytes(id: Long, wb: Int, hb: Int): Array[Byte] =
+    jpegBytesFromBlocks(
+      Array.tabulate(wb * hb, 64)((b, k) => plantedCoef(id, b, k)), wb, hb)
+
+  /** The assembly behind [[jpegCoefBytes]], taking EXPLICIT quantized
+    * coefficient blocks (zigzag order) — the seam that lets specs plant
+    * long zero runs (ZRL, multi-ZRL, run+size combinations) the planted
+    * corpus formula cannot produce.
+    */
+  private[graft] def jpegBytesFromBlocks(blocks: Array[Array[Int]],
+      wb: Int, hb: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -166,7 +182,7 @@ object Jpeg {
     var b = 0
     val n = wb * hb
     while (b < n) {
-      val dcv = plantedCoef(id, b, 0)
+      val dcv = blocks(b)(0)
       val diff = dcv - pred
       pred = dcv
       val s = category(diff)
@@ -176,7 +192,7 @@ object Jpeg {
       var k = 1
       var run = 0
       while (k < 64) {
-        val v = plantedCoef(id, b, k)
+        val v = blocks(b)(k)
         if (v == 0) run += 1
         else {
           while (run > 15) { val (zc, zl) = ac(0xF0); bw.put(zc, zl); run -= 16 }

@@ -128,6 +128,45 @@ class JpegSpec extends AnyFunSuite {
       s"tiled DC sum ${st2.get._6} vs exact $expSum")
   }
 
+  test("ZRL and long zero runs round-trip (the corpus formula cannot " +
+      "produce consecutive zeros, so these paths need explicit blocks)") {
+    def block(pairs: (Int, Int)*): Array[Int] = {
+      val a = new Array[Int](64)
+      pairs.foreach { case (k, v) => a(k) = v }
+      a
+    }
+    // run=16 (one ZRL), run=20 (ZRL + run-4), run=35 (2x ZRL + run-3),
+    // trailing-zero EOB after a late coefficient, and a block whose
+    // last slot (k=63) is nonzero (no EOB at all)
+    val blocks = Array(
+      block(0 -> 3, 1 -> 2, 18 -> -5),            // 16 zeros: exactly ZRL
+      block(0 -> -2, 2 -> 7, 23 -> 4),            // 20 zeros: ZRL + run 4
+      block(0 -> 1, 5 -> -3, 41 -> 6),            // 35 zeros: ZRL,ZRL,run 3
+      block(0 -> 0, 63 -> -7),                    // DC zero; k=63 nonzero
+      block(0 -> 4, 10 -> 1)                      // long trailing EOB
+    )
+    val bytes = Jpeg.jpegBytesFromBlocks(blocks, 5, 1)
+    val deq = for (b <- blocks.indices; k <- 0 until 64)
+      yield blocks(b)(k).toLong * Jpeg.plantedQuant(k)
+    assert(Jpeg.jpegCoefStats(bytes) === Some((40L, 8L, 320L,
+      deq.min, deq.max, deq.sum)),
+      "ZRL/multi-ZRL/run+size/no-EOB blocks must round-trip exactly")
+    // and the same bitstream is spec-valid to ImageIO (positions, not
+    // just stats: the reference IDCT pixel comparison would catch a
+    // run mis-placement that happened to preserve sums)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 40 && img.getHeight == 8)
+    for (b <- blocks.indices) {
+      val ref = idctBlock(Array.tabulate(64)(k =>
+        blocks(b)(k) * Jpeg.plantedQuant(k)))
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert(math.abs(img.getRaster.getSample(b * 8 + x, y, 0) -
+          ref(y * 8 + x)) <= 2,
+          s"block $b pixel ($x,$y): ZRL positions must be exact")
+    }
+  }
+
   test("JPEG entropy decode: progressive, color, restart-interval, " +
       "truncated and hostile streams return null, never garbage") {
     val good = Jpeg.jpegCoefBytes(11L, 3, 2)
