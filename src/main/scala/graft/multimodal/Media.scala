@@ -735,6 +735,21 @@ object Media {
       }
       r += 1
     }
+    // NOTE the formula's +7 stride never repeats an index twice in a
+    // row, so this corpus cannot produce the KwKwK code (code == next)
+    // — [[gifBytesFromIndexes]] fixtures in MediaSpec cover that path
+    // with repetitive index streams.
+    gifBytesFromIndexes(raw, w, h, minCodeSize, clearEvery)
+  }
+
+  /** The container assembly behind [[gifPixelBytes]], taking EXPLICIT
+    * palette indexes — the seam that lets specs plant repetitive
+    * streams (runs of equal indexes) whose decode exercises the KwKwK
+    * case on every step.
+    */
+  private[graft] def gifBytesFromIndexes(raw: Array[Byte], w: Int, h: Int,
+      minCodeSize: Int, clearEvery: Int): Array[Byte] = {
+    val palette = 1 << minCodeSize
     val codes = lzwEncode(raw, minCodeSize, clearEvery)
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))

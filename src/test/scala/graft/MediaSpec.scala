@@ -474,6 +474,34 @@ class MediaSpec extends AnyFunSuite {
       "our LZW decoder must agree with ImageIO's encoder")
   }
 
+  test("GIF LZW KwKwK (code == next) round-trips — the corpus formula " +
+      "never repeats an index, so repetitive fixtures cover it") {
+    // constant and run-heavy index streams make the decoder hit the
+    // just-about-to-be-defined code on nearly every step
+    def gif(idx: Array[Byte], w: Int, h: Int, clearEvery: Int) =
+      Media.gifBytesFromIndexes(idx, w, h, 8, clearEvery)
+    val w = 40; val h = 10
+    val constant = Array.fill[Byte](w * h)(77.toByte)
+    assert(Media.gifStats(gifWs, gif(constant, w, h, 0)) ===
+      Some((w.toLong, h.toLong, (w * h).toLong, 77L, 77L, 77L * w * h)),
+      "an all-equal stream (KwKwK at every growth step) must round-trip")
+    // runs of two alternating values, spanning a CLEAR in the middle
+    val runs = Array.tabulate[Byte](w * h)(i =>
+      (if ((i / 13) % 2 == 0) 5 else 250).toByte)
+    val expRuns = runs.map(b => (b & 0xff).toLong)
+    assert(Media.gifStats(gifWs, gif(runs, w, h, 16)) ===
+      Some((w.toLong, h.toLong, (w * h).toLong,
+        expRuns.min, expRuns.max, expRuns.sum)),
+      "run-heavy streams with mid-stream CLEARs must round-trip")
+    // and a constant stream is spec-valid to ImageIO pixel-for-pixel
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gif(constant, w, h, 0)))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    assert((img.getRGB(0, 0) & 0xff) == 77 &&
+      (img.getRGB(w - 1, h - 1) & 0xff) == 77,
+      "ImageIO must agree on the KwKwK-dense stream")
+  }
+
   test("GIF pixel decode: interlaced, hostile-dims, truncated and " +
       "corrupt streams return null, never garbage") {
     val good = Media.gifPixelBytes(11L, 20, 10, 8, 0)
