@@ -2303,11 +2303,31 @@ object SparkEntry {
     // oracle replays it arithmetically), while pixels would drag the
     // lossy DCT into the oracle. JpegSpec closes the pixel loop
     // against the JDK's independent javax.imageio codec in both
-    // directions. Media.decodeStub now covers only the MP4/video
-    // pixel tier.
+    // directions. See q111 for the MP4/video tier built on this
+    // kernel.
     "q110_jpeg_coefficients" -> ((s, dir) => {
       graft.multimodal.Jpeg.decodeJpegCoefficients(
         graft.multimodal.Jpeg.fromDocumentsJpegCoefs(
+          Tables.documents(s, dir)))
+    }),
+
+    // REAL MP4 video-frame decode (round 15) — retires the LAST
+    // Media.decodeStub tier. Documents become complete unfragmented
+    // ISO-BMFF files (full ftyp/free/moov/mdat trees with
+    // mvhd/tkhd/mdhd/hdlr/vmhd/dinf and a real sample table) whose
+    // video track is Motion-JPEG: nf = 2 + id%4 frames, each a
+    // baseline JPEG planting the q110 formula at frame-salted ids.
+    // Mp4.decodeMp4Frames walks the box tree generically, joins
+    // stsd/stts/stsc/stsz/stco|co64 into per-sample byte ranges, and
+    // entropy-decodes every frame through the proven Jpeg kernel. The
+    // container SHAPE varies per id (co64 vs stco, moov-first vs
+    // mdat-first, decoy non-video track, variable free padding) while
+    // the planted statistics stay a pure function of doc_id — so the
+    // oracle replays them arithmetically and any sample-table mistake
+    // lands a frame boundary in mid-bitstream garbage.
+    "q111_mp4_frames" -> ((s, dir) => {
+      graft.multimodal.Mp4.decodeMp4Frames(
+        graft.multimodal.Mp4.fromDocumentsMp4Frames(
           Tables.documents(s, dir)))
     })
   )
@@ -3057,6 +3077,30 @@ object SparkEntry {
         |SELECT b.doc_id AS media_id,
         |  CAST(b.wb*8 AS BIGINT) AS width, CAST(b.hb*8 AS BIGINT) AS height,
         |  CAST(b.wb*b.hb*64 AS BIGINT) AS n_units,
+        |  CAST(list_min(c.cl) AS BIGINT) AS unit_min,
+        |  CAST(list_max(c.cl) AS BIGINT) AS unit_max,
+        |  CAST(list_sum(c.cl) AS BIGINT) AS unit_sum
+        |FROM base b JOIN cf c USING (doc_id)""".stripMargin,
+
+    // arithmetic replay of the MP4 Motion-JPEG ground truth: the
+    // sample-table round trip (stsc/stsz/stco assembly on the Spark
+    // write side, generic box-tree walk + per-frame Huffman decode on
+    // the read side) must hand back exactly the planted per-frame
+    // coefficients; the container-shape variants (co64/moov-first/
+    // decoy-trak/padding) cancel out of the statistics by design
+    "q111_mp4_frames" ->
+      """WITH base AS (
+        |  SELECT doc_id, 2 + doc_id % 4 AS nf,
+        |    1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+        |  FROM documents),
+        |cf AS (SELECT doc_id, flatten(flatten(list_transform(range(nf), f ->
+        |         list_transform(range(wb*hb), b ->
+        |           list_transform(range(64), k ->
+        |             (((doc_id + f*101 + b*7 + k*3) % 9) - 4) * (1 + k % 4)))))) AS cl
+        |       FROM base)
+        |SELECT b.doc_id AS media_id, CAST(b.nf AS BIGINT) AS n_frames,
+        |  CAST(b.wb*8 AS BIGINT) AS width, CAST(b.hb*8 AS BIGINT) AS height,
+        |  CAST(b.nf*b.wb*b.hb*64 AS BIGINT) AS n_units,
         |  CAST(list_min(c.cl) AS BIGINT) AS unit_min,
         |  CAST(list_max(c.cl) AS BIGINT) AS unit_max,
         |  CAST(list_sum(c.cl) AS BIGINT) AS unit_sum

@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   * our bitstreams decode pixel-correct through the JDK's own
   * javax.imageio JPEG codec (reference IDCT in the spec, tolerance for
   * libjpeg's integer IDCT), and ImageIO-WRITTEN JPEGs entropy-decode
-  * through this kernel with matching pixels. After this tier,
-  * [[Media.decodeStub]] covers only the video/MP4 pixel path.
+  * through this kernel with matching pixels. [[Mp4]] builds the
+  * video tier on this kernel: Motion-JPEG frames located via the
+  * ISO-BMFF sample table, each entropy-decoded here.
   *
   * Envelope (None outside it, never garbage): baseline sequential
   * SOF0/SOF1, 8-bit precision, single component, no restart intervals,

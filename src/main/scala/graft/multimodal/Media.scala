@@ -39,10 +39,14 @@ import org.apache.spark.sql.functions._
   *     directions against the JDK's javax.imageio codec (q110's gate);
   *     the final IDCT-to-pixel step is plain math the oracle cannot
   *     replay losslessly, so the registered contract is coefficients.
-  *   - PIXEL decode for the REMAINING codec formats (compressed
-  *     audio, video codecs) stays behind
-  *     [[decodeStub]] — this container ships no codec libraries, so it
-  *     derives deterministic fake features from the bytes. Everything
+  *   - VIDEO decode is real for ISO-BMFF Motion-JPEG ([[Mp4]]): the
+  *     sample table (stsd/stts/stsc/stsz/stco|co64) is joined into
+  *     per-frame byte ranges and each frame runs through the [[Jpeg]]
+  *     kernel (q111's gate). With that, every registered media gate
+  *     decodes a real bitstream; [[decodeStub]] remains ONLY as the
+  *     declared fake feature-extractor for codec families this
+  *     container cannot ship (H.264-class video, compressed audio) —
+  *     it derives deterministic fake features from the bytes. Everything
   *     around it is the real Spark shape a production pipeline needs:
   *     binary column + metadata struct schema, per-partition batch
   *     iteration (amortizes codec init, the expensive part of real
@@ -987,8 +991,9 @@ object Media {
     * de-filtered, inside a bounded mapPartitions, the one place a
     * codegen kernel cannot reach (DEFLATE's dictionary window is
     * stateful). Columns are null outside the supported envelope (see
-    * [[pngStats]]) — bounded honesty, not a libpng; JPEG/GIF-LZW/MP4
-    * pixel decode remains behind [[decodeStub]].
+    * [[pngStats]]) — bounded honesty, not a libpng; the JPEG, GIF-LZW
+    * and MP4 tiers are real too ([[Jpeg]], [[decodeGifPixels]],
+    * [[Mp4]]).
     */
   def decodePngPixels(media: Dataset[MediaRecord]): DataFrame = {
     val spark = media.sparkSession
@@ -1013,7 +1018,12 @@ object Media {
   /** STUB decoder: deterministic fake decode/resize/frame-sample deriving
     * dims and features from a rolling byte hash. Replace the marked block
     * with a real codec (e.g. javax.imageio / ffmpeg bindings) in a real
-    * deployment — the batch shape stays identical.
+    * deployment — the batch shape stays identical. Since round 15 every
+    * registered media GATE decodes a real bitstream (BMP/WAV-PCM, PNG
+    * DEFLATE, GIF LZW, JPEG Huffman, MP4 Motion-JPEG — see [[Mp4]]);
+    * this stub remains only as the declared fake feature-extractor
+    * plumbing for codec families the container cannot ship
+    * (H.264-class video, compressed audio).
     */
   def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
