@@ -2329,6 +2329,42 @@ object SparkEntry {
       graft.multimodal.Mp4.decodeMp4Frames(
         graft.multimodal.Mp4.fromDocumentsMp4Frames(
           Tables.documents(s, dir)))
+    }),
+
+    // REAL WARC (ISO 28500) extraction (round 15) — the container
+    // format web corpora actually arrive in (Common Crawl ships
+    // .warc.gz). Documents become complete WARC archives — warcinfo +
+    // request/response pairs, per-record gzip members for even ids,
+    // lowercase header names for ids %11==0, and for ids %3==0 a DECOY
+    // metadata record whose body embeds a fake WARC/1.0 header with an
+    // absurd Content-Length: any parser that scans for the next
+    // version line instead of honoring Content-Length framing derails
+    // there and breaks the hash. Warc.warcResponses parses both
+    // framing layers (WARC record framing + the HTTP/1.1 envelope
+    // inside response blocks) and emits one row per HTTP response —
+    // the extraction a training pipeline runs over Common Crawl. A
+    // flatMap in bounded mapPartitions: no shuffle, parallel by file
+    // exactly like a production WARC reader over object storage.
+    "q112_warc_responses" -> ((s, dir) => {
+      graft.sources.Warc.warcResponses(
+        graft.sources.Warc.fromDocumentsWarc(
+          Tables.documents(s, dir)))
+    }),
+
+    // REAL ZIP extraction (round 15) — the other container corpora
+    // ship in. Documents become complete ZIP archives (STORED and raw
+    // DEFLATE members, real CRC-32s, optional EOCD comment) and
+    // Zip.zipEntries extracts members the AUTHORITATIVE way: EOCD
+    // backward scan → central directory → per-entry local-header seek
+    // → decompress → verify size AND CRC-32 before emitting. Ids %4==0
+    // carry a decoy member whose data is a byte-exact fake local file
+    // header: forward signature-scanners extract the fake "inner"
+    // member; the central-directory walk reports the decoy as the
+    // opaque blob it is — the oracle encodes the latter.
+    "q113_zip_entries" -> ((s, dir) => {
+      graft.sources.Zip.zipEntries(
+        graft.sources.Zip.fromDocumentsZip(
+          Tables.documents(s, dir)))
     })
   )
 
@@ -3105,6 +3141,53 @@ object SparkEntry {
         |  CAST(list_max(c.cl) AS BIGINT) AS unit_max,
         |  CAST(list_sum(c.cl) AS BIGINT) AS unit_sum
         |FROM base b JOIN cf c USING (doc_id)""".stripMargin,
+
+    // arithmetic replay of the WARC ground truth: the two framing
+    // layers (Content-Length record framing through gzip members and
+    // decoy records, HTTP envelope split inside response blocks) must
+    // hand back exactly the planted per-response bodies — the decoy
+    // metadata records and the request/warcinfo records cancel out of
+    // the emitted rows by design
+    "q112_warc_responses" ->
+      """WITH base AS (SELECT doc_id, 2 + doc_id % 4 AS nrec FROM documents),
+        |r AS (SELECT doc_id, UNNEST(range(nrec)) AS r FROM base),
+        |x AS (SELECT doc_id, r,
+        |        20 + (doc_id + r) % 40 AS body_len FROM r)
+        |SELECT x.doc_id AS media_id, CAST(x.r AS INT) AS rec_idx,
+        |  'https://example.com/' || CAST(x.doc_id AS VARCHAR) || '/' ||
+        |    CAST(x.r AS VARCHAR) AS target_uri,
+        |  CAST(200 + 100*((x.doc_id + x.r) % 3) AS INT) AS http_status,
+        |  CAST(x.body_len AS BIGINT) AS body_len,
+        |  CAST(list_sum(list_transform(range(x.body_len), j ->
+        |    97 + (x.doc_id + x.r*31 + j*7) % 26)) AS BIGINT) AS body_sum
+        |FROM x""".stripMargin,
+
+    // arithmetic replay of the ZIP ground truth: the central-directory
+    // walk + STORED/raw-DEFLATE decompression + CRC verification must
+    // hand back exactly the planted member bytes; the decoy member's
+    // constant stats are embedded from the same Scala constant that
+    // synthesized it (single source of truth)
+    "q113_zip_entries" ->
+      s"""WITH base AS (SELECT doc_id, 2 + doc_id % 3 AS nent FROM documents),
+        |e AS (SELECT doc_id, nent, UNNEST(range(nent)) AS e FROM base),
+        |x AS (SELECT doc_id, e,
+        |        30 + (doc_id + e) % 50 AS n_bytes FROM e)
+        |SELECT x.doc_id AS media_id, CAST(x.e AS INT) AS entry_idx,
+        |  'doc_' || CAST(x.doc_id AS VARCHAR) || '/part_' ||
+        |    CAST(x.e AS VARCHAR) || '.txt' AS name,
+        |  CAST(CASE WHEN (x.doc_id + x.e) % 2 = 1 THEN 8 ELSE 0 END
+        |    AS INT) AS method,
+        |  CAST(x.n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(x.n_bytes), j ->
+        |    97 + (x.doc_id + x.e*17 + j*5) % 26)) AS BIGINT) AS byte_sum
+        |FROM x
+        |UNION ALL
+        |SELECT doc_id AS media_id, CAST(nent AS INT) AS entry_idx,
+        |  'doc_' || CAST(doc_id AS VARCHAR) || '/decoy.bin' AS name,
+        |  CAST(0 AS INT) AS method,
+        |  CAST(${graft.sources.Zip.decoyLen} AS BIGINT) AS n_bytes,
+        |  CAST(${graft.sources.Zip.decoySum} AS BIGINT) AS byte_sum
+        |FROM base WHERE doc_id % 4 = 0""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,
