@@ -2365,6 +2365,39 @@ object SparkEntry {
       graft.sources.Zip.zipEntries(
         graft.sources.Zip.fromDocumentsZip(
           Tables.documents(s, dir)))
+    }),
+
+    // REAL TFRecord decode (round 15) — the length-framed shard format
+    // training examples ship in. Documents become spec-framed shards
+    // (uint64 LE length + masked CRC32C of the length bytes + data +
+    // masked CRC32C of the data; even ids whole-file gzip) and
+    // Tfrecord.tfrecordRecords walks the framing verifying BOTH CRCs
+    // per record with the Castagnoli polynomial (java.util.zip.CRC32C
+    // — ZIP's CRC-32 fails every record). The two CRCs are the
+    // format's whole integrity story: a reader that skips them ships
+    // torn examples into a training run. Oracle replays the planted
+    // record bytes arithmetically.
+    "q114_tfrecord" -> ((s, dir) => {
+      graft.sources.Tfrecord.tfrecordRecords(
+        graft.sources.Tfrecord.fromDocumentsTfrecord(
+          Tables.documents(s, dir)))
+    }),
+
+    // REAL tar (ustar+pax) extraction (round 15) — completes the
+    // container family (.tar.gz shards). Tar has no index: the octal
+    // size fields ARE the framing, the header checksum is the only
+    // integrity bit, and long paths arrive as pax `x` records that
+    // OVERRIDE the next member's name. Documents become archives with
+    // interleaved directory entries, members spanning 1-2 data blocks,
+    // pax path overrides (150-char paths the 100-byte header field
+    // cannot hold) for ids %5==0, whole-file gzip for even ids.
+    // Tar.tarEntries verifies every header checksum, parses octal
+    // fields as they arrive in the wild, applies pax overrides, and
+    // rejects symlinks/GNU-longname/base-256 loudly.
+    "q115_tar_entries" -> ((s, dir) => {
+      graft.sources.Tar.tarEntries(
+        graft.sources.Tar.fromDocumentsTar(
+          Tables.documents(s, dir)))
     })
   )
 
@@ -3188,6 +3221,38 @@ object SparkEntry {
         |  CAST(${graft.sources.Zip.decoyLen} AS BIGINT) AS n_bytes,
         |  CAST(${graft.sources.Zip.decoySum} AS BIGINT) AS byte_sum
         |FROM base WHERE doc_id % 4 = 0""".stripMargin,
+
+    // arithmetic replay of the TFRecord ground truth: the double-CRC
+    // framing walk (through whole-file gzip on even ids) must hand
+    // back exactly the planted record bytes
+    "q114_tfrecord" ->
+      """WITH base AS (SELECT doc_id, 3 + doc_id % 5 AS nrec FROM documents),
+        |r AS (SELECT doc_id, UNNEST(range(nrec)) AS r FROM base),
+        |x AS (SELECT doc_id, r, 16 + (doc_id + r) % 64 AS n_bytes FROM r)
+        |SELECT x.doc_id AS media_id, CAST(x.r AS INT) AS rec_idx,
+        |  CAST(x.n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(x.n_bytes), j ->
+        |    (x.doc_id + x.r*13 + j*3) % 256)) AS BIGINT) AS byte_sum
+        |FROM x""".stripMargin,
+
+    // arithmetic replay of the tar ground truth: the checksum-verified
+    // octal-framing walk (through gzip, directories, and pax path
+    // overrides) must hand back exactly the planted member bytes and
+    // the pax-overridden long names
+    "q115_tar_entries" ->
+      """WITH base AS (SELECT doc_id, 2 + doc_id % 3 AS nent FROM documents),
+        |e AS (SELECT doc_id, UNNEST(range(nent)) AS e FROM base),
+        |x AS (SELECT doc_id, e, 300 + (doc_id + e) % 600 AS n_bytes FROM e)
+        |SELECT x.doc_id AS media_id, CAST(x.e AS INT) AS entry_idx,
+        |  CASE WHEN x.e = 0 AND x.doc_id % 5 = 0
+        |    THEN 'doc_' || CAST(x.doc_id AS VARCHAR) || '/' ||
+        |      repeat('x', 150) || '/part_0.txt'
+        |    ELSE 'doc_' || CAST(x.doc_id AS VARCHAR) || '/part_' ||
+        |      CAST(x.e AS VARCHAR) || '.txt' END AS name,
+        |  CAST(x.n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(x.n_bytes), j ->
+        |    (x.doc_id + x.e*19 + j*11) % 256)) AS BIGINT) AS byte_sum
+        |FROM x""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

@@ -162,11 +162,13 @@ object Warc {
   private val MaxRecordLen = 64L << 20
   private val MaxRecords = 100000
 
-  /** Gunzip a (possibly multi-member) gzip stream fully; size-capped.
-    * The constructor itself validates the first member header, so it
-    * sits inside the same corrupt-stream catch as the reads.
+  /** Gunzip a (possibly multi-member) gzip stream fully, None on a
+    * corrupt stream or past the size cap. The constructor itself
+    * validates the first member header, so it sits inside the same
+    * corrupt-stream catch as the reads. Shared by the container
+    * readers ([[Warc]], [[Tfrecord]]).
     */
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+  private[sources] def gunzipAll(b: Array[Byte]): Option[Array[Byte]] = {
     var in: java.util.zip.GZIPInputStream = null
     try {
       in = new java.util.zip.GZIPInputStream(
@@ -176,14 +178,18 @@ object Warc {
       var n = in.read(buf)
       while (n >= 0) {
         out.write(buf, 0, n)
-        if (out.size() > (256L << 20)) throw Reject
+        if (out.size() > (256L << 20)) return None
         n = in.read(buf)
       }
-      out.toByteArray
+      Some(out.toByteArray)
     } catch {
-      case _: java.io.IOException => throw Reject
+      case _: java.io.IOException => None
     } finally if (in != null) in.close()
   }
+
+  /** True when the stream leads with the gzip magic. */
+  private[sources] def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
   /** One parsed response row: (rec_idx among responses, target_uri,
     * http_status, body_len, body_sum).
@@ -192,8 +198,7 @@ object Warc {
       raw: Array[Byte]): Option[Seq[(Int, String, Int, Long, Long)]] = {
     try {
       val b =
-        if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
-          (raw(1) & 0xff) == 0x8b) gunzipAll(raw)
+        if (isGzip(raw)) gunzipAll(raw).getOrElse(throw Reject)
         else raw
       val out = Seq.newBuilder[(Int, String, Int, Long, Long)]
       var p = 0
