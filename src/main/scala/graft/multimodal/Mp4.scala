@@ -244,10 +244,12 @@ object Mp4 {
       box("moov", mvhd, decoy, videoTrak)
     }
 
-    val moovLen = moovOf(sizes.map(_ => 0L)).length
-    val mdatPayloadOff =
-      ftyp.length.toLong + free.length +
-        (if (moovFirst) moovLen.toLong else 0L) + 8L
+    // chunk offsets depend on moov's length only when moov precedes
+    // mdat — the measuring build (zeroed offsets; moov size is
+    // offset-value-independent) runs only for that layout
+    val moovLen =
+      if (moovFirst) moovOf(sizes.map(_ => 0L)).length.toLong else 0L
+    val mdatPayloadOff = ftyp.length.toLong + free.length + moovLen + 8L
     val chunkOffsets = {
       val out = new Array[Long](sizes.length)
       var off = mdatPayloadOff
