@@ -2398,6 +2398,29 @@ object SparkEntry {
       graft.sources.Tar.tarEntries(
         graft.sources.Tar.fromDocumentsTar(
           Tables.documents(s, dir)))
+    }),
+
+    // TFRecord EXPORT round trip (round 15) — the pipeline's LAST
+    // mile: a curated corpus leaves the engine as the shards a trainer
+    // consumes. Documents are serialized (8-byte LE doc_id prefix +
+    // UTF-8 text) and written as one .tfrecord file per partition
+    // through the Hadoop FS API executor-side (spec framing, both
+    // masked CRC32Cs), then read back through the binaryFile source
+    // and the verifying reader. The oracle replays per-record sizes
+    // from octet_length(text); any framing, CRC, or prefix mistake on
+    // EITHER side of the real file round trip breaks the hash.
+    "q116_tfrecord_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val scratch = scratchPath("q116")
+      val p = new org.apache.hadoop.fs.Path(scratch)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, text.getBytes("UTF-8"))
+        })
+      graft.sources.Tfrecord.writeShards(payloads, scratch) // eager
+      graft.sources.Tfrecord.readShards(s, scratch)
     })
   )
 
@@ -3253,6 +3276,14 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(x.n_bytes), j ->
         |    (x.doc_id + x.e*19 + j*11) % 256)) AS BIGINT) AS byte_sum
         |FROM x""".stripMargin,
+
+    // replay of the TFRecord export round trip: every document must
+    // come back from the written shards exactly once, keyed by its
+    // id prefix, with the UTF-8 byte length of its text
+    "q116_tfrecord_roundtrip" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

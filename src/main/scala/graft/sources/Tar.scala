@@ -49,7 +49,7 @@ object Tar {
   private def header(name: String, size: Long,
       typeflag: Char): Array[Byte] = {
     val h = new Array[Byte](Block)
-    val nameB = name.getBytes("US-ASCII")
+    val nameB = name.getBytes("UTF-8")
     require(nameB.length <= 100, "long names go through pax")
     nameB.copyToArray(h, 0)
     octal(420, 8).copyToArray(h, 100)       // mode 0644
@@ -93,12 +93,13 @@ object Tar {
     val out = new java.io.ByteArrayOutputStream()
     entries.foreach { e =>
       e.paxPath.foreach { p =>
-        // pax record: "<len> path=<value>\n" where len counts itself
+        // pax record: "<len> path=<value>\n" where len counts itself —
+        // in BYTES (UTF-8), not characters
         val body = {
-          val base = s" path=$p\n"
+          val base = s" path=$p\n".getBytes("UTF-8")
           var len = base.length + 1 // at least one digit
-          while (s"$len$base".length != len) len += 1
-          s"$len$base".getBytes("US-ASCII")
+          while (String.valueOf(len).length + base.length != len) len += 1
+          String.valueOf(len).getBytes("US-ASCII") ++ base
         }
         out.write(header(s"./PaxHeaders.0/${e.name.take(80)}",
           body.length.toLong, 'x'))
@@ -252,7 +253,7 @@ object Tar {
           if (dataOff + dataBlocks.toLong * Block > b.length) return None
           var nameEnd = p
           while (nameEnd < p + 100 && b(nameEnd) != 0) nameEnd += 1
-          val rawName = new String(b, p, nameEnd - p, "US-ASCII")
+          val rawName = new String(b, p, nameEnd - p, "UTF-8")
           b(p + 156).toChar match {
             case '0' | '\u0000' => // regular file
               val name = if (paxPath != null) paxPath else rawName

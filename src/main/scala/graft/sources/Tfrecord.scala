@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** TFRecord reader — the length-framed shard format training examples
@@ -140,6 +140,99 @@ object Tfrecord {
       i += 1
     }
     Some(out.result())
+  }
+
+  // ------------------------------------------------------ export path
+
+  /** Write (id, payload) rows as TFRecord shards — the training
+    * pipeline's LAST mile (a curated corpus leaves the engine as the
+    * shards a trainer consumes). One `.tfrecord` file per non-empty
+    * partition, streamed record-by-record through the Hadoop FS API
+    * executor-side (HDFS/object stores work exactly like parquet
+    * writes; nothing is buffered beyond one record). Each record's
+    * payload is an 8-byte LE `id` prefix + the given bytes, so
+    * read-back re-keys rows without a join. Deterministic shard names
+    * (`part-<partitionId>.tfrecord`, overwrite-on-create) make a
+    * retried task idempotent as long as the upstream partition is
+    * deterministic — the same contract as Spark's own file commit.
+    * EAGER (runs a job); returns (path, n_records) per shard written.
+    */
+  def writeShards(rows: Dataset[(Long, Array[Byte])],
+      outDir: String): Array[(String, Long)] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    rows.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(outDir,
+          f"part-$pid%05d.tfrecord")
+        val fs = path.getFileSystem(hconf.value)
+        val os = fs.create(path, true)
+        val c = new java.util.zip.CRC32C()
+        var n = 0L
+        try {
+          while (it.hasNext) {
+            val (id, payload) = it.next()
+            val rec = new java.io.ByteArrayOutputStream(
+              payload.length + 8)
+            le32(rec, id & 0xFFFFFFFFL); le32(rec, id >>> 32)
+            rec.write(payload)
+            val r = rec.toByteArray
+            val lenB = new java.io.ByteArrayOutputStream(8)
+            le64(lenB, r.length.toLong)
+            val lb = lenB.toByteArray
+            os.write(lb)
+            val crcB = new java.io.ByteArrayOutputStream(4)
+            le32(crcB, maskCrc(crc32c(c, lb, 0, 8)))
+            os.write(crcB.toByteArray)
+            os.write(r)
+            val crcD = new java.io.ByteArrayOutputStream(4)
+            le32(crcD, maskCrc(crc32c(c, r, 0, r.length)))
+            os.write(crcD.toByteArray)
+            n += 1
+          }
+        } finally os.close()
+        Iterator.single((path.toString, n))
+      }
+    }.collect() // one small row per shard — driver-bounded by design
+  }
+
+  /** Read back a directory of id-prefixed shards written by
+    * [[writeShards]]: one row (media_id, n_bytes) per record, both
+    * CRCs verified, n_bytes = payload length WITHOUT the 8-byte
+    * prefix. A corrupt shard yields one (-1, null) row keyed to the
+    * rejection contract (file identity lives in the path, which the
+    * caller can re-derive; the in-table sentinel keeps rejection
+    * visible).
+    */
+  def readShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("content")).as[Array[Byte]]
+      .mapPartitions { batch =>
+        val c = new java.util.zip.CRC32C()
+        batch.flatMap { raw =>
+          tfrecordRows(raw, c) match {
+            case Some(rows) if rows.forall(_._2 >= 8) =>
+              // re-parse each record's 8-byte LE prefix: tfrecordRows
+              // proved framing+CRCs, so offsets can be re-walked
+              val b = if (Warc.isGzip(raw))
+                Warc.gunzipAll(raw).get else raw
+              var p = 0
+              rows.iterator.map { case (_, len, _) =>
+                val dataOff = p + 12
+                val id = u32le(b, dataOff) | (u32le(b, dataOff + 4) << 32)
+                p = dataOff + len.toInt + 4
+                (id, Some(len - 8))
+              }
+            case _ => // corrupt, or a record too short to carry the id
+              Iterator.single((-1L, Option.empty[Long]))
+          }
+        }
+      }.toDF("media_id", "n_bytes")
   }
 
   /** TFRecord shard → one row per record, as a DataFrame op; shards

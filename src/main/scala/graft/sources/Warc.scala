@@ -56,7 +56,7 @@ object Warc {
     recs.foreach { r =>
       val one = new java.io.ByteArrayOutputStream()
       def line(s: String): Unit =
-        one.write((s + "\r\n").getBytes("US-ASCII"))
+        one.write((s + "\r\n").getBytes("UTF-8"))
       line("WARC/1.0")
       def name(n: String) = if (lowercaseNames) n.toLowerCase else n
       line(s"${name("WARC-Type")}: ${r.recType}")
@@ -212,7 +212,7 @@ object Warc {
         i
       }
       def ascii(from: Int, to: Int): String =
-        new String(b, from, to - from, "US-ASCII")
+        new String(b, from, to - from, "UTF-8")
       while (p < b.length) {
         nRecs += 1
         if (nRecs > MaxRecords) throw Reject

@@ -56,7 +56,7 @@ object Zip {
       comment: String = ""): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val centrals = entries.map { e =>
-      val nameB = e.name.getBytes("US-ASCII")
+      val nameB = e.name.getBytes("UTF-8")
       val crc = new java.util.zip.CRC32()
       crc.update(e.data)
       val comp =
@@ -232,7 +232,7 @@ object Zip {
         val cmtLen = u16(b, cd + 32)
         val lfhOff = u32(b, cd + 42)
         if (cd + 46 + nameLen > b.length) return None
-        val name = new String(b, cd + 46, nameLen, "US-ASCII")
+        val name = new String(b, cd + 46, nameLen, "UTF-8")
         // seek to the named local header; ITS name/extra lengths govern
         // where the data starts (they legally differ from the central
         // copy — extra fields are often local-only)

@@ -65,6 +65,16 @@ class TarSpec extends AnyFunSuite {
     }
   }
 
+  test("non-ASCII member names round-trip as UTF-8 (header and pax)") {
+    val short = "доки/файл.txt" // fits the 100-BYTE field as UTF-8
+    val long = "doc/" + ("文" * 40) + "/x.txt" // 128 bytes encoded
+    val b = Tar.tarBytesFromEntries(Seq(
+      TarEntry(short, Some("a".getBytes("US-ASCII"))),
+      TarEntry("stand-in.txt", Some("b".getBytes("US-ASCII")),
+        Some(long))))
+    assert(rows(b).get.map(_._2) === Seq(short, long))
+  }
+
   test("rejection lane: each violated invariant rejects the whole " +
       "archive") {
     val ok = Tar.tarBytesFromEntries(Seq(

@@ -66,6 +66,53 @@ class TfrecordSpec extends AnyFunSuite {
     assert(rows(out.toByteArray) === None)
   }
 
+  test("export round trip: writeShards emits verifiable id-prefixed " +
+      "shards that readShards recovers exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tfw")
+    val out = s"$root/shards"
+    val data = (0L until 37L).map(i =>
+      (i * 31 + 5, Array.tabulate((10 + i % 50).toInt)(j =>
+        ((i + j * 3) % 256).toByte)))
+    val ds = spark.createDataset(data).repartition(4)
+    val shards = Tfrecord.writeShards(ds, out)
+    assert(shards.length === 4) // one file per non-empty partition
+    assert(shards.map(_._2).sum === 37L)
+    // every shard passes the verifying reader's framing+CRC walk
+    shards.foreach { case (p, n) =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(
+          if (p.startsWith("file:")) p else s"file:$p")))
+      assert(rows(bytes).exists(_.length.toLong == n), p)
+    }
+    val got = Tfrecord.readShards(spark, out)
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got === data.map { case (id, b) =>
+      (id, Some(b.length.toLong)) }.toSet)
+
+    // empty partitions write no file
+    val sparse = spark.createDataset(Seq((1L, Array[Byte](9))))
+      .repartition(8)
+    val out2 = s"$root/sparse"
+    assert(Tfrecord.writeShards(sparse, out2).length === 1)
+
+    // one flipped byte in one shard -> that shard's loud (-1, null) row
+    val victim = new java.io.File(new java.net.URI(
+      if (shards.head._1.startsWith("file:")) shards.head._1
+      else s"file:${shards.head._1}"))
+    val vb = java.nio.file.Files.readAllBytes(victim.toPath)
+    vb(vb.length / 2) = (vb(vb.length / 2) ^ 1).toByte
+    java.nio.file.Files.write(victim.toPath, vb)
+    // drop Hadoop's local-FS .crc sidecar so the mutation reaches OUR
+    // record-level CRCs instead of tripping the filesystem layer
+    val sidecar = new java.io.File(victim.getParentFile,
+      s".${victim.getName}.crc")
+    if (sidecar.exists()) assert(sidecar.delete())
+    val reread = Tfrecord.readShards(spark, out)
+      .as[(Long, Option[Long])].collect()
+    assert(reread.count(_._1 == -1L) === 1, "corrupt shard visible")
+    assert(reread.count(_._1 != -1L) === (37 - shards.head._2).toInt)
+  }
+
   test("rejection lane: every integrity surface rejects the whole " +
       "shard (None, never partial rows)") {
     val recs = Seq("first record".getBytes("US-ASCII"),

@@ -180,6 +180,13 @@ class ZipSpec extends AnyFunSuite {
     assert(r.length === 1 && r(0).getLong(0) === 9L && r(0).isNullAt(1))
   }
 
+  test("non-ASCII member names round-trip as UTF-8") {
+    val name = "доки/résumé-文書.txt"
+    val b = Zip.zipBytesFromEntries(Seq(
+      Entry(name, "payload".getBytes("US-ASCII"), true)))
+    assert(rows(b).get.map(_._2) === Seq(name))
+  }
+
   test("EOCD backward scan honors a real trailing comment") {
     val withComment = Zip.zipBytesFromEntries(
       Seq(Entry("c.txt", "data".getBytes("US-ASCII"), false)),
