@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * Envelope (whole archive → one all-null row): ustar/pre-POSIX magic,
   * regular files + directories + pax-x only (GNU `L`/`K`, symlinks,
   * base-256 binary sizes rejected), checksum verified on every header,
-  * ≤ 100k entries, ≤ 64 MiB per member, archive must terminate with
+  * ≤ 1M entries, ≤ 64 MiB per member, archive must terminate with
   * two zero blocks. `.tar.gz` handled via the shared [[Warc.gunzipAll]].
   */
 object Tar {
@@ -171,7 +171,8 @@ object Tar {
     override def fillInStackTrace(): Throwable = this
   }
 
-  private val MaxEntries = 100000
+  // linear walk; cap only the minimum-size-header flood
+  private val MaxEntries = 1 << 20
   private val MaxMemberLen = 64L << 20
 
   /** Octal field: leading spaces/zeros, space- or NUL-terminated;

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * trailing garbage. `.tfrecord.gz` shards (whole-file gzip) are
   * handled via the shared [[Warc.gunzipAll]].
   *
-  * Envelope: ≤ 100k records per shard, ≤ 64 MiB per record, archives
+  * Envelope: ≤ 16M records per shard, ≤ 64 MiB per record, archives
   * outside it → one all-null row, never partial rows.
   *
   * Scale notes: flatMap in bounded mapPartitions, no shuffle; one
@@ -102,7 +102,11 @@ object Tfrecord {
 
   // ----------------------------------------------------------- reader
 
-  private val MaxRecords = 100000
+  // parsing is LINEAR in bytes, so the record cap guards only the
+  // degenerate minimum-size-record flood; a production shard of tiny
+  // examples legitimately holds millions of records (the sf100 rung
+  // caught a 100k cap rejecting our own 166k-record shards)
+  private val MaxRecords = 16 << 20
   private val MaxRecordLen = 64L << 20
 
   private def u32le(b: Array[Byte], o: Int): Long =

@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *
   * Envelope (whole archive rejected as one null row — never a partial
   * or garbage extraction): WARC/1.0 and /1.1 only, Content-Length
-  * required and sane (≤ 64 MiB per record, ≤ 100k records), framing
+  * required and sane (≤ 64 MiB per record, ≤ 1M records), framing
   * CRLFs must be present, truncated or over-running blocks reject.
   *
   * Scale notes: the op is a flatMap (one archive → N response rows) in
@@ -160,7 +160,9 @@ object Warc {
   }
 
   private val MaxRecordLen = 64L << 20
-  private val MaxRecords = 100000
+  // real Common Crawl WARCs hold ~30-150k records per ~1 GB file and
+  // parsing is linear in bytes - cap generously, not plausibly
+  private val MaxRecords = 1 << 20
 
   /** Gunzip a (possibly multi-member) gzip stream fully, None on a
     * corrupt stream or past the size cap. The constructor itself

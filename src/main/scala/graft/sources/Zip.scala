@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   *
   * Envelope (whole archive → one null row, never partial): no zip64,
   * no encryption (general-purpose bit 0), methods STORED/DEFLATE only,
-  * ≤ 10k entries, ≤ 64 MiB uncompressed per member, EOCD comment scan
+  * ≤ 65535 entries (the u16 field's own bound), ≤ 64 MiB uncompressed
+  * per member, EOCD comment scan
   * bounded at 64 KiB.
   *
   * Scale notes: flatMap in bounded mapPartitions, no shuffle; the
@@ -175,7 +176,8 @@ object Zip {
     override def fillInStackTrace(): Throwable = this
   }
 
-  private val MaxEntries = 10000
+  // the EOCD entry-count field is u16: 65535 is the format's own bound
+  private val MaxEntries = 65535
   private val MaxMemberLen = 64L << 20
   private val MaxCommentScan = 64 << 10
 
