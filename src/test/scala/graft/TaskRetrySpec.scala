@@ -152,4 +152,38 @@ class TaskRetrySpec extends AnyFunSuite {
     assert(unreferencedFiles(dir).isEmpty,
       "vacuumOrphans must reclaim the failed write's staging debris")
   }
+
+  test("TFRecord writeShards: a task failing MID-WRITE (half a shard " +
+      "already on disk) retries into a clean exactly-once shard") {
+    import graft.sources.Tfrecord
+    val out = tmp()
+    // the throw fires lazily from the iterator writeShards is
+    // draining, so the first attempt has already streamed records
+    // into its shard file when it dies — the retry must truncate,
+    // not append
+    val ds = spark.range(0L, 40L, 1L, 4).as[Long].mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      val failing =
+        tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0
+      var n = 0
+      it.map { i =>
+        n += 1
+        if (failing && n == 6) {
+          TaskRetryProbe.planted.incrementAndGet()
+          throw new RuntimeException("planted mid-write task failure")
+        }
+        (i, Array.tabulate(16)(j => ((i + j) % 256).toByte))
+      }
+    }
+    val before = TaskRetryProbe.planted.get()
+    val shards = Tfrecord.writeShards(ds, out)
+    assert(TaskRetryProbe.planted.get() === before + 1,
+      "the mid-write failure must actually have fired")
+    assert(shards.map(_._2).sum === 40L)
+    val got = Tfrecord.readShards(spark, out)
+      .as[(Long, Option[Long])].collect()
+    assert(got.length === 40, "no duplicate or missing records")
+    assert(got.map(_._1).toSet === (0L until 40L).toSet)
+    assert(got.forall(_._2.contains(16L)))
+  }
 }
