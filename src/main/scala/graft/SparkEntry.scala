@@ -2421,6 +2421,21 @@ object SparkEntry {
         })
       graft.sources.Tfrecord.writeShards(payloads, scratch) // eager
       graft.sources.Tfrecord.readShards(s, scratch)
+    }),
+
+    // REAL tf.Example protobuf decode (round 15) — what TFRecord
+    // payloads actually ARE: the wire format (varints, packed and
+    // unpacked repeated scalars, LE float32, length-delimited message
+    // trees) hand-rolled for the Example/Features/Feature tree, with
+    // protobuf's robustness rule honored — UNKNOWN fields (planted at
+    // every message level for even ids) are skipped by wire type,
+    // never an error — while structural violations reject loudly. One
+    // row per (example, feature): kind, count, exact value sum (the
+    // planted floats are small integers, exact in float32).
+    "q117_tfexample" -> ((s, dir) => {
+      graft.sources.TfExample.tfExampleFeatures(
+        graft.sources.TfExample.fromDocumentsTfExample(
+          Tables.documents(s, dir)))
     })
   )
 
@@ -3284,6 +3299,33 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+
+    // arithmetic replay of the tf.Example ground truth: the wire-format
+    // walk (varints through packed/unpacked lists, unknown-field skips)
+    // must hand back exactly the planted feature values; float sums
+    // are exact because the planted floats are small integers
+    "q117_tfexample" ->
+      """WITH base AS (SELECT doc_id,
+        |    8 + doc_id % 24 AS ntok, 2 + doc_id % 6 AS nsc,
+        |    10 + doc_id % 30 AS tl1, 5 + doc_id % 7 AS tl2
+        |  FROM documents)
+        |SELECT doc_id AS media_id, 'tokens' AS key, 'int64' AS kind,
+        |  CAST(ntok AS BIGINT) AS n_values,
+        |  CAST(list_sum(list_transform(range(ntok), j ->
+        |    (doc_id + j*7) % 1000)) AS DOUBLE) AS value_sum
+        |FROM base
+        |UNION ALL
+        |SELECT doc_id, 'score', 'float', CAST(nsc AS BIGINT),
+        |  CAST(list_sum(list_transform(range(nsc), j ->
+        |    (doc_id + j*3) % 512)) AS DOUBLE)
+        |FROM base
+        |UNION ALL
+        |SELECT doc_id, 'text', 'bytes', CAST(tl1 + tl2 AS BIGINT),
+        |  CAST(list_sum(list_transform(range(tl1), j ->
+        |      97 + (doc_id + j*5) % 26))
+        |    + list_sum(list_transform(range(tl2), j ->
+        |      97 + (doc_id + 1 + j*5) % 26)) AS DOUBLE)
+        |FROM base""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,
