@@ -2436,6 +2436,37 @@ object SparkEntry {
       graft.sources.TfExample.tfExampleFeatures(
         graft.sources.TfExample.fromDocumentsTfExample(
           Tables.documents(s, dir)))
+    }),
+
+    // DELETION-VECTOR DML (round 16) — merge-on-read DELETE, the
+    // write-amplification fix for scattered point deletes: two %-mod
+    // predicates hit EVERY file of the range-partitioned table (the
+    // copy-on-write worst case — q91's path would rewrite the whole
+    // table twice), but each commit records only DV sidecar positions;
+    // the file list never changes and readers apply the DVs as a
+    // positional anti-filter. Same answer as CoW delete — the oracle
+    // replays both deletes declaratively — different plan, proven
+    // rewrite-free (plus threshold fallback, CDC, vacuum, restore) in
+    // VersionedTableSpec.
+    "q118_dv_delete" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val tmp = scratchPath("q118")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+      VersionedTable.create(o, tmp, statsCols = Seq("o_orderkey"))
+      // ~7.7% then ~9.1% of each file — cumulative ~16% stays under
+      // the 0.25 threshold, so BOTH commits take the pure-DV shape
+      // (accumulation across commits under the gate)
+      VersionedTable.deleteWithDv(s, tmp, col("o_orderkey") % 13L === 0L,
+        densityThreshold = 0.25)
+      VersionedTable.deleteWithDv(s, tmp, col("o_orderkey") % 11L === 0L,
+        densityThreshold = 0.25)
+      VersionedTable.read(s, tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("sum_price"))
     })
   )
 
@@ -3326,6 +3357,16 @@ object SparkEntry {
         |    + list_sum(list_transform(range(tl2), j ->
         |      97 + (doc_id + 1 + j*5) % 26)) AS DOUBLE)
         |FROM base""".stripMargin,
+
+    // replays the two merge-on-read deletes declaratively: the engine's
+    // DV anti-filter must produce exactly the surviving multiset
+    "q118_dv_delete" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 <> 0
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

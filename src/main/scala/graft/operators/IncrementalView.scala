@@ -71,6 +71,15 @@ object IncrementalView {
     * files at -1. Both sides read under `toVersion`'s recorded schema,
     * so a schema-evolved view sees old files' missing columns as NULL —
     * exactly what full recompute at `toVersion` would see.
+    *
+    * Deletion-vector aware: each side reads under ITS OWN endpoint's
+    * DVs (added files minus `to`'s soft deletes, removed files minus
+    * `from`'s — a file's pre-range dead rows must not be re-subtracted
+    * when the file itself is removed), and rows soft-deleted IN RANGE
+    * inside carried files join the feed at -1 via the positional
+    * semi-join ([[graft.sources.ChangeFeed.dvDeletedRows]]). The
+    * algebra stays exact: every live-row multiset transition between
+    * the endpoints is covered exactly once.
     */
   def changedFilesFeed(spark: SparkSession, dir: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
@@ -84,7 +93,8 @@ object IncrementalView {
     val added = to.files.filterNot(from.files.toSet)
     val removed = from.files.filterNot(to.files.toSet)
     val schema = to.schema
-    def readFiles(files: Seq[String], weight: Long): DataFrame = {
+    def readFiles(files: Seq[String], ctx: VersionedTable.Snapshot,
+        weight: Long): DataFrame = {
       val base = files match {
         case Nil =>
           // empty side: a zero-row frame in the recorded schema
@@ -94,14 +104,19 @@ object IncrementalView {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
         case fs => schema match {
-          case Some(st) =>
-            spark.read.schema(st).parquet(fs.map(f => s"$dir/$f"): _*)
+          case Some(st) => VersionedTable.readFilesWithDv(spark, dir,
+            ctx.copy(schemaJson = Some(st.json)), fs)
           case None => spark.read.parquet(fs.map(f => s"$dir/$f"): _*)
         }
       }
       base.withColumn("__weight", lit(weight))
     }
-    readFiles(added, 1L).unionByName(readFiles(removed, -1L))
+    val sides = readFiles(added, to, 1L)
+      .unionByName(readFiles(removed, from, -1L))
+    schema.flatMap(st =>
+      graft.sources.ChangeFeed.dvDeletedRows(spark, dir, from, to, st))
+      .map(pre => sides.unionByName(pre.withColumn("__weight", lit(-1L))))
+      .getOrElse(sides)
   }
 
   /** Fold a change feed into the stored view: aggregate the feed to

@@ -79,6 +79,16 @@ object ChangeFeed {
   /** One commit's changes from its file delta: rows of added files vs
     * rows of removed files, full-outer on `keys`; equal-valued rows on
     * both sides are carries and emit nothing.
+    *
+    * Deletion-vector aware: each side reads under ITS OWN snapshot's
+    * DVs (a removed file's previously soft-deleted rows must not
+    * resurface as this commit's deletes; an added file reads its live
+    * rows), and rows soft-deleted by THIS commit — a DV-only commit
+    * adds/removes no file at all — surface through a positional
+    * semi-join of the commit's new DV rows against the pre-image scan,
+    * classified `delete`. DV-new positions are disjoint from earlier
+    * DVs by construction (deletes evaluate over live rows only), so the
+    * lane never double-reports.
     */
   private def commitChanges(spark: SparkSession, dir: String,
       prev: VersionedTable.Snapshot, cur: VersionedTable.Snapshot,
@@ -90,18 +100,22 @@ object ChangeFeed {
       s"key $k not in table schema ${schema.fieldNames.mkString("[", ",", "]")}"))
     val added = cur.files.filterNot(prev.files.toSet)
     val removed = prev.files.filterNot(cur.files.toSet)
-    def readFiles(files: Seq[String]): DataFrame = files match {
+    // both sides read under cur's recorded column set (schema evolution
+    // contract unchanged), each under its own snapshot's DVs
+    val prevCtx = prev.copy(schemaJson = Some(schema.json))
+    def readFiles(files: Seq[String],
+        ctx: VersionedTable.Snapshot): DataFrame = files match {
       case Nil => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case fs => spark.read.schema(schema).parquet(fs.map(f => s"$dir/$f"): _*)
+      case fs => VersionedTable.readFilesWithDv(spark, dir, ctx, fs)
     }
     val valueCols = schema.fieldNames.filterNot(keys.contains).toSeq
     def side(df: DataFrame, tag: String): DataFrame =
       df.select(keys.map(col) ++
         valueCols.map(c => col(c).as(s"__${tag}_$c")) :+
         lit(true).as(s"__${tag}_p"): _*)
-    val j = side(readFiles(added), "a")
-      .join(side(readFiles(removed), "r"), keys, "full_outer")
+    val j = side(readFiles(added, cur), "a")
+      .join(side(readFiles(removed, prevCtx), "r"), keys, "full_outer")
     val aP = col("__a_p").isNotNull
     val rP = col("__r_p").isNotNull
     val unchanged = valueCols.map(c => col(s"__a_$c") <=> col(s"__r_$c"))
@@ -115,8 +129,37 @@ object ChangeFeed {
       when(aP && rP && !unchanged, out("r", "update_preimage")),
       when(aP && rP && !unchanged, out("a", "update_postimage"))),
       _.isNotNull)
-    j.select(keys.map(col) :+ explode(changes).as("__c"): _*)
+    val joined = j.select(keys.map(col) :+ explode(changes).as("__c"): _*)
       .select(keys.map(col) ++ valueCols.map(c => col(s"__c.$c")) :+
         col("__c._change_type").as("_change_type"): _*)
+    // the DV lane: rows this commit soft-deleted in CARRIED files
+    dvDeletedRows(spark, dir, prev, cur, schema) match {
+      case None => joined
+      case Some(pre) => joined.unionByName(
+        pre.select(keys.map(col) ++ valueCols.map(col) :+
+          lit("delete").as("_change_type"): _*))
+    }
+  }
+
+  /** Pre-image rows soft-deleted between `prev` and `cur` in files
+    * present in BOTH snapshots (files added or removed in the range are
+    * fully accounted by their side reads). None when no new DV rows
+    * touch a carried file. Shared by the CDC classifier above and
+    * [[graft.operators.IncrementalView.changedFilesFeed]].
+    */
+  private[graft] def dvDeletedRows(spark: SparkSession, dir: String,
+      prev: VersionedTable.Snapshot, cur: VersionedTable.Snapshot,
+      schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    val carried = prev.files.toSet
+    val affected = cur.files.filter(f => carried.contains(f) &&
+      cur.dvn.getOrElse(f, 0L) != prev.dvn.getOrElse(f, 0L))
+    val newDvFiles = cur.dvFiles.filterNot(prev.dvFiles.toSet)
+    if (affected.isEmpty || newDvFiles.isEmpty) return None
+    val prevCtx = prev.copy(schemaJson = Some(schema.json))
+    val newDv = spark.read.schema(VersionedTable.DvSchema)
+      .parquet(newDvFiles.map(f => s"$dir/$f"): _*)
+    Some(VersionedTable.scanWithPos(spark, dir, prevCtx, affected)
+      .join(newDv, Seq("__vt_file", "__vt_pos"), "left_semi")
+      .select(schema.fieldNames.map(col).toSeq: _*))
   }
 }

@@ -563,13 +563,12 @@ object DataSkipping {
     if (kept.isEmpty)
       // preserve the table schema; scan nothing
       schemaProbe(spark, dir, snap).where(lit(false))
-    else snap.schema match {
-      case Some(st) =>
-        spark.read.schema(st).parquet(kept.map(f => s"$dir/$f"): _*)
-          .where(predicate)
-      case None =>
-        spark.read.parquet(kept.map(f => s"$dir/$f"): _*).where(predicate)
-    }
+    else
+      // DV-aware: soft-deleted rows are filtered positionally before
+      // the row predicate applies (file-level min/max stay sound over
+      // the live subset — stats over-approximate, pruning only keeps)
+      VersionedTable.readFilesWithDv(spark, dir, snap, kept)
+        .where(predicate)
   }
 
   /** Metadata-only COUNT bounds for `predicate` over the latest
@@ -597,7 +596,13 @@ object DataSkipping {
         val perFile = snap.files.map { f =>
           val fs = snap.stats(f)
           val (may, all) = eval(e, fs)
-          (if (all) fs.rowCount else 0L, if (may) fs.rowCount else 0L)
+          // live rows = physical rows minus the file's deletion-vector
+          // cardinality (manifest-recorded, exact). allMatch stays a
+          // sound LOWER bound under DVs: live ⊆ physical, so "every
+          // physical row matches" implies every live row does; the
+          // deleted rows' matches are simply not counted either way.
+          val live = fs.rowCount - snap.dvn.getOrElse(f, 0L)
+          (if (all) live else 0L, if (may) live else 0L)
         }
         Some((perFile.map(_._1).sum, perFile.map(_._2).sum))
     }

@@ -99,12 +99,23 @@ object VersionedTable {
     * per-file data-skipping metadata ([[DataSkipping.FileStats]]) for
     * files staged by commits that requested it; files without stats are
     * simply never pruned.
+    *
+    * Deletion vectors (merge-on-read DML, round-16): `dvFiles` lists
+    * the live DV sidecar parquet datasets (rows `(__vt_file, __vt_pos)`
+    * naming deleted row positions of data files), and `dvn` maps each
+    * data file with soft-deleted rows to its CUMULATIVE deleted-row
+    * count. Readers apply DVs as a positional anti-filter
+    * ([[readFilesWithDv]]); files absent from `dvn` stay on the plain
+    * scan path. Full-rewrite operations (overwrite/compact/cluster)
+    * fold DVs into clean files and drop both fields.
     */
   final case class Snapshot(version: Long, timestampMs: Long,
       operation: String, files: Seq[String],
       stats: Map[String, DataSkipping.FileStats] = Map.empty,
       schemaJson: Option[String] = None,
-      tableId: Option[String] = None) {
+      tableId: Option[String] = None,
+      dvFiles: Seq[String] = Nil,
+      dvn: Map[String, Long] = Map.empty) {
     /** The snapshot's recorded table schema (versions committed before
       * schema tracking have none and read footer-first as before).
       */
@@ -152,7 +163,9 @@ object VersionedTable {
   private final case class DeltaRec(version: Long, timestampMs: Long,
       operation: String, base: Long, adds: Seq[String], removes: Seq[String],
       addStats: Map[String, DataSkipping.FileStats],
-      schemaJson: Option[String]) extends ManifestRec
+      schemaJson: Option[String],
+      dvAdds: Seq[String] = Nil,
+      dvnSets: Map[String, Long] = Map.empty) extends ManifestRec
 
   /** Resolve a delta against its (already-resolved) base snapshot. */
   private def applyDelta(prev: Snapshot, d: DeltaRec): Snapshot = {
@@ -160,11 +173,19 @@ object VersionedTable {
       s"manifest chain broken: delta version ${d.version} expects base " +
         s"${d.base}, resolved ${prev.version}")
     val removed = d.removes.toSet
+    // DV algebra: a removed data file's dvn entry dies with it (its
+    // remaining DV rows go stale-but-unmatchable); DV datasets are
+    // append-only while any file has soft deletes, and the whole set is
+    // dropped the moment no file does (rewrites folded every DV), so
+    // dead sidecars cannot accumulate past one rewrite cycle.
+    val newDvn = (prev.dvn -- removed) ++ d.dvnSets
     Snapshot(d.version, d.timestampMs, d.operation,
       prev.files.filterNot(removed) ++ d.adds,
       (prev.stats -- removed) ++ d.addStats,
       d.schemaJson.orElse(prev.schemaJson),
-      prev.tableId) // identity is immutable: deltas always inherit
+      prev.tableId, // identity is immutable: deltas always inherit
+      if (newDvn.isEmpty) Nil else (prev.dvFiles ++ d.dvAdds).distinct,
+      newDvn)
   }
 
   /** Test seam: manifest names dropped from directory listings,
@@ -418,6 +439,15 @@ object VersionedTable {
     }
     val schema = field("schema").map(s => new String(
       java.util.Base64.getDecoder.decode(s), "UTF-8"))
+    // `dvn=<datafile>|<cumulative deleted rows>` — staged paths are
+    // engine-generated (`data/v<N>_<rand>/part-*.parquet`) so the plain
+    // `|` split is unambiguous, same contract as the rows= stats lines
+    def dvnOf(prefix: String) = lines.collect {
+      case l if l.startsWith(prefix) => l.drop(prefix.length).split('|') match {
+        case Array(f, n) => n.toLongOption.map(f -> _)
+        case _ => None
+      }
+    }.flatten.toMap
     if (field("kind").contains("delta")) {
       val adds = lines.filter(_.startsWith("add=")).map(_.drop(4))
       val removes = lines.filter(_.startsWith("remove=")).map(_.drop(7))
@@ -429,7 +459,9 @@ object VersionedTable {
         op <- field("operation")
         b <- field("base").flatMap(_.toLongOption)
       } yield DeltaRec(v, ts, op, b, adds, removes,
-        DataSkipping.parseLines(lines), schema)
+        DataSkipping.parseLines(lines), schema,
+        lines.filter(_.startsWith("dvadd=")).map(_.drop(6)),
+        dvnOf("dvn="))
     } else {
       val files = lines.filter(_.startsWith("file=")).map(_.drop(5))
       for {
@@ -439,7 +471,9 @@ object VersionedTable {
         ts <- field("timestamp").flatMap(_.toLongOption)
         op <- field("operation")
       } yield FullRec(Snapshot(v, ts, op, files,
-        DataSkipping.parseLines(lines), schema, field("tableid")))
+        DataSkipping.parseLines(lines), schema, field("tableid"),
+        lines.filter(_.startsWith("dvfile=")).map(_.drop(7)),
+        dvnOf("dvn=")))
     }
   }
 
@@ -452,6 +486,8 @@ object VersionedTable {
       ++ s.files.map(f => s"file=$f")
       ++ s.stats.toSeq.sortBy(_._1).flatMap { case (f, fs) =>
         DataSkipping.renderLines(f, fs) }
+      ++ s.dvFiles.map(f => s"dvfile=$f")
+      ++ s.dvn.toSeq.sortBy(_._1).map { case (f, n) => s"dvn=$f|$n" }
       :+ s"end=${s.files.size}")
       .mkString("", "\n", "\n")
 
@@ -464,6 +500,8 @@ object VersionedTable {
       ++ d.removes.map(f => s"remove=$f")
       ++ d.addStats.toSeq.sortBy(_._1).flatMap { case (f, fs) =>
         DataSkipping.renderLines(f, fs) }
+      ++ d.dvAdds.map(f => s"dvadd=$f")
+      ++ d.dvnSets.toSeq.sortBy(_._1).map { case (f, n) => s"dvn=$f|$n" }
       :+ s"end=${d.adds.size + d.removes.size}")
       .mkString("", "\n", "\n")
 
@@ -556,7 +594,9 @@ object VersionedTable {
       operation: String, files: Seq[String],
       stats: Map[String, DataSkipping.FileStats] = Map.empty,
       schemaJson: Option[String] = None,
-      tableId: Option[String] = None): Snapshot = {
+      tableId: Option[String] = None,
+      dvFiles: Seq[String] = Nil,
+      dvn: Map[String, Long] = Map.empty): Snapshot = {
     // Version 1 MINTS the table identity; it is carried forward by
     // every later manifest (full manifests re-render it, deltas inherit
     // through applyDelta), so a table deleted and recreated at the same
@@ -567,7 +607,7 @@ object VersionedTable {
         Some(java.util.UUID.randomUUID.toString.take(16)))
       else tableId
     val snap = Snapshot(v, System.currentTimeMillis(), operation, files,
-      stats, schemaJson, tid)
+      stats, schemaJson, tid, dvFiles, dvn)
     writeExclusive(spark, dir, v, renderManifest(snap).getBytes("UTF-8"))
     snap
   }
@@ -583,14 +623,19 @@ object VersionedTable {
       prev: Snapshot, operation: String,
       adds: Seq[String], removes: Seq[String],
       addStats: Map[String, DataSkipping.FileStats],
-      schemaJson: Option[String]): Snapshot = {
+      schemaJson: Option[String],
+      dvAdds: Seq[String] = Nil,
+      dvnSets: Map[String, Long] = Map.empty): Snapshot = {
     val v = prev.version + 1
     val removed = removes.toSet
+    val newDvn = (prev.dvn -- removed) ++ dvnSets // same algebra as applyDelta
     val resolved = Snapshot(v, System.currentTimeMillis(), operation,
       prev.files.filterNot(removed) ++ adds,
       (prev.stats -- removed) ++ addStats,
       schemaJson.orElse(prev.schemaJson),
-      prev.tableId)
+      prev.tableId,
+      if (newDvn.isEmpty) Nil else (prev.dvFiles ++ dvAdds).distinct,
+      newDvn)
     if (v % CheckpointEvery == 0) {
       writeExclusive(spark, dir, v,
         renderManifest(resolved).getBytes("UTF-8"))
@@ -598,7 +643,7 @@ object VersionedTable {
       writeExclusive(spark, dir, v,
         renderDelta(DeltaRec(v, resolved.timestampMs, operation,
           prev.version, adds, removes, addStats,
-          resolved.schemaJson)).getBytes("UTF-8"))
+          resolved.schemaJson, dvAdds, dvnSets)).getBytes("UTF-8"))
     }
     resolved
   }
@@ -1313,12 +1358,11 @@ object VersionedTable {
       col(k) >= lit(b.get(2 * i)) && col(k) <= lit(b.get(2 * i + 1))
     }.reduce(_ && _)
     val (touched, untouched) = DataSkipping.prune(spark, dir, prev, keyRangePred)
+    // DV-aware: soft-deleted rows of touched files must NOT resurrect
+    // through the merge rewrite
     val touchedDf =
-      if (touched.nonEmpty) prev.schema match {
-        case Some(st) =>
-          spark.read.schema(st).parquet(touched.map(f => s"$dir/$f"): _*)
-        case None => spark.read.parquet(touched.map(f => s"$dir/$f"): _*)
-      } else spark.createDataFrame(
+      if (touched.nonEmpty) readFilesWithDv(spark, dir, prev, touched)
+      else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         prev.schema.getOrElse(updates.schema))
     val merged = graft.operators.Merge.upsert(touchedDf, updates, keys)
@@ -1390,6 +1434,15 @@ object VersionedTable {
     if (readRemoved.nonEmpty)
       conflict(s"the concurrent commit rewrote ${readRemoved.size} " +
         s"file(s) this operation read (e.g. ${readRemoved.head})")
+    // a deletion-vector commit changes a file's LIVE ROWS without
+    // touching the file list — a competitor DV on a file this DML read
+    // is exactly as conflicting as a rewrite of it
+    val dvChanged = touched.filter(f =>
+      now.dvn.get(f) != base.dvn.get(f))
+    if (dvChanged.nonEmpty)
+      conflict(s"the concurrent commit soft-deleted rows (deletion " +
+        s"vector) in ${dvChanged.size} file(s) this operation read " +
+        s"(e.g. ${dvChanged.head})")
     val addedByOthers = now.files.filterNot(baseFiles)
     if (addedByOthers.nonEmpty) {
       val pseudo = Snapshot(now.version, now.timestampMs, now.operation,
@@ -1436,11 +1489,9 @@ object VersionedTable {
       if (touched.isEmpty)
         (Nil, Map.empty[String, DataSkipping.FileStats], prev.schemaJson)
       else {
-        val touchedDf = prev.schema match {
-          case Some(sch) =>
-            spark.read.schema(sch).parquet(touched.map(f => s"$dir/$f"): _*)
-          case None => spark.read.parquet(touched.map(f => s"$dir/$f"): _*)
-        }
+        // DV-aware: the rewrite starts from LIVE rows only, and the
+        // removes fold the touched files' DV history away
+        val touchedDf = readFilesWithDv(spark, dir, prev, touched)
         val statsCols =
           prev.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted
         val (fs, s) = stageWithStats(rewrite(touchedDf, predicate), dir,
@@ -1477,6 +1528,122 @@ object VersionedTable {
     copyOnWrite(spark, dir, predicate, "delete",
       (df, p) => df.filter(coalesce(not(p), lit(true))),
       maxAttempts = maxAttempts)
+  }
+
+  /** SQL DELETE via DELETION VECTORS (merge-on-read): rows where
+    * `predicate` is TRUE are soft-deleted by recording their positions
+    * in a DV sidecar instead of rewriting their files — the answer is
+    * identical to [[delete]] (readers apply the DV as a positional
+    * anti-filter), but a point delete against a 1 GB file costs a
+    * KB-scale sidecar write, not a 1 GB rewrite. This is the
+    * write-amplification fix deletion vectors exist for in
+    * Delta/Iceberg (the modern half of the reference's own Delta
+    * maintenance story, docs/runbook.md:55-58).
+    *
+    * Per touched file the commit picks the cheapest sound shape:
+    *  - no matching live rows (skipping over-approximation) → file
+    *    untouched, not even referenced by the commit;
+    *  - every live row matches → the file is dropped BY REFERENCE (no
+    *    rewrite, no DV — an empty rewrite would be pure overhead);
+    *  - cumulative deleted fraction (previous DV + this delete) above
+    *    `densityThreshold` → copy-on-write fallback: the file rewrites
+    *    clean (fresh stats on all previously tracked columns) and its
+    *    DV history is folded away — unbounded DV accumulation on a
+    *    hot-delete file is how merge-on-read tables rot;
+    *  - otherwise → positions append to the DV (one sidecar dataset
+    *    per commit; a file's DV is the union across commits, so no
+    *    sidecar is ever rewritten).
+    *
+    * All shapes land in ONE atomic delta commit; pre-delete versions
+    * stay time-travelable, vacuum treats live sidecars as referenced
+    * data, and [[compactTable]]/[[cluster]]/[[overwrite]] fold every DV
+    * into clean files. Stats stay sound: per-file min/max/null over-
+    * approximate the live rows (pruning unaffected) and
+    * [[countBounds]] prices rows as `rowCount - dvn`.
+    *
+    * Rebase contract mirrors [[delete]]: with `maxAttempts > 1` a lost
+    * version race re-commits the staged result iff the competitors
+    * provably touched neither the files nor the DVs this delete read
+    * ([[rebaseOrConflict]]).
+    */
+  def deleteWithDv(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      densityThreshold: Double = 0.15,
+      maxAttempts: Int = 1,
+      onStaged: () => Unit = () => ()): Snapshot = {
+    require(maxAttempts >= 1, "maxAttempts must be at least 1")
+    require(densityThreshold > 0.0 && densityThreshold <= 1.0,
+      s"densityThreshold must be in (0, 1]; got $densityThreshold")
+    import org.apache.spark.sql.functions._
+    var prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    val (touched, _) = DataSkipping.prune(spark, dir, prev, predicate)
+    val (adds, removes, addStats, dvAdds, dvnSets) =
+      if (touched.isEmpty)
+        (Seq.empty[String], Seq.empty[String],
+          Map.empty[String, DataSkipping.FileStats],
+          Seq.empty[String], Map.empty[String, Long])
+      else {
+        val schema = prev.schema.getOrElse(sys.error(
+          s"deleteWithDv needs a recorded table schema on $dir; " +
+            "use delete() on pre-schema-tracking tables"))
+        val pTrue = coalesce(predicate, lit(false))
+        val scan = scanWithPos(spark, dir, prev, touched)
+        // ONE aggregation job prices every touched file: live rows
+        // (existing DV applied) and predicate matches — one result row
+        // per touched file, driver-bounded like the manifest itself
+        val counts = scan.groupBy(col("__vt_file"))
+          .agg(count(lit(1)).as("__n"),
+            sum(when(pTrue, 1L).otherwise(0L)).as("__m"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        var dvSet = Vector.empty[String]
+        var rwSet = Vector.empty[String]
+        var dead = Vector.empty[String]
+        val dvnB = Map.newBuilder[String, Long]
+        touched.foreach { f =>
+          val (nLive, nMatch) = counts.getOrElse(f, (0L, 0L))
+          val prevDel = prev.dvn.getOrElse(f, 0L)
+          if (nMatch == 0L) () // pruning over-approximation: untouched
+          else if (nMatch == nLive) dead :+= f
+          else if ((prevDel + nMatch).toDouble / (nLive + prevDel)
+              > densityThreshold) rwSet :+= f
+          else { dvSet :+= f; dvnB += f -> (prevDel + nMatch) }
+        }
+        val v = prev.version + 1
+        import spark.implicits._
+        val staged =
+          if (dvSet.isEmpty) Nil
+          else stageFiles(
+            scan.join(broadcast(dvSet.toDF("__vt_file")), Seq("__vt_file"))
+              .filter(pTrue)
+              .select(col("__vt_file"), col("__vt_pos")), dir, v)
+        val (rw, rwStats) =
+          if (rwSet.isEmpty)
+            (Seq.empty[String], Map.empty[String, DataSkipping.FileStats])
+          else stageWithStats(
+            scan.join(broadcast(rwSet.toDF("__vt_file")), Seq("__vt_file"))
+              .filter(!pTrue)
+              .select(schema.fieldNames.map(col).toSeq: _*), dir, v,
+            prev.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted)
+        (rw, (rwSet ++ dead): Seq[String], rwStats, staged, dvnB.result())
+      }
+    onStaged()
+    var attempt = 1
+    while (true) {
+      try return commitDelta(spark, dir, prev, "delete", adds, removes,
+        addStats, prev.schemaJson, dvAdds, dvnSets)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          val np = rebaseOrConflict(spark, dir, prev, predicate, touched,
+            "delete")
+          pace(prev.version, np.version, attempt)
+          prev = np
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** SQL UPDATE ... SET: rows where `predicate` is TRUE take the `set`
@@ -1555,6 +1722,88 @@ object VersionedTable {
       prev.tableId)
   }
 
+  /** Schema of a DV sidecar dataset: deleted row positions, keyed by
+    * the data file's table-relative path plus the row's ordinal within
+    * that file (parquet `_metadata.row_index`).
+    */
+  private[graft] val DvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("__vt_file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("__vt_pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Above this many soft-deleted rows the DV anti-join is left to the
+    * planner (shuffle/AQE); below it the DV side is explicitly
+    * broadcast. The cardinality is driver-known from the manifest's
+    * `dvn` counts — no job runs to decide.
+    */
+  private val DvBroadcastRows = 4L * 1000 * 1000
+
+  /** Read `files` of `snap` with the snapshot's deletion vectors
+    * applied. Files without soft deletes (not in `snap.dvn`) take the
+    * plain scan path — no metadata columns, no join — so a table whose
+    * DVs touch few files pays the anti-filter only on those. Position
+    * identity is `(table-relative path, parquet row ordinal)`: the scan
+    * exposes `_metadata` (file URI + row_index), maps the URI back to
+    * the relative path through a broadcast basename lookup (part-file
+    * basenames are UUID-unique — the same invariant
+    * [[DataSkipping.collectStats]] rests on), and anti-joins the DV
+    * rows. The DV side is broadcast when the manifest's recorded
+    * cardinality is small, else left to the planner.
+    */
+  private[graft] def readFilesWithDv(spark: SparkSession, dir: String,
+      snap: Snapshot, files: Seq[String]): DataFrame = {
+    def plain(fs: Seq[String]): DataFrame = snap.schema match {
+      case Some(st) =>
+        spark.read.schema(st).parquet(fs.map(f => s"$dir/$f"): _*)
+      case None => spark.read.parquet(fs.map(f => s"$dir/$f"): _*)
+    }
+    val dvd = files.filter(snap.dvn.contains)
+    if (dvd.isEmpty || snap.dvFiles.isEmpty) return plain(files)
+    val schema = snap.schema.getOrElse(sys.error(
+      s"table $dir carries deletion vectors but no recorded schema"))
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val lived = scanWithPos(spark, dir, snap, dvd)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val plainFiles = files.filterNot(snap.dvn.contains)
+    if (plainFiles.isEmpty) lived else plain(plainFiles).unionByName(lived)
+  }
+
+  /** Live rows of `files` under `snap` (existing DVs applied) WITH
+    * their positional identity exposed as `__vt_file` (table-relative
+    * path) and `__vt_pos` (row ordinal in file) — the working frame of
+    * [[deleteWithDv]] and the CDC/feed readers, which need to address
+    * rows by position.
+    */
+  private[graft] def scanWithPos(spark: SparkSession, dir: String,
+      snap: Snapshot, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    val schema = snap.schema.getOrElse(sys.error(
+      s"positional reads of $dir need a recorded schema"))
+    require(!schema.fieldNames.exists(n =>
+      n == "__vt_file" || n == "__vt_pos" || n == "__vt_base"),
+      "table schema collides with reserved __vt_* positional columns")
+    import spark.implicits._
+    val lookup = broadcast(files.map(f =>
+      (f.substring(f.lastIndexOf('/') + 1), f))
+      .toDF("__vt_base", "__vt_file"))
+    val scan = spark.read.schema(schema)
+      .parquet(files.map(f => s"$dir/$f"): _*)
+      .withColumn("__vt_base",
+        substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__vt_pos", col("_metadata.row_index"))
+      .join(lookup, Seq("__vt_base"))
+      .drop("__vt_base")
+    if (snap.dvFiles.isEmpty) scan
+    else {
+      val dv = spark.read.schema(DvSchema)
+        .parquet(snap.dvFiles.map(f => s"$dir/$f"): _*)
+      val dvSide =
+        if (snap.dvn.values.sum <= DvBroadcastRows) broadcast(dv) else dv
+      scan.join(dvSide, Seq("__vt_file", "__vt_pos"), "left_anti")
+    }
+  }
+
   private def readSnapshot(spark: SparkSession, dir: String,
       s: Snapshot): DataFrame = {
     if (s.files.isEmpty) s.schema match {
@@ -1566,12 +1815,10 @@ object VersionedTable {
     }
     // the recorded schema makes reads footer-order-independent: files
     // predating an evolved column read as null for it, instead of the
-    // whole table silently losing the column when an old footer wins
-    s.schema match {
-      case Some(st) =>
-        spark.read.schema(st).parquet(s.files.map(f => s"$dir/$f"): _*)
-      case None => spark.read.parquet(s.files.map(f => s"$dir/$f"): _*)
-    }
+    // whole table silently losing the column when an old footer wins.
+    // Deletion vectors, when present, apply as a positional anti-filter
+    // on exactly the files that carry them ([[readFilesWithDv]]).
+    readFilesWithDv(spark, dir, s, s.files)
   }
 
   /** The latest version's contents. */
@@ -1656,7 +1903,7 @@ object VersionedTable {
         .getOrElse(fs)
     }
     commit(spark, dir, prev.version + 1, "analyze", prev.files,
-      mergedStats, prev.schemaJson, prev.tableId)
+      mergedStats, prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn)
   }
 
   /** The table's commit history, newest first — DESCRIBE HISTORY as a
@@ -1739,7 +1986,7 @@ object VersionedTable {
         }
       }
     }
-    val live = keep.flatMap(_.files).toSet
+    val live = keep.flatMap(s => s.files ++ s.dvFiles).toSet
     // Drop the MANIFESTS first, NEWEST-first: at every instant during
     // the sweep (and after a mid-sweep crash) the remaining manifests
     // form a resolvable chain — a delta is always deleted before the
@@ -1769,11 +2016,12 @@ object VersionedTable {
     // ([[withMaintLock]]), so no restore can commit anywhere inside the
     // window. One extra chain listing per vacuum — O(retained
     // manifests), trivial next to the deletes themselves.
-    val live2 = live ++ snapshots(spark, dir).flatMap(_.files)
+    val live2 = live ++ snapshots(spark, dir)
+      .flatMap(s => s.files ++ s.dvFiles)
     var deleted = 0
     var sinceTouch = 0
     drop.foreach { s =>
-      s.files.filterNot(live2).foreach { f =>
+      (s.files ++ s.dvFiles).filterNot(live2).foreach { f =>
         if (fs.delete(new Path(s"$dir/$f"), false)) deleted += 1
         sinceTouch += 1
         if (sinceTouch >= 4096) {
@@ -1839,7 +2087,8 @@ object VersionedTable {
     }
     val dataDir = new Path(dir, "data")
     if (!fs.exists(dataDir)) return 0
-    val referencedSubs = snapshots(spark, dir).flatMap(_.files)
+    val referencedSubs = snapshots(spark, dir)
+      .flatMap(s => s.files ++ s.dvFiles)
       .map(f => f.substring(0, f.lastIndexOf('/'))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
@@ -1912,7 +2161,8 @@ object VersionedTable {
     val target = all.find(_.version == version).getOrElse(
       sys.error(s"table $dir has no version $version"))
     val (fs, _) = fsFor(spark, dir)
-    target.files.groupBy(f => f.substring(0, f.lastIndexOf('/'))).foreach {
+    (target.files ++ target.dvFiles)
+      .groupBy(f => f.substring(0, f.lastIndexOf('/'))).foreach {
       case (sub, fsOfSub) =>
         val present =
           try fs.listStatus(new Path(s"$dir/$sub"))
@@ -1930,6 +2180,7 @@ object VersionedTable {
         .parquet(target.files.map(f => s"$dir/$f"): _*).schema.json))
     val latestV = all.last.version
     commit(spark, dir, latestV + 1, "restore",
-      target.files, target.stats, schema, all.last.tableId)
+      target.files, target.stats, schema, all.last.tableId,
+      target.dvFiles, target.dvn)
   }
 }

@@ -690,6 +690,103 @@ object Streams {
     cursor.synchronized(cursor.seen.add(s.operation))
   }
 
+  /** Micro-batch STREAMING SOURCE over a [[graft.sources.VersionedTable]]'s
+    * commit log — the pull half of the medallion pattern: a downstream
+    * table maintains itself from the source table's row-level change
+    * feed instead of rescanning it. The reference runs this DAG as a
+    * daily full-refresh cron (Workflow/Daily_Licensed_Pets.yaml); at
+    * 100 TB the refresh must be continuous and incremental.
+    *
+    * Each trigger emits one commit RANGE as a classified change batch
+    * ([[graft.sources.ChangeFeed.readChanges]] — insert / delete /
+    * update pre+post rows with `_commit_version` attribution), capped
+    * at `maxVersionsPerBatch` commits so a backlogged source drains in
+    * bounded plans. Cursor durability follows the micro-batch WAL
+    * protocol under `checkpointDir`, namespaced by the source table's
+    * UUID identity:
+    *
+    *  1. an INTENT marker (`wal-<tableId>-<to>`) records the planned
+    *     range end BEFORE the batch runs — a crash mid-batch replays
+    *     exactly the same range, so a sink keyed on `toVersion` dedups
+    *     (the offsets-log half of Structured Streaming's contract);
+    *  2. a COMMIT marker (`cursor-<tableId>-<to>`) lands only after
+    *     `process` returns — restart resumes from the max commit
+    *     marker (checkpoint resume), and a fully-committed range is
+    *     never re-emitted (replay no-op);
+    *  3. a recreated source table (different UUID at the same path)
+    *     resets the cursor cold instead of serving the dead
+    *     incarnation's positions — [[scanLedger]]'s identity contract,
+    *     applied to a SOURCE.
+    *
+    * End-to-end exactly-once therefore needs only an idempotent-per-
+    * range sink: pass `toVersion` as the sink's batch id (the
+    * versioned/SCD sinks here all dedup on it). `startingVersion = 0`
+    * emits the initial snapshot first (version 1's rows as `insert` at
+    * `_commit_version` 1) before tailing; pass the current version to
+    * tail only new commits. Drains everything committed at call time,
+    * then returns the number of batches emitted — a deployment wraps
+    * it in its trigger loop exactly like the other ingest machines
+    * here. Single-pump per checkpoint by contract (competing pumps are
+    * benign — markers collide idempotently — but waste work).
+    */
+  def changeFeedIngest(spark: SparkSession, srcDir: String,
+      keys: Seq[String], checkpointDir: String,
+      maxVersionsPerBatch: Int = 32, startingVersion: Long = 0L)(
+      process: (DataFrame, Long, Long) => Unit): Int = {
+    import graft.sources.{ChangeFeed, VersionedTable}
+    require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be positive")
+    val latestOpt = VersionedTable.latest(spark, srcDir)
+    if (latestOpt.isEmpty) return 0
+    val latest = latestOpt.get
+    val tid = latest.tableId.getOrElse("legacy")
+    val ckpt = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(ckpt)
+    def markedVersions(prefix: String): Seq[Long] =
+      fs.listStatus(ckpt).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .flatMap(_.stripPrefix(prefix).toLongOption)
+    def mark(prefix: String, v: Long): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(ckpt, f"$prefix$v%012d"), true)
+      out.close()
+    }
+    val walPrefix = s"wal-$tid-"
+    val curPrefix = s"cursor-$tid-"
+    var cursor = (markedVersions(curPrefix) :+ startingVersion).max
+    var batches = 0
+    def emit(from: Long, to: Long): Unit = {
+      val changes =
+        if (from == 0L) {
+          // initial load: version 1's rows as inserts, in the change
+          // feed's column shape (keys, values, _change_type, version)
+          val snap = VersionedTable.snapshotAt(spark, srcDir, 1L)
+          val valueCols = snap.columns.filterNot(keys.contains).toSeq
+          snap.select(keys.map(col) ++ valueCols.map(col): _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(1L))
+        } else ChangeFeed.readChanges(spark, srcDir, from, to, keys)
+      process(changes, from, to)
+      mark(curPrefix, to)
+      cursor = to
+      batches += 1
+    }
+    // recover a crashed range first: an intent past the commit cursor
+    // replays with ITS OWN original boundary, so the sink's range key
+    // matches the crashed attempt's
+    markedVersions(walPrefix).filter(_ > cursor).sorted.foreach { to =>
+      emit(cursor, math.min(to, latest.version))
+    }
+    while (cursor < latest.version) {
+      val to =
+        if (cursor == 0L) 1L // the initial snapshot is its own batch
+        else math.min(cursor + maxVersionsPerBatch, latest.version)
+      mark(walPrefix, to)
+      emit(cursor, to)
+    }
+    batches
+  }
+
   /** Streaming maintenance of an additive aggregate view — the
     * streaming twin of `IncrementalView`: each micro-batch folds into
     * the stored per-group COUNT/SUM view (batch rows at weight +1; the

@@ -95,4 +95,48 @@ class ChangeFeedSpec extends AnyFunSuite {
     // id 1 deletes, id 3 inserts
     assert(v3 === Set((1L, "delete"), (3L, "insert")))
   }
+
+  test("deletion-vector commits classify their soft deletes; earlier DV " +
+      "rows never resurface") {
+    val dir = tmp()
+    val v1 = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    VersionedTable.create(v1, dir, Seq("id"))
+    VersionedTable.deleteWithDv(spark, dir, col("id") % 25L === 3L)  // v2
+    VersionedTable.deleteWithDv(spark, dir, col("id") % 25L === 4L)  // v3
+    // v4: CoW fallback rewrites every file (threshold below cumulative
+    // density) — removed files read under PREV's DV, so v2/v3's dead
+    // rows must not reappear as v4 deletes
+    VersionedTable.deleteWithDv(spark, dir, col("id") % 25L === 5L,
+      densityThreshold = 0.01)                                       // v4
+    val ch = ChangeFeed.readChanges(spark, dir, 1L, 4L, Seq("id"))
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(ch === (
+      Set(3L, 28L, 53L, 78L).map(i => (i, "delete", 2L)) ++
+      Set(4L, 29L, 54L, 79L).map(i => (i, "delete", 3L)) ++
+      Set(5L, 30L, 55L, 80L).map(i => (i, "delete", 4L))),
+      "each DV commit must report exactly its own soft deletes")
+  }
+
+  test("a commit mixing a DV and a CoW rewrite classifies both lanes " +
+      "exactly once") {
+    val dir = tmp()
+    // file 1: ids 1..100, file 2: ids 101..200 (single-file commits)
+    VersionedTable.create((1L to 100L).map(i => (i, s"v$i"))
+      .toDF("id", "v").coalesce(1), dir, Seq("id"))
+    VersionedTable.append((101L to 200L).map(i => (i, s"v$i"))
+      .toDF("id", "v").coalesce(1), dir, Seq("id"))
+    // 2 matches in file 1 (2% → DV), 30 in file 2 (30% → rewrite)
+    VersionedTable.deleteWithDv(spark, dir,
+      col("id").isin((Seq(7L, 13L) ++ (141L to 170L)).map(Long.box): _*),
+      densityThreshold = 0.15)                                        // v3
+    val ch = ChangeFeed.readChanges(spark, dir, 2L, 3L, Seq("id"))
+      .select(col("id"), col("_change_type")).as[(Long, String)]
+      .collect().toSeq
+    assert(ch.size === 32 && ch.toSet ===
+      (Seq(7L, 13L) ++ (141L to 170L)).map(i => (i, "delete")).toSet,
+      "the DV lane and the rewrite lane must each fire exactly once " +
+        "per deleted row")
+  }
 }

@@ -96,6 +96,40 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(viewMap(view)("g9") === ((1L, BigDecimal("7.70"))))
   }
 
+  test("changedFilesFeed tracks deletion-vector commits exactly: in-range " +
+      "soft deletes join at -1, pre-range dead rows never re-subtract") {
+    val dir = tmp()
+    val o = (0L until 200L).map(i => (i, s"g${i % 3}", s"$i.50"))
+    VersionedTable.create(mkRows(o).repartitionByRange(4, col("id")),
+      dir, Seq("id"))
+    VersionedTable.deleteWithDv(spark, dir, col("id") % 20L === 0L)  // v2 DV
+    VersionedTable.deleteWithDv(spark, dir, col("id") % 20L === 1L)  // v3 DV
+    // v4: CoW fallback rewrites the files — removed side reads under
+    // v3's DV, so v2/v3's dead rows must not be subtracted twice
+    VersionedTable.deleteWithDv(spark, dir, col("id") % 20L === 2L,
+      densityThreshold = 0.01)                                       // v4
+    VersionedTable.append(mkRows(Seq((1000L, "g9", "7.70"))), dir,
+      Seq("id"))                                                     // v5
+    var view = IncrementalView.full(
+      VersionedTable.snapshotAt(spark, dir, 1L), Seq("g"), Seq("x"))
+    for (v <- 2L to 5L) {
+      view = IncrementalView.applyDelta(view,
+        IncrementalView.changedFilesFeed(spark, dir, v - 1, v),
+        Seq("g"), Seq("x"))
+      assert(viewMap(view) === viewMap(IncrementalView.full(
+        VersionedTable.snapshotAt(spark, dir, v), Seq("g"), Seq("x"))),
+        s"incremental view must equal full recompute at v$v")
+    }
+    // a MULTI-commit range spanning DV and rewrite commits folds once
+    val spanned = IncrementalView.applyDelta(
+      IncrementalView.full(VersionedTable.snapshotAt(spark, dir, 1L),
+        Seq("g"), Seq("x")),
+      IncrementalView.changedFilesFeed(spark, dir, 1L, 5L),
+      Seq("g"), Seq("x"))
+    assert(viewMap(spanned) === viewMap(view),
+      "the spanning feed must equal the per-commit fold")
+  }
+
   test("applyDelta rejects a view missing the maintained shape") {
     val bad = Seq(("a", 1L)).toDF("g", "n_rows")
     val feed = mkRows(Seq((1L, "a", "1.00"))).withColumn("__weight", lit(1L))

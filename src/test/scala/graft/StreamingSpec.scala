@@ -790,4 +790,126 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("event_type").count().as[(String, Long)].collect().toMap
     assert(streamed == batch)
   }
+
+  // ----------------------------------------- change-feed source (round 16)
+
+  test("changeFeedIngest tails a versioned table: batch-twin agreement, " +
+      "checkpoint resume, replay no-op") {
+    import graft.sources.{ChangeFeed, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft-cdfsrc")
+    val (src, ckpt) = (s"$root/src", s"$root/ckpt")
+    VersionedTable.create((0L until 100L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartitionByRange(4, col("id")), src, Seq("id")) // v1
+    VersionedTable.delete(spark, src, col("id") === 7L)                  // v2
+    VersionedTable.update(spark, src, col("id") === 3L,
+      Map("v" -> lit("UPD")))                                            // v3
+    VersionedTable.append(Seq((500L, "new")).toDF("id", "v"), src,
+      Seq("id"))                                                         // v4
+    val emitted = scala.collection.mutable.Buffer[String]()
+    val ranges = scala.collection.mutable.Buffer[(Long, Long)]()
+    val n1 = Streams.changeFeedIngest(spark, src, Seq("id"), ckpt,
+      maxVersionsPerBatch = 2) { (df, from, to) =>
+        emitted ++= df.collect().map(_.toString); ranges += ((from, to))
+      }
+    assert(n1 === 3 && ranges.toSeq === Seq((0L, 1L), (1L, 3L), (3L, 4L)),
+      s"initial snapshot batch then capped ranges; got $ranges")
+    // twin: v1's rows as inserts + the batch reader over (1, 4]
+    val twin = VersionedTable.snapshotAt(spark, src, 1L)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(1L)).collect().map(_.toString) ++
+      ChangeFeed.readChanges(spark, src, 1L, 4L, Seq("id"))
+        .collect().map(_.toString)
+    assert(emitted.sorted === twin.toSeq.sorted,
+      "the streamed feed must equal the batch change feed row-for-row")
+    // replay no-op: nothing new committed → zero batches, zero calls
+    val n2 = Streams.changeFeedIngest(spark, src, Seq("id"), ckpt,
+      maxVersionsPerBatch = 2) { (_, _, _) =>
+        fail("a fully-committed range must never re-emit") }
+    assert(n2 === 0)
+    // resume: one new commit → exactly the new range, from the durable
+    // cursor (no per-JVM state involved)
+    VersionedTable.delete(spark, src, col("id") === 11L)                 // v5
+    val tail = scala.collection.mutable.Buffer[(Long, Long, Set[String])]()
+    val n3 = Streams.changeFeedIngest(spark, src, Seq("id"), ckpt,
+      maxVersionsPerBatch = 2) { (df, from, to) =>
+        tail += ((from, to, df.select("id", "_change_type")
+          .collect().map(_.toString).toSet))
+      }
+    assert(n3 === 1 && tail.head._1 === 4L && tail.head._2 === 5L)
+    assert(tail.head._3 === Set("[11,delete]"))
+  }
+
+  test("changeFeedIngest resets cold when the source table is a new " +
+      "incarnation (UUID identity), not the old cursor's positions") {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-cdfsrc2")
+    val (src, ckpt) = (s"$root/src", s"$root/ckpt")
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), src, Seq("id"))
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), src, Seq("id"))
+    assert(Streams.changeFeedIngest(spark, src, Seq("id"), ckpt) {
+      (_, _, _) => () } === 2)
+    // recreate the table at the same path — new UUID, new history
+    val p = new org.apache.hadoop.fs.Path(src)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    VersionedTable.create(Seq((9L, "z")).toDF("id", "v"), src, Seq("id"))
+    val seen = scala.collection.mutable.Buffer[(Long, Long, Set[String])]()
+    val n = Streams.changeFeedIngest(spark, src, Seq("id"), ckpt) {
+      (df, from, to) =>
+        seen += ((from, to, df.select("id").collect().map(_.toString).toSet))
+    }
+    assert(n === 1 && seen.head._1 === 0L && seen.head._2 === 1L,
+      "a new incarnation must restart from the initial snapshot")
+    assert(seen.head._3 === Set("[9]"),
+      "the NEW incarnation's rows, not the dead one's positions")
+  }
+
+  test("CDC source -> SCD2 sink chain is exactly-once under a mid-chain " +
+      "crash between the sink commit and the cursor advance") {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-cdfchain")
+    val (src, dim, ckpt) = (s"$root/src", s"$root/dim", s"$root/ckpt")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    VersionedTable.create(
+      Seq((1L, "a1", t("2024-01-01 00:00:00")),
+        (2L, "b1", t("2024-01-01 00:00:00"))).toDF("k", "v", "ts"),
+      src, Seq("k"))                                                    // v1
+    VersionedTable.merge(
+      Seq((1L, "a2", t("2024-02-01 00:00:00"))).toDF("k", "v", "ts"),
+      src, Seq("k"))                                                    // v2
+    // the chain: current-state changes (inserts + post-images) fold into
+    // the SCD2 dim, keyed by the range end — the sink's replay ledger
+    def applyToDim(df: org.apache.spark.sql.DataFrame, to: Long): Unit = {
+      val updates = df.filter(col("_change_type")
+        .isin("insert", "update_postimage")).select("k", "v", "ts")
+      Streams.processScdBatch(updates, batchId = to, Seq("k"), Seq("v"),
+        "ts", dim)
+    }
+    // first pump CRASHES mid-chain: range (1,2]'s sink commit landed,
+    // its cursor marker did not
+    intercept[RuntimeException] {
+      Streams.changeFeedIngest(spark, src, Seq("k"), ckpt,
+        maxVersionsPerBatch = 2) { (df, _, to) =>
+          applyToDim(df, to)
+          if (to == 2L) sys.error("mid-chain crash after the sink commit")
+        }
+    }
+    assert(graft.streaming.BatchLedger.committedIds(spark, dim)
+      .contains(2L), "the crashed range's sink commit is durable")
+    // recovery: the WAL intent replays (1,2] with the SAME range end, so
+    // the sink finds batch 2 committed and skips — exactly-once
+    val n = Streams.changeFeedIngest(spark, src, Seq("k"), ckpt,
+      maxVersionsPerBatch = 2) { (df, _, to) => applyToDim(df, to) }
+    assert(n === 1, "recovery replays exactly the crashed range")
+    val cur = Streams.currentDim(spark, dim).get.filter(col("is_current"))
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(cur === Set((1L, "a2"), (2L, "b1")))
+    val closed = Streams.currentDim(spark, dim).get
+      .filter(!col("is_current")).select("k", "v")
+      .as[(Long, String)].collect().toSet
+    assert(closed === Set((1L, "a1")),
+      "exactly one superseded version — a double-applied range would " +
+        "close b1 or duplicate a1's closure")
+    assert(graft.streaming.BatchLedger.committedIds(spark, dim).toSet ===
+      Set(1L, 2L), "one dim snapshot per range, no extras")
+  }
 }

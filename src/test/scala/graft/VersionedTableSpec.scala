@@ -1055,4 +1055,208 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(recreated.tableId.isDefined && recreated.tableId != tid,
       "a new incarnation at the same path must have a new identity")
   }
+
+  // ------------------------------------------------- deletion vectors (r16)
+
+  /** A table of `n` single-file commits: file k holds ids
+    * (k*per, (k+1)*per], one data file per commit, stats on `id` — the
+    * precise file-boundary fixture the DV shape decisions need.
+    */
+  private def dvTable(dir: String, files: Int = 2, per: Long = 100L): Unit = {
+    def part(k: Int) = ((k * per + 1) to ((k + 1) * per))
+      .map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    VersionedTable.create(part(0), dir, statsCols = Seq("id"))
+    (1 until files).foreach(k =>
+      VersionedTable.append(part(k), dir, statsCols = Seq("id")))
+  }
+
+  test("deleteWithDv: merge-on-read delete — same answer as CoW, no file " +
+      "rewritten, pre-delete version stays time-travelable") {
+    val dir = tmp()
+    dvTable(dir, files = 4, per = 250L)
+    val before = VersionedTable.latest(spark, dir).get
+    val s = VersionedTable.deleteWithDv(spark, dir, col("id") % 100L === 0L)
+    assert(s.files === before.files,
+      "a sub-threshold delete must not add or remove a single data file")
+    assert(s.dvFiles.nonEmpty, "the DV sidecar must be referenced")
+    assert(s.dvn.values.sum === 10L, s"10 soft-deleted rows, got ${s.dvn}")
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      (1L to 1000L).filterNot(_ % 100L == 0L).toSet)
+    // identical answer to the CoW path on a twin table
+    val twin = tmp()
+    dvTable(twin, files = 4, per = 250L)
+    VersionedTable.delete(spark, twin, col("id") % 100L === 0L)
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      ids(VersionedTable.read(spark, twin)))
+    // time travel across the DV commit
+    assert(ids(VersionedTable.snapshotAt(spark, dir, 4L)) ===
+      (1L to 1000L).toSet)
+  }
+
+  test("deleteWithDv accumulates per-file DVs across commits; countBounds " +
+      "prices live rows exactly") {
+    val dir = tmp()
+    dvTable(dir, files = 2, per = 100L)
+    VersionedTable.deleteWithDv(spark, dir,
+      col("id") % 10L === 0L && col("id") <= lit(100L))
+    // 20% cumulative — above the 0.15 default, so raise the threshold
+    // to keep the second delete on the DV path (accumulation under test)
+    val s2 = VersionedTable.deleteWithDv(spark, dir,
+      col("id") % 10L === 5L && col("id") <= lit(100L),
+      densityThreshold = 0.25)
+    assert(s2.dvn.values.sum === 20L && s2.dvn.size === 1)
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      (1L to 200L).filterNot(i => i <= 100 && i % 5 == 0).toSet)
+    // metadata-only count: file 1 allMatch on id <= 100 → 100 - 20 live
+    assert(VersionedTable.countBounds(spark, dir, col("id") <= 100L) ===
+      Some((80L, 80L)))
+    assert(VersionedTable.countBounds(spark, dir, lit(true)) ===
+      Some((180L, 180L)))
+    // readWhere composes pruning with the DV anti-filter
+    assert(ids(VersionedTable.readWhere(spark, dir, col("id") <= 30L)) ===
+      (1L to 30L).filterNot(_ % 5 == 0).toSet)
+  }
+
+  test("deleteWithDv density threshold falls back to copy-on-write and " +
+      "folds the file's DV history away") {
+    val dir = tmp()
+    dvTable(dir, files = 2, per = 100L)
+    VersionedTable.deleteWithDv(spark, dir,
+      col("id") % 10L === 0L && col("id") <= lit(100L)) // 10% on file 1
+    // +10 more → 20% cumulative > 15% default → rewrite, not DV
+    val s = VersionedTable.deleteWithDv(spark, dir,
+      col("id") % 10L === 5L && col("id") <= lit(100L))
+    assert(s.dvn.isEmpty && s.dvFiles.isEmpty,
+      "the CoW fallback must fold the whole DV history away")
+    assert(s.files.size === 2 && s.operation === "delete")
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      (1L to 200L).filterNot(i => i <= 100 && i % 5 == 0).toSet)
+    // the rewritten file carries fresh stats: pruning still works
+    val (kept, pruned) = (VersionedTable.pruneInfo(spark, dir,
+      col("id") > 150L))
+    assert(kept === 1 && pruned === 1,
+      "the rewritten file must carry fresh skipping stats")
+  }
+
+  test("deleteWithDv drops a fully-dead file by reference — no rewrite, " +
+      "no DV") {
+    val dir = tmp()
+    dvTable(dir, files = 3, per = 100L)
+    val s = VersionedTable.deleteWithDv(spark, dir, col("id") <= 100L)
+    assert(s.files.size === 2 && s.dvn.isEmpty && s.dvFiles.isEmpty,
+      "a file whose every live row matches is dropped, not rewritten")
+    assert(ids(VersionedTable.read(spark, dir)) === (101L to 300L).toSet)
+  }
+
+  test("deleteWithDv honors SQL three-valued logic: NULL-predicate rows " +
+      "survive") {
+    val dir = tmp()
+    val df = Seq((1L, "x"), (2L, null: String), (3L, "y"))
+      .toDF("id", "v").coalesce(1)
+    VersionedTable.create(df, dir)
+    VersionedTable.deleteWithDv(spark, dir, col("v") === "x",
+      densityThreshold = 1.0)
+    assert(ids(VersionedTable.read(spark, dir)) === Set(2L, 3L))
+  }
+
+  test("compaction and cluster fold DVs into clean files") {
+    val dir = tmp()
+    dvTable(dir, files = 2, per = 100L)
+    VersionedTable.deleteWithDv(spark, dir, col("id") % 10L === 0L)
+    val c = VersionedTable.compactTable(spark, dir, targetFiles = 1)
+    assert(c.dvFiles.isEmpty && c.dvn.isEmpty)
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      (1L to 200L).filterNot(_ % 10 == 0).toSet)
+  }
+
+  test("vacuum never sweeps a live DV sidecar; an expired one is reclaimed") {
+    val dir = tmp()
+    dvTable(dir, files = 2, per = 100L)
+    val s = VersionedTable.deleteWithDv(spark, dir, col("id") % 10L === 0L)
+    VersionedTable.append(Seq((201L, "x")).toDF("id", "v"), dir)
+    VersionedTable.vacuum(spark, dir, retainVersions = 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    s.dvFiles.foreach(f => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$f")),
+      s"live DV sidecar $f must survive vacuum"))
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      ((1L to 200L).filterNot(_ % 10 == 0).toSet + 201L))
+    // fold the DV away, expire its last referencing version → reclaimed
+    VersionedTable.compactTable(spark, dir, targetFiles = 1)
+    VersionedTable.vacuum(spark, dir, retainVersions = 1)
+    s.dvFiles.foreach(f => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$f")),
+      s"expired DV sidecar $f must be reclaimed"))
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      ((1L to 200L).filterNot(_ % 10 == 0).toSet + 201L))
+  }
+
+  test("merge and CoW-update after a DV delete do not resurrect " +
+      "soft-deleted rows") {
+    val dir = tmp()
+    dvTable(dir, files = 2, per = 100L)
+    VersionedTable.deleteWithDv(spark, dir, col("id") % 10L === 0L)
+    VersionedTable.merge(Seq((5L, "MERGED")).toDF("id", "v"), dir,
+      keys = Seq("id"))
+    val afterMerge = ids(VersionedTable.read(spark, dir))
+    assert(!afterMerge.contains(10L) && !afterMerge.contains(200L),
+      "merge's rewrite must start from live rows only")
+    assert(VersionedTable.read(spark, dir)
+      .filter(col("id") === 5L).select("v").as[String].head() === "MERGED")
+    VersionedTable.update(spark, dir, col("id") === 7L,
+      Map("v" -> lit("UPDATED")))
+    val afterUpdate = ids(VersionedTable.read(spark, dir))
+    assert(afterUpdate === (1L to 200L).filterNot(_ % 10 == 0).toSet)
+  }
+
+  test("restore across a DV commit carries the deletion vector; restore " +
+      "to the pre-DV version resurrects the rows") {
+    val dir = tmp()
+    dvTable(dir, files = 2, per = 100L)
+    VersionedTable.deleteWithDv(spark, dir, col("id") % 10L === 0L) // v3
+    VersionedTable.append(Seq((201L, "x")).toDF("id", "v"), dir) // v4
+    val r = VersionedTable.restore(spark, dir, 3L) // v5 = v3's state
+    assert(r.dvFiles.nonEmpty && r.dvn.values.sum === 20L,
+      "restore must carry the target version's DV")
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      (1L to 200L).filterNot(_ % 10 == 0).toSet)
+    VersionedTable.restore(spark, dir, 2L) // pre-DV
+    assert(ids(VersionedTable.read(spark, dir)) === (1L to 200L).toSet)
+  }
+
+  test("a checkpoint manifest (every 10th version) carries the DV state " +
+      "through the full-rerender path") {
+    val dir = tmp()
+    dvTable(dir, files = 2, per = 100L)
+    VersionedTable.deleteWithDv(spark, dir, col("id") % 50L === 0L) // v3
+    (4L to 10L).foreach(i => VersionedTable.append(
+      Seq((200L + i, s"x$i")).toDF("id", "v"), dir)) // v10 checkpoints full
+    val s = VersionedTable.latest(spark, dir).get
+    assert(s.version === 10L && s.dvn.values.sum === 4L,
+      "the checkpoint full manifest must re-render dvfile=/dvn= lines")
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      ((1L to 200L).filterNot(_ % 50 == 0).toSet ++ (204L to 210L)))
+  }
+
+  test("deleteWithDv rebases over a disjoint concurrent DV delete; " +
+      "conflicts when the competitor soft-deleted in a file it read") {
+    val dir = tmp()
+    dvTable(dir, files = 2, per = 100L)
+    // disjoint files: competitor DVs file 2 while we stage file 1 → rebase
+    VersionedTable.deleteWithDv(spark, dir, col("id") === 10L,
+      maxAttempts = 3,
+      onStaged = () =>
+        VersionedTable.deleteWithDv(spark, dir, col("id") === 150L))
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      (1L to 200L).toSet -- Set(10L, 150L))
+    // same file: competitor DVs a row in OUR touched file → typed conflict
+    val ex = intercept[graft.sources.ConflictingCommitException] {
+      VersionedTable.deleteWithDv(spark, dir, col("id") === 20L,
+        maxAttempts = 3,
+        onStaged = () =>
+          VersionedTable.deleteWithDv(spark, dir, col("id") === 30L))
+    }
+    assert(ex.getMessage.contains("deletion vector"))
+  }
 }
