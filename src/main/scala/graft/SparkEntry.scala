@@ -2467,6 +2467,35 @@ object SparkEntry {
       VersionedTable.read(s, tmp)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("sum_price"))
+    }),
+
+    // PER-FILE BLOOM SKIPPING (round 16) — the point-lookup gap min/max
+    // stats cannot close: on an unordered high-cardinality key (md5 of
+    // doc_id) every file's [min, max] spans the whole hex space, so a
+    // needle query would scan all 16 files; analyzeBloom writes one
+    // size-capped bloom sidecar per (file, column) metadata-only, and
+    // readWhere's equality/IN analyzer keeps only files whose bloom
+    // might hold a needle (~1 of 16 per needle; false positives cost
+    // scans, never answers — DataSkippingSpec + fuzz pin soundness,
+    // dev/sweeps/r16_bloom_sf1.txt records measured pruning at scale).
+    "q119_bloom_lookup" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val tmp = scratchPath("q119")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"),
+          col("text"))
+        .repartitionByRange(16, col("doc_id"))
+      VersionedTable.create(docs, tmp, statsCols = Seq("doc_id"))
+      VersionedTable.analyzeBloom(s, tmp, Seq("h"))
+      val needles = Seq(42L, 137L, 444L).map(i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+      VersionedTable.readWhere(s, tmp, col("h").isin(needles: _*))
+        .select(col("doc_id"), col("h"),
+          length(col("text")).cast("int").as("text_len"))
     })
   )
 
@@ -3367,6 +3396,13 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 <> 0
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // the needles replayed by key: the bloom path must return exactly
+    // the looked-up documents (md5 hex agrees between engines)
+    "q119_bloom_lookup" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(LENGTH(text) AS INT) AS text_len
+        |FROM documents WHERE doc_id IN (42, 137, 444)""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

@@ -540,16 +540,28 @@ object DataSkipping {
   def prune(spark: SparkSession, dir: String,
       snap: VersionedTable.Snapshot, predicate: Column):
       (Seq[String], Seq[String]) = {
-    if (snap.files.isEmpty || snap.stats.isEmpty) return (snap.files, Nil)
+    if (snap.files.isEmpty ||
+      (snap.stats.isEmpty && snap.blooms.isEmpty)) return (snap.files, Nil)
     val schemaDf = schemaProbe(spark, dir, snap)
     resolve(schemaDf, predicate) match {
       case None => (snap.files, Nil)
-      case Some(e) => snap.files.partition { f =>
-        snap.stats.get(f) match {
-          case Some(fs) => eval(e, fs)._1
-          case None => true
+      case Some(e) =>
+        // bloom sidecars load lazily, at most once per prune call, and
+        // ONLY for files the min/max verdict kept — the point-lookup
+        // extension composes as a plain AND of two sound mayMatch
+        // over-approximations
+        val loader = new BloomStats.Loader(spark, dir)
+        snap.files.partition { f =>
+          val statsMay = snap.stats.get(f) match {
+            case Some(fs) => eval(e, fs)._1
+            case None => true
+          }
+          statsMay && (snap.blooms.get(f) match {
+            case Some(refs) if refs.nonEmpty =>
+              BloomStats.mayMatch(e, refs, loader(_))
+            case _ => true
+          })
         }
-      }
     }
   }
 

@@ -115,7 +115,8 @@ object VersionedTable {
       schemaJson: Option[String] = None,
       tableId: Option[String] = None,
       dvFiles: Seq[String] = Nil,
-      dvn: Map[String, Long] = Map.empty) {
+      dvn: Map[String, Long] = Map.empty,
+      blooms: Map[String, Map[String, String]] = Map.empty) {
     /** The snapshot's recorded table schema (versions committed before
       * schema tracking have none and read footer-first as before).
       */
@@ -185,7 +186,8 @@ object VersionedTable {
       d.schemaJson.orElse(prev.schemaJson),
       prev.tableId, // identity is immutable: deltas always inherit
       if (newDvn.isEmpty) Nil else (prev.dvFiles ++ d.dvAdds).distinct,
-      newDvn)
+      newDvn,
+      prev.blooms -- removed) // bloom sidecars die with their data file
   }
 
   /** Test seam: manifest names dropped from directory listings,
@@ -473,7 +475,16 @@ object VersionedTable {
       } yield FullRec(Snapshot(v, ts, op, files,
         DataSkipping.parseLines(lines), schema, field("tableid"),
         lines.filter(_.startsWith("dvfile=")).map(_.drop(7)),
-        dvnOf("dvn=")))
+        dvnOf("dvn="),
+        // `bloom=<datafile>|<b64 col>|<sidecar path>`
+        lines.collect { case l if l.startsWith("bloom=") =>
+          l.drop(6).split('|') match {
+            case Array(f, c, p) => scala.util.Try((f, new String(
+              java.util.Base64.getDecoder.decode(c), "UTF-8"), p)).toOption
+            case _ => None
+          }
+        }.flatten.groupBy(_._1).view
+          .mapValues(_.map(t => t._2 -> t._3).toMap).toMap))
     }
   }
 
@@ -488,6 +499,10 @@ object VersionedTable {
         DataSkipping.renderLines(f, fs) }
       ++ s.dvFiles.map(f => s"dvfile=$f")
       ++ s.dvn.toSeq.sortBy(_._1).map { case (f, n) => s"dvn=$f|$n" }
+      ++ s.blooms.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+        cols.toSeq.sortBy(_._1).map { case (c, p) =>
+          s"bloom=$f|${java.util.Base64.getEncoder
+            .encodeToString(c.getBytes("UTF-8"))}|$p" } }
       :+ s"end=${s.files.size}")
       .mkString("", "\n", "\n")
 
@@ -596,7 +611,8 @@ object VersionedTable {
       schemaJson: Option[String] = None,
       tableId: Option[String] = None,
       dvFiles: Seq[String] = Nil,
-      dvn: Map[String, Long] = Map.empty): Snapshot = {
+      dvn: Map[String, Long] = Map.empty,
+      blooms: Map[String, Map[String, String]] = Map.empty): Snapshot = {
     // Version 1 MINTS the table identity; it is carried forward by
     // every later manifest (full manifests re-render it, deltas inherit
     // through applyDelta), so a table deleted and recreated at the same
@@ -607,7 +623,7 @@ object VersionedTable {
         Some(java.util.UUID.randomUUID.toString.take(16)))
       else tableId
     val snap = Snapshot(v, System.currentTimeMillis(), operation, files,
-      stats, schemaJson, tid, dvFiles, dvn)
+      stats, schemaJson, tid, dvFiles, dvn, blooms)
     writeExclusive(spark, dir, v, renderManifest(snap).getBytes("UTF-8"))
     snap
   }
@@ -635,7 +651,8 @@ object VersionedTable {
       schemaJson.orElse(prev.schemaJson),
       prev.tableId,
       if (newDvn.isEmpty) Nil else (prev.dvFiles ++ dvAdds).distinct,
-      newDvn)
+      newDvn,
+      prev.blooms -- removed)
     if (v % CheckpointEvery == 0) {
       writeExclusive(spark, dir, v,
         renderManifest(resolved).getBytes("UTF-8"))
@@ -1903,7 +1920,51 @@ object VersionedTable {
         .getOrElse(fs)
     }
     commit(spark, dir, prev.version + 1, "analyze", prev.files,
-      mergedStats, prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn)
+      mergedStats, prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn,
+      prev.blooms)
+  }
+
+  /** Backfill per-file BLOOM stats for `cols` on the CURRENT version —
+    * metadata-only like [[analyze]]: one no-shuffle job builds a bloom
+    * per (file, column) over the files that don't already carry one
+    * ([[BloomStats.collect]]), sidecars land beside the data, and the
+    * new version references the same data files. [[readWhere]] equality
+    * and IN predicates on `cols` then prune files whose bloom excludes
+    * the needle — the point-lookup case min/max cannot serve on
+    * unordered high-cardinality keys. `maxBytes` caps each sidecar
+    * (past it the false-positive rate degrades, never the answers).
+    */
+  def analyzeBloom(spark: SparkSession, dir: String, cols: Seq[String],
+      fpp: Double = 0.01, maxBytes: Int = 1 << 20): Snapshot = {
+    require(cols.nonEmpty, "analyzeBloom needs at least one column")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1); got $fpp")
+    val prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    val missing = prev.files.filterNot(f =>
+      prev.blooms.get(f).exists(m =>
+        cols.forall(c => m.keys.exists(_.equalsIgnoreCase(c)))))
+    val collected = BloomStats.collect(spark, dir, missing, cols, fpp,
+      maxBytes, prev.schema,
+      f => prev.stats.get(f).map(_.rowCount).filter(_ > 0L)
+        .getOrElse(BloomStats.DefaultExpected))
+    val v = prev.version + 1
+    val (fs, _) = fsFor(spark, dir)
+    val sub = s"data/v${v}_${java.util.UUID.randomUUID.toString.take(8)}"
+    if (collected.nonEmpty) fs.mkdirs(new Path(s"$dir/$sub"))
+    var idx = 0
+    val refs = collected.toSeq.sortBy(_._1).map { case ((f, c), bytes) =>
+      val rel = s"$sub/bloom-$idx.bloom"
+      idx += 1
+      val out = fs.create(new Path(s"$dir/$rel"), false)
+      try out.write(bytes) finally out.close()
+      (f, c, rel)
+    }
+    val merged = prev.blooms ++ refs.groupBy(_._1).map { case (f, rs) =>
+      f -> (prev.blooms.getOrElse(f, Map.empty) ++
+        rs.map(r => r._2 -> r._3).toMap)
+    }
+    commit(spark, dir, v, "analyze", prev.files, prev.stats,
+      prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn, merged)
   }
 
   /** The table's commit history, newest first — DESCRIBE HISTORY as a
@@ -1986,7 +2047,8 @@ object VersionedTable {
         }
       }
     }
-    val live = keep.flatMap(s => s.files ++ s.dvFiles).toSet
+    val live = keep.flatMap(s =>
+      s.files ++ s.dvFiles ++ s.blooms.values.flatMap(_.values)).toSet
     // Drop the MANIFESTS first, NEWEST-first: at every instant during
     // the sweep (and after a mid-sweep crash) the remaining manifests
     // form a resolvable chain — a delta is always deleted before the
@@ -2017,11 +2079,12 @@ object VersionedTable {
     // window. One extra chain listing per vacuum — O(retained
     // manifests), trivial next to the deletes themselves.
     val live2 = live ++ snapshots(spark, dir)
-      .flatMap(s => s.files ++ s.dvFiles)
+      .flatMap(s => s.files ++ s.dvFiles ++ s.blooms.values.flatMap(_.values))
     var deleted = 0
     var sinceTouch = 0
     drop.foreach { s =>
-      (s.files ++ s.dvFiles).filterNot(live2).foreach { f =>
+      (s.files ++ s.dvFiles ++ s.blooms.values.flatMap(_.values))
+        .filterNot(live2).foreach { f =>
         if (fs.delete(new Path(s"$dir/$f"), false)) deleted += 1
         sinceTouch += 1
         if (sinceTouch >= 4096) {
@@ -2088,7 +2151,7 @@ object VersionedTable {
     val dataDir = new Path(dir, "data")
     if (!fs.exists(dataDir)) return 0
     val referencedSubs = snapshots(spark, dir)
-      .flatMap(s => s.files ++ s.dvFiles)
+      .flatMap(s => s.files ++ s.dvFiles ++ s.blooms.values.flatMap(_.values))
       .map(f => f.substring(0, f.lastIndexOf('/'))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
@@ -2161,7 +2224,7 @@ object VersionedTable {
     val target = all.find(_.version == version).getOrElse(
       sys.error(s"table $dir has no version $version"))
     val (fs, _) = fsFor(spark, dir)
-    (target.files ++ target.dvFiles)
+    (target.files ++ target.dvFiles ++ target.blooms.values.flatMap(_.values))
       .groupBy(f => f.substring(0, f.lastIndexOf('/'))).foreach {
       case (sub, fsOfSub) =>
         val present =
@@ -2181,6 +2244,6 @@ object VersionedTable {
     val latestV = all.last.version
     commit(spark, dir, latestV + 1, "restore",
       target.files, target.stats, schema, all.last.tableId,
-      target.dvFiles, target.dvn)
+      target.dvFiles, target.dvn, target.blooms)
   }
 }

@@ -44,6 +44,15 @@ class DataSkippingFuzzSpec extends AnyFunSuite {
     VersionedTable.append(frame(Seq(
       (49L, 4.9, "s49", Some(49L)),
       (1000L, 1500.0, "é1000", None))), d, stats)
+    // round 16: every random predicate now ALSO fuzzes the bloom
+    // equality pruning (k long-domain, s string-domain incl. multi-byte
+    // and empty strings) and the deletion-vector anti-filter (two rows
+    // soft-deleted, one in the plain-ascii file, one in the multi-byte
+    // file) — pruned ≡ unpruned and countBounds bracketing must hold
+    // over the composed read path
+    VersionedTable.analyzeBloom(spark, d, Seq("k", "s"))
+    VersionedTable.deleteWithDv(spark, d,
+      col("k").isin(25L, 1020L), densityThreshold = 0.99)
     d
   }
 

@@ -295,4 +295,127 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(out.columns.toSeq ===
       VersionedTable.read(spark, dir).columns.toSeq)
   }
+
+  // ------------------------------------------------ bloom stats (round 16)
+
+  /** Keys whose VALUES are unordered relative to the file layout: every
+    * file's [min, max] on `h` (md5 hex) and `j` (multiplicative-hashed
+    * long) spans the whole domain, so min/max pruning keeps ALL files
+    * for a point lookup — the gap blooms exist to close.
+    */
+  private def hashedTable(dir: String, fpp: Double = 0.001): Unit = {
+    val df = (0L until 4000L).toDF("k")
+      .withColumn("h", md5(col("k").cast("string")))
+      .withColumn("j", pmod(col("k") * lit(2654435761L), lit(4000000L)))
+      .repartitionByRange(8, col("k"))
+    VersionedTable.create(df, dir, Seq("k", "h", "j"))
+    VersionedTable.analyzeBloom(spark, dir, Seq("h", "j"), fpp = fpp)
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("bloom stats prune point lookups min/max cannot: a planted needle " +
+      "keeps all-but-one file, string and long domains") {
+    val dir = tmp()
+    hashedTable(dir)
+    // min/max alone keeps every file for the unordered key...
+    val needle = md5hex("1234")
+    val v = VersionedTable.latest(spark, dir).get
+    assert(v.operation === "analyze" && v.blooms.nonEmpty)
+    // ...the bloom keeps exactly the holder (deterministic data+hashing;
+    // at fpp 1e-3 over 7 candidate files a false positive would be a
+    // reproducible, not flaky, failure — loosen only if data changes)
+    val (keptS, prunedS) = VersionedTable.pruneInfo(spark, dir,
+      col("h") === needle)
+    assert(keptS === 1 && prunedS === 7,
+      s"string-domain needle must keep 1 of 8 files (kept $keptS)")
+    assertSame(dir, col("h") === needle)
+    val (keptL, _) = VersionedTable.pruneInfo(spark, dir,
+      col("j") === pmod(lit(1234L) * lit(2654435761L), lit(4000000L)))
+    assert(keptL === 1, s"long-domain needle must keep 1 file ($keptL)")
+    // IN-list: union of the members' holders
+    val needles = Seq("77", "3888").map(k => md5hex(k))
+    val (keptIn, _) = VersionedTable.pruneInfo(spark, dir,
+      col("h").isin(needles: _*))
+    assert(keptIn === 2, s"IN needles in different files keep 2 ($keptIn)")
+    assertSame(dir, col("h").isin(needles: _*))
+    // an ABSENT needle prunes everything, answer stays empty-and-typed
+    val (keptA, _) = VersionedTable.pruneInfo(spark, dir,
+      col("h") === md5hex("not-a-key"))
+    assert(keptA === 0, "absent needle: every bloom excludes it")
+    assert(VersionedTable.readWhere(spark, dir,
+      col("h") === md5hex("not-a-key")).count() === 0L)
+    // shapes blooms must NOT prune on: negation and ranges
+    assertSame(dir, !(col("h") === needle))
+    assert(VersionedTable.pruneInfo(spark, dir,
+      !(col("h") === needle))._1 === 8,
+      "negated equality must not consult the bloom")
+    // composition with min/max stays an AND: k-range prunes, bloom on
+    // top of the survivors
+    val (keptBoth, _) = VersionedTable.pruneInfo(spark, dir,
+      col("k") < 500L && col("h") === needle)
+    assert(keptBoth <= 1)
+    assertSame(dir, col("k") < 500L && col("h") === needle)
+  }
+
+  test("bloom lifecycle: deltas carry sidecars, rewrites drop them, " +
+      "vacuum keeps live ones, restore carries them") {
+    val dir = tmp()
+    hashedTable(dir)
+    val analyzed = VersionedTable.latest(spark, dir).get
+    // appended files have no bloom (and, here, no h stats — a single
+    // row's min=max would prune it by itself) → always kept; old
+    // blooms still fire
+    VersionedTable.append(Seq(5000L).toDF("k")
+      .withColumn("h", md5(col("k").cast("string")))
+      .withColumn("j", pmod(col("k") * lit(2654435761L), lit(4000000L))),
+      dir, Seq("k"))
+    val needle = md5hex("1234")
+    val (kept, _) = VersionedTable.pruneInfo(spark, dir, col("h") === needle)
+    assert(kept === 2, "holder + bloom-less new file survive the needle")
+    assertSame(dir, col("h") === needle)
+    // a CoW rewrite drops the file's bloom (stale bits must not prune
+    // the rewritten file)
+    val before = VersionedTable.latest(spark, dir).get
+    VersionedTable.delete(spark, dir, col("k") === 1234L)
+    val after = VersionedTable.latest(spark, dir).get
+    val rewritten = before.files.filterNot(after.files.toSet)
+    assert(rewritten.nonEmpty &&
+      rewritten.forall(f => !after.blooms.contains(f)))
+    assertSame(dir, col("h") === needle) // needle row deleted: both empty
+    // vacuum keeps sidecars referenced by retained manifests
+    VersionedTable.vacuum(spark, dir, retainVersions = 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveBlooms = VersionedTable.snapshots(spark, dir)
+      .flatMap(_.blooms.values.flatMap(_.values)).distinct
+    assert(liveBlooms.nonEmpty && liveBlooms.forall(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p"))))
+    // restore carries the bloom references with the file list
+    val restored = VersionedTable.restore(spark, dir,
+      VersionedTable.snapshots(spark, dir).head.version)
+    assert(restored.blooms.nonEmpty)
+    // a second analyzeBloom only touches files missing the columns
+    val again = VersionedTable.analyzeBloom(spark, dir, Seq("h", "j"))
+    assert(analyzed.blooms.forall { case (f, m) =>
+      !again.blooms.contains(f) || again.blooms(f) == m },
+      "existing sidecars are reused, not rebuilt")
+  }
+
+  test("bloom + deletion vectors compose: the needle's soft-deleted row " +
+      "vanishes while pruning still fires") {
+    val dir = tmp()
+    hashedTable(dir)
+    val needle = md5hex("2222")
+    VersionedTable.deleteWithDv(spark, dir, col("h") === needle,
+      densityThreshold = 0.99)
+    val (kept, _) = VersionedTable.pruneInfo(spark, dir, col("h") === needle)
+    assert(kept === 1, "the DV does not invalidate the file's bloom " +
+      "(over-approximation stays sound)")
+    assert(VersionedTable.readWhere(spark, dir,
+      col("h") === needle).count() === 0L)
+    assertSame(dir, col("h") === needle)
+  }
 }
