@@ -368,8 +368,8 @@ object Mp4 {
     found
   }
 
-  private val MaxSamples = 100000
-  private val MaxUnits = 64L << 20
+  private[graft] val MaxSamples = 100000
+  private[graft] val MaxUnits = 64L << 20
 
   /** Decode one MP4's Motion-JPEG frame statistics:
     * (n_frames, width, height, n_units, min, max, sum over the

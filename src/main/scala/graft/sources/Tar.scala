@@ -172,8 +172,8 @@ object Tar {
   }
 
   // linear walk; cap only the minimum-size-header flood
-  private val MaxEntries = 1 << 20
-  private val MaxMemberLen = 64L << 20
+  private[graft] val MaxEntries = 1 << 20
+  private[graft] val MaxMemberLen = 64L << 20
 
   /** Octal field: leading spaces/zeros, space- or NUL-terminated;
     * base-256 (high bit) rejected.

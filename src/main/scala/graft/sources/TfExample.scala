@@ -150,8 +150,8 @@ object TfExample {
     override def fillInStackTrace(): Throwable = this
   }
 
-  private val MaxFeatures = 4096
-  private val MaxListLen = 64L << 20
+  private[graft] val MaxFeatures = 4096
+  private[graft] val MaxListLen = 64L << 20
 
   private final class Reader(b: Array[Byte], var p: Int, val end: Int) {
     def hasMore: Boolean = p < end

@@ -106,8 +106,8 @@ object Tfrecord {
   // degenerate minimum-size-record flood; a production shard of tiny
   // examples legitimately holds millions of records (the sf100 rung
   // caught a 100k cap rejecting our own 166k-record shards)
-  private val MaxRecords = 16 << 20
-  private val MaxRecordLen = 64L << 20
+  private[graft] val MaxRecords = 16 << 20
+  private[graft] val MaxRecordLen = 64L << 20
 
   private def u32le(b: Array[Byte], o: Int): Long =
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
@@ -117,7 +117,17 @@ object Tfrecord {
     * double-CRC-verified bytes; None on any integrity violation.
     */
   private[graft] def tfrecordRows(raw: Array[Byte],
-      c: java.util.zip.CRC32C): Option[Seq[(Int, Long, Long)]] = {
+      c: java.util.zip.CRC32C): Option[Seq[(Int, Long, Long)]] =
+    tfrecordRowsAndBytes(raw, c).map(_._1)
+
+  /** [[tfrecordRows]] plus the DECOMPRESSED shard bytes, so a caller
+    * that re-walks record offsets (readShards' id-prefix pass) reuses
+    * the one gunzip this parse already paid instead of inflating the
+    * shard a second time.
+    */
+  private[graft] def tfrecordRowsAndBytes(raw: Array[Byte],
+      c: java.util.zip.CRC32C):
+      Option[(Seq[(Int, Long, Long)], Array[Byte])] = {
     val b =
       if (Warc.isGzip(raw)) Warc.gunzipAll(raw).getOrElse(return None)
       else raw
@@ -143,7 +153,7 @@ object Tfrecord {
       p = end + 4
       i += 1
     }
-    Some(out.result())
+    Some((out.result(), b))
   }
 
   // ------------------------------------------------------ export path
@@ -155,11 +165,17 @@ object Tfrecord {
     * executor-side (HDFS/object stores work exactly like parquet
     * writes; nothing is buffered beyond one record). Each record's
     * payload is an 8-byte LE `id` prefix + the given bytes, so
-    * read-back re-keys rows without a join. Deterministic shard names
-    * (`part-<partitionId>.tfrecord`, overwrite-on-create) make a
-    * retried task idempotent as long as the upstream partition is
-    * deterministic — the same contract as Spark's own file commit.
-    * EAGER (runs a job); returns (path, n_records) per shard written.
+    * read-back re-keys rows without a join. Commit follows Spark's own
+    * per-task staging contract: each ATTEMPT streams into its own
+    * hidden temp (`.part-<pid>.tfrecord.<taskAttemptId>.tmp` — dot
+    * names are invisible to Spark's file listings) and renames to the
+    * deterministic final name only once COMPLETE. A retried task never
+    * truncates a live file; a speculative or zombie attempt racing the
+    * winner loses the rename (no-replace destination) and deletes only
+    * its own temp — interleaved writes into the final shard cannot
+    * happen. Requires deterministic upstream partitions, like any
+    * deterministic-name committer. EAGER (runs a job); returns
+    * (path, n_records) per shard written.
     */
   def writeShards(rows: Dataset[(Long, Array[Byte])],
       outDir: String): Array[(String, Long)] = {
@@ -170,11 +186,14 @@ object Tfrecord {
     rows.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
+        val tc = org.apache.spark.TaskContext.get()
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val path = new org.apache.hadoop.fs.Path(outDir,
           f"part-$pid%05d.tfrecord")
+        val tmp = new org.apache.hadoop.fs.Path(outDir,
+          f".part-$pid%05d.tfrecord.${tc.taskAttemptId()}.tmp")
         val fs = path.getFileSystem(hconf.value)
-        val os = fs.create(path, true)
+        val os = fs.create(tmp, true)
         val c = new java.util.zip.CRC32C()
         var n = 0L
         try {
@@ -199,6 +218,16 @@ object Tfrecord {
             n += 1
           }
         } finally os.close()
+        // publish: rename refuses an existing destination, so exactly
+        // one attempt's COMPLETE temp becomes the shard. A retried
+        // attempt whose predecessor already published (job marked the
+        // task failed anyway) or a speculative loser just cleans up —
+        // n is identical either way (deterministic partition).
+        if (!fs.rename(tmp, path)) {
+          fs.delete(tmp, false)
+          if (!fs.exists(path)) sys.error(
+            s"writeShards: failed to publish $path and no winner exists")
+        }
         Iterator.single((path.toString, n))
       }
     }.collect() // one small row per shard — driver-bounded by design
@@ -219,12 +248,11 @@ object Tfrecord {
       .mapPartitions { batch =>
         val c = new java.util.zip.CRC32C()
         batch.flatMap { raw =>
-          tfrecordRows(raw, c) match {
-            case Some(rows) if rows.forall(_._2 >= 8) =>
-              // re-parse each record's 8-byte LE prefix: tfrecordRows
-              // proved framing+CRCs, so offsets can be re-walked
-              val b = if (Warc.isGzip(raw))
-                Warc.gunzipAll(raw).get else raw
+          tfrecordRowsAndBytes(raw, c) match {
+            case Some((rows, b)) if rows.forall(_._2 >= 8) =>
+              // re-walk each record's 8-byte LE prefix over the SAME
+              // decompressed buffer the framing+CRC parse validated —
+              // no second gunzip
               var p = 0
               rows.iterator.map { case (_, len, _) =>
                 val dataOff = p + 12

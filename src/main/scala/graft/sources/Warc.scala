@@ -159,10 +159,10 @@ object Warc {
     override def fillInStackTrace(): Throwable = this
   }
 
-  private val MaxRecordLen = 64L << 20
+  private[graft] val MaxRecordLen = 64L << 20
   // real Common Crawl WARCs hold ~30-150k records per ~1 GB file and
   // parsing is linear in bytes - cap generously, not plausibly
-  private val MaxRecords = 1 << 20
+  private[graft] val MaxRecords = 1 << 20
 
   /** Gunzip a (possibly multi-member) gzip stream fully, None on a
     * corrupt stream or past the size cap. The constructor itself

@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
   * Envelope (whole archive → one null row, never partial): no zip64,
   * no encryption (general-purpose bit 0), methods STORED/DEFLATE only,
   * ≤ 65535 entries (the u16 field's own bound), ≤ 64 MiB uncompressed
-  * per member, EOCD comment scan
-  * bounded at 64 KiB.
+  * per member (the shared cost-model cap, ReaderCapsSpec), EOCD comment
+  * scan bounded at the comment field's own u16 width.
   *
   * Scale notes: flatMap in bounded mapPartitions, no shuffle; the
   * Inflater is pooled per partition like [[graft.multimodal.Media]]'s
@@ -177,9 +177,12 @@ object Zip {
   }
 
   // the EOCD entry-count field is u16: 65535 is the format's own bound
-  private val MaxEntries = 65535
-  private val MaxMemberLen = 64L << 20
-  private val MaxCommentScan = 64 << 10
+  private[graft] val MaxEntries = 65535
+  private[graft] val MaxMemberLen = 64L << 20
+  // the EOCD comment length field is u16, so 65535 is the FORMAT's own
+  // bound on how far past the fixed 22-byte EOCD tail the signature can
+  // sit (the scan floor subtracts the 22 separately)
+  private[graft] val MaxCommentScan = 65535
 
   private def u16(b: Array[Byte], o: Int): Int = {
     if (o < 0 || o + 2 > b.length) throw Reject
@@ -258,7 +261,21 @@ object Zip {
             if (n == 0 && inf.needsInput()) throw Reject // truncated
             got += n
           }
-          if (got != data.length || !inf.finished()) return None
+          // a LEGAL zero-length member (uncompressed size 0, method 8 —
+          // e.g. the 2-byte raw stream `03 00`) never enters the loop,
+          // and a member whose last inflate exactly filled the buffer
+          // may not have consumed the stream-end marker yet: drain one
+          // terminal call. Any byte it produces means the stream holds
+          // MORE than the declared length — reject, don't truncate.
+          if (!inf.finished()) {
+            val probe = new Array[Byte](1)
+            val extra =
+              try inf.inflate(probe, 0, 1)
+              catch { case _: java.util.zip.DataFormatException =>
+                throw Reject }
+            if (extra > 0 || !inf.finished()) return None
+          }
+          if (got != data.length) return None
         }
         val c = new java.util.zip.CRC32()
         c.update(data)

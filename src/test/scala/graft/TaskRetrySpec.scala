@@ -186,4 +186,31 @@ class TaskRetrySpec extends AnyFunSuite {
     assert(got.map(_._1).toSet === (0L until 40L).toSet)
     assert(got.forall(_._2.contains(16L)))
   }
+
+  test("TFRecord writeShards: a zombie-like second attempt loses the " +
+      "no-replace publish, cleans only its own temp, never interleaves") {
+    import graft.sources.Tfrecord
+    val out = tmp()
+    val ds = spark.range(0L, 20L, 1L, 2).as[Long]
+      .map(i => (i, Array.tabulate(16)(j => ((i + j) % 256).toByte)))
+    val s1 = Tfrecord.writeShards(ds, out)
+    val shard0 = new java.io.File(new java.net.URI(
+      if (s1.head._1.startsWith("file:")) s1.head._1
+      else s"file:${s1.head._1}"))
+    val winnerBytes = java.nio.file.Files.readAllBytes(shard0.toPath)
+    // a second run over the same deterministic partitions = the zombie
+    // attempt racing an already-published winner: every rename loses
+    val s2 = Tfrecord.writeShards(ds, out)
+    assert(s2.map(_._2).sum === s1.map(_._2).sum)
+    assert(java.util.Arrays.equals(winnerBytes,
+      java.nio.file.Files.readAllBytes(shard0.toPath)),
+      "the published shard's bytes must be untouched by the loser")
+    val leftovers = shard0.getParentFile.listFiles()
+      .filter(_.getName.endsWith(".tmp"))
+    assert(leftovers.isEmpty, "the loser must delete its own temp")
+    val got = Tfrecord.readShards(spark, out)
+      .as[(Long, Option[Long])].collect()
+    assert(got.map(_._1).toSet === (0L until 20L).toSet &&
+      got.length === 20)
+  }
 }

@@ -116,6 +116,26 @@ class ZipSpec extends AnyFunSuite {
       (1, "b.bin", 0, b2.length.toLong, b2.map(_.toLong & 0xff).sum))))
   }
 
+  test("a legal EMPTY deflated member (uncompressed size 0, method 8) " +
+      "parses instead of collapsing the archive") {
+    import graft.sources.Zip
+    // our own assembler: Deflater(finish) on empty input emits the
+    // 2-byte raw stream `03 00`
+    val z = Zip.zipBytesFromEntries(Seq(
+      Zip.Entry("empty.txt", Array.empty[Byte], deflate = true),
+      Zip.Entry("tail.txt", "x".getBytes("US-ASCII"), deflate = true)))
+    assert(rows(z) === Some(Seq(
+      (0, "empty.txt", 8, 0L, 0L),
+      (1, "tail.txt", 8, 1L, 'x'.toLong))))
+    // JDK cross-check: an empty DEFLATED entry through ZipOutputStream
+    val bo = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(bo)
+    zo.putNextEntry(new java.util.zip.ZipEntry("e"))
+    zo.closeEntry()
+    zo.close()
+    assert(rows(bo.toByteArray) === Some(Seq((0, "e", 8, 0L, 0L))))
+  }
+
   test("rejection lane: each violated invariant rejects the whole " +
       "archive") {
     val ok = Zip.zipBytesFromEntries(Seq(
