@@ -2496,6 +2496,24 @@ object SparkEntry {
       VersionedTable.readWhere(s, tmp, col("h").isin(needles: _*))
         .select(col("doc_id"), col("h"),
           length(col("text")).cast("int").as("text_len"))
+    }),
+
+    // REAL IMA-ADPCM audio decode (round 16) — the compressed-audio
+    // tier leaves Media.decodeStub: every doc wraps in a real WAV
+    // (fmt tag 0x0011, mono 4-bit, 52-byte blocks) whose nibble stream
+    // repeats [4,8,8] — index deltas cancel per period, so the decoded
+    // signal is exactly affine-per-period and the oracle replays the
+    // per-block sample sums in closed form (97·p0b + 1520·D +
+    // 32·(2d1+d2)). The DECODER is the full general state machine
+    // (both clamps, index table, low-nibble packing); AdpcmSpec drives
+    // the clamp/saturation branches the in-corpus signal provably
+    // cannot reach, plus the rejection lanes.
+    "q120_adpcm_audio" -> ((s, dir) => {
+      graft.multimodal.Adpcm.adpcmSamples(
+        graft.multimodal.Adpcm.fromDocumentsAdpcm(
+          Tables.documents(s, dir)))
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("sample_sum"))
     })
   )
 
@@ -3403,6 +3421,32 @@ object SparkEntry {
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
         |  CAST(LENGTH(text) AS INT) AS text_len
         |FROM documents WHERE doc_id IN (42, 137, 444)""".stripMargin,
+
+    // closed-form replay of the planted ADPCM signal: per block,
+    // 97 samples summing to 97·p0b + 1520·D + 32·(2d1+d2) where the
+    // step deltas come from the IMA table at the planted index — the
+    // engine's general decoder must reproduce it bit-exactly
+    "q120_adpcm_audio" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 8 AS INT) AS i0,
+        |    (doc_id % 1024) - 512 AS p0,
+        |    1 + doc_id % 3 AS nb,
+        |    8000 + (doc_id % 4) * 8000 AS sr
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, sr, nb, p0,
+        |    T[i0+1] + T[i0+1]//8 AS d1,
+        |    -(T[i0+3]//8) AS d2,
+        |    -(T[i0+2]//8) AS d3
+        |  FROM (SELECT *, list_value(7,8,9,10,11,12,13,14,16,17) AS T
+        |        FROM base))
+        |SELECT doc_id AS media_id,
+        |  CAST(sr AS INT) AS sample_rate,
+        |  CAST(97*nb AS BIGINT) AS n_samples,
+        |  CAST(97*nb*p0 + 97*17*(nb*(nb-1)//2)
+        |    + nb*(1520*(d1+d2+d3) + 32*(2*d1+d2)) AS BIGINT) AS sample_sum
+        |FROM d""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

@@ -1020,10 +1020,12 @@ object Media {
     * with a real codec (e.g. javax.imageio / ffmpeg bindings) in a real
     * deployment — the batch shape stays identical. Since round 15 every
     * registered media GATE decodes a real bitstream (BMP/WAV-PCM, PNG
-    * DEFLATE, GIF LZW, JPEG Huffman, MP4 Motion-JPEG — see [[Mp4]]);
+    * DEFLATE, GIF LZW, JPEG Huffman, MP4 Motion-JPEG — see [[Mp4]]), and
+    * round 16 added real COMPRESSED AUDIO (IMA-ADPCM, [[Adpcm]], q120);
     * this stub remains only as the declared fake feature-extractor
-    * plumbing for codec families the container cannot ship
-    * (H.264-class video, compressed audio).
+    * plumbing for the codec families a pure-JVM hand-roll cannot
+    * honestly serve: H.264-class inter-frame video and
+    * perceptual-transform audio (MP3/AAC-class).
     */
   def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession

@@ -620,17 +620,18 @@ object DataSkipping {
     }
   }
 
-  /** A schema-bearing (single-file or schema-only) frame for resolving
-    * predicates: the recorded table schema when the manifest carries
-    * one — correct under schema evolution — else the first file's.
+  /** A schema-bearing frame for resolving predicates in the table's
+    * LOGICAL vocabulary. With a recorded schema this is an in-memory
+    * empty frame — no file opens, and under column mapping the
+    * predicate resolves against logical names (files spell physical
+    * ones, which the readers translate). Only legacy schema-less
+    * tables still probe a file footer.
     */
   private def schemaProbe(spark: SparkSession, dir: String,
       snap: VersionedTable.Snapshot): DataFrame = snap.schema match {
-    case Some(st) if snap.files.isEmpty => // e.g. after a delete-all
+    case Some(st) =>
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-    case Some(st) =>
-      spark.read.schema(st).parquet(s"$dir/${snap.files.head}")
     case None => spark.read.parquet(s"$dir/${snap.files.head}")
   }
 }

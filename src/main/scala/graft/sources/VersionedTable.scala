@@ -116,7 +116,8 @@ object VersionedTable {
       tableId: Option[String] = None,
       dvFiles: Seq[String] = Nil,
       dvn: Map[String, Long] = Map.empty,
-      blooms: Map[String, Map[String, String]] = Map.empty) {
+      blooms: Map[String, Map[String, String]] = Map.empty,
+      droppedCols: Map[String, Long] = Map.empty) {
     /** The snapshot's recorded table schema (versions committed before
       * schema tracking have none and read footer-first as before).
       */
@@ -187,7 +188,8 @@ object VersionedTable {
       prev.tableId, // identity is immutable: deltas always inherit
       if (newDvn.isEmpty) Nil else (prev.dvFiles ++ d.dvAdds).distinct,
       newDvn,
-      prev.blooms -- removed) // bloom sidecars die with their data file
+      prev.blooms -- removed, // bloom sidecars die with their data file
+      prev.droppedCols) // dropped-name memory: only full commits change it
   }
 
   /** Test seam: manifest names dropped from directory listings,
@@ -484,7 +486,16 @@ object VersionedTable {
             case _ => None
           }
         }.flatten.groupBy(_._1).view
-          .mapValues(_.map(t => t._2 -> t._3).toMap).toMap))
+          .mapValues(_.map(t => t._2 -> t._3).toMap).toMap,
+        // `dropped=<b64 physName>|<fieldId>`
+        lines.collect { case l if l.startsWith("dropped=") =>
+          l.drop(8).split('|') match {
+            case Array(n, id) => scala.util.Try(new String(
+              java.util.Base64.getDecoder.decode(n), "UTF-8") ->
+              id.toLong).toOption
+            case _ => None
+          }
+        }.flatten.toMap))
     }
   }
 
@@ -503,6 +514,9 @@ object VersionedTable {
         cols.toSeq.sortBy(_._1).map { case (c, p) =>
           s"bloom=$f|${java.util.Base64.getEncoder
             .encodeToString(c.getBytes("UTF-8"))}|$p" } }
+      ++ s.droppedCols.toSeq.sortBy(_._1).map { case (n, id) =>
+        s"dropped=${java.util.Base64.getEncoder
+          .encodeToString(n.getBytes("UTF-8"))}|$id" }
       :+ s"end=${s.files.size}")
       .mkString("", "\n", "\n")
 
@@ -573,6 +587,133 @@ object VersionedTable {
       }
   }
 
+  // ------------------------------------------------- column mapping (r16)
+
+  private val FieldIdKey = "graft.fieldId"
+  private val PhysNameKey = "graft.physName"
+
+  /** The name a column is stored under in PARQUET FILES. Unmapped
+    * tables: the logical name itself. After [[renameColumn]] the
+    * logical name changes while the physical name (and the stable
+    * field id) stay put, so files written before the rename keep
+    * resolving — Delta's column-mapping contract without the uuid
+    * indirection (physical names are the FIRST logical names).
+    */
+  private[graft] def physNameOf(f: org.apache.spark.sql.types.StructField):
+      String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+    else f.name
+
+  private[graft] def fieldIdOf(f: org.apache.spark.sql.types.StructField):
+      Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  private def hasMapping(st: org.apache.spark.sql.types.StructType): Boolean =
+    st.fields.exists(_.metadata.contains(PhysNameKey))
+
+  /** The schema as parquet files spell it (logical names replaced by
+    * physical ones) — what every file read binds against.
+    */
+  private[graft] def physSchema(st: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      st.fields.map(f => f.copy(name = physNameOf(f))))
+
+  /** Assign ids + physical names to every unmapped field (id = next
+    * free, physical name = the current logical name). Called lazily by
+    * the first rename/drop, so never-renamed tables carry zero mapping
+    * overhead.
+    */
+  private def withMapping(st: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType = {
+    var next = st.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max)
+    org.apache.spark.sql.types.StructType(st.fields.map { f =>
+      if (f.metadata.contains(PhysNameKey)) f
+      else {
+        next += 1
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, next)
+          .putString(PhysNameKey, f.name).build())
+      }
+    })
+  }
+
+  /** A full-rewrite commit re-spells every physical name as the current
+    * logical one (the data was just rewritten under the logical names),
+    * keeping the stable field ids.
+    */
+  private def selfMapped(st: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(st.fields.map { f =>
+      if (!f.metadata.contains(PhysNameKey)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString(PhysNameKey, f.name).build())
+    })
+
+  /** RENAME a column, metadata-only: the logical name changes, the
+    * stable field id and the physical name stay, so every existing file
+    * keeps resolving and not one byte of data moves. Skipping stats and
+    * bloom references follow the column (their keys remap with it), so
+    * pruning on the new name works immediately — "stats follow the id".
+    * Old versions time-travel under their own recorded names.
+    */
+  def renameColumn(spark: SparkSession, dir: String, oldName: String,
+      newName: String): Snapshot = {
+    val prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    val sch = prev.schema.getOrElse(sys.error(
+      s"renameColumn needs a recorded schema on $dir"))
+    val field = sch.fields.find(_.name.equalsIgnoreCase(oldName)).getOrElse(
+      sys.error(s"no column $oldName in ${sch.fieldNames.mkString(",")}"))
+    require(!sch.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"column $newName already exists")
+    require(!newName.startsWith("__vt_"), "reserved name prefix __vt_")
+    val mapped = withMapping(sch)
+    val renamed = org.apache.spark.sql.types.StructType(mapped.fields.map(
+      f => if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName)
+      else f))
+    def remapCols[A](m: Map[String, A]): Map[String, A] =
+      m.map { case (k, v) =>
+        (if (k.equalsIgnoreCase(field.name)) newName else k) -> v }
+    val stats = prev.stats.view.mapValues(fs =>
+      DataSkipping.FileStats(fs.rowCount, remapCols(fs.cols))).toMap
+    val blooms = prev.blooms.view.mapValues(remapCols).toMap
+    commit(spark, dir, prev.version + 1, "rename", prev.files, stats,
+      Some(renamed.json), prev.tableId, prev.dvFiles, prev.dvn, blooms,
+      prev.droppedCols)
+  }
+
+  /** DROP a column, metadata-only: the field leaves the logical schema
+    * (reads stop projecting it — parquet ignores unprojected columns),
+    * its data stays in existing files until they rewrite, and its
+    * PHYSICAL name is remembered so a later re-add of the same name
+    * fails fast instead of silently resurrecting the dropped data from
+    * old files under the recycled name.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Snapshot = {
+    val prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    val sch = prev.schema.getOrElse(sys.error(
+      s"dropColumn needs a recorded schema on $dir"))
+    val mapped = withMapping(sch)
+    val field = mapped.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      sys.error(s"no column $name in ${sch.fieldNames.mkString(",")}"))
+    require(mapped.fields.length > 1, "cannot drop the only column")
+    val remaining = org.apache.spark.sql.types.StructType(
+      mapped.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    val stats = prev.stats.view.mapValues(fs => DataSkipping.FileStats(
+      fs.rowCount,
+      fs.cols.filterNot(_._1.equalsIgnoreCase(field.name)))).toMap
+    val blooms = prev.blooms.view.mapValues(
+      _.filterNot(_._1.equalsIgnoreCase(field.name))).toMap
+      .filter(_._2.nonEmpty)
+    commit(spark, dir, prev.version + 1, "drop", prev.files, stats,
+      Some(remaining.json), prev.tableId, prev.dvFiles, prev.dvn, blooms,
+      prev.droppedCols +
+        (physNameOf(field) -> fieldIdOf(field).getOrElse(0L)))
+  }
+
   /** Stage `df`'s rows as immutable data files for version `v` and
     * return their table-relative paths. The subdir is random-suffixed so
     * a crashed or conflict-losing attempt leaves only invisible debris.
@@ -587,13 +728,38 @@ object VersionedTable {
   }
 
   /** [[stageFiles]] plus data-skipping stats over exactly the staged
-    * files (empty `statsCols` = no stats job at all).
+    * files (empty `statsCols` = no stats job at all). When `tblSchema`
+    * carries a column mapping, the frame is re-spelled to PHYSICAL
+    * names before staging (files always store physical names) and the
+    * collected stats keys come back remapped to the logical names the
+    * manifest speaks.
     */
   private def stageWithStats(df: DataFrame, dir: String, v: Long,
-      statsCols: Seq[String]):
+      statsCols: Seq[String],
+      tblSchema: Option[org.apache.spark.sql.types.StructType] = None):
       (Seq[String], Map[String, DataSkipping.FileStats]) = {
-    val files = stageFiles(df, dir, v)
-    (files, DataSkipping.collectStats(df.sparkSession, dir, files, statsCols))
+    import org.apache.spark.sql.functions.col
+    tblSchema.filter(hasMapping) match {
+      case None =>
+        val files = stageFiles(df, dir, v)
+        (files,
+          DataSkipping.collectStats(df.sparkSession, dir, files, statsCols))
+      case Some(sch) =>
+        def physOf(logical: String): String =
+          sch.fields.find(_.name.equalsIgnoreCase(logical))
+            .map(physNameOf).getOrElse(logical)
+        val phys = df.select(df.schema.fields.map(f =>
+          col(f.name).as(physOf(f.name))).toSeq: _*)
+        val files = stageFiles(phys, dir, v)
+        val physCols = statsCols.map(physOf)
+        val collected = DataSkipping.collectStats(df.sparkSession, dir,
+          files, physCols)
+        val back = physCols.zip(statsCols).toMap
+        (files, collected.view.mapValues(fs => DataSkipping.FileStats(
+          fs.rowCount,
+          fs.cols.map { case (k, v2) => back.getOrElse(k, k) -> v2 }))
+          .toMap)
+    }
   }
 
   /** Atomically claim-and-commit `files` as manifest version `v`:
@@ -612,7 +778,8 @@ object VersionedTable {
       tableId: Option[String] = None,
       dvFiles: Seq[String] = Nil,
       dvn: Map[String, Long] = Map.empty,
-      blooms: Map[String, Map[String, String]] = Map.empty): Snapshot = {
+      blooms: Map[String, Map[String, String]] = Map.empty,
+      droppedCols: Map[String, Long] = Map.empty): Snapshot = {
     // Version 1 MINTS the table identity; it is carried forward by
     // every later manifest (full manifests re-render it, deltas inherit
     // through applyDelta), so a table deleted and recreated at the same
@@ -623,7 +790,7 @@ object VersionedTable {
         Some(java.util.UUID.randomUUID.toString.take(16)))
       else tableId
     val snap = Snapshot(v, System.currentTimeMillis(), operation, files,
-      stats, schemaJson, tid, dvFiles, dvn, blooms)
+      stats, schemaJson, tid, dvFiles, dvn, blooms, droppedCols)
     writeExclusive(spark, dir, v, renderManifest(snap).getBytes("UTF-8"))
     snap
   }
@@ -652,7 +819,8 @@ object VersionedTable {
       prev.tableId,
       if (newDvn.isEmpty) Nil else (prev.dvFiles ++ dvAdds).distinct,
       newDvn,
-      prev.blooms -- removed)
+      prev.blooms -- removed,
+      prev.droppedCols)
     if (v % CheckpointEvery == 0) {
       writeExclusive(spark, dir, v,
         renderManifest(resolved).getBytes("UTF-8"))
@@ -1026,7 +1194,8 @@ object VersionedTable {
     * footer-dependent silent column loss.
     */
   private def mergeSchemas(prev: org.apache.spark.sql.types.StructType,
-      next: org.apache.spark.sql.types.StructType):
+      next: org.apache.spark.sql.types.StructType,
+      dropped: Map[String, Long] = Map.empty):
       org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StructField
     // case-INSENSITIVE matching, like Spark's default resolution — a
@@ -1043,11 +1212,32 @@ object VersionedTable {
       }
     }
     val prevNames = prev.fieldNames.map(_.toLowerCase).toSet
+    // fail-fast on re-adding a DROPPED column's name: old files still
+    // hold data under that physical name, and recycling it would
+    // silently resurrect the dropped values on every pre-drop file
+    val deadNames = dropped.keySet.map(_.toLowerCase)
+    // new columns of a mapped table get a fresh id + self physical name
+    val mapped = hasMapping(prev)
+    var nextId = prev.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max)
     org.apache.spark.sql.types.StructType(
-      prev.fields.map(f => StructField(f.name, f.dataType, nullable = true))
+      // keep each prev field's metadata (its id + physical name ARE the
+      // column's identity) — only nullability relaxes
+      prev.fields.map(_.copy(nullable = true))
         ++ next.fields.collect {
           case f if !prevNames.contains(f.name.toLowerCase) =>
-            StructField(f.name, f.dataType, nullable = true) })
+            require(!deadNames.contains(f.name.toLowerCase),
+              s"column ${f.name} was DROPPED from this table; re-adding " +
+                "the same name would resurrect its data from pre-drop " +
+                "files — use a different name (or overwrite the table)")
+            if (!mapped) StructField(f.name, f.dataType, nullable = true)
+            else {
+              nextId += 1
+              StructField(f.name, f.dataType, nullable = true,
+                metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                  .putLong(FieldIdKey, nextId)
+                  .putString(PhysNameKey, f.name).build())
+            }
+        })
   }
 
   /** Append `df` as a new version: previous files carry over (with
@@ -1090,21 +1280,28 @@ object VersionedTable {
     val spark = df.sparkSession
     var prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits — use create"))
-    val (files, st) = stageWithStats(df, dir, prev.version + 1, statsCols)
-    onStaged()
-    var attempt = 1
-    while (true) {
-      val evolved = prev.schema match {
-        case None => Some(df.schema.json) // legacy table: start recording
-        case Some(ps) if mergeSchema => Some(mergeSchemas(ps, df.schema).json)
+    def evolve(p: Snapshot): Option[org.apache.spark.sql.types.StructType] =
+      p.schema match {
+        case None => None // legacy table: start recording below
+        case Some(ps) if mergeSchema =>
+          Some(mergeSchemas(ps, df.schema, p.droppedCols))
         case Some(ps) =>
           val same = ps.fields.map(f => (f.name, f.dataType)).toSeq ==
             df.schema.fields.map(f => (f.name, f.dataType)).toSeq
           require(same,
             s"append schema ${df.schema.simpleString} does not match table " +
               s"schema ${ps.simpleString}; pass mergeSchema = true to evolve")
-          Some(ps.json)
+          Some(ps)
       }
+    // schema checks run BEFORE staging (fail fast), and the staged
+    // files spell columns physically when the table carries a mapping
+    val ev0 = evolve(prev)
+    val (files, st) = stageWithStats(df, dir, prev.version + 1, statsCols,
+      ev0)
+    onStaged()
+    var attempt = 1
+    while (true) {
+      val evolved = evolve(prev).map(_.json).orElse(Some(df.schema.json))
       try return commitDelta(spark, dir, prev, "append", files, Nil, st,
         evolved)
       catch {
@@ -1185,7 +1382,8 @@ object VersionedTable {
       }
     checkSchema(prevOpt0)
     val v0 = prevOpt0.map(_.version + 1).getOrElse(1L)
-    val (files, st) = stageWithStats(df, dir, v0, statsCols)
+    val (files, st) = stageWithStats(df, dir, v0, statsCols,
+      prevOpt0.flatMap(_.schema))
     var prevOpt = prevOpt0
     var attempt = 1
     while (true) {
@@ -1402,7 +1600,8 @@ object VersionedTable {
     // turn off skipping on a column it used to serve
     val effStats =
       (statsCols ++ prev.stats.values.flatMap(_.cols.keys)).distinct
-    val (files, st) = stageWithStats(merged, dir, prev.version + 1, effStats)
+    val (files, st) = stageWithStats(merged, dir, prev.version + 1, effStats,
+      prev.schema)
     onStaged()
     var attempt = 1
     while (true) {
@@ -1512,7 +1711,7 @@ object VersionedTable {
         val statsCols =
           prev.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted
         val (fs, s) = stageWithStats(rewrite(touchedDf, predicate), dir,
-          prev.version + 1, statsCols)
+          prev.version + 1, statsCols, prev.schema)
         (fs, s, prev.schemaJson.orElse(Some(touchedDf.schema.json)))
       }
     onStaged()
@@ -1642,7 +1841,8 @@ object VersionedTable {
             scan.join(broadcast(rwSet.toDF("__vt_file")), Seq("__vt_file"))
               .filter(!pTrue)
               .select(schema.fieldNames.map(col).toSeq: _*), dir, v,
-            prev.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted)
+            prev.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted,
+            prev.schema)
         (rw, (rwSet ++ dead): Seq[String], rwStats, staged, dvnB.result())
       }
     onStaged()
@@ -1705,8 +1905,14 @@ object VersionedTable {
     val current = readSnapshot(spark, dir, prev)
     val (files, st) = stageWithStats(
       current.repartition(targetFiles), dir, v, statsCols)
-    commit(spark, dir, v, "compact", files, st, Some(current.schema.json),
-      prev.tableId)
+    // a full rewrite lands under the CURRENT logical names, so the
+    // mapping re-spells physical = logical (ids persist); the dropped-
+    // name memory survives (old files with dropped data remain
+    // time-travelable until vacuum)
+    val schemaOut = prev.schema.map(s => selfMapped(s).json)
+      .orElse(Some(current.schema.json))
+    commit(spark, dir, v, "compact", files, st, schemaOut,
+      prev.tableId, droppedCols = prev.droppedCols)
   }
 
   /** Answer-preserving z-order rewrite committed as a new version — the
@@ -1735,8 +1941,10 @@ object VersionedTable {
       ((if (statsCols.nonEmpty) statsCols else Seq(zCols._1, zCols._2))
         ++ prev.stats.values.flatMap(_.cols.keys)).distinct
     val (files, st) = stageWithStats(arranged, dir, v, effStats)
-    commit(spark, dir, v, "cluster", files, st, Some(arranged.schema.json),
-      prev.tableId)
+    val schemaOut = prev.schema.map(s => selfMapped(s).json)
+      .orElse(Some(arranged.schema.json))
+    commit(spark, dir, v, "cluster", files, st, schemaOut,
+      prev.tableId, droppedCols = prev.droppedCols)
   }
 
   /** Schema of a DV sidecar dataset: deleted row positions, keyed by
@@ -1771,6 +1979,12 @@ object VersionedTable {
   private[graft] def readFilesWithDv(spark: SparkSession, dir: String,
       snap: Snapshot, files: Seq[String]): DataFrame = {
     def plain(fs: Seq[String]): DataFrame = snap.schema match {
+      case Some(st) if hasMapping(st) =>
+        // column mapping: bind against the files' PHYSICAL names, then
+        // present the logical ones (rename is metadata-only)
+        spark.read.schema(physSchema(st))
+          .parquet(fs.map(f => s"$dir/$f"): _*)
+          .toDF(st.fieldNames.toSeq: _*)
       case Some(st) =>
         spark.read.schema(st).parquet(fs.map(f => s"$dir/$f"): _*)
       case None => spark.read.parquet(fs.map(f => s"$dir/$f"): _*)
@@ -1804,11 +2018,16 @@ object VersionedTable {
     val lookup = broadcast(files.map(f =>
       (f.substring(f.lastIndexOf('/') + 1), f))
       .toDF("__vt_base", "__vt_file"))
-    val scan = spark.read.schema(schema)
+    val raw = spark.read.schema(physSchema(schema))
       .parquet(files.map(f => s"$dir/$f"): _*)
       .withColumn("__vt_base",
         substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn("__vt_pos", col("_metadata.row_index"))
+    // physical → logical AFTER the positional columns are captured from
+    // the scan (metadata columns resolve on the file relation)
+    val scan = raw.select(schema.fields.map(f =>
+      col(physNameOf(f)).as(f.name)) ++
+      Seq(col("__vt_base"), col("__vt_pos")): _*)
       .join(lookup, Seq("__vt_base"))
       .drop("__vt_base")
     if (snap.dvFiles.isEmpty) scan
@@ -1911,8 +2130,21 @@ object VersionedTable {
     val wanted = statsCols.toSet
     val missing = prev.files.filterNot(f =>
       prev.stats.get(f).exists(fs => wanted.subsetOf(fs.cols.keySet)))
-    val fresh = DataSkipping.collectStats(spark, dir, missing, statsCols,
-      prev.schema) // recorded schema: evolved columns stay visible
+    // under a column mapping, files are read by PHYSICAL name and the
+    // stat keys come back in the manifest's logical vocabulary
+    val (readSchema, physCols, back) = prev.schema match {
+      case Some(sch) if hasMapping(sch) =>
+        def physOf(c: String) = sch.fields
+          .find(_.name.equalsIgnoreCase(c)).map(physNameOf).getOrElse(c)
+        val pc = statsCols.map(physOf)
+        (Some(physSchema(sch)), pc, pc.zip(statsCols).toMap)
+      case other => (other, statsCols, Map.empty[String, String])
+    }
+    val fresh0 = DataSkipping.collectStats(spark, dir, missing, physCols,
+      readSchema) // recorded schema: evolved columns stay visible
+    val fresh = fresh0.view.mapValues(fs => DataSkipping.FileStats(
+      fs.rowCount,
+      fs.cols.map { case (k, v) => back.getOrElse(k, k) -> v })).toMap
     // merge per file: keep any previously tracked columns, add the new
     val mergedStats = prev.stats ++ fresh.map { case (f, fs) =>
       f -> prev.stats.get(f).map(old =>
@@ -1921,7 +2153,7 @@ object VersionedTable {
     }
     commit(spark, dir, prev.version + 1, "analyze", prev.files,
       mergedStats, prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn,
-      prev.blooms)
+      prev.blooms, prev.droppedCols)
   }
 
   /** Backfill per-file BLOOM stats for `cols` on the CURRENT version —
@@ -1943,10 +2175,21 @@ object VersionedTable {
     val missing = prev.files.filterNot(f =>
       prev.blooms.get(f).exists(m =>
         cols.forall(c => m.keys.exists(_.equalsIgnoreCase(c)))))
-    val collected = BloomStats.collect(spark, dir, missing, cols, fpp,
-      maxBytes, prev.schema,
+    // column-mapping translation, mirroring analyze()
+    val (readSchema, physCols, back) = prev.schema match {
+      case Some(sch) if hasMapping(sch) =>
+        def physOf(c: String) = sch.fields
+          .find(_.name.equalsIgnoreCase(c)).map(physNameOf).getOrElse(c)
+        val pc = cols.map(physOf)
+        (Some(physSchema(sch)), pc, pc.zip(cols).toMap)
+      case other => (other, cols, Map.empty[String, String])
+    }
+    val collected0 = BloomStats.collect(spark, dir, missing, physCols, fpp,
+      maxBytes, readSchema,
       f => prev.stats.get(f).map(_.rowCount).filter(_ > 0L)
         .getOrElse(BloomStats.DefaultExpected))
+    val collected = collected0.map { case ((f, c), bytes) =>
+      (f, back.getOrElse(c, c)) -> bytes }
     val v = prev.version + 1
     val (fs, _) = fsFor(spark, dir)
     val sub = s"data/v${v}_${java.util.UUID.randomUUID.toString.take(8)}"
@@ -1964,7 +2207,8 @@ object VersionedTable {
         rs.map(r => r._2 -> r._3).toMap)
     }
     commit(spark, dir, v, "analyze", prev.files, prev.stats,
-      prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn, merged)
+      prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn, merged,
+      prev.droppedCols)
   }
 
   /** The table's commit history, newest first — DESCRIBE HISTORY as a
@@ -2244,6 +2488,6 @@ object VersionedTable {
     val latestV = all.last.version
     commit(spark, dir, latestV + 1, "restore",
       target.files, target.stats, schema, all.last.tableId,
-      target.dvFiles, target.dvn, target.blooms)
+      target.dvFiles, target.dvn, target.blooms, target.droppedCols)
   }
 }

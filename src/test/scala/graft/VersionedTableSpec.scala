@@ -1239,6 +1239,102 @@ class VersionedTableSpec extends AnyFunSuite {
       ((1L to 200L).filterNot(_ % 50 == 0).toSet ++ (204L to 210L)))
   }
 
+  // ------------------------------------------------- column mapping (r16)
+
+  test("renameColumn is metadata-only: old files read under the new " +
+      "name, stats follow the field id, time travel keeps old names") {
+    val dir = tmp()
+    VersionedTable.create((1L to 100L).map(i => (i, i * 2))
+      .toDF("id", "val1").coalesce(1), dir, Seq("id", "val1"))
+    VersionedTable.append((101L to 200L).map(i => (i, i * 2))
+      .toDF("id", "val1").coalesce(1), dir, Seq("id", "val1"))
+    val before = VersionedTable.latest(spark, dir).get
+    val renamed = VersionedTable.renameColumn(spark, dir, "val1", "score")
+    assert(renamed.files === before.files, "not one byte of data moves")
+    val df = VersionedTable.read(spark, dir)
+    assert(df.columns.toSeq === Seq("id", "score"))
+    assert(df.select(sum(col("score"))).as[Long].head() ===
+      (1L to 200L).map(_ * 2).sum, "old files' values under the new name")
+    // skipping stats followed the rename: a range predicate on the NEW
+    // name prunes the out-of-range file
+    val (kept, pruned) = VersionedTable.pruneInfo(spark, dir,
+      col("score") <= 150L)
+    assert(kept === 1 && pruned === 1, "stats must follow the rename")
+    assert(VersionedTable.countBounds(spark, dir, col("score") <= 400L)
+      === Some((200L, 200L)))
+    // writes after the rename spell the PHYSICAL name in files, so a
+    // mixed old/new read is seamless
+    VersionedTable.append(Seq((201L, 9000L)).toDF("id", "score"), dir,
+      Seq("id", "score"))
+    assert(VersionedTable.read(spark, dir)
+      .filter(col("score") === 9000L).count() === 1L)
+    // CoW DML through the mapping
+    VersionedTable.update(spark, dir, col("id") === 1L,
+      Map("score" -> lit(7777L)))
+    assert(VersionedTable.read(spark, dir)
+      .filter(col("id") === 1L).select("score").as[Long].head() === 7777L)
+    // time travel: the pre-rename version keeps ITS recorded names
+    assert(VersionedTable.snapshotAt(spark, dir, 2L).columns.toSeq ===
+      Seq("id", "val1"))
+    // a second rename chains through the same id
+    VersionedTable.renameColumn(spark, dir, "score", "quality")
+    assert(VersionedTable.read(spark, dir)
+      .select(sum(col("quality"))).as[Long].head() ===
+      (1L to 200L).map(_ * 2).sum - 2L + 7777L + 9000L)
+    // compaction folds the mapping back to physical == logical
+    VersionedTable.compactTable(spark, dir, targetFiles = 1)
+    assert(VersionedTable.read(spark, dir).columns.toSeq ===
+      Seq("id", "quality"))
+  }
+
+  test("renameColumn composes with deletion vectors and bloom sidecars") {
+    val dir = tmp()
+    VersionedTable.create((1L to 100L).map(i => (i, s"t$i"))
+      .toDF("id", "txt").coalesce(1), dir, Seq("id"))
+    VersionedTable.analyzeBloom(spark, dir, Seq("txt"))
+    VersionedTable.renameColumn(spark, dir, "txt", "body")
+    // bloom reference followed the rename: a needle on the new name
+    val (kept, _) = VersionedTable.pruneInfo(spark, dir,
+      col("body") === "t17")
+    assert(kept === 1)
+    assert(VersionedTable.pruneInfo(spark, dir,
+      col("body") === "absent")._1 === 0,
+      "the followed bloom must still exclude absent needles")
+    VersionedTable.deleteWithDv(spark, dir, col("body") === "t17",
+      densityThreshold = 0.9)
+    assert(VersionedTable.read(spark, dir)
+      .filter(col("body") === "t17").count() === 0L)
+    assert(VersionedTable.read(spark, dir).count() === 99L)
+  }
+
+  test("dropColumn hides the data; re-adding the dropped name fails " +
+      "fast instead of resurrecting it") {
+    val dir = tmp()
+    VersionedTable.create((1L to 50L).map(i => (i, s"v$i", i * 10))
+      .toDF("id", "v", "secret").coalesce(1), dir, Seq("id"))
+    VersionedTable.dropColumn(spark, dir, "secret")
+    val df = VersionedTable.read(spark, dir)
+    assert(df.columns.toSeq === Seq("id", "v"))
+    // pre-drop versions still carry it (until vacuum)
+    assert(VersionedTable.snapshotAt(spark, dir, 1L).columns.toSeq ===
+      Seq("id", "v", "secret"))
+    // appends with the remaining shape work
+    VersionedTable.append(Seq((51L, "new")).toDF("id", "v"), dir, Seq("id"))
+    assert(VersionedTable.read(spark, dir).count() === 51L)
+    // re-adding the dropped NAME via schema evolution fails fast
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.append(
+        Seq((52L, "x", 999L)).toDF("id", "v", "secret"), dir,
+        Seq("id"), mergeSchema = true)
+    }
+    assert(ex.getMessage.contains("DROPPED"))
+    // a DIFFERENT new column still evolves fine and gets a fresh id
+    VersionedTable.append(Seq((53L, "y", 5L)).toDF("id", "v", "extra"),
+      dir, Seq("id"), mergeSchema = true)
+    val sch = VersionedTable.latest(spark, dir).get.schema.get
+    assert(sch.fieldNames.toSeq === Seq("id", "v", "extra"))
+  }
+
   test("deleteWithDv rebases over a disjoint concurrent DV delete; " +
       "conflicts when the competitor soft-deleted in a file it read") {
     val dir = tmp()
