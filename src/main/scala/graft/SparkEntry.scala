@@ -2514,6 +2514,38 @@ object SparkEntry {
           Tables.documents(s, dir)))
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("sample_sum"))
+    }),
+
+    // MERGE-ON-READ UPDATE (round 16) — the second half of the DV
+    // write-amplification fix: two %-mod updates hit every file of the
+    // range-partitioned table (q91's CoW path would rewrite the whole
+    // table twice), but each commit writes only a positional DV sidecar
+    // plus the post-image rows; every pre-update data file survives
+    // both commits. CDC pairs the halves as update_preimage/postimage
+    // (ChangeFeedSpec); threshold fallback, stats on post-images,
+    // conflicts, and column-mapping compose in VersionedTableSpec.
+    "q121_dv_update" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val tmp = scratchPath("q121")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+        .repartitionByRange(8, col("o_orderkey"))
+      VersionedTable.create(o, tmp, statsCols = Seq("o_orderkey"))
+      // ~7.7% then ~9.1% per file — cumulative ~16% stays under the
+      // 0.25 threshold, so BOTH commits take the DV + post-image shape
+      VersionedTable.updateWithDv(s, tmp, col("o_orderkey") % 13L === 0L,
+        Map("o_price" -> (col("o_price") + lit(1).cast("decimal(18,2)"))),
+        densityThreshold = 0.25)
+      VersionedTable.updateWithDv(s, tmp, col("o_orderkey") % 11L === 0L,
+        Map("o_orderstatus" -> lit("X")),
+        densityThreshold = 0.25)
+      VersionedTable.read(s, tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_price")).cast(DoubleType).as("sum_price"))
     })
   )
 
@@ -3447,6 +3479,19 @@ object SparkEntry {
         |  CAST(97*nb*p0 + 97*17*(nb*(nb-1)//2)
         |    + nb*(1520*(d1+d2+d3) + 32*(2*d1+d2)) AS BIGINT) AS sample_sum
         |FROM d""".stripMargin,
+
+    // replays the two merge-on-read updates declaratively: the engine's
+    // DV anti-filter + post-image appends must produce exactly the
+    // updated multiset
+    "q121_dv_update" ->
+      """SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+        |            ELSE o_orderstatus END AS o_orderstatus,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) +
+        |    CASE WHEN o_orderkey % 13 = 0 THEN CAST(1 AS DECIMAL(18,2))
+        |         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

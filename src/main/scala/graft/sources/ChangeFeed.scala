@@ -83,12 +83,15 @@ object ChangeFeed {
     * Deletion-vector aware: each side reads under ITS OWN snapshot's
     * DVs (a removed file's previously soft-deleted rows must not
     * resurface as this commit's deletes; an added file reads its live
-    * rows), and rows soft-deleted by THIS commit — a DV-only commit
-    * adds/removes no file at all — surface through a positional
-    * semi-join of the commit's new DV rows against the pre-image scan,
-    * classified `delete`. DV-new positions are disjoint from earlier
-    * DVs by construction (deletes evaluate over live rows only), so the
-    * lane never double-reports.
+    * rows), and rows soft-deleted by THIS commit — recovered through a
+    * positional semi-join of the commit's new DV rows against the
+    * pre-image scan — join the REMOVED side of the pairing. Paired
+    * with a same-key row in an added file they therefore classify as
+    * `update_preimage`/`update_postimage` (the merge-on-read UPDATE
+    * shape: DV'd old position + appended post-image); unpaired they
+    * classify `delete` (the pure-DV DELETE shape). DV-new positions
+    * are disjoint from earlier DVs by construction (DML evaluates over
+    * live rows only), so the lane never double-reports.
     */
   private def commitChanges(spark: SparkSession, dir: String,
       prev: VersionedTable.Snapshot, cur: VersionedTable.Snapshot,
@@ -114,8 +117,15 @@ object ChangeFeed {
       df.select(keys.map(col) ++
         valueCols.map(c => col(c).as(s"__${tag}_$c")) :+
         lit(true).as(s"__${tag}_p"): _*)
+    // rows this commit soft-deleted in carried files are pre-images on
+    // the removed side: a same-key appended post-image pairs them into
+    // an update; no pair means a pure positional delete
+    val removedRows = dvDeletedRows(spark, dir, prev, cur, schema) match {
+      case None => readFiles(removed, prevCtx)
+      case Some(pre) => readFiles(removed, prevCtx).unionByName(pre)
+    }
     val j = side(readFiles(added, cur), "a")
-      .join(side(readFiles(removed, prevCtx), "r"), keys, "full_outer")
+      .join(side(removedRows, "r"), keys, "full_outer")
     val aP = col("__a_p").isNotNull
     val rP = col("__r_p").isNotNull
     val unchanged = valueCols.map(c => col(s"__a_$c") <=> col(s"__r_$c"))
@@ -129,16 +139,9 @@ object ChangeFeed {
       when(aP && rP && !unchanged, out("r", "update_preimage")),
       when(aP && rP && !unchanged, out("a", "update_postimage"))),
       _.isNotNull)
-    val joined = j.select(keys.map(col) :+ explode(changes).as("__c"): _*)
+    j.select(keys.map(col) :+ explode(changes).as("__c"): _*)
       .select(keys.map(col) ++ valueCols.map(c => col(s"__c.$c")) :+
         col("__c._change_type").as("_change_type"): _*)
-    // the DV lane: rows this commit soft-deleted in CARRIED files
-    dvDeletedRows(spark, dir, prev, cur, schema) match {
-      case None => joined
-      case Some(pre) => joined.unionByName(
-        pre.select(keys.map(col) ++ valueCols.map(col) :+
-          lit("delete").as("_change_type"): _*))
-    }
   }
 
   /** Pre-image rows soft-deleted between `prev` and `cur` in files

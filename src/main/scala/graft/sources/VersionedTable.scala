@@ -1872,23 +1872,156 @@ object VersionedTable {
   def update(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
-      maxAttempts: Int = 1): Snapshot = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+      maxAttempts: Int = 1): Snapshot =
     copyOnWrite(spark, dir, predicate, "update", maxAttempts = maxAttempts,
-      rewrite = (df, p) => {
-      set.keys.foreach(c => require(
-        df.columns.exists(_.equalsIgnoreCase(c)),
-        s"update sets unknown column $c; table has " +
-          df.columns.mkString("[", ",", "]")))
-      val pTrue = coalesce(p, lit(false))
-      df.select(df.schema.fields.map { f =>
-        set.find(_._1.equalsIgnoreCase(f.name)) match {
-          case Some((_, e)) =>
-            when(pTrue, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
+      rewrite = (df, p) => applyUpdateSet(df, p, set))
+
+  /** UPDATE's SET evaluator, shared by the copy-on-write and
+    * merge-on-read paths: matched rows take every `set` expression
+    * (all evaluated against the OLD row — one select, not chained
+    * withColumns, so `SET a = b, b = a` swaps instead of clobbering),
+    * cast to the column's existing type so the table schema is stable;
+    * non-table columns in `df` (the `__vt_*` positional columns) are
+    * dropped.
+    */
+  private def applyUpdateSet(df: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val fields = df.schema.fields.filterNot(_.name.startsWith("__vt_"))
+    set.keys.foreach(c => require(
+      fields.exists(_.name.equalsIgnoreCase(c)),
+      s"update sets unknown column $c; table has " +
+        fields.map(_.name).mkString("[", ",", "]")))
+    val pTrue = coalesce(predicate, lit(false))
+    df.select(fields.map { f =>
+      set.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, e)) =>
+          when(pTrue, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
+  /** SQL UPDATE via DELETION VECTORS (merge-on-read): matched rows are
+    * soft-deleted positionally — their OLD positions land in a DV
+    * sidecar, exactly [[deleteWithDv]]'s shape — and their post-images
+    * APPEND as new data files, all in ONE atomic commit. The answer is
+    * identical to [[update]]; the cost model is not: a point update
+    * against a 1 GB file writes a KB-scale sidecar plus the updated
+    * rows, never the untouched 1 GB. This is Delta/Iceberg's
+    * merge-on-read UPDATE, the second half of the write-amplification
+    * story [[deleteWithDv]] opened.
+    *
+    * Per touched file the commit picks the cheapest sound shape,
+    * mirroring [[deleteWithDv]]:
+    *  - no matching live rows → untouched, unreferenced;
+    *  - every live row matches → copy-on-write (the post-images ARE a
+    *    full rewrite; a DV that kills every live row would leave a
+    *    fully-dead file as permanent read-side weight);
+    *  - cumulative dead fraction (previous DV + this update) above
+    *    `densityThreshold` → copy-on-write fallback, folding the
+    *    file's DV history into a clean rewrite;
+    *  - otherwise → positions append to the DV and post-image rows
+    *    stage as new data files (with fresh skipping stats on all
+    *    previously tracked columns).
+    *
+    * CDC pairs the two halves back up: the change feed classifies a
+    * DV'd pre-image and its appended post-image as
+    * `update_preimage`/`update_postimage` on the key, not as a
+    * delete+insert ([[ChangeFeed]] joins DV-deleted rows on the
+    * removed side). Vacuum/restore/compaction/conflict semantics are
+    * [[deleteWithDv]]'s: live sidecars are referenced data, rewrites
+    * fold them, and a competitor touching a file (or its DVs) this
+    * update read is a [[ConflictingCommitException]], never a silently
+    * wrong rebase.
+    */
+  def updateWithDv(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      densityThreshold: Double = 0.15,
+      maxAttempts: Int = 1,
+      onStaged: () => Unit = () => ()): Snapshot = {
+    require(maxAttempts >= 1, "maxAttempts must be at least 1")
+    require(densityThreshold > 0.0 && densityThreshold <= 1.0,
+      s"densityThreshold must be in (0, 1]; got $densityThreshold")
+    import org.apache.spark.sql.functions._
+    var prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    val (touched, _) = DataSkipping.prune(spark, dir, prev, predicate)
+    val (adds, removes, addStats, dvAdds, dvnSets) =
+      if (touched.isEmpty)
+        (Seq.empty[String], Seq.empty[String],
+          Map.empty[String, DataSkipping.FileStats],
+          Seq.empty[String], Map.empty[String, Long])
+      else {
+        // positional scans need a recorded schema; fail with intent
+        prev.schema.getOrElse(sys.error(
+          s"updateWithDv needs a recorded table schema on $dir; " +
+            "use update() on pre-schema-tracking tables"))
+        val pTrue = coalesce(predicate, lit(false))
+        val scan = scanWithPos(spark, dir, prev, touched)
+        // ONE aggregation job prices every touched file (live rows
+        // under the existing DVs, predicate matches) — one result row
+        // per touched file, driver-bounded like the manifest itself
+        val counts = scan.groupBy(col("__vt_file"))
+          .agg(count(lit(1)).as("__n"),
+            sum(when(pTrue, 1L).otherwise(0L)).as("__m"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        var dvSet = Vector.empty[String]
+        var rwSet = Vector.empty[String]
+        val dvnB = Map.newBuilder[String, Long]
+        touched.foreach { f =>
+          val (nLive, nMatch) = counts.getOrElse(f, (0L, 0L))
+          val prevDel = prev.dvn.getOrElse(f, 0L)
+          if (nMatch == 0L) () // pruning over-approximation: untouched
+          else if (nMatch == nLive ||
+              (prevDel + nMatch).toDouble / (nLive + prevDel)
+                > densityThreshold) rwSet :+= f
+          else { dvSet :+= f; dvnB += f -> (prevDel + nMatch) }
         }
-      }.toSeq: _*)
-    })
+        val v = prev.version + 1
+        val statsCols =
+          prev.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted
+        import spark.implicits._
+        def lane(files: Vector[String]): DataFrame =
+          scan.join(broadcast(files.toDF("__vt_file")), Seq("__vt_file"))
+        val staged =
+          if (dvSet.isEmpty) Nil
+          else stageFiles(lane(dvSet).filter(pTrue)
+            .select(col("__vt_file"), col("__vt_pos")), dir, v)
+        val (post, postStats) =
+          if (dvSet.isEmpty)
+            (Seq.empty[String], Map.empty[String, DataSkipping.FileStats])
+          else stageWithStats(
+            applyUpdateSet(lane(dvSet).filter(pTrue), predicate, set),
+            dir, v, statsCols, prev.schema)
+        val (rw, rwStats) =
+          if (rwSet.isEmpty)
+            (Seq.empty[String], Map.empty[String, DataSkipping.FileStats])
+          else stageWithStats(
+            applyUpdateSet(lane(rwSet), predicate, set),
+            dir, v, statsCols, prev.schema)
+        (post ++ rw, rwSet: Seq[String], postStats ++ rwStats,
+          staged, dvnB.result())
+      }
+    onStaged()
+    var attempt = 1
+    while (true) {
+      try return commitDelta(spark, dir, prev, "update", adds, removes,
+        addStats, prev.schemaJson, dvAdds, dvnSets)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          val np = rebaseOrConflict(spark, dir, prev, predicate, touched,
+            "update")
+          pace(prev.version, np.version, attempt)
+          prev = np
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Rewrite the current contents into `targetFiles` files as a new

@@ -139,4 +139,33 @@ class ChangeFeedSpec extends AnyFunSuite {
       "the DV lane and the rewrite lane must each fire exactly once " +
         "per deleted row")
   }
+
+  test("a merge-on-read UPDATE classifies as update_preimage/postimage " +
+      "pairs, never delete+insert, on both the DV and CoW lanes") {
+    val dir = tmp()
+    // file 1: ids 1..100, file 2: ids 101..200 (single-file commits)
+    VersionedTable.create((1L to 100L).map(i => (i, s"v$i"))
+      .toDF("id", "v").coalesce(1), dir, Seq("id"))
+    VersionedTable.append((101L to 200L).map(i => (i, s"v$i"))
+      .toDF("id", "v").coalesce(1), dir, Seq("id"))
+    // 2 matches in file 1 (2% → DV + post-image append), 30 in file 2
+    // (30% → CoW rewrite) — one commit, both lanes
+    VersionedTable.updateWithDv(spark, dir,
+      col("id").isin((Seq(7L, 13L) ++ (141L to 170L)).map(Long.box): _*),
+      Map("v" -> concat(col("v"), lit("!"))),
+      densityThreshold = 0.15)                                        // v3
+    val ch = ChangeFeed.readChanges(spark, dir, 2L, 3L, Seq("id"))
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSeq
+    val touched = (Seq(7L, 13L) ++ (141L to 170L)).toSet
+    assert(ch.size === 64, s"32 pre + 32 post images, got ${ch.size}")
+    assert(ch.filter(_._3 == "update_preimage").map(c => c._1 -> c._2)
+      .toSet === touched.map(i => i -> s"v$i"),
+      "pre-images carry the OLD values")
+    assert(ch.filter(_._3 == "update_postimage").map(c => c._1 -> c._2)
+      .toSet === touched.map(i => i -> s"v$i!"),
+      "post-images carry the NEW values")
+    assert(!ch.exists(c => c._3 == "insert" || c._3 == "delete"),
+      "a merge-on-read update must never leak delete+insert")
+  }
 }

@@ -130,6 +130,33 @@ class IncrementalViewSpec extends AnyFunSuite {
       "the spanning feed must equal the per-commit fold")
   }
 
+  test("changedFilesFeed tracks a merge-on-read UPDATE: DV pre-images " +
+      "subtract, appended post-images add, CoW lanes fold once") {
+    val dir = tmp()
+    val o = (0L until 200L).map(i => (i, s"g${i % 3}", s"$i.50"))
+    VersionedTable.create(mkRows(o).repartitionByRange(2, col("id")),
+      dir, Seq("id"))
+    // sub-threshold per file → pure DV + post-image appends, measures
+    // move between groups so the view must see both halves
+    VersionedTable.updateWithDv(spark, dir, col("id") % 20L === 0L,
+      Map("g" -> lit("g9"), "x" -> lit(java.math.BigDecimal.valueOf(1.25))
+        .cast("decimal(18,2)")))                                     // v2
+    // CoW fallback lane in the same API
+    VersionedTable.updateWithDv(spark, dir, col("id") % 20L === 1L,
+      Map("x" -> (col("x") + lit(1).cast("decimal(18,2)"))),
+      densityThreshold = 0.01)                                       // v3
+    var view = IncrementalView.full(
+      VersionedTable.snapshotAt(spark, dir, 1L), Seq("g"), Seq("x"))
+    for (v <- 2L to 3L) {
+      view = IncrementalView.applyDelta(view,
+        IncrementalView.changedFilesFeed(spark, dir, v - 1, v),
+        Seq("g"), Seq("x"))
+      assert(viewMap(view) === viewMap(IncrementalView.full(
+        VersionedTable.snapshotAt(spark, dir, v), Seq("g"), Seq("x"))),
+        s"incremental view must equal full recompute at v$v")
+    }
+  }
+
   test("applyDelta rejects a view missing the maintained shape") {
     val bad = Seq(("a", 1L)).toDF("g", "n_rows")
     val feed = mkRows(Seq((1L, "a", "1.00"))).withColumn("__weight", lit(1L))

@@ -1355,4 +1355,121 @@ class VersionedTableSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("deletion vector"))
   }
+
+  // ------------------------------------------- merge-on-read UPDATE (r16)
+
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.select("id", "v").as[(Long, String)].collect().toMap
+
+  test("updateWithDv: merge-on-read update — same answer as CoW update, " +
+      "pre-update files kept, post-images appended, time travel intact") {
+    val dir = tmp()
+    dvTable(dir, files = 4, per = 250L)
+    val before = VersionedTable.latest(spark, dir).get
+    val s = VersionedTable.updateWithDv(spark, dir, col("id") % 100L === 0L,
+      Map("v" -> concat(col("v"), lit("!"))))
+    assert(s.operation === "update")
+    assert(before.files.forall(s.files.contains),
+      "a sub-threshold update must keep every pre-update data file")
+    assert(s.files.size > before.files.size,
+      "the post-image rows must land as appended files")
+    assert(s.dvFiles.nonEmpty && s.dvn.values.sum === 10L,
+      s"10 soft-updated positions, got ${s.dvn}")
+    val got = asMap(VersionedTable.read(spark, dir))
+    val expect = (1L to 1000L).map(i =>
+      i -> (if (i % 100L == 0L) s"v$i!" else s"v$i")).toMap
+    assert(got === expect)
+    // identical answer to the CoW update on a twin table
+    val twin = tmp()
+    dvTable(twin, files = 4, per = 250L)
+    VersionedTable.update(spark, twin, col("id") % 100L === 0L,
+      Map("v" -> concat(col("v"), lit("!"))))
+    assert(got === asMap(VersionedTable.read(spark, twin)))
+    // time travel across the merge-on-read commit
+    assert(asMap(VersionedTable.snapshotAt(spark, dir, 4L)) ===
+      (1L to 1000L).map(i => i -> s"v$i").toMap)
+  }
+
+  test("updateWithDv density threshold and fully-matched files fall back " +
+      "to copy-on-write; sub-threshold files stay on the DV path") {
+    val dir = tmp()
+    dvTable(dir, files = 2, per = 100L)
+    // file 1: every row matches → CoW rewrite; file 2: 10% → DV
+    val s = VersionedTable.updateWithDv(spark, dir,
+      col("id") <= 100L || col("id") % 10L === 1L,
+      Map("v" -> lit("u")))
+    // file 1 was rewritten (removed), file 2 carried with a DV
+    assert(s.dvn.size === 1 && s.dvn.values.sum === 10L)
+    assert(s.operation === "update")
+    val got = asMap(VersionedTable.read(spark, dir))
+    assert(got === (1L to 200L).map(i =>
+      i -> (if (i <= 100L || i % 10L == 1L) "u" else s"v$i")).toMap)
+    // cumulative density: +10% more on file 2 crosses the 0.15 default
+    // → its DV history folds into a clean rewrite
+    val s2 = VersionedTable.updateWithDv(spark, dir,
+      col("id") > 100L && col("id") % 10L === 2L, Map("v" -> lit("w")))
+    assert(s2.dvn.isEmpty && s2.dvFiles.isEmpty,
+      "the CoW fallback must fold the file's DV history away")
+    assert(asMap(VersionedTable.read(spark, dir)) === (1L to 200L).map(i =>
+      i -> (if (i <= 100L || i % 10L == 1L) "u"
+            else if (i % 10L == 2L) "w" else s"v$i")).toMap)
+  }
+
+  test("updateWithDv composes with deleteWithDv: countBounds prices live " +
+      "rows, appended post-images carry skipping stats") {
+    val dir = tmp()
+    dvTable(dir, files = 1, per = 100L)
+    VersionedTable.deleteWithDv(spark, dir,
+      col("id") % 10L === 0L, densityThreshold = 0.3)           // -10
+    VersionedTable.updateWithDv(spark, dir,
+      col("id") % 10L === 5L, Map("v" -> lit("u")),
+      densityThreshold = 0.3)                                    // 10 move
+    // 100 original + 10 post-images, 20 soft-dead → 90 live
+    assert(VersionedTable.countBounds(spark, dir, lit(true)) ===
+      Some((90L, 90L)))
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      (1L to 100L).filterNot(_ % 10L == 0L).toSet)
+    // the post-image file carries fresh id stats: a needle on an
+    // updated id keeps the appended file and the original, nothing else
+    val (kept, _) = VersionedTable.pruneInfo(spark, dir, col("id") === 5L)
+    assert(kept <= 2, s"post-image stats must bound the needle scan, kept $kept")
+    assert(asMap(VersionedTable.read(spark, dir)).get(5L) === Some("u"))
+  }
+
+  test("updateWithDv rebases over a disjoint concurrent commit; conflicts " +
+      "when the competitor touched a file or DV it read") {
+    val dir = tmp()
+    dvTable(dir, files = 2, per = 100L)
+    VersionedTable.updateWithDv(spark, dir, col("id") === 10L,
+      Map("v" -> lit("u")), maxAttempts = 3,
+      onStaged = () =>
+        VersionedTable.deleteWithDv(spark, dir, col("id") === 150L))
+    assert(asMap(VersionedTable.read(spark, dir)).get(10L) === Some("u"))
+    assert(!ids(VersionedTable.read(spark, dir)).contains(150L))
+    val ex = intercept[graft.sources.ConflictingCommitException] {
+      VersionedTable.updateWithDv(spark, dir, col("id") === 20L,
+        Map("v" -> lit("x")), maxAttempts = 3,
+        onStaged = () =>
+          VersionedTable.deleteWithDv(spark, dir, col("id") === 30L))
+    }
+    assert(ex.getMessage.contains("deletion vector"))
+  }
+
+  test("updateWithDv composes with column mapping: post-images re-spell " +
+      "to physical names under a renamed column") {
+    val dir = tmp()
+    VersionedTable.create((1L to 100L).map(i => (i, s"t$i"))
+      .toDF("id", "txt").coalesce(1), dir, Seq("id"))
+    VersionedTable.renameColumn(spark, dir, "txt", "body")
+    VersionedTable.updateWithDv(spark, dir, col("id") === 17L,
+      Map("body" -> lit("updated")), densityThreshold = 0.9)
+    val got = VersionedTable.read(spark, dir)
+      .select("id", "body").as[(Long, String)].collect().toMap
+    assert(got(17L) === "updated" && got(18L) === "t18" && got.size === 100)
+    // compaction folds the DV and the physical spelling keeps working
+    VersionedTable.compactTable(spark, dir, 1, Seq("id"))
+    assert(VersionedTable.latest(spark, dir).get.dvn.isEmpty)
+    assert(VersionedTable.read(spark, dir)
+      .filter(col("body") === "updated").count() === 1L)
+  }
 }
