@@ -2546,6 +2546,36 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+    }),
+
+    // MERGE-ON-READ MERGE (round 16) — the medallion hot path: a small
+    // upsert batch (%5 price bumps + %7 inserts at scale-derived offset
+    // keys) against the whole part table. q88's merge rewrites every
+    // may-match file; this commit writes one DV sidecar (matched
+    // positions) plus exactly the batch rows — every pre-merge data
+    // file survives (VersionedTableSpec proves the file-preservation
+    // and exactly-once-landing invariants; CDC pairs matches as
+    // update_preimage/postimage and the rest as inserts).
+    "q122_dv_merge" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val tmp = scratchPath("q122")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val p0 = Tables.part(s, dir)
+        .select("p_partkey", "p_brand", "p_retailprice")
+      val off = plantOffset(p0, "p_partkey")
+      VersionedTable.create(p0.repartitionByRange(8, col("p_partkey")),
+        tmp, statsCols = Seq("p_partkey"))
+      val updates = p0.filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey"), col("p_brand"),
+          (col("p_retailprice") + 25.0).as("p_retailprice"))
+        .unionByName(p0.filter(col("p_partkey") % 7 === 0)
+          .select((col("p_partkey") + off).as("p_partkey"),
+            col("p_brand"), col("p_retailprice")))
+      VersionedTable.mergeWithDv(updates, tmp, Seq("p_partkey"),
+        densityThreshold = 0.25)
+      VersionedTable.read(s, tmp).groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"), decSum("p_retailprice").as("sum_price"))
     })
   )
 
@@ -3492,6 +3522,26 @@ object SparkEntry {
         |         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY 1""".stripMargin,
+
+    // the merged state replayed declaratively (q88's shape at different
+    // residues): the DV + append plan must produce the same multiset a
+    // full upsert rewrite would
+    "q122_dv_merge" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_retailprice FROM part),
+        |m AS (
+        |  SELECT p_partkey, p_brand,
+        |    CASE WHEN p_partkey % 5 = 0 THEN p_retailprice + 25.0
+        |         ELSE p_retailprice END AS p_retailprice
+        |  FROM p
+        |  UNION ALL
+        |  SELECT p_partkey + (SELECT (max(p_partkey) // 1000000 + 1) * 1000000
+        |                      FROM part),
+        |    p_brand, p_retailprice
+        |  FROM p WHERE p_partkey % 7 = 0)
+        |SELECT p_brand, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM m GROUP BY p_brand""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

@@ -2024,6 +2024,156 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
+  /** SQL MERGE via DELETION VECTORS (merge-on-read): matched target
+    * rows are soft-deleted positionally and EVERY update row appends —
+    * post-images for the matches, plain inserts for the rest — in ONE
+    * atomic commit. Same answer as [[merge]] (upsert semantics: the
+    * update row replaces the matched row entirely, NULLs included);
+    * radically different cost model: [[merge]] rewrites every file the
+    * update keys' range may touch, this writes a KB-scale sidecar plus
+    * exactly `|updates|` rows. For the medallion pattern's hot path —
+    * a small upsert batch against a huge dimension — that is the
+    * difference between an incremental refresh and a table rewrite.
+    *
+    * Per touched file the same shape choice as [[updateWithDv]]:
+    * untouched when no live row matches; copy-on-write (folding the
+    * file's DV history into a clean upsert rewrite) when every live
+    * row matches or cumulative dead density crosses
+    * `densityThreshold`; DV + append otherwise. Update rows folded
+    * into a CoW rewrite are excluded from the append lane, so each
+    * update row lands exactly once.
+    *
+    * CDC classifies the halves as `update_preimage`/`update_postimage`
+    * on the key and unmatched update rows as `insert` ([[ChangeFeed]]
+    * joins DV pre-images on the removed side). Dup-key rule, key-range
+    * conflict detection, vacuum/restore/compaction semantics all
+    * mirror [[merge]] / [[deleteWithDv]].
+    */
+  def mergeWithDv(updates: DataFrame, dir: String, keys: Seq[String],
+      statsCols: Seq[String] = Seq.empty,
+      densityThreshold: Double = 0.15,
+      maxAttempts: Int = 1,
+      onStaged: () => Unit = () => ()): Snapshot = {
+    require(maxAttempts >= 1, "maxAttempts must be at least 1")
+    require(densityThreshold > 0.0 && densityThreshold <= 1.0,
+      s"densityThreshold must be in (0, 1]; got $densityThreshold")
+    val spark = updates.sparkSession
+    import org.apache.spark.sql.functions._
+    var prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits — use create"))
+    val schema = prev.schema.getOrElse(sys.error(
+      s"mergeWithDv needs a recorded table schema on $dir; " +
+        "use merge() on pre-schema-tracking tables"))
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key $k not in table schema " +
+        schema.fieldNames.mkString("[", ",", "]")))
+    // SQL MERGE rule: one update row per key (see mergeRebase)
+    val dup = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge requires one update row per key (SQL MERGE rule); " +
+        s"duplicate key example: ${dup.headOption.getOrElse("")}")
+    val aligned = updates.select(schema.fieldNames.map(col).toSeq: _*)
+    // carried files always exist on this path — type changes are only
+    // legal as a full rewrite, exactly mergeRebase's carry rule
+    require(schema.fields.map(f =>
+        (f.name.toLowerCase, f.dataType)).toSeq ==
+      aligned.schema.fields.map(f =>
+        (f.name.toLowerCase, f.dataType)).toSeq,
+      s"mergeWithDv cannot change column types " +
+        s"(${schema.simpleString} -> ${aligned.schema.simpleString}); " +
+        "use merge()/overwrite for type changes")
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+    val b = updates.agg(aggs.head, aggs.tail: _*).collect().head
+    val keyRangePred = keys.zipWithIndex.map { case (k, i) =>
+      col(k) >= lit(b.get(2 * i)) && col(k) <= lit(b.get(2 * i + 1))
+    }.reduce(_ && _)
+    val (touched, _) = DataSkipping.prune(spark, dir, prev, keyRangePred)
+    val effStats =
+      (statsCols ++ prev.stats.values.flatMap(_.cols.keys)).distinct
+    val (adds, removes, addStats, dvAdds, dvnSets) =
+      if (touched.isEmpty) {
+        // no file may hold a match: the whole batch is an insert append
+        val (fs, st) = stageWithStats(aligned, dir, prev.version + 1,
+          effStats, prev.schema)
+        (fs, Seq.empty[String], st, Seq.empty[String],
+          Map.empty[String, Long])
+      } else {
+        val scan = scanWithPos(spark, dir, prev, touched)
+        val uKeys = updates.select(keys.map(col): _*)
+        val hit = uKeys.withColumn("__u_hit", lit(true))
+        // ONE aggregation job prices every touched file: live rows and
+        // key matches (keys are unique on both sides, so the join
+        // never fans out)
+        val counts = scan.join(hit, keys, "left_outer")
+          .groupBy(col("__vt_file"))
+          .agg(count(lit(1)).as("__n"),
+            sum(when(col("__u_hit"), 1L).otherwise(0L)).as("__m"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        var dvSet = Vector.empty[String]
+        var rwSet = Vector.empty[String]
+        val dvnB = Map.newBuilder[String, Long]
+        touched.foreach { f =>
+          val (nLive, nMatch) = counts.getOrElse(f, (0L, 0L))
+          val prevDel = prev.dvn.getOrElse(f, 0L)
+          if (nMatch == 0L) () // key range matched, no key did: carry
+          else if (nMatch == nLive ||
+              (prevDel + nMatch).toDouble / (nLive + prevDel)
+                > densityThreshold) rwSet :+= f
+          else { dvSet :+= f; dvnB += f -> (prevDel + nMatch) }
+        }
+        val v = prev.version + 1
+        import spark.implicits._
+        def lane(files: Vector[String]): DataFrame =
+          scan.join(broadcast(files.toDF("__vt_file")), Seq("__vt_file"))
+        val staged =
+          if (dvSet.isEmpty) Nil
+          else stageFiles(lane(dvSet).join(uKeys, keys, "left_semi")
+            .select(col("__vt_file"), col("__vt_pos")), dir, v)
+        // keys folded into CoW rewrites leave the append lane — each
+        // update row lands exactly once
+        val rwKeys =
+          if (rwSet.isEmpty) None
+          else Some(lane(rwSet).join(uKeys, keys, "left_semi")
+            .select(keys.map(col): _*))
+        val appendRows = rwKeys match {
+          case None => aligned
+          case Some(rk) => aligned.join(rk, keys, "left_anti")
+        }
+        val (post, postStats) = stageWithStats(appendRows, dir, v,
+          effStats, prev.schema)
+        val (rw, rwStats) = rwKeys match {
+          case None =>
+            (Seq.empty[String], Map.empty[String, DataSkipping.FileStats])
+          case Some(rk) => stageWithStats(
+            graft.operators.Merge.upsert(
+              lane(rwSet).select(schema.fieldNames.map(col).toSeq: _*),
+              aligned.join(rk, keys, "left_semi"), keys),
+            dir, v, effStats, prev.schema)
+        }
+        (post ++ rw, rwSet: Seq[String], postStats ++ rwStats,
+          staged, dvnB.result())
+      }
+    onStaged()
+    var attempt = 1
+    while (true) {
+      try return commitDelta(spark, dir, prev, "merge", adds, removes,
+        addStats, prev.schemaJson, dvAdds, dvnSets)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          val np = rebaseOrConflict(spark, dir, prev, keyRangePred, touched,
+            "merge")
+          pace(prev.version, np.version, attempt)
+          prev = np
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Rewrite the current contents into `targetFiles` files as a new
     * version — answer-preserving OPTIMIZE. Readers of any version,
     * including one resolving mid-compact, are untouched: no pre-existing

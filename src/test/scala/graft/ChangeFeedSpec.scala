@@ -168,4 +168,21 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(!ch.exists(c => c._3 == "insert" || c._3 == "delete"),
       "a merge-on-read update must never leak delete+insert")
   }
+
+  test("a merge-on-read MERGE classifies matches as update pairs and " +
+      "unmatched batch rows as inserts") {
+    val dir = tmp()
+    VersionedTable.create((1L to 100L).map(i => (i, s"v$i"))
+      .toDF("id", "v").coalesce(1), dir, Seq("id"))
+    VersionedTable.mergeWithDv(
+      Seq((7L, "upd7"), (13L, "upd13"), (500L, "new500"))
+        .toDF("id", "v"), dir, Seq("id"))                             // v2
+    val ch = ChangeFeed.readChanges(spark, dir, 1L, 2L, Seq("id"))
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(ch === Set(
+      (7L, "v7", "update_preimage"), (7L, "upd7", "update_postimage"),
+      (13L, "v13", "update_preimage"), (13L, "upd13", "update_postimage"),
+      (500L, "new500", "insert")))
+  }
 }

@@ -1455,6 +1455,73 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("deletion vector"))
   }
 
+  test("mergeWithDv: merge-on-read MERGE — same answer as merge(), " +
+      "pre-merge files kept, matches DV'd, batch appended once") {
+    val dir = tmp()
+    dvTable(dir, files = 4, per = 250L)
+    val before = VersionedTable.latest(spark, dir).get
+    // 10 updates (one per 100) + 5 inserts past the key range
+    val updates = ((1L to 1000L).filter(_ % 100L == 0L).map(i =>
+      (i, s"upd$i")) ++ (2001L to 2005L).map(i => (i, s"new$i")))
+      .toDF("id", "v")
+    val s = VersionedTable.mergeWithDv(updates, dir, Seq("id"))
+    assert(s.operation === "merge")
+    assert(before.files.forall(s.files.contains),
+      "a sub-threshold merge must keep every pre-merge data file")
+    assert(s.dvn.values.sum === 10L, s"10 matched positions, got ${s.dvn}")
+    val got = asMap(VersionedTable.read(spark, dir))
+    val expect = ((1L to 1000L).map(i =>
+      i -> (if (i % 100L == 0L) s"upd$i" else s"v$i")) ++
+      (2001L to 2005L).map(i => i -> s"new$i")).toMap
+    assert(got === expect)
+    // identical answer to the rewrite merge on a twin table
+    val twin = tmp()
+    dvTable(twin, files = 4, per = 250L)
+    VersionedTable.merge(updates, twin, Seq("id"))
+    assert(got === asMap(VersionedTable.read(spark, twin)))
+    // time travel across the merge-on-read commit
+    assert(asMap(VersionedTable.snapshotAt(spark, dir, 4L)) ===
+      (1L to 1000L).map(i => i -> s"v$i").toMap)
+  }
+
+  test("mergeWithDv mixed lanes: a dense file rewrites (DV folded), a " +
+      "sparse file DVs; folded update rows never land twice") {
+    val dir = tmp()
+    dvTable(dir, files = 2, per = 100L)
+    // 40 matches in file 1 (40% → CoW), 2 in file 2 (2% → DV), 3 inserts
+    val updates = (((1L to 40L) ++ Seq(150L, 160L)).map(i =>
+      (i, s"upd$i")) ++ (301L to 303L).map(i => (i, s"new$i")))
+      .toDF("id", "v")
+    val s = VersionedTable.mergeWithDv(updates, dir, Seq("id"))
+    assert(s.dvn.size === 1 && s.dvn.values.sum === 2L,
+      s"only the sparse file carries a DV, got ${s.dvn}")
+    val got = asMap(VersionedTable.read(spark, dir))
+    assert(got.size === 203, "200 base + 3 inserts, each exactly once")
+    assert(got === ((1L to 200L).map(i =>
+      i -> (if (i <= 40L || i == 150L || i == 160L) s"upd$i" else s"v$i")) ++
+      (301L to 303L).map(i => i -> s"new$i")).toMap)
+    // countBounds prices the commit exactly
+    assert(VersionedTable.countBounds(spark, dir, lit(true)) ===
+      Some((203L, 203L)))
+  }
+
+  test("mergeWithDv with no possible match appends the whole batch as " +
+      "inserts — no scan, no DV") {
+    val dir = tmp()
+    dvTable(dir, files = 1, per = 100L)
+    val s = VersionedTable.mergeWithDv(
+      (901L to 905L).map(i => (i, s"new$i")).toDF("id", "v"),
+      dir, Seq("id"))
+    assert(s.dvFiles.isEmpty && s.dvn.isEmpty)
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      ((1L to 100L) ++ (901L to 905L)).toSet)
+    // the SQL MERGE dup-key rule still enforced on this path
+    intercept[IllegalArgumentException] {
+      VersionedTable.mergeWithDv(
+        Seq((7L, "a"), (7L, "b")).toDF("id", "v"), dir, Seq("id"))
+    }
+  }
+
   test("updateWithDv composes with column mapping: post-images re-spell " +
       "to physical names under a renamed column") {
     val dir = tmp()

@@ -17,6 +17,11 @@ import graft.sources.VersionedTable
   *     touches EVERY base file (the CoW worst case DVs exist for),
   *     always on the pure-DV shape (threshold 0.95), rebasing over
   *     concurrent appends and re-running over compaction conflicts;
+  *   - a DV-UPDATE writer ([[DvUpdateWriter]]) looping `updateWithDv`
+  *     over a disjoint residue range — each commit both soft-deletes
+  *     positions AND appends post-image files, so vacuum/compaction
+  *     race against the composite commit shape; the audit reads every
+  *     updated class back by VALUE (post-image marker), not just count;
   *   - an appender ([[RaceWriter]] mode `append`) racing version claims;
   *   - the orchestrator compacting every ~2 s (folds DVs → dead
   *     sidecars for vacuum to reclaim), skipping typed conflicts;
@@ -67,7 +72,8 @@ object DvRace {
   }
 
   private def audit(spark: org.apache.spark.sql.SparkSession, dir: String,
-      dvLogs: Seq[Path], wLogs: Seq[Path], phase: String): Unit = {
+      dvLogs: Seq[Path], wLogs: Seq[Path], phase: String,
+      upLogs: Seq[Path] = Nil): Unit = {
     val snaps = VersionedTable.snapshots(spark, dir)
     val latest = snaps.last
     val got = VersionedTable.read(spark, dir)
@@ -77,6 +83,29 @@ object DvRace {
       s"$phase: table equals the closed form (${got.size} rows; " +
         s"missing=${(exp -- got).take(3).mkString(",")} " +
         s"extra=${(got -- exp).take(3).mkString(",")})")
+    // value audit for the merge-on-read UPDATE lane: every surviving
+    // base id of an update-committed residue carries the residue's
+    // marker (its post-image), every other base id its base value — a
+    // lost post-image append, a resurrected pre-image, or a DV applied
+    // to the wrong file breaks this instantly
+    if (upLogs.nonEmpty) {
+      val updatedResidues = upLogs.flatMap(CommitRace.readLog)
+        .filter(e => e.get("event").contains("commit"))
+        .flatMap(_.get("residue")).map(_.toLong).toSet
+      val vals = VersionedTable.read(spark, dir)
+        .filter(col("id") < BaseRows)
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      val wrong = vals.filter { case (i, v) =>
+        val expect =
+          if (updatedResidues.contains(i % Mod)) s"u${i % Mod}"
+          else s"base$i"
+        v != expect
+      }
+      check(wrong.isEmpty,
+        s"$phase: updated residues carry their post-images, others " +
+          s"their base values (wrong=${wrong.take(3).mkString(",")})")
+    }
     val metaLive = latest.files.map(f =>
       latest.stats.get(f).map(_.rowCount).getOrElse(-1000000L) -
         latest.dvn.getOrElse(f, 0L)).sum
@@ -137,6 +166,9 @@ object DvRace {
     val dvLog1 = outDir.resolve("dv1.jsonl")
     val dv1 = CommitRace.spawn(outDir, "dv1", "graft.tools.DvDeleteWriter",
       Seq(dir, "0", "20", dvLog1.toString, barrier.toString))
+    val upLog1 = outDir.resolve("up1.jsonl")
+    val up1 = CommitRace.spawn(outDir, "up1", "graft.tools.DvUpdateWriter",
+      Seq(dir, "100", "20", upLog1.toString, barrier.toString))
     val wLog1 = outDir.resolve("w1.jsonl")
     val w1 = CommitRace.spawn(outDir, "w1", "graft.tools.RaceWriter",
       Seq(dir, "0", "append", "20", wLog1.toString, barrier.toString))
@@ -149,8 +181,9 @@ object DvRace {
     Thread.sleep(500)
     Files.write(barrier, Array.emptyByteArray)
     val folded1 = compactLoop(spark, dir,
-      () => dv1.isAlive || w1.isAlive)
+      () => dv1.isAlive || up1.isAlive || w1.isAlive)
     check(dv1.waitFor() == 0, "phase1: DV writer exited 0")
+    check(up1.waitFor() == 0, "phase1: DV-update writer exited 0")
     check(w1.waitFor() == 0, "phase1: appender exited 0")
     Thread.sleep(1500)
     Files.write(vstop1, Array.emptyByteArray)
@@ -170,13 +203,16 @@ object DvRace {
     check(sweeps1.size >= 8 && deleted1 >= 1,
       s"phase1: vacuum swept ${sweeps1.size} times, reclaimed $deleted1 " +
         "files (incl. folded DV sidecars) DURING the race")
-    audit(spark, dir, Seq(dvLog1), Seq(wLog1), "phase1")
+    audit(spark, dir, Seq(dvLog1), Seq(wLog1), "phase1", Seq(upLog1))
 
     // ---- phase 2: SIGKILL the vacuum JVM twice mid-activity ----
     println("[dvrace] phase 2: SIGKILL vacuum mid-sweep, twice, under DV load")
     val dvLog2 = outDir.resolve("dv2.jsonl")
     val dv2 = CommitRace.spawn(outDir, "dv2", "graft.tools.DvDeleteWriter",
       Seq(dir, "40", "15", dvLog2.toString, barrier.toString))
+    val upLog2 = outDir.resolve("up2.jsonl")
+    val up2 = CommitRace.spawn(outDir, "up2", "graft.tools.DvUpdateWriter",
+      Seq(dir, "140", "15", upLog2.toString, barrier.toString))
     val wLog2 = outDir.resolve("w2.jsonl")
     val w2 = CommitRace.spawn(outDir, "w2", "graft.tools.RaceWriter",
       Seq(dir, "1", "append", "12", wLog2.toString, barrier.toString))
@@ -199,6 +235,7 @@ object DvRace {
         s"phase2: chain resolves right after kill $k (${snaps.size} versions)")
     }
     check(dv2.waitFor() == 0, "phase2: DV writer exited 0")
+    check(up2.waitFor() == 0, "phase2: DV-update writer exited 0")
     check(w2.waitFor() == 0, "phase2: appender exited 0")
     val vLogF = outDir.resolve("vacuumF.jsonl")
     val vstopF = outDir.resolve("vstopF")
@@ -211,7 +248,8 @@ object DvRace {
     Files.write(vstopF, Array.emptyByteArray)
     check(vacF.waitFor() == 0,
       "phase2: post-kill vacuum completed the interrupted sweep cleanly")
-    audit(spark, dir, Seq(dvLog1, dvLog2), Seq(wLog1, wLog2), "phase2")
+    audit(spark, dir, Seq(dvLog1, dvLog2), Seq(wLog1, wLog2), "phase2",
+      Seq(upLog1, upLog2))
 
     println(s"[dvrace] done: ${if (failures == 0) "ALL CHECKS PASSED"
       else s"$failures CHECKS FAILED"}")
@@ -248,6 +286,58 @@ object DvDeleteWriter {
             col("id") < 10000L && col("id") % 200L === lit(r),
             densityThreshold = 0.95, maxAttempts = 500)
           log.println(s"""{"event":"commit","op":"dv_delete","residue":$r,"version":${s.version}}""")
+          done = true
+        } catch {
+          case _: graft.sources.ConflictingCommitException =>
+            reruns += 1 // compaction rewrote a read file: re-run fresh
+          case e: Throwable =>
+            val msg = String.valueOf(e.getMessage).take(160)
+              .replaceAll("[\"\\\\\n]", " ")
+            log.println(s"""{"event":"error","kind":"${e.getClass.getSimpleName}","msg":"$msg"}""")
+            rc = 1
+            done = true
+        }
+      }
+      if (!done) {
+        log.println(s"""{"event":"error","kind":"rerun_budget","residue":$r}""")
+        rc = 1
+      }
+    }
+    log.close()
+    spark.stop()
+    sys.exit(rc)
+  }
+}
+
+/** DV-update writer for [[DvRace]]: iteration i runs the merge-on-read
+  * UPDATE on residue class `r0 + i` (mod 200) — 50 scattered rows take
+  * the marker `u<r>` via a DV soft-delete plus a post-image append,
+  * always sub-threshold (pure DV shape). Residue classes are disjoint
+  * from the delete writer's, so the audit's closed form stays exact:
+  * ids never change, and a surviving id of an updated class must read
+  * back its marker. Conflict handling mirrors [[DvDeleteWriter]].
+  */
+object DvUpdateWriter {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, r0Str, itersStr, logPath, barrierPath) = args.take(5)
+    val r0 = r0Str.toLong
+    val iters = itersStr.toInt
+    val spark = CommitRace.session()
+    val log = new java.io.PrintWriter(
+      new java.io.FileWriter(logPath, true), true)
+    while (!Files.exists(Paths.get(barrierPath))) Thread.sleep(20)
+    var rc = 0
+    (0 until iters).foreach { i =>
+      val r = r0 + i
+      var done = false
+      var reruns = 0
+      while (!done && reruns < 50) {
+        try {
+          val s = VersionedTable.updateWithDv(spark, dir,
+            col("id") < 10000L && col("id") % 200L === lit(r),
+            Map("v" -> lit(s"u$r")),
+            densityThreshold = 0.95, maxAttempts = 500)
+          log.println(s"""{"event":"commit","op":"dv_update","residue":$r,"version":${s.version}}""")
           done = true
         } catch {
           case _: graft.sources.ConflictingCommitException =>
