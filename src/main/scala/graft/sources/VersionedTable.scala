@@ -2047,13 +2047,17 @@ object VersionedTable {
     * on the key and unmatched update rows as `insert` ([[ChangeFeed]]
     * joins DV pre-images on the removed side). Dup-key rule, key-range
     * conflict detection, vacuum/restore/compaction semantics all
-    * mirror [[merge]] / [[deleteWithDv]].
+    * mirror [[merge]] / [[deleteWithDv]]. `opTag` overrides the
+    * recorded operation name (default `merge`) — the streaming upsert
+    * sink commits `merge#<batchId>` so the tag ledger can replay-skip,
+    * the same contract as [[appendTagged]].
     */
   def mergeWithDv(updates: DataFrame, dir: String, keys: Seq[String],
       statsCols: Seq[String] = Seq.empty,
       densityThreshold: Double = 0.15,
       maxAttempts: Int = 1,
-      onStaged: () => Unit = () => ()): Snapshot = {
+      onStaged: () => Unit = () => (),
+      opTag: String = "merge"): Snapshot = {
     require(maxAttempts >= 1, "maxAttempts must be at least 1")
     require(densityThreshold > 0.0 && densityThreshold <= 1.0,
       s"densityThreshold must be in (0, 1]; got $densityThreshold")
@@ -2159,7 +2163,7 @@ object VersionedTable {
     onStaged()
     var attempt = 1
     while (true) {
-      try return commitDelta(spark, dir, prev, "merge", adds, removes,
+      try return commitDelta(spark, dir, prev, opTag, adds, removes,
         addStats, prev.schemaJson, dvAdds, dvnSets)
       catch {
         case e: ConcurrentCommitException =>

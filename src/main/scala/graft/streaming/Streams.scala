@@ -690,6 +690,58 @@ object Streams {
     cursor.synchronized(cursor.seen.add(s.operation))
   }
 
+  /** Streaming UPSERT into a [[graft.sources.VersionedTable]] — the
+    * merge-on-read sink for a keyed change stream: each micro-batch
+    * commits via [[graft.sources.VersionedTable.mergeWithDv]] as ONE
+    * atomically-claimed version tagged `merge#<batchId>` (matched keys
+    * soft-delete positionally + post-images append; unmatched keys
+    * insert), so a batch is fully visible or absent, a replayed batch
+    * finds its tag and skips, and every batch boundary stays
+    * time-travelable. The first batch against a non-existent table
+    * lands as a plain tagged append (a merge into nothing IS an
+    * insert). The stream must deliver UNIQUE keys per batch (the SQL
+    * MERGE rule mergeWithDv enforces) — dedup upstream, e.g.
+    * keep-newest per key on the event timestamp. Compared to rewriting
+    * the dimension per batch, per-batch write cost is O(batch), not
+    * O(touched files) — the continuous form of the medallion upsert.
+    * Processes all currently-available input, then stops.
+    */
+  def upsertIngest(stream: DataFrame, tableDir: String, keys: Seq[String],
+      checkpointDir: String, statsCols: Seq[String] = Seq.empty,
+      densityThreshold: Double = 0.15): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processUpsertBatch(batch, batchId, tableDir, keys, statsCols,
+          densityThreshold)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private[graft] def processUpsertBatch(batch: DataFrame, batchId: Long,
+      tableDir: String, keys: Seq[String],
+      statsCols: Seq[String] = Seq.empty,
+      densityThreshold: Double = 0.15): Unit = {
+    import graft.sources.VersionedTable
+    val spark = batch.sparkSession
+    val tag = s"merge#$batchId"
+    val (cursor, latestOpt) = scanLedger(spark, tableDir)
+    if (cursor.synchronized(cursor.seen.contains(tag))) return
+    if (batch.isEmpty) return
+    val s = latestOpt match {
+      case None => // merge into nothing is an insert: create v1 tagged
+        VersionedTable.appendTagged(batch, tableDir, tag, None,
+          statsCols, maxAttempts = 5)
+      case Some(_) =>
+        VersionedTable.mergeWithDv(batch, tableDir, keys,
+          statsCols = statsCols, densityThreshold = densityThreshold,
+          maxAttempts = 5, opTag = tag)
+    }
+    cursor.synchronized(cursor.seen.add(s.operation))
+  }
+
   /** Micro-batch STREAMING SOURCE over a [[graft.sources.VersionedTable]]'s
     * commit log — the pull half of the medallion pattern: a downstream
     * table maintains itself from the source table's row-level change

@@ -592,6 +592,50 @@ class StreamingSpec extends AnyFunSuite {
       "replaying a committed batch must not commit a new version")
   }
 
+  test("upsertIngest merges each batch exactly once on the merge-on-read " +
+      "path: matches update, new keys insert, files carry, replay no-ops") {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-upsingest")
+    val (src, table, ckpt) = (s"$root/src", s"$root/table", s"$root/ckpt")
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Streams.upsertIngest(Streams.fileIngest(spark, src, schema), table,
+      Seq("id"), ckpt, statsCols = Seq("id"))
+    val v1 = VersionedTable.latest(spark, table).get
+    assert(v1.operation.startsWith("merge#"),
+      "first batch lands as the tagged create-append")
+    assert(VersionedTable.read(spark, table).count() === 10)
+
+    // batch 2: one update (10% of the file → DV lane) + one insert
+    Seq((1L, "UPD"), (23L, "new")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    Streams.upsertIngest(Streams.fileIngest(spark, src, schema), table,
+      Seq("id"), ckpt, statsCols = Seq("id"))
+    val v2 = VersionedTable.latest(spark, table).get
+    assert(v2.operation.startsWith("merge#") &&
+      v2.operation != v1.operation)
+    assert(v1.files.forall(v2.files.contains),
+      "the merge-on-read batch must carry the previous batch's files")
+    assert(v2.dvn.values.sum === 1L, s"one soft-updated position: ${v2.dvn}")
+    val got = VersionedTable.read(spark, table)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got === ((2L to 10L).map(i => i -> s"v$i").toMap ++
+      Map(1L -> "UPD", 23L -> "new")))
+    assert(VersionedTable.snapshotAt(spark, table, v1.version)
+      .select("v").as[String].collect().toSet ===
+      (1L to 10L).map(i => s"v$i").toSet,
+      "batch boundaries stay time-travelable across the upsert")
+
+    // direct replay of a committed batch id: strict no-op
+    val before = VersionedTable.snapshots(spark, table).map(_.version).max
+    Streams.processUpsertBatch(
+      Seq((99L, "z")).toDF("id", "v"), batchId = 1L, table, Seq("id"))
+    assert(VersionedTable.snapshots(spark, table)
+      .map(_.version).max === before,
+      "replaying a committed upsert batch must not commit a new version")
+  }
+
   test("viewIngest maintains the aggregate view per batch; agrees with batch full recompute; replay is a no-op") {
     import graft.operators.IncrementalView
     import graft.sources.VersionedTable
