@@ -2576,6 +2576,47 @@ object SparkEntry {
         densityThreshold = 0.25)
       VersionedTable.read(s, tmp).groupBy(col("p_brand"))
         .agg(count(lit(1)).as("cnt"), decSum("p_retailprice").as("sum_price"))
+    }),
+
+    // CHECK CONSTRAINTS (round 16) — Delta's ALTER TABLE ADD CONSTRAINT:
+    // two invariants land as metadata-only commits, a valid append
+    // passes, a price-negated batch is rejected ATOMICALLY (enforcement
+    // is fused into the write job itself — zero extra passes; the
+    // failed attempt commits nothing), and dropping the constraint lets
+    // the same batch land. The oracle replays the final state plus the
+    // rejection bit: if enforcement silently failed, the bad batch
+    // would land TWICE (and rejected_batches read 0) — both visible in
+    // the hash. ConstraintSpec drives the full matrix (all six DML
+    // write paths, three-valued semantics, rename/drop interplay,
+    // restore carry, mid-race conflict).
+    "q123_check_constraints" -> ((s, dir) => {
+      import graft.sources.{ConstraintViolationException, VersionedTable}
+      val tmp = scratchPath("q123")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+      VersionedTable.create(o.filter(col("o_orderkey") % 3 === 0), tmp,
+        statsCols = Seq("o_orderkey"))
+      VersionedTable.addCheckConstraint(s, tmp,
+        "positive_price", "o_price > 0")
+      VersionedTable.addCheckConstraint(s, tmp,
+        "status_not_null", "o_orderstatus IS NOT NULL")
+      VersionedTable.append(o.filter(col("o_orderkey") % 3 === 1), tmp,
+        statsCols = Seq("o_orderkey"))
+      val negated = o.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_price", (-col("o_price")).cast("decimal(18,2)"))
+      val rejected =
+        try { VersionedTable.append(negated, tmp, Seq("o_orderkey")); 0L }
+        catch { case _: ConstraintViolationException => 1L }
+      VersionedTable.dropCheckConstraint(s, tmp, "positive_price")
+      VersionedTable.append(negated, tmp, statsCols = Seq("o_orderkey"))
+      VersionedTable.read(s, tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_price")).cast(DoubleType).as("sum_price"),
+          max(lit(rejected)).as("rejected_batches"))
     })
   )
 
@@ -3542,6 +3583,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM m GROUP BY p_brand""".stripMargin,
+
+    // replays the constraint lifecycle declaratively: %3∈{0,1} at
+    // original prices (accepted while the CHECK held), %3=2 negated
+    // (accepted only after the drop — and exactly ONCE: had enforcement
+    // silently failed, that batch would land twice and rejected read 0)
+    "q123_check_constraints" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 = 2
+        |    THEN -CAST(o_totalprice AS DECIMAL(18,2))
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(1 AS BIGINT) AS rejected_batches
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

@@ -92,6 +92,15 @@ final class ConflictingCommitException(msg: String)
 final class UnsupportedCommitSubstrateException(msg: String)
   extends java.io.IOException(msg)
 
+/** A write's rows (or, for ADD CONSTRAINT, the table's existing rows)
+  * violate a CHECK constraint. The failed write commits NOTHING — the
+  * version counter is untouched and the attempt's staged files are
+  * invisible debris for [[VersionedTable.vacuumOrphans]]. Not
+  * retryable as-is: the DATA is wrong, not the timing.
+  */
+final class ConstraintViolationException(msg: String)
+  extends RuntimeException(msg)
+
 object VersionedTable {
 
   /** One committed version: `operation` ∈ create|append|overwrite|compact|
@@ -108,6 +117,12 @@ object VersionedTable {
     * ([[readFilesWithDv]]); files absent from `dvn` stay on the plain
     * scan path. Full-rewrite operations (overwrite/compact/cluster)
     * fold DVs into clean files and drop both fields.
+    *
+    * `constraints` (round-16) maps CHECK-constraint name → SQL
+    * expression over logical column names; every row-adding write
+    * enforces them ([[constraintGuard]]) and they change only via the
+    * metadata-only [[addCheckConstraint]]/[[dropCheckConstraint]]
+    * commits (deltas inherit).
     */
   final case class Snapshot(version: Long, timestampMs: Long,
       operation: String, files: Seq[String],
@@ -117,7 +132,8 @@ object VersionedTable {
       dvFiles: Seq[String] = Nil,
       dvn: Map[String, Long] = Map.empty,
       blooms: Map[String, Map[String, String]] = Map.empty,
-      droppedCols: Map[String, Long] = Map.empty) {
+      droppedCols: Map[String, Long] = Map.empty,
+      constraints: Map[String, String] = Map.empty) {
     /** The snapshot's recorded table schema (versions committed before
       * schema tracking have none and read footer-first as before).
       */
@@ -189,7 +205,8 @@ object VersionedTable {
       if (newDvn.isEmpty) Nil else (prev.dvFiles ++ d.dvAdds).distinct,
       newDvn,
       prev.blooms -- removed, // bloom sidecars die with their data file
-      prev.droppedCols) // dropped-name memory: only full commits change it
+      prev.droppedCols, // dropped-name memory: only full commits change it
+      prev.constraints) // constraints change only via metadata-only commits
   }
 
   /** Test seam: manifest names dropped from directory listings,
@@ -495,6 +512,16 @@ object VersionedTable {
               id.toLong).toOption
             case _ => None
           }
+        }.flatten.toMap,
+        // `constraint=<b64 name>|<b64 sql expr>`
+        lines.collect { case l if l.startsWith("constraint=") =>
+          l.drop(11).split('|') match {
+            case Array(n, e) => scala.util.Try(
+              new String(java.util.Base64.getDecoder.decode(n), "UTF-8") ->
+              new String(java.util.Base64.getDecoder.decode(e), "UTF-8"))
+              .toOption
+            case _ => None
+          }
         }.flatten.toMap))
     }
   }
@@ -517,6 +544,10 @@ object VersionedTable {
       ++ s.droppedCols.toSeq.sortBy(_._1).map { case (n, id) =>
         s"dropped=${java.util.Base64.getEncoder
           .encodeToString(n.getBytes("UTF-8"))}|$id" }
+      ++ s.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+        s"constraint=${java.util.Base64.getEncoder
+          .encodeToString(n.getBytes("UTF-8"))}|${java.util.Base64
+          .getEncoder.encodeToString(e.getBytes("UTF-8"))}" }
       :+ s"end=${s.files.size}")
       .mkString("", "\n", "\n")
 
@@ -651,12 +682,147 @@ object VersionedTable {
         .withMetadata(f.metadata).putString(PhysNameKey, f.name).build())
     })
 
+  /** Marker embedded in the executor-side assert message so the driver
+    * can recognize a constraint failure inside Spark's task-failure
+    * wrapping and rethrow it typed ([[rethrowConstraintViolation]]).
+    */
+  private val ConstraintMarker = "graft.constraint.violation: "
+
+  /** Column names a CHECK expression references (first name part of
+    * each unresolved attribute, lower-cased) — the device behind the
+    * rename/drop fail-fast guards and the missing-column null-fill in
+    * [[constraintGuard]]. Parses only; nothing is resolved or run.
+    */
+  private[graft] def constraintRefs(spark: SparkSession,
+      exprSql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head.toLowerCase
+    }.distinct
+
+  /** Fuse CHECK enforcement into `df`'s plan: per constraint, a filter
+    * on `isnull(assert_true(coalesce(expr, true), msg))` — rows where
+    * the expression is TRUE or NULL pass (SQL CHECK three-valued
+    * semantics; spell NOT NULL as `c IS NOT NULL`), the first FALSE row
+    * throws inside the write job itself, so enforcement costs zero
+    * extra passes and stays inside whole-stage codegen. Columns a
+    * constraint references but `df` lacks (a schema-evolving append)
+    * evaluate as NULL, exactly how the staged file will read. The error
+    * message carries the violating row's referenced columns as JSON.
+    */
+  private def constraintGuard(df: DataFrame,
+      constraints: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (constraints.isEmpty) return df
+    val spark = df.sparkSession
+    val orig = df.columns.toSeq
+    val missing = constraints.values.toSeq
+      .flatMap(constraintRefs(spark, _)).distinct
+      .filterNot(r => orig.exists(_.equalsIgnoreCase(r)))
+    val widened = missing.foldLeft(df)((d, m) => d.withColumn(m, lit(null)))
+    val guarded = constraints.toSeq.sortBy(_._1)
+      .foldLeft(widened) { case (d, (name, sql)) =>
+        // the JSON payload names the violating row; null-filled columns
+        // (NullType) are unprintable by to_json and excluded — the
+        // constraint still EVALUATES them (as NULL) either way
+        val refs = constraintRefs(spark, sql)
+          .filter(r => d.schema.fields.exists(f =>
+            f.name.equalsIgnoreCase(r) &&
+              f.dataType != org.apache.spark.sql.types.NullType))
+        val row =
+          if (refs.isEmpty) lit("{}") else to_json(struct(refs.map(col): _*))
+        d.filter(isnull(assert_true(coalesce(expr(sql), lit(true)),
+          concat(lit(s"${ConstraintMarker}CHECK constraint $name " +
+            s"($sql) violated by row "), row))))
+      }
+    if (missing.isEmpty) guarded else guarded.select(orig.map(col): _*)
+  }
+
+  /** Run a staging job that may trip a [[constraintGuard]] assert and
+    * surface the failure as a typed [[ConstraintViolationException]]
+    * instead of Spark's generic job-abort wrapper.
+    */
+  private def rethrowConstraintViolation[A](body: => A): A =
+    try body catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        var depth = 0
+        while (c != null && depth < 20) {
+          val m = c.getMessage
+          if (m != null && m.contains(ConstraintMarker))
+            throw new ConstraintViolationException(
+              m.substring(m.indexOf(ConstraintMarker)
+                + ConstraintMarker.length))
+          c = c.getCause; depth += 1
+        }
+        throw e
+    }
+
+  /** ADD a CHECK constraint, metadata-only: existing rows (live rows,
+    * DVs applied) must already satisfy it — validated here with one
+    * limit-1 probe BEFORE the commit, Delta-style — and every later
+    * row-adding write enforces it inside its own write job. `exprSql`
+    * is ANSI SQL over logical column names; TRUE and NULL pass, FALSE
+    * rejects (so `c IS NOT NULL` is a NOT NULL constraint). Dropping or
+    * renaming a referenced column fails fast until the constraint is
+    * dropped; restore carries the TARGET version's constraint set.
+    */
+  def addCheckConstraint(spark: SparkSession, dir: String,
+      name: String, exprSql: String): Snapshot = {
+    import org.apache.spark.sql.functions._
+    require(name.nonEmpty && name.forall(ch =>
+      ch.isLetterOrDigit || ch == '_'),
+      s"constraint name must be [A-Za-z0-9_]+; got '$name'")
+    val prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    require(!prev.constraints.keys.exists(_.equalsIgnoreCase(name)),
+      s"constraint $name already exists on $dir")
+    val sch = prev.schema.getOrElse(sys.error(
+      s"addCheckConstraint needs a recorded schema on $dir"))
+    val refs = constraintRefs(spark, exprSql)
+    require(refs.nonEmpty, s"constraint $name ($exprSql) references no " +
+      "column — a constant CHECK is either always true or a typo")
+    refs.foreach(r => require(
+      sch.fieldNames.exists(_.equalsIgnoreCase(r)),
+      s"constraint $name references unknown column $r (table has " +
+        sch.fieldNames.mkString("[", ",", "]") + ")"))
+    val bad = read(spark, dir)
+      .filter(!coalesce(expr(exprSql), lit(true))).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new ConstraintViolationException(
+        s"cannot add CHECK constraint $name ($exprSql) to $dir: " +
+          s"existing row violates it: ${bad.head}")
+    commit(spark, dir, prev.version + 1, "add_constraint", prev.files,
+      prev.stats, prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn,
+      prev.blooms, prev.droppedCols,
+      prev.constraints + (name -> exprSql))
+  }
+
+  /** DROP a CHECK constraint, metadata-only. Time travel to versions
+    * where it existed still shows it in [[Snapshot.constraints]]; rows
+    * are never re-validated retroactively.
+    */
+  def dropCheckConstraint(spark: SparkSession, dir: String,
+      name: String): Snapshot = {
+    val prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    val key = prev.constraints.keys.find(_.equalsIgnoreCase(name))
+      .getOrElse(sys.error(s"no constraint $name on $dir (has " +
+        prev.constraints.keys.mkString("[", ",", "]") + ")"))
+    commit(spark, dir, prev.version + 1, "drop_constraint", prev.files,
+      prev.stats, prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn,
+      prev.blooms, prev.droppedCols, prev.constraints - key)
+  }
+
   /** RENAME a column, metadata-only: the logical name changes, the
     * stable field id and the physical name stay, so every existing file
     * keeps resolving and not one byte of data moves. Skipping stats and
     * bloom references follow the column (their keys remap with it), so
     * pruning on the new name works immediately — "stats follow the id".
-    * Old versions time-travel under their own recorded names.
+    * Old versions time-travel under their own recorded names. Fails
+    * fast while a CHECK constraint references the column (drop the
+    * constraint first) — the constraint's SQL names columns logically
+    * and silently un-binding it would stop enforcing writes.
     */
   def renameColumn(spark: SparkSession, dir: String, oldName: String,
       newName: String): Snapshot = {
@@ -669,6 +835,11 @@ object VersionedTable {
     require(!sch.fields.exists(_.name.equalsIgnoreCase(newName)),
       s"column $newName already exists")
     require(!newName.startsWith("__vt_"), "reserved name prefix __vt_")
+    prev.constraints.foreach { case (cn, ce) =>
+      require(!constraintRefs(spark, ce).exists(_.equalsIgnoreCase(oldName)),
+        s"cannot rename column $oldName: CHECK constraint $cn ($ce) " +
+          "references it; drop the constraint first")
+    }
     val mapped = withMapping(sch)
     val renamed = org.apache.spark.sql.types.StructType(mapped.fields.map(
       f => if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName)
@@ -681,7 +852,7 @@ object VersionedTable {
     val blooms = prev.blooms.view.mapValues(remapCols).toMap
     commit(spark, dir, prev.version + 1, "rename", prev.files, stats,
       Some(renamed.json), prev.tableId, prev.dvFiles, prev.dvn, blooms,
-      prev.droppedCols)
+      prev.droppedCols, prev.constraints)
   }
 
   /** DROP a column, metadata-only: the field leaves the logical schema
@@ -700,6 +871,11 @@ object VersionedTable {
     val field = mapped.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
       sys.error(s"no column $name in ${sch.fieldNames.mkString(",")}"))
     require(mapped.fields.length > 1, "cannot drop the only column")
+    prev.constraints.foreach { case (cn, ce) =>
+      require(!constraintRefs(spark, ce).exists(_.equalsIgnoreCase(name)),
+        s"cannot drop column $name: CHECK constraint $cn ($ce) " +
+          "references it; drop the constraint first")
+    }
     val remaining = org.apache.spark.sql.types.StructType(
       mapped.fields.filterNot(_.name.equalsIgnoreCase(name)))
     val stats = prev.stats.view.mapValues(fs => DataSkipping.FileStats(
@@ -711,7 +887,8 @@ object VersionedTable {
     commit(spark, dir, prev.version + 1, "drop", prev.files, stats,
       Some(remaining.json), prev.tableId, prev.dvFiles, prev.dvn, blooms,
       prev.droppedCols +
-        (physNameOf(field) -> fieldIdOf(field).getOrElse(0L)))
+        (physNameOf(field) -> fieldIdOf(field).getOrElse(0L)),
+      prev.constraints)
   }
 
   /** Stage `df`'s rows as immutable data files for version `v` and
@@ -779,7 +956,8 @@ object VersionedTable {
       dvFiles: Seq[String] = Nil,
       dvn: Map[String, Long] = Map.empty,
       blooms: Map[String, Map[String, String]] = Map.empty,
-      droppedCols: Map[String, Long] = Map.empty): Snapshot = {
+      droppedCols: Map[String, Long] = Map.empty,
+      constraints: Map[String, String] = Map.empty): Snapshot = {
     // Version 1 MINTS the table identity; it is carried forward by
     // every later manifest (full manifests re-render it, deltas inherit
     // through applyDelta), so a table deleted and recreated at the same
@@ -790,7 +968,8 @@ object VersionedTable {
         Some(java.util.UUID.randomUUID.toString.take(16)))
       else tableId
     val snap = Snapshot(v, System.currentTimeMillis(), operation, files,
-      stats, schemaJson, tid, dvFiles, dvn, blooms, droppedCols)
+      stats, schemaJson, tid, dvFiles, dvn, blooms, droppedCols,
+      constraints)
     writeExclusive(spark, dir, v, renderManifest(snap).getBytes("UTF-8"))
     snap
   }
@@ -820,7 +999,8 @@ object VersionedTable {
       if (newDvn.isEmpty) Nil else (prev.dvFiles ++ dvAdds).distinct,
       newDvn,
       prev.blooms -- removed,
-      prev.droppedCols)
+      prev.droppedCols,
+      prev.constraints)
     if (v % CheckpointEvery == 0) {
       writeExclusive(spark, dir, v,
         renderManifest(resolved).getBytes("UTF-8"))
@@ -1296,12 +1476,23 @@ object VersionedTable {
     // schema checks run BEFORE staging (fail fast), and the staged
     // files spell columns physically when the table carries a mapping
     val ev0 = evolve(prev)
-    val (files, st) = stageWithStats(df, dir, prev.version + 1, statsCols,
-      ev0)
+    // CHECK constraints are enforced inside the staging job itself
+    // (constraintGuard: zero extra passes); the set they were applied
+    // with is re-checked on every rebase below — staged data must not
+    // slip past a constraint a competitor added mid-race
+    val appliedConstraints = prev.constraints
+    val (files, st) = rethrowConstraintViolation(stageWithStats(
+      constraintGuard(df, appliedConstraints), dir, prev.version + 1,
+      statsCols, ev0))
     onStaged()
     var attempt = 1
     while (true) {
       val evolved = evolve(prev).map(_.json).orElse(Some(df.schema.json))
+      if (prev.constraints != appliedConstraints)
+        throw new ConflictingCommitException(
+          s"append on $dir lost the commit race and cannot rebase: a " +
+            "concurrent commit changed the table's CHECK constraints " +
+            "after this batch was validated; re-run the append")
       try return commitDelta(spark, dir, prev, "append", files, Nil, st,
         evolved)
       catch {
@@ -1382,11 +1573,20 @@ object VersionedTable {
       }
     checkSchema(prevOpt0)
     val v0 = prevOpt0.map(_.version + 1).getOrElse(1L)
-    val (files, st) = stageWithStats(df, dir, v0, statsCols,
-      prevOpt0.flatMap(_.schema))
+    val appliedConstraints =
+      prevOpt0.map(_.constraints).getOrElse(Map.empty[String, String])
+    val (files, st) = rethrowConstraintViolation(stageWithStats(
+      constraintGuard(df, appliedConstraints), dir, v0, statsCols,
+      prevOpt0.flatMap(_.schema)))
     var prevOpt = prevOpt0
     var attempt = 1
     while (true) {
+      if (prevOpt.map(_.constraints).getOrElse(
+          Map.empty[String, String]) != appliedConstraints)
+        throw new ConflictingCommitException(
+          s"append#$tag on $dir lost the commit race and cannot rebase: " +
+            "a concurrent commit changed the table's CHECK constraints " +
+            "after this batch was validated; re-run the batch")
       try {
         return prevOpt match {
           case Some(prev) =>
@@ -1485,9 +1685,21 @@ object VersionedTable {
     val prev = latest(df.sparkSession, dir).getOrElse(
       sys.error(s"table $dir has no commits — use create"))
     val v = prev.version + 1
-    val (files, st) = stageWithStats(df, dir, v, statsCols)
+    // constraints survive a data overwrite (Delta semantics) — but only
+    // those whose referenced columns the NEW schema still carries can
+    // keep enforcing; any other would poison every later append with an
+    // unresolvable expression, so the overwrite fails fast instead
+    prev.constraints.foreach { case (cn, ce) =>
+      constraintRefs(df.sparkSession, ce).foreach(r => require(
+        df.columns.exists(_.equalsIgnoreCase(r)),
+        s"overwrite drops column $r referenced by CHECK constraint " +
+          s"$cn ($ce); drop the constraint first"))
+    }
+    val (files, st) = rethrowConstraintViolation(stageWithStats(
+      constraintGuard(df, prev.constraints), dir, v, statsCols))
     commit(df.sparkSession, dir, v, "overwrite", files, st,
-      Some(df.schema.json), prev.tableId)
+      Some(df.schema.json), prev.tableId,
+      constraints = prev.constraints)
   }
 
   /** [[overwrite]] under a caller-chosen operation tag, against an
@@ -1501,9 +1713,11 @@ object VersionedTable {
       tag: String, prevOpt: Option[Snapshot],
       statsCols: Seq[String] = Seq.empty): Snapshot = {
     val v = prevOpt.map(_.version + 1).getOrElse(1L)
-    val (files, st) = stageWithStats(df, dir, v, statsCols)
+    val cons = prevOpt.map(_.constraints).getOrElse(Map.empty[String, String])
+    val (files, st) = rethrowConstraintViolation(stageWithStats(
+      constraintGuard(df, cons), dir, v, statsCols))
     commit(df.sparkSession, dir, v, tag, files, st, Some(df.schema.json),
-      prevOpt.flatMap(_.tableId))
+      prevOpt.flatMap(_.tableId), constraints = cons)
   }
 
   /** MERGE (upsert) into the table as a new version: matched keys take
@@ -1600,8 +1814,9 @@ object VersionedTable {
     // turn off skipping on a column it used to serve
     val effStats =
       (statsCols ++ prev.stats.values.flatMap(_.cols.keys)).distinct
-    val (files, st) = stageWithStats(merged, dir, prev.version + 1, effStats,
-      prev.schema)
+    val (files, st) = rethrowConstraintViolation(stageWithStats(
+      constraintGuard(merged, prev.constraints), dir, prev.version + 1,
+      effStats, prev.schema))
     onStaged()
     var attempt = 1
     while (true) {
@@ -1645,6 +1860,9 @@ object VersionedTable {
         "operation against the new table state")
     if (now.schemaJson != base.schemaJson)
       conflict("the concurrent commit changed the table schema")
+    if (now.constraints != base.constraints)
+      conflict("the concurrent commit changed the table's CHECK " +
+        "constraints after this operation's rows were validated")
     val baseFiles = base.files.toSet
     val readRemoved = touched.filterNot(now.files.toSet)
     if (readRemoved.nonEmpty)
@@ -1710,8 +1928,11 @@ object VersionedTable {
         val touchedDf = readFilesWithDv(spark, dir, prev, touched)
         val statsCols =
           prev.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted
-        val (fs, s) = stageWithStats(rewrite(touchedDf, predicate), dir,
-          prev.version + 1, statsCols, prev.schema)
+        // UPDATE's SET can mint violating values; DELETE's survivors
+        // revalidate for free (the guard fuses into the rewrite scan)
+        val (fs, s) = rethrowConstraintViolation(stageWithStats(
+          constraintGuard(rewrite(touchedDf, predicate), prev.constraints),
+          dir, prev.version + 1, statsCols, prev.schema))
         (fs, s, prev.schemaJson.orElse(Some(touchedDf.schema.json)))
       }
     onStaged()
@@ -1994,15 +2215,19 @@ object VersionedTable {
         val (post, postStats) =
           if (dvSet.isEmpty)
             (Seq.empty[String], Map.empty[String, DataSkipping.FileStats])
-          else stageWithStats(
-            applyUpdateSet(lane(dvSet).filter(pTrue), predicate, set),
-            dir, v, statsCols, prev.schema)
+          else rethrowConstraintViolation(stageWithStats(
+            constraintGuard(
+              applyUpdateSet(lane(dvSet).filter(pTrue), predicate, set),
+              prev.constraints),
+            dir, v, statsCols, prev.schema))
         val (rw, rwStats) =
           if (rwSet.isEmpty)
             (Seq.empty[String], Map.empty[String, DataSkipping.FileStats])
-          else stageWithStats(
-            applyUpdateSet(lane(rwSet), predicate, set),
-            dir, v, statsCols, prev.schema)
+          else rethrowConstraintViolation(stageWithStats(
+            constraintGuard(
+              applyUpdateSet(lane(rwSet), predicate, set),
+              prev.constraints),
+            dir, v, statsCols, prev.schema))
         (post ++ rw, rwSet: Seq[String], postStats ++ rwStats,
           staged, dvnB.result())
       }
@@ -2099,8 +2324,9 @@ object VersionedTable {
     val (adds, removes, addStats, dvAdds, dvnSets) =
       if (touched.isEmpty) {
         // no file may hold a match: the whole batch is an insert append
-        val (fs, st) = stageWithStats(aligned, dir, prev.version + 1,
-          effStats, prev.schema)
+        val (fs, st) = rethrowConstraintViolation(stageWithStats(
+          constraintGuard(aligned, prev.constraints), dir,
+          prev.version + 1, effStats, prev.schema))
         (fs, Seq.empty[String], st, Seq.empty[String],
           Map.empty[String, Long])
       } else {
@@ -2146,16 +2372,18 @@ object VersionedTable {
           case None => aligned
           case Some(rk) => aligned.join(rk, keys, "left_anti")
         }
-        val (post, postStats) = stageWithStats(appendRows, dir, v,
-          effStats, prev.schema)
+        val (post, postStats) = rethrowConstraintViolation(stageWithStats(
+          constraintGuard(appendRows, prev.constraints), dir, v,
+          effStats, prev.schema))
         val (rw, rwStats) = rwKeys match {
           case None =>
             (Seq.empty[String], Map.empty[String, DataSkipping.FileStats])
-          case Some(rk) => stageWithStats(
-            graft.operators.Merge.upsert(
+          case Some(rk) => rethrowConstraintViolation(stageWithStats(
+            constraintGuard(graft.operators.Merge.upsert(
               lane(rwSet).select(schema.fieldNames.map(col).toSeq: _*),
               aligned.join(rk, keys, "left_semi"), keys),
-            dir, v, effStats, prev.schema)
+              prev.constraints),
+            dir, v, effStats, prev.schema))
         }
         (post ++ rw, rwSet: Seq[String], postStats ++ rwStats,
           staged, dvnB.result())
@@ -2199,7 +2427,8 @@ object VersionedTable {
     val schemaOut = prev.schema.map(s => selfMapped(s).json)
       .orElse(Some(current.schema.json))
     commit(spark, dir, v, "compact", files, st, schemaOut,
-      prev.tableId, droppedCols = prev.droppedCols)
+      prev.tableId, droppedCols = prev.droppedCols,
+      constraints = prev.constraints)
   }
 
   /** Answer-preserving z-order rewrite committed as a new version — the
@@ -2231,7 +2460,8 @@ object VersionedTable {
     val schemaOut = prev.schema.map(s => selfMapped(s).json)
       .orElse(Some(arranged.schema.json))
     commit(spark, dir, v, "cluster", files, st, schemaOut,
-      prev.tableId, droppedCols = prev.droppedCols)
+      prev.tableId, droppedCols = prev.droppedCols,
+      constraints = prev.constraints)
   }
 
   /** Schema of a DV sidecar dataset: deleted row positions, keyed by
@@ -2440,7 +2670,7 @@ object VersionedTable {
     }
     commit(spark, dir, prev.version + 1, "analyze", prev.files,
       mergedStats, prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn,
-      prev.blooms, prev.droppedCols)
+      prev.blooms, prev.droppedCols, prev.constraints)
   }
 
   /** Backfill per-file BLOOM stats for `cols` on the CURRENT version —
@@ -2495,7 +2725,7 @@ object VersionedTable {
     }
     commit(spark, dir, v, "analyze", prev.files, prev.stats,
       prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn, merged,
-      prev.droppedCols)
+      prev.droppedCols, prev.constraints)
   }
 
   /** The table's commit history, newest first — DESCRIBE HISTORY as a
@@ -2507,8 +2737,10 @@ object VersionedTable {
     snapshots(spark, dir).reverse.map { s =>
       (s.version, new java.sql.Timestamp(s.timestampMs), s.operation,
         s.files.size,
-        s.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted.mkString(","))
-    }.toDF("version", "committed_at", "operation", "n_files", "stats_cols")
+        s.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted.mkString(","),
+        s.constraints.keys.toSeq.sorted.mkString(","))
+    }.toDF("version", "committed_at", "operation", "n_files", "stats_cols",
+      "constraints")
   }
 
   /** Drop data files referenced by NO retained version (the newest
@@ -2775,6 +3007,7 @@ object VersionedTable {
     val latestV = all.last.version
     commit(spark, dir, latestV + 1, "restore",
       target.files, target.stats, schema, all.last.tableId,
-      target.dvFiles, target.dvn, target.blooms, target.droppedCols)
+      target.dvFiles, target.dvn, target.blooms, target.droppedCols,
+      target.constraints)
   }
 }
