@@ -2617,6 +2617,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("o_price")).cast(DoubleType).as("sum_price"),
           max(lit(rejected)).as("rejected_batches"))
+    }),
+
+    // REAL FLAC fixed-predictor decode (round 16) — the lossless-audio
+    // tier leaves Media.decodeStub: every doc wraps in a real FLAC
+    // stream (STREAMINFO + CRC-8/CRC-16-verified frames, order-2 fixed
+    // subframes, rice-coded residuals) carrying the affine signal
+    // s(t) = a + d·t, whose residuals are exactly zero under the
+    // order-2 predictor — so the oracle replays N·a + d·N(N-1)/2 in
+    // closed form while the corpus still varies rice parameters,
+    // partition orders, rates, and frame counts. The DECODER is the
+    // full fixed-predictor subset (orders 0-4, CONSTANT/VERBATIM, both
+    // rice methods + escapes, wasted bits, multi-byte UTF-8 numbers);
+    // FlacSpec pins the other orders with polynomial signals whose
+    // sums a wrong predictor formula cannot reproduce.
+    "q124_flac_audio" -> ((s, dir) => {
+      graft.multimodal.Flac.flacSamples(
+        graft.multimodal.Flac.fromDocumentsFlac(
+          Tables.documents(s, dir)))
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("sample_sum"))
     })
   )
 
@@ -3596,6 +3616,25 @@ object SparkEntry {
         |    AS sum_price,
         |  CAST(1 AS BIGINT) AS rejected_batches
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // closed-form replay of the planted affine FLAC signal: N = 192·nb
+    // samples of a + d·t sum to N·a + d·N(N-1)/2 — the engine's general
+    // bitstream decoder must reproduce it exactly, CRCs verified
+    "q124_flac_audio" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    (doc_id % 1024) - 512 AS a,
+        |    (doc_id % 7) - 3 AS d,
+        |    192 * (1 + doc_id % 3) AS n,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 24000 END AS sr
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(sr AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n*a + d*n*(n-1)//2 AS BIGINT) AS sample_sum
+        |FROM base""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

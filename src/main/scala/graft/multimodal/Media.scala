@@ -1021,10 +1021,11 @@ object Media {
     * deployment — the batch shape stays identical. Since round 15 every
     * registered media GATE decodes a real bitstream (BMP/WAV-PCM, PNG
     * DEFLATE, GIF LZW, JPEG Huffman, MP4 Motion-JPEG — see [[Mp4]]), and
-    * round 16 added real COMPRESSED AUDIO (IMA-ADPCM, [[Adpcm]], q120);
-    * this stub remains only as the declared fake feature-extractor
-    * plumbing for the codec families a pure-JVM hand-roll cannot
-    * honestly serve: H.264-class inter-frame video and
+    * round 16 added real COMPRESSED AUDIO (IMA-ADPCM, [[Adpcm]], q120)
+    * and real LOSSLESS AUDIO (FLAC fixed-predictor subset, [[Flac]],
+    * q124); this stub remains only as the declared fake
+    * feature-extractor plumbing for the codec families a pure-JVM
+    * hand-roll cannot honestly serve: H.264-class inter-frame video and
     * perceptual-transform audio (MP3/AAC-class).
     */
   def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
