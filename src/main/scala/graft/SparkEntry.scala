@@ -2637,6 +2637,45 @@ object SparkEntry {
           Tables.documents(s, dir)))
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("sample_sum"))
+    }),
+
+    // GENERATED COLUMNS (round 16) — Delta's GENERATED ALWAYS AS:
+    // o_kgroup = o_orderkey DIV 10000 is declared at create and never
+    // shipped by any writer — the omitting create computes it, a
+    // supplying append is VALIDATED against the rule (a contradicting
+    // value cannot commit — GeneratedColumnsSpec), and a key-shifting
+    // DV update RECOMPUTES it (rows visibly change groups, which the
+    // oracle replays). Because the column is derived from the range-
+    // partition key, its per-file min/max stats prune derived-predicate
+    // scans raw stats cannot serve — the cheap-partition-column pattern
+    // at 100 TB (spec proves the pruning; here the oracle pins the
+    // computation end to end).
+    "q125_generated_columns" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val tmp = scratchPath("q125")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+      VersionedTable.create(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(8, col("o_orderkey")),
+        tmp, statsCols = Seq("o_orderkey", "o_kgroup"),
+        generatedCols = Map("o_kgroup" -> "o_orderkey DIV 10000"))
+      // supplying append: the correct value passes the validation lane
+      VersionedTable.append(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_kgroup", expr("o_orderkey DIV 10000")),
+        tmp, statsCols = Seq("o_orderkey", "o_kgroup"))
+      // key-shifting merge-on-read update: o_kgroup must RECOMPUTE
+      VersionedTable.updateWithDv(s, tmp, col("o_orderkey") % 5000 === 0,
+        Map("o_orderkey" -> (col("o_orderkey") + lit(50000L))),
+        densityThreshold = 0.9)
+      VersionedTable.read(s, tmp)
+        .groupBy(col("o_kgroup"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_price")).cast(DoubleType).as("sum_price"))
     })
   )
 
@@ -3635,6 +3674,20 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_samples,
         |  CAST(n*a + d*n*(n-1)//2 AS BIGINT) AS sample_sum
         |FROM base""".stripMargin,
+
+    // replays the generated-column lifecycle: every row's o_kgroup is
+    // the rule's value over its FINAL o_orderkey — including the rows
+    // the DV update shifted across group boundaries (recomputation),
+    // and the supplied-and-validated append batch
+    "q125_generated_columns" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderkey % 5000 = 0
+        |              THEN o_orderkey + 50000 ELSE o_orderkey END AS k,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders)
+        |SELECT k // 10000 AS o_kgroup, COUNT(*) AS cnt,
+        |  CAST(SUM(p) AS DOUBLE) AS sum_price
+        |FROM o GROUP BY 1""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

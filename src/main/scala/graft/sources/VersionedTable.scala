@@ -123,6 +123,12 @@ object VersionedTable {
     * enforces them ([[constraintGuard]]) and they change only via the
     * metadata-only [[addCheckConstraint]]/[[dropCheckConstraint]]
     * commits (deltas inherit).
+    *
+    * `generatedCols` (round-16) maps generated-column name → SQL
+    * expression over the table's other columns, declared at [[create]]
+    * (Delta's GENERATED ALWAYS AS): writes that omit the column get it
+    * computed, writes that supply it get it validated, UPDATE/MERGE
+    * recompute it when its sources change ([[applyGenerated]]).
     */
   final case class Snapshot(version: Long, timestampMs: Long,
       operation: String, files: Seq[String],
@@ -133,7 +139,8 @@ object VersionedTable {
       dvn: Map[String, Long] = Map.empty,
       blooms: Map[String, Map[String, String]] = Map.empty,
       droppedCols: Map[String, Long] = Map.empty,
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      generatedCols: Map[String, String] = Map.empty) {
     /** The snapshot's recorded table schema (versions committed before
       * schema tracking have none and read footer-first as before).
       */
@@ -206,7 +213,8 @@ object VersionedTable {
       newDvn,
       prev.blooms -- removed, // bloom sidecars die with their data file
       prev.droppedCols, // dropped-name memory: only full commits change it
-      prev.constraints) // constraints change only via metadata-only commits
+      prev.constraints, // constraints change only via metadata-only commits
+      prev.generatedCols) // generation rules: declared at create, inherited
   }
 
   /** Test seam: manifest names dropped from directory listings,
@@ -522,6 +530,16 @@ object VersionedTable {
               .toOption
             case _ => None
           }
+        }.flatten.toMap,
+        // `generated=<b64 col>|<b64 sql expr>`
+        lines.collect { case l if l.startsWith("generated=") =>
+          l.drop(10).split('|') match {
+            case Array(n, e) => scala.util.Try(
+              new String(java.util.Base64.getDecoder.decode(n), "UTF-8") ->
+              new String(java.util.Base64.getDecoder.decode(e), "UTF-8"))
+              .toOption
+            case _ => None
+          }
         }.flatten.toMap))
     }
   }
@@ -546,6 +564,10 @@ object VersionedTable {
           .encodeToString(n.getBytes("UTF-8"))}|$id" }
       ++ s.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
         s"constraint=${java.util.Base64.getEncoder
+          .encodeToString(n.getBytes("UTF-8"))}|${java.util.Base64
+          .getEncoder.encodeToString(e.getBytes("UTF-8"))}" }
+      ++ s.generatedCols.toSeq.sortBy(_._1).map { case (n, e) =>
+        s"generated=${java.util.Base64.getEncoder
           .encodeToString(n.getBytes("UTF-8"))}|${java.util.Base64
           .getEncoder.encodeToString(e.getBytes("UTF-8"))}" }
       :+ s"end=${s.files.size}")
@@ -738,6 +760,34 @@ object VersionedTable {
     if (missing.isEmpty) guarded else guarded.select(orig.map(col): _*)
   }
 
+  /** Apply the table's generated-column rules to an incoming batch:
+    * a column the batch OMITS is computed from its expression (the
+    * common path — the writer never materializes it); a column the
+    * batch SUPPLIES is validated against the expression with a fused
+    * assert (null-safe equality), so a contradicting value can never
+    * commit — Delta's GENERATED ALWAYS AS write contract. With
+    * `recompute = true` (the UPDATE/MERGE rewrite lanes) supplied
+    * values are recomputed instead of validated: the pre-image's
+    * generated values are stale exactly when the SET touched a source
+    * column, and recomputation of a pure function is always sound.
+    * Runs BEFORE schema checks so an omitting batch still matches the
+    * recorded schema.
+    */
+  private def applyGenerated(df: DataFrame,
+      generated: Map[String, String],
+      recompute: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (generated.isEmpty) return df
+    generated.toSeq.sortBy(_._1).foldLeft(df) { case (d, (g, sql)) =>
+      val present = d.columns.exists(_.equalsIgnoreCase(g))
+      if (!present || recompute) d.withColumn(g, expr(sql))
+      else d.filter(isnull(assert_true(col(g) <=> expr(sql),
+        concat(lit(s"${ConstraintMarker}generated column $g " +
+          s"(GENERATED ALWAYS AS $sql) supplied with a contradicting " +
+          "value: "), coalesce(col(g).cast("string"), lit("null"))))))
+    }
+  }
+
   /** Run a staging job that may trip a [[constraintGuard]] assert and
     * surface the failure as a typed [[ConstraintViolationException]]
     * instead of Spark's generic job-abort wrapper.
@@ -795,7 +845,7 @@ object VersionedTable {
     commit(spark, dir, prev.version + 1, "add_constraint", prev.files,
       prev.stats, prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn,
       prev.blooms, prev.droppedCols,
-      prev.constraints + (name -> exprSql))
+      prev.constraints + (name -> exprSql), prev.generatedCols)
   }
 
   /** DROP a CHECK constraint, metadata-only. Time travel to versions
@@ -811,7 +861,8 @@ object VersionedTable {
         prev.constraints.keys.mkString("[", ",", "]") + ")"))
     commit(spark, dir, prev.version + 1, "drop_constraint", prev.files,
       prev.stats, prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn,
-      prev.blooms, prev.droppedCols, prev.constraints - key)
+      prev.blooms, prev.droppedCols, prev.constraints - key,
+      prev.generatedCols)
   }
 
   /** RENAME a column, metadata-only: the logical name changes, the
@@ -840,6 +891,13 @@ object VersionedTable {
         s"cannot rename column $oldName: CHECK constraint $cn ($ce) " +
           "references it; drop the constraint first")
     }
+    // renaming a generated column follows it (the rule's KEY remaps);
+    // renaming one of its SOURCE columns would orphan the expression
+    prev.generatedCols.foreach { case (g, ge) =>
+      require(!constraintRefs(spark, ge).exists(_.equalsIgnoreCase(oldName)),
+        s"cannot rename column $oldName: generated column $g ($ge) " +
+          "is computed from it; drop the generated column first")
+    }
     val mapped = withMapping(sch)
     val renamed = org.apache.spark.sql.types.StructType(mapped.fields.map(
       f => if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName)
@@ -852,7 +910,9 @@ object VersionedTable {
     val blooms = prev.blooms.view.mapValues(remapCols).toMap
     commit(spark, dir, prev.version + 1, "rename", prev.files, stats,
       Some(renamed.json), prev.tableId, prev.dvFiles, prev.dvn, blooms,
-      prev.droppedCols, prev.constraints)
+      prev.droppedCols, prev.constraints,
+      prev.generatedCols.map { case (g, e) =>
+        (if (g.equalsIgnoreCase(oldName)) newName else g) -> e })
   }
 
   /** DROP a column, metadata-only: the field leaves the logical schema
@@ -876,6 +936,14 @@ object VersionedTable {
         s"cannot drop column $name: CHECK constraint $cn ($ce) " +
           "references it; drop the constraint first")
     }
+    // dropping a generated column takes its rule with it; dropping one
+    // of its SOURCES would orphan the expression
+    prev.generatedCols.foreach { case (g, ge) =>
+      require(g.equalsIgnoreCase(name) ||
+        !constraintRefs(spark, ge).exists(_.equalsIgnoreCase(name)),
+        s"cannot drop column $name: generated column $g ($ge) " +
+          "is computed from it; drop the generated column first")
+    }
     val remaining = org.apache.spark.sql.types.StructType(
       mapped.fields.filterNot(_.name.equalsIgnoreCase(name)))
     val stats = prev.stats.view.mapValues(fs => DataSkipping.FileStats(
@@ -888,7 +956,8 @@ object VersionedTable {
       Some(remaining.json), prev.tableId, prev.dvFiles, prev.dvn, blooms,
       prev.droppedCols +
         (physNameOf(field) -> fieldIdOf(field).getOrElse(0L)),
-      prev.constraints)
+      prev.constraints,
+      prev.generatedCols.filterNot(_._1.equalsIgnoreCase(name)))
   }
 
   /** Stage `df`'s rows as immutable data files for version `v` and
@@ -957,7 +1026,8 @@ object VersionedTable {
       dvn: Map[String, Long] = Map.empty,
       blooms: Map[String, Map[String, String]] = Map.empty,
       droppedCols: Map[String, Long] = Map.empty,
-      constraints: Map[String, String] = Map.empty): Snapshot = {
+      constraints: Map[String, String] = Map.empty,
+      generatedCols: Map[String, String] = Map.empty): Snapshot = {
     // Version 1 MINTS the table identity; it is carried forward by
     // every later manifest (full manifests re-render it, deltas inherit
     // through applyDelta), so a table deleted and recreated at the same
@@ -969,7 +1039,7 @@ object VersionedTable {
       else tableId
     val snap = Snapshot(v, System.currentTimeMillis(), operation, files,
       stats, schemaJson, tid, dvFiles, dvn, blooms, droppedCols,
-      constraints)
+      constraints, generatedCols)
     writeExclusive(spark, dir, v, renderManifest(snap).getBytes("UTF-8"))
     snap
   }
@@ -1000,7 +1070,8 @@ object VersionedTable {
       newDvn,
       prev.blooms -- removed,
       prev.droppedCols,
-      prev.constraints)
+      prev.constraints,
+      prev.generatedCols)
     if (v % CheckpointEvery == 0) {
       writeExclusive(spark, dir, v,
         renderManifest(resolved).getBytes("UTF-8"))
@@ -1359,12 +1430,33 @@ object VersionedTable {
     * [[readWhere]]'s file pruning.
     */
   def create(df: DataFrame, dir: String,
-      statsCols: Seq[String] = Seq.empty): Snapshot = {
+      statsCols: Seq[String] = Seq.empty,
+      generatedCols: Map[String, String] = Map.empty): Snapshot = {
     require(latest(df.sparkSession, dir).isEmpty,
       s"table $dir already has commits — use append/overwrite")
-    val (files, st) = stageWithStats(df, dir, 1L, statsCols)
+    // generated columns are declared HERE and only here (Delta's
+    // GENERATED ALWAYS AS is a creation-time property): each expression
+    // must reference only real incoming columns — self- or cross-
+    // generated references would make generation order-dependent
+    generatedCols.foreach { case (g, e) =>
+      require(g.nonEmpty && !g.startsWith("__vt_"),
+        s"bad generated column name '$g'")
+      val refs = constraintRefs(df.sparkSession, e)
+      require(refs.nonEmpty, s"generated column $g ($e) references no " +
+        "column — a constant needs no generation rule")
+      refs.foreach { r =>
+        require(df.columns.exists(_.equalsIgnoreCase(r)),
+          s"generated column $g references unknown column $r")
+        require(!generatedCols.keys.exists(_.equalsIgnoreCase(r)),
+          s"generated column $g references generated column $r; " +
+            "generation rules must depend on stored columns only")
+      }
+    }
+    val gen = applyGenerated(df, generatedCols)
+    val (files, st) = rethrowConstraintViolation(
+      stageWithStats(gen, dir, 1L, statsCols))
     commit(df.sparkSession, dir, 1L, "create", files, st,
-      Some(df.schema.json))
+      Some(gen.schema.json), generatedCols = generatedCols)
   }
 
   /** Union of two schemas for an evolving append: same-name fields
@@ -1460,16 +1552,20 @@ object VersionedTable {
     val spark = df.sparkSession
     var prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits — use create"))
+    // generated columns first (an omitting batch computes them, a
+    // supplying batch validates them), so the schema check below sees
+    // the completed frame
+    val dfg = applyGenerated(df, prev.generatedCols)
     def evolve(p: Snapshot): Option[org.apache.spark.sql.types.StructType] =
       p.schema match {
         case None => None // legacy table: start recording below
         case Some(ps) if mergeSchema =>
-          Some(mergeSchemas(ps, df.schema, p.droppedCols))
+          Some(mergeSchemas(ps, dfg.schema, p.droppedCols))
         case Some(ps) =>
           val same = ps.fields.map(f => (f.name, f.dataType)).toSeq ==
-            df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+            dfg.schema.fields.map(f => (f.name, f.dataType)).toSeq
           require(same,
-            s"append schema ${df.schema.simpleString} does not match table " +
+            s"append schema ${dfg.schema.simpleString} does not match table " +
               s"schema ${ps.simpleString}; pass mergeSchema = true to evolve")
           Some(ps)
       }
@@ -1477,22 +1573,23 @@ object VersionedTable {
     // files spell columns physically when the table carries a mapping
     val ev0 = evolve(prev)
     // CHECK constraints are enforced inside the staging job itself
-    // (constraintGuard: zero extra passes); the set they were applied
-    // with is re-checked on every rebase below — staged data must not
-    // slip past a constraint a competitor added mid-race
-    val appliedConstraints = prev.constraints
+    // (constraintGuard: zero extra passes); the rule sets they were
+    // applied with are re-checked on every rebase below — staged data
+    // must not slip past a rule a competitor added mid-race
+    val appliedRules = (prev.constraints, prev.generatedCols)
     val (files, st) = rethrowConstraintViolation(stageWithStats(
-      constraintGuard(df, appliedConstraints), dir, prev.version + 1,
+      constraintGuard(dfg, prev.constraints), dir, prev.version + 1,
       statsCols, ev0))
     onStaged()
     var attempt = 1
     while (true) {
-      val evolved = evolve(prev).map(_.json).orElse(Some(df.schema.json))
-      if (prev.constraints != appliedConstraints)
+      val evolved = evolve(prev).map(_.json).orElse(Some(dfg.schema.json))
+      if ((prev.constraints, prev.generatedCols) != appliedRules)
         throw new ConflictingCommitException(
           s"append on $dir lost the commit race and cannot rebase: a " +
             "concurrent commit changed the table's CHECK constraints " +
-            "after this batch was validated; re-run the append")
+            "or generation rules after this batch was validated; " +
+            "re-run the append")
       try return commitDelta(spark, dir, prev, "append", files, Nil, st,
         evolved)
       catch {
@@ -1555,10 +1652,12 @@ object VersionedTable {
     * committed AFTER `prevOpt0`, so a pre-existing tag below it would
     * go undetected here and commit twice.
     */
-  private[graft] def appendTagged(df: DataFrame, dir: String, tag: String,
+  private[graft] def appendTagged(df0: DataFrame, dir: String, tag: String,
       prevOpt0: Option[Snapshot],
       statsCols: Seq[String], maxAttempts: Int): Snapshot = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
+    val df = applyGenerated(df0,
+      prevOpt0.map(_.generatedCols).getOrElse(Map.empty))
     def checkSchema(p: Option[Snapshot]): Unit =
       // same fail-fast contract as append(): a drifted batch must not
       // silently lose (or null-fill) columns under the recorded schema —
@@ -1573,20 +1672,24 @@ object VersionedTable {
       }
     checkSchema(prevOpt0)
     val v0 = prevOpt0.map(_.version + 1).getOrElse(1L)
-    val appliedConstraints =
-      prevOpt0.map(_.constraints).getOrElse(Map.empty[String, String])
+    val appliedRules = (
+      prevOpt0.map(_.constraints).getOrElse(Map.empty[String, String]),
+      prevOpt0.map(_.generatedCols).getOrElse(Map.empty[String, String]))
     val (files, st) = rethrowConstraintViolation(stageWithStats(
-      constraintGuard(df, appliedConstraints), dir, v0, statsCols,
+      constraintGuard(df, appliedRules._1), dir, v0, statsCols,
       prevOpt0.flatMap(_.schema)))
     var prevOpt = prevOpt0
     var attempt = 1
     while (true) {
-      if (prevOpt.map(_.constraints).getOrElse(
-          Map.empty[String, String]) != appliedConstraints)
+      if ((prevOpt.map(_.constraints).getOrElse(
+            Map.empty[String, String]),
+          prevOpt.map(_.generatedCols).getOrElse(
+            Map.empty[String, String])) != appliedRules)
         throw new ConflictingCommitException(
           s"append#$tag on $dir lost the commit race and cannot rebase: " +
             "a concurrent commit changed the table's CHECK constraints " +
-            "after this batch was validated; re-run the batch")
+            "or generation rules after this batch was validated; " +
+            "re-run the batch")
       try {
         return prevOpt match {
           case Some(prev) =>
@@ -1685,21 +1788,30 @@ object VersionedTable {
     val prev = latest(df.sparkSession, dir).getOrElse(
       sys.error(s"table $dir has no commits — use create"))
     val v = prev.version + 1
-    // constraints survive a data overwrite (Delta semantics) — but only
-    // those whose referenced columns the NEW schema still carries can
-    // keep enforcing; any other would poison every later append with an
-    // unresolvable expression, so the overwrite fails fast instead
+    // constraints and generation rules survive a data overwrite (Delta
+    // semantics) — but only those whose referenced columns the NEW
+    // schema still carries can keep working; any other would poison
+    // every later append with an unresolvable expression, so the
+    // overwrite fails fast instead
     prev.constraints.foreach { case (cn, ce) =>
       constraintRefs(df.sparkSession, ce).foreach(r => require(
         df.columns.exists(_.equalsIgnoreCase(r)),
         s"overwrite drops column $r referenced by CHECK constraint " +
           s"$cn ($ce); drop the constraint first"))
     }
+    prev.generatedCols.foreach { case (g, ge) =>
+      constraintRefs(df.sparkSession, ge).foreach(r => require(
+        df.columns.exists(_.equalsIgnoreCase(r)),
+        s"overwrite drops column $r that generated column $g ($ge) " +
+          "is computed from; drop the generated column first"))
+    }
+    val dfg = applyGenerated(df, prev.generatedCols)
     val (files, st) = rethrowConstraintViolation(stageWithStats(
-      constraintGuard(df, prev.constraints), dir, v, statsCols))
+      constraintGuard(dfg, prev.constraints), dir, v, statsCols))
     commit(df.sparkSession, dir, v, "overwrite", files, st,
-      Some(df.schema.json), prev.tableId,
-      constraints = prev.constraints)
+      Some(dfg.schema.json), prev.tableId,
+      constraints = prev.constraints,
+      generatedCols = prev.generatedCols)
   }
 
   /** [[overwrite]] under a caller-chosen operation tag, against an
@@ -1714,10 +1826,13 @@ object VersionedTable {
       statsCols: Seq[String] = Seq.empty): Snapshot = {
     val v = prevOpt.map(_.version + 1).getOrElse(1L)
     val cons = prevOpt.map(_.constraints).getOrElse(Map.empty[String, String])
+    val gens =
+      prevOpt.map(_.generatedCols).getOrElse(Map.empty[String, String])
+    val dfg = applyGenerated(df, gens)
     val (files, st) = rethrowConstraintViolation(stageWithStats(
-      constraintGuard(df, cons), dir, v, statsCols))
-    commit(df.sparkSession, dir, v, tag, files, st, Some(df.schema.json),
-      prevOpt.flatMap(_.tableId), constraints = cons)
+      constraintGuard(dfg, cons), dir, v, statsCols))
+    commit(df.sparkSession, dir, v, tag, files, st, Some(dfg.schema.json),
+      prevOpt.flatMap(_.tableId), constraints = cons, generatedCols = gens)
   }
 
   /** MERGE (upsert) into the table as a new version: matched keys take
@@ -1758,14 +1873,18 @@ object VersionedTable {
     * hold a merge-key match (predicate = the update keys' range), else
     * [[ConflictingCommitException]].
     */
-  private[graft] def mergeRebase(updates: DataFrame, dir: String,
+  private[graft] def mergeRebase(updates0: DataFrame, dir: String,
       keys: Seq[String], statsCols: Seq[String], maxAttempts: Int,
       onStaged: () => Unit = () => ()): Snapshot = {
     require(maxAttempts >= 1, "maxAttempts must be at least 1")
-    val spark = updates.sparkSession
+    val spark = updates0.sparkSession
     import org.apache.spark.sql.functions._
     var prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits — use create"))
+    // update rows complete their generated columns first (computed if
+    // omitted, validated if supplied) — the matched row takes the
+    // update row wholesale, so its generated values must be right
+    val updates = applyGenerated(updates0, prev.generatedCols)
     // SQL MERGE rule ("cannot update the same row twice"): duplicate
     // update keys would silently fan target rows out through upsert's
     // full-outer join and COMMIT the corruption — fail before staging.
@@ -1863,6 +1982,9 @@ object VersionedTable {
     if (now.constraints != base.constraints)
       conflict("the concurrent commit changed the table's CHECK " +
         "constraints after this operation's rows were validated")
+    if (now.generatedCols != base.generatedCols)
+      conflict("the concurrent commit changed the table's generated-" +
+        "column rules after this operation's rows were completed")
     val baseFiles = base.files.toSet
     val readRemoved = touched.filterNot(now.files.toSet)
     if (readRemoved.nonEmpty)
@@ -1914,10 +2036,12 @@ object VersionedTable {
       predicate: org.apache.spark.sql.Column, op: String,
       rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame,
       maxAttempts: Int = 1,
-      onStaged: () => Unit = () => ()): Snapshot = {
+      onStaged: () => Unit = () => (),
+      setCols: Iterable[String] = Nil): Snapshot = {
     require(maxAttempts >= 1, "maxAttempts must be at least 1")
     var prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits"))
+    requireNotGenerated(prev, setCols)
     val (touched, _) = DataSkipping.prune(spark, dir, prev, predicate)
     val (files, st, schemaOut) =
       if (touched.isEmpty)
@@ -1929,9 +2053,15 @@ object VersionedTable {
         val statsCols =
           prev.stats.values.flatMap(_.cols.keys).toSet.toSeq.sorted
         // UPDATE's SET can mint violating values; DELETE's survivors
-        // revalidate for free (the guard fuses into the rewrite scan)
+        // revalidate for free (the guard fuses into the rewrite scan).
+        // Generated columns recompute unconditionally: the SET may have
+        // touched a source column, and recomputing a pure function over
+        // untouched rows is a no-op
         val (fs, s) = rethrowConstraintViolation(stageWithStats(
-          constraintGuard(rewrite(touchedDf, predicate), prev.constraints),
+          constraintGuard(
+            applyGenerated(rewrite(touchedDf, predicate),
+              prev.generatedCols, recompute = true),
+            prev.constraints),
           dir, prev.version + 1, statsCols, prev.schema))
         (fs, s, prev.schemaJson.orElse(Some(touchedDf.schema.json)))
       }
@@ -2095,7 +2225,21 @@ object VersionedTable {
       set: Map[String, org.apache.spark.sql.Column],
       maxAttempts: Int = 1): Snapshot =
     copyOnWrite(spark, dir, predicate, "update", maxAttempts = maxAttempts,
-      rewrite = (df, p) => applyUpdateSet(df, p, set))
+      rewrite = (df, p) => applyUpdateSet(df, p, set),
+      setCols = set.keys)
+
+  /** Fail fast when a DML SET targets a generated column: its value is
+    * GENERATED ALWAYS — it recomputes when its sources change and can
+    * never be assigned directly (Delta's rule).
+    */
+  private def requireNotGenerated(prev: Snapshot,
+      setCols: Iterable[String]): Unit =
+    setCols.foreach(c => require(
+      !prev.generatedCols.keys.exists(_.equalsIgnoreCase(c)),
+      s"cannot SET generated column $c (GENERATED ALWAYS AS " +
+        s"${prev.generatedCols.find(_._1.equalsIgnoreCase(c))
+          .map(_._2).getOrElse("?")}); update its source columns and " +
+        "it recomputes"))
 
   /** UPDATE's SET evaluator, shared by the copy-on-write and
     * merge-on-read paths: matched rows take every `set` expression
@@ -2169,6 +2313,7 @@ object VersionedTable {
     import org.apache.spark.sql.functions._
     var prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits"))
+    requireNotGenerated(prev, set.keys)
     val (touched, _) = DataSkipping.prune(spark, dir, prev, predicate)
     val (adds, removes, addStats, dvAdds, dvnSets) =
       if (touched.isEmpty)
@@ -2212,20 +2357,24 @@ object VersionedTable {
           if (dvSet.isEmpty) Nil
           else stageFiles(lane(dvSet).filter(pTrue)
             .select(col("__vt_file"), col("__vt_pos")), dir, v)
+        // post-images and CoW rewrites both recompute generated columns
+        // (the SET may have touched a source) before the CHECK guard
         val (post, postStats) =
           if (dvSet.isEmpty)
             (Seq.empty[String], Map.empty[String, DataSkipping.FileStats])
           else rethrowConstraintViolation(stageWithStats(
-            constraintGuard(
+            constraintGuard(applyGenerated(
               applyUpdateSet(lane(dvSet).filter(pTrue), predicate, set),
+              prev.generatedCols, recompute = true),
               prev.constraints),
             dir, v, statsCols, prev.schema))
         val (rw, rwStats) =
           if (rwSet.isEmpty)
             (Seq.empty[String], Map.empty[String, DataSkipping.FileStats])
           else rethrowConstraintViolation(stageWithStats(
-            constraintGuard(
+            constraintGuard(applyGenerated(
               applyUpdateSet(lane(rwSet), predicate, set),
+              prev.generatedCols, recompute = true),
               prev.constraints),
             dir, v, statsCols, prev.schema))
         (post ++ rw, rwSet: Seq[String], postStats ++ rwStats,
@@ -2277,7 +2426,7 @@ object VersionedTable {
     * sink commits `merge#<batchId>` so the tag ledger can replay-skip,
     * the same contract as [[appendTagged]].
     */
-  def mergeWithDv(updates: DataFrame, dir: String, keys: Seq[String],
+  def mergeWithDv(updates0: DataFrame, dir: String, keys: Seq[String],
       statsCols: Seq[String] = Seq.empty,
       densityThreshold: Double = 0.15,
       maxAttempts: Int = 1,
@@ -2286,13 +2435,15 @@ object VersionedTable {
     require(maxAttempts >= 1, "maxAttempts must be at least 1")
     require(densityThreshold > 0.0 && densityThreshold <= 1.0,
       s"densityThreshold must be in (0, 1]; got $densityThreshold")
-    val spark = updates.sparkSession
+    val spark = updates0.sparkSession
     import org.apache.spark.sql.functions._
     var prev = latest(spark, dir).getOrElse(
       sys.error(s"table $dir has no commits — use create"))
     val schema = prev.schema.getOrElse(sys.error(
       s"mergeWithDv needs a recorded table schema on $dir; " +
         "use merge() on pre-schema-tracking tables"))
+    // complete the update rows' generated columns before alignment
+    val updates = applyGenerated(updates0, prev.generatedCols)
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key $k not in table schema " +
         schema.fieldNames.mkString("[", ",", "]")))
@@ -2428,7 +2579,7 @@ object VersionedTable {
       .orElse(Some(current.schema.json))
     commit(spark, dir, v, "compact", files, st, schemaOut,
       prev.tableId, droppedCols = prev.droppedCols,
-      constraints = prev.constraints)
+      constraints = prev.constraints, generatedCols = prev.generatedCols)
   }
 
   /** Answer-preserving z-order rewrite committed as a new version — the
@@ -2461,7 +2612,7 @@ object VersionedTable {
       .orElse(Some(arranged.schema.json))
     commit(spark, dir, v, "cluster", files, st, schemaOut,
       prev.tableId, droppedCols = prev.droppedCols,
-      constraints = prev.constraints)
+      constraints = prev.constraints, generatedCols = prev.generatedCols)
   }
 
   /** Schema of a DV sidecar dataset: deleted row positions, keyed by
@@ -2670,7 +2821,7 @@ object VersionedTable {
     }
     commit(spark, dir, prev.version + 1, "analyze", prev.files,
       mergedStats, prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn,
-      prev.blooms, prev.droppedCols, prev.constraints)
+      prev.blooms, prev.droppedCols, prev.constraints, prev.generatedCols)
   }
 
   /** Backfill per-file BLOOM stats for `cols` on the CURRENT version —
@@ -2725,7 +2876,7 @@ object VersionedTable {
     }
     commit(spark, dir, v, "analyze", prev.files, prev.stats,
       prev.schemaJson, prev.tableId, prev.dvFiles, prev.dvn, merged,
-      prev.droppedCols, prev.constraints)
+      prev.droppedCols, prev.constraints, prev.generatedCols)
   }
 
   /** The table's commit history, newest first — DESCRIBE HISTORY as a
@@ -3008,6 +3159,6 @@ object VersionedTable {
     commit(spark, dir, latestV + 1, "restore",
       target.files, target.stats, schema, all.last.tableId,
       target.dvFiles, target.dvn, target.blooms, target.droppedCols,
-      target.constraints)
+      target.constraints, target.generatedCols)
   }
 }
