@@ -2676,6 +2676,42 @@ object SparkEntry {
         .groupBy(col("o_kgroup"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+    }),
+
+    // SHALLOW CLONE (round 16) — Delta's CREATE TABLE ... CLONE, zero
+    // copy: the clone's v1 manifest borrows the source's files (and its
+    // DV sidecar — the carried soft deletes must keep applying through
+    // the basename-keyed anti-join) without moving a byte; the clone
+    // then runs its OWN CoW delete (folding touched borrowed files
+    // local) while the source diverges with an append the clone must
+    // never see. The oracle replays exactly the clone's lineage:
+    // source rows minus the pre-clone DV delete minus the clone's own
+    // delete — a wrong share of either table's history breaks the hash.
+    // CloneSpec drives the rest (fold-to-local, vacuum immunity both
+    // directions, deep clone, metadata carry).
+    "q126_shallow_clone" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val src = scratchPath("q126src")
+      val dst = scratchPath("q126dst")
+      Seq(src, dst).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+      VersionedTable.create(o.repartitionByRange(8, col("o_orderkey")),
+        src, statsCols = Seq("o_orderkey"))
+      VersionedTable.deleteWithDv(s, src, col("o_orderkey") % 13L === 0L,
+        densityThreshold = 0.25)
+      VersionedTable.cloneTable(s, src, dst)
+      VersionedTable.delete(s, dst, col("o_orderkey") % 7L === 0L)
+      // divergence the clone must never see
+      VersionedTable.append(o.filter(col("o_orderkey") % 13L === 0L),
+        src, statsCols = Seq("o_orderkey"))
+      VersionedTable.read(s, dst)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), decSum("o_price").as("sum_price"))
     })
   )
 
@@ -3688,6 +3724,17 @@ object SparkEntry {
         |SELECT k // 10000 AS o_kgroup, COUNT(*) AS cnt,
         |  CAST(SUM(p) AS DOUBLE) AS sum_price
         |FROM o GROUP BY 1""".stripMargin,
+
+    // the clone's lineage replayed declaratively: source rows minus the
+    // pre-clone DV delete (%13) minus the clone's own delete (%7); the
+    // source's post-clone re-append of the %13 rows must be invisible
+    "q126_shallow_clone" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

@@ -143,7 +143,8 @@ object BloomStats {
     def apply(path: String): Option[BloomFilter] =
       cache.getOrElseUpdate(path, {
         try {
-          val p = new org.apache.hadoop.fs.Path(s"$dir/$path")
+          val p = new org.apache.hadoop.fs.Path(
+            VersionedTable.resolveRef(dir, path))
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val in = fs.open(p)
           try Some(BloomFilter.readFrom(in)) finally in.close()

@@ -160,7 +160,7 @@ object ChangeFeed {
     if (affected.isEmpty || newDvFiles.isEmpty) return None
     val prevCtx = prev.copy(schemaJson = Some(schema.json))
     val newDv = spark.read.schema(VersionedTable.DvSchema)
-      .parquet(newDvFiles.map(f => s"$dir/$f"): _*)
+      .parquet(newDvFiles.map(f => VersionedTable.resolveRef(dir, f)): _*)
     Some(VersionedTable.scanWithPos(spark, dir, prevCtx, affected)
       .join(newDv, Seq("__vt_file", "__vt_pos"), "left_semi")
       .select(schema.fieldNames.map(col).toSeq: _*))

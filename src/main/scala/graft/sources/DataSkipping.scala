@@ -632,6 +632,7 @@ object DataSkipping {
     case Some(st) =>
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-    case None => spark.read.parquet(s"$dir/${snap.files.head}")
+    case None => spark.read.parquet(
+      VersionedTable.resolveRef(dir, snap.files.head))
   }
 }

@@ -151,6 +151,16 @@ object VersionedTable {
 
   private val ManifestDir = "_manifests"
 
+  /** Resolve a manifest file reference against the table directory.
+    * References are table-relative (`data/v1_ab12/part-*.parquet`) for
+    * files the table staged itself, and ABSOLUTE for files a SHALLOW
+    * CLONE borrows from its source table ([[cloneTable]]) — the
+    * zero-copy device: the clone's manifest points at the source's
+    * bytes until its own rewrites fold them local.
+    */
+  private[sources] def resolveRef(dir: String, f: String): String =
+    if (f.startsWith("/")) f else s"$dir/$f"
+
   /** Every `CheckpointEvery`-th version writes a FULL manifest (the
     * complete live-file list) even when the operation itself is
     * incremental; versions in between write DELTA manifests (adds +
@@ -2651,11 +2661,12 @@ object VersionedTable {
         // column mapping: bind against the files' PHYSICAL names, then
         // present the logical ones (rename is metadata-only)
         spark.read.schema(physSchema(st))
-          .parquet(fs.map(f => s"$dir/$f"): _*)
+          .parquet(fs.map(f => resolveRef(dir, f)): _*)
           .toDF(st.fieldNames.toSeq: _*)
       case Some(st) =>
-        spark.read.schema(st).parquet(fs.map(f => s"$dir/$f"): _*)
-      case None => spark.read.parquet(fs.map(f => s"$dir/$f"): _*)
+        spark.read.schema(st).parquet(fs.map(f => resolveRef(dir, f)): _*)
+      case None =>
+        spark.read.parquet(fs.map(f => resolveRef(dir, f)): _*)
     }
     val dvd = files.filter(snap.dvn.contains)
     if (dvd.isEmpty || snap.dvFiles.isEmpty) return plain(files)
@@ -2687,7 +2698,7 @@ object VersionedTable {
       (f.substring(f.lastIndexOf('/') + 1), f))
       .toDF("__vt_base", "__vt_file"))
     val raw = spark.read.schema(physSchema(schema))
-      .parquet(files.map(f => s"$dir/$f"): _*)
+      .parquet(files.map(f => resolveRef(dir, f)): _*)
       .withColumn("__vt_base",
         substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn("__vt_pos", col("_metadata.row_index"))
@@ -2697,14 +2708,22 @@ object VersionedTable {
       col(physNameOf(f)).as(f.name)) ++
       Seq(col("__vt_base"), col("__vt_pos")): _*)
       .join(lookup, Seq("__vt_base"))
-      .drop("__vt_base")
-    if (snap.dvFiles.isEmpty) scan
+    if (snap.dvFiles.isEmpty) scan.drop("__vt_base")
     else {
+      // DV rows name files by the STRING the writing table recorded —
+      // which, under a shallow clone, is the SOURCE's relative ref
+      // while this snapshot lists the same file absolutely. The join
+      // therefore keys on (basename, pos): basenames are UUID-unique
+      // (the same invariant the scan-side lookup rests on), so the
+      // anti-filter lands on exactly the right rows in either spelling.
       val dv = spark.read.schema(DvSchema)
-        .parquet(snap.dvFiles.map(f => s"$dir/$f"): _*)
+        .parquet(snap.dvFiles.map(f => resolveRef(dir, f)): _*)
+        .select(substring_index(col("__vt_file"), "/", -1)
+          .as("__vt_base"), col("__vt_pos"))
       val dvSide =
         if (snap.dvn.values.sum <= DvBroadcastRows) broadcast(dv) else dv
-      scan.join(dvSide, Seq("__vt_file", "__vt_pos"), "left_anti")
+      scan.join(dvSide, Seq("__vt_base", "__vt_pos"), "left_anti")
+        .drop("__vt_base")
     }
   }
 
@@ -2998,7 +3017,11 @@ object VersionedTable {
     var sinceTouch = 0
     drop.foreach { s =>
       (s.files ++ s.dvFiles ++ s.blooms.values.flatMap(_.values))
-        .filterNot(live2).foreach { f =>
+        .filterNot(live2)
+        // absolute refs are a shallow clone's borrowed SOURCE files —
+        // never this table's to delete, no matter how unreferenced
+        .filterNot(_.startsWith("/"))
+        .foreach { f =>
         if (fs.delete(new Path(s"$dir/$f"), false)) deleted += 1
         sinceTouch += 1
         if (sinceTouch >= 4096) {
@@ -3142,7 +3165,7 @@ object VersionedTable {
       .groupBy(f => f.substring(0, f.lastIndexOf('/'))).foreach {
       case (sub, fsOfSub) =>
         val present =
-          try fs.listStatus(new Path(s"$dir/$sub"))
+          try fs.listStatus(new Path(resolveRef(dir, sub)))
             .filter(_.isFile).map(_.getPath.getName).toSet
           catch { case _: java.io.FileNotFoundException => Set.empty[String] }
         val missing = fsOfSub
@@ -3154,11 +3177,90 @@ object VersionedTable {
     }
     val schema = target.schemaJson.orElse(Some(
       spark.read.option("mergeSchema", "true")
-        .parquet(target.files.map(f => s"$dir/$f"): _*).schema.json))
+        .parquet(target.files.map(f => resolveRef(dir, f)): _*)
+        .schema.json))
     val latestV = all.last.version
     commit(spark, dir, latestV + 1, "restore",
       target.files, target.stats, schema, all.last.tableId,
       target.dvFiles, target.dvn, target.blooms, target.droppedCols,
       target.constraints, target.generatedCols)
+  }
+
+  /** CLONE a table (Delta's CREATE TABLE ... CLONE): `dstDir` becomes a
+    * NEW table (fresh identity — streaming cursors treat it cold) whose
+    * v1 is the source's chosen `version` (default: latest), carrying
+    * schema, column mapping, skipping stats, bloom sidecars, deletion
+    * vectors, dropped-name memory, CHECK constraints, and generation
+    * rules.
+    *
+    * SHALLOW (default): zero-copy — the clone's manifest references the
+    * source's data/DV/bloom files by ABSOLUTE path; not one data byte
+    * moves, so cloning a 100 TB table is one manifest write. The
+    * clone's own writes land locally; rewrites (compact/cluster/
+    * overwrite/CoW-DML) progressively fold borrowed refs into local
+    * files; the clone's vacuum NEVER deletes borrowed files (absolute
+    * refs are structurally excluded from its delete set). The one
+    * sharp edge is Delta's own: the SOURCE's vacuum does not know
+    * about clones, so vacuuming the source can strand a still-shallow
+    * clone — reads then fail LOUDLY (missing files), never silently
+    * wrong. Deep-clone (or compact) before vacuuming a source whose
+    * clones must outlive it. Paths are same-filesystem.
+    *
+    * DEEP (`shallow = false`): every referenced file is copied under
+    * `dstDir` (borrowed absolute refs land under `data/v1_cloneabs/`,
+    * basenames are UUID-unique) — fully independent from birth, cost
+    * proportional to data size. Copied DV sidecars keep naming files by
+    * the source's ref strings; reads are immune because the DV
+    * anti-join keys on (basename, position).
+    */
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Long] = None, shallow: Boolean = true): Snapshot = {
+    require(latest(spark, dstDir).isEmpty,
+      s"clone target $dstDir already has commits")
+    val all = snapshots(spark, srcDir)
+    require(all.nonEmpty, s"clone source $srcDir has no commits")
+    val target = version match {
+      case Some(v) => all.find(_.version == v).getOrElse(
+        sys.error(s"clone source $srcDir has no version $v"))
+      case None => all.last
+    }
+    val (sfs, _) = fsFor(spark, srcDir)
+    val srcAbs = sfs.makeQualified(new Path(srcDir)).toUri.getPath
+    if (shallow) {
+      def abs(f: String) = if (f.startsWith("/")) f else s"$srcAbs/$f"
+      commit(spark, dstDir, 1L, "clone",
+        target.files.map(abs),
+        target.stats.map { case (f, st) => abs(f) -> st },
+        target.schemaJson, None,
+        target.dvFiles.map(abs),
+        target.dvn.map { case (f, n) => abs(f) -> n },
+        target.blooms.map { case (f, m) =>
+          abs(f) -> m.view.mapValues(abs).toMap },
+        target.droppedCols, target.constraints, target.generatedCols)
+    } else {
+      val (dfs, _) = fsFor(spark, dstDir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      def place(f: String): String =
+        if (!f.startsWith("/")) f
+        else s"data/v1_cloneabs/${f.substring(f.lastIndexOf('/') + 1)}"
+      (target.files ++ target.dvFiles ++
+        target.blooms.values.flatMap(_.values)).distinct.foreach { f =>
+        val to = new Path(s"$dstDir/${place(f)}")
+        dfs.mkdirs(to.getParent)
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          sfs, new Path(resolveRef(srcAbs, f)), dfs, to,
+          false, false, conf),
+          s"deep clone failed copying $f")
+      }
+      commit(spark, dstDir, 1L, "clone",
+        target.files.map(place),
+        target.stats.map { case (f, st) => place(f) -> st },
+        target.schemaJson, None,
+        target.dvFiles.map(place),
+        target.dvn.map { case (f, n) => place(f) -> n },
+        target.blooms.map { case (f, m) =>
+          place(f) -> m.view.mapValues(place).toMap },
+        target.droppedCols, target.constraints, target.generatedCols)
+    }
   }
 }
