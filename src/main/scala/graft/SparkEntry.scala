@@ -150,6 +150,17 @@ object SparkEntry {
       }
       scratchCreated.forEach(dir => rm(new java.io.File(dir)))
     }))
+  /** Scale-derived file count for the versioned-table DML queries:
+    * a fixed 8-file table caps DML parallelism at 8 tasks no matter the
+    * data size (at sf100 that is 19M rows per task); deriving from the
+    * session's parallelism keeps per-file work bounded as data grows —
+    * exactly how a real table would carry more files at more data.
+    * Uniform %-mod predicates keep per-file match densities unchanged,
+    * so the DV-vs-CoW shape choices and every oracle are invariant.
+    */
+  private def vtParts(s: SparkSession): Int =
+    math.max(8, s.sparkContext.defaultParallelism)
+
   private def scratchPath(tag: String): String = {
     scratchHookInstalled
     val p = System.getProperty("java.io.tmpdir") + s"/graft_${tag}_$jvmId"
@@ -2455,7 +2466,7 @@ object SparkEntry {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val o = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .repartitionByRange(8, col("o_orderkey"))
+        .repartitionByRange(vtParts(s), col("o_orderkey"))
       VersionedTable.create(o, tmp, statsCols = Seq("o_orderkey"))
       // ~7.7% then ~9.1% of each file — cumulative ~16% stays under
       // the 0.25 threshold, so BOTH commits take the pure-DV shape
@@ -2532,7 +2543,7 @@ object SparkEntry {
       val o = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").as("o_price"))
-        .repartitionByRange(8, col("o_orderkey"))
+        .repartitionByRange(vtParts(s), col("o_orderkey"))
       VersionedTable.create(o, tmp, statsCols = Seq("o_orderkey"))
       // ~7.7% then ~9.1% per file — cumulative ~16% stays under the
       // 0.25 threshold, so BOTH commits take the DV + post-image shape
@@ -2564,7 +2575,8 @@ object SparkEntry {
       val p0 = Tables.part(s, dir)
         .select("p_partkey", "p_brand", "p_retailprice")
       val off = plantOffset(p0, "p_partkey")
-      VersionedTable.create(p0.repartitionByRange(8, col("p_partkey")),
+      VersionedTable.create(
+        p0.repartitionByRange(vtParts(s), col("p_partkey")),
         tmp, statsCols = Seq("p_partkey"))
       val updates = p0.filter(col("p_partkey") % 5 === 0)
         .select(col("p_partkey"), col("p_brand"),
@@ -2660,7 +2672,7 @@ object SparkEntry {
         col("o_totalprice").cast("decimal(18,2)").as("o_price"))
       VersionedTable.create(
         o.filter(col("o_orderkey") % 2 === 0)
-          .repartitionByRange(8, col("o_orderkey")),
+          .repartitionByRange(vtParts(s), col("o_orderkey")),
         tmp, statsCols = Seq("o_orderkey", "o_kgroup"),
         generatedCols = Map("o_kgroup" -> "o_orderkey DIV 10000"))
       // supplying append: the correct value passes the validation lane
@@ -2700,7 +2712,8 @@ object SparkEntry {
       val o = Tables.orders(s, dir).select(col("o_orderkey"),
         col("o_orderstatus"),
         col("o_totalprice").cast("decimal(18,2)").as("o_price"))
-      VersionedTable.create(o.repartitionByRange(8, col("o_orderkey")),
+      VersionedTable.create(
+        o.repartitionByRange(vtParts(s), col("o_orderkey")),
         src, statsCols = Seq("o_orderkey"))
       VersionedTable.deleteWithDv(s, src, col("o_orderkey") % 13L === 0L,
         densityThreshold = 0.25)
