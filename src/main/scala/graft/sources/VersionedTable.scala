@@ -3155,12 +3155,13 @@ object VersionedTable {
       restoreLocked(spark, dir, version)
     }
 
-  private def restoreLocked(spark: SparkSession, dir: String,
-      version: Long): Snapshot = {
-    val all = snapshots(spark, dir)
-    val target = all.find(_.version == version).getOrElse(
-      sys.error(s"table $dir has no version $version"))
-    val (fs, _) = fsFor(spark, dir)
+  /** Fail loudly if any file a snapshot references is gone (vacuumed):
+    * one directory listing per referenced subdir, not one stat per
+    * file. Shared by [[restore]] and [[cloneTable]] — the two
+    * operations that resurrect old files by reference.
+    */
+  private def requireFilesPresent(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, target: Snapshot, what: String): Unit =
     (target.files ++ target.dvFiles ++ target.blooms.values.flatMap(_.values))
       .groupBy(f => f.substring(0, f.lastIndexOf('/'))).foreach {
       case (sub, fsOfSub) =>
@@ -3172,9 +3173,17 @@ object VersionedTable {
           .map(f => f.substring(f.lastIndexOf('/') + 1))
           .filterNot(present)
         require(missing.isEmpty,
-          s"cannot restore version $version: data file(s) " +
+          s"cannot $what: data file(s) " +
             s"${missing.take(3).mkString(", ")} under $sub were vacuumed")
     }
+
+  private def restoreLocked(spark: SparkSession, dir: String,
+      version: Long): Snapshot = {
+    val all = snapshots(spark, dir)
+    val target = all.find(_.version == version).getOrElse(
+      sys.error(s"table $dir has no version $version"))
+    val (fs, _) = fsFor(spark, dir)
+    requireFilesPresent(fs, dir, target, s"restore version $version")
     val schema = target.schemaJson.orElse(Some(
       spark.read.option("mergeSchema", "true")
         .parquet(target.files.map(f => resolveRef(dir, f)): _*)
@@ -3217,6 +3226,20 @@ object VersionedTable {
       version: Option[Long] = None, shallow: Boolean = true): Snapshot = {
     require(latest(spark, dstDir).isEmpty,
       s"clone target $dstDir already has commits")
+    // the whole clone — snapshot resolution, presence check, file copy
+    // (deep) or borrow (shallow), v1 commit — holds the SOURCE's
+    // maintenance lock: a concurrent source vacuum cannot sweep files
+    // between the resolution and the commit, so a clone is never
+    // stranded AT BIRTH (post-birth source vacuums remain the caller's
+    // documented shallow-clone hazard). Same serialization device as
+    // restore, the other old-files-by-reference operation.
+    withMaintLock(spark, srcDir, "clone") {
+      cloneLocked(spark, srcDir, dstDir, version, shallow)
+    }
+  }
+
+  private def cloneLocked(spark: SparkSession, srcDir: String,
+      dstDir: String, version: Option[Long], shallow: Boolean): Snapshot = {
     val all = snapshots(spark, srcDir)
     require(all.nonEmpty, s"clone source $srcDir has no commits")
     val target = version match {
@@ -3225,6 +3248,8 @@ object VersionedTable {
       case None => all.last
     }
     val (sfs, _) = fsFor(spark, srcDir)
+    requireFilesPresent(sfs, srcDir, target,
+      s"clone version ${target.version} of $srcDir")
     val srcAbs = sfs.makeQualified(new Path(srcDir)).toUri.getPath
     if (shallow) {
       def abs(f: String) = if (f.startsWith("/")) f else s"$srcAbs/$f"

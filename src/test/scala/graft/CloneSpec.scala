@@ -149,6 +149,59 @@ class CloneSpec extends AnyFunSuite {
       (1L to 200L).filterNot(_ % 9 == 0).toSet)
   }
 
+  test("clone of an already-vacuumed old version fails loudly AT CLONE TIME, not at first read") {
+    val src = tmp(); val dst = tmp()
+    VersionedTable.create((1L to 20L).toDF("id"), src)
+    VersionedTable.overwrite((21L to 40L).toDF("id"), src)
+    VersionedTable.vacuum(spark, src, retainVersions = 1)
+    // the vacuum dropped v1's manifest along with its files: the clone
+    // fails on version resolution (manifest gone) — and if only the
+    // FILES were gone, requireFilesPresent would fail it instead;
+    // either way the failure lands at clone time with nothing committed
+    val e = intercept[RuntimeException] {
+      VersionedTable.cloneTable(spark, src, dst, version = Some(1L))
+    }
+    assert(e.getMessage.contains("no version") ||
+      e.getMessage.contains("vacuumed"))
+    assert(VersionedTable.latest(spark, dst).isEmpty,
+      "a failed clone must commit nothing")
+    // the files-swept-but-manifest-present lane, driven directly: a
+    // shallow clone whose SOURCE is itself a stranded clone
+    val mid = tmp(); val dst2 = tmp()
+    VersionedTable.create((1L to 10L).toDF("id"), mid)
+    VersionedTable.cloneTable(spark, mid, dst)
+    VersionedTable.overwrite(Seq(99L).toDF("id"), mid)
+    VersionedTable.vacuum(spark, mid, retainVersions = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.cloneTable(spark, dst, dst2) // dst's files are gone
+    }
+    assert(e2.getMessage.contains("vacuumed"))
+  }
+
+  test("clone serializes on the source's maintenance lock (no vacuum can sweep mid-clone)") {
+    val src = tmp(); val dst = tmp()
+    VersionedTable.create((1L to 20L).toDF("id"), src)
+    // hold the source's maintenance lock the way a live vacuum would
+    val lock = java.nio.file.Paths.get(src, "_manifests", ".maint.lock")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    java.nio.file.Files.write(lock, "test-holder".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis()))
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      VersionedTable.cloneTable(spark, src, dst)
+      done.set(true)
+    })
+    t.start()
+    Thread.sleep(500)
+    assert(!done.get(), "clone must WAIT while the source lock is held")
+    java.nio.file.Files.delete(lock) // holder releases
+    t.join(30000)
+    assert(done.get(), "clone must proceed once the lock frees")
+    assert(ids(VersionedTable.read(spark, dst)) === (1L to 20L).toSet)
+  }
+
   test("clone target must be empty; clone of a clone composes") {
     val src = tmp(); val dst = tmp(); val dst2 = tmp()
     VersionedTable.create((1L to 30L).toDF("id"), src)
