@@ -80,10 +80,12 @@ object BloomStats {
       schema: Option[StructType],
       expectedRows: String => Long): Map[(String, String), Array[Byte]] = {
     if (files.isEmpty || cols.isEmpty) return Map.empty
+    // resolveRef, not "$dir/$f": a shallow clone's manifest holds
+    // absolute borrowed refs (see DataSkipping.collectStats)
+    val paths = files.map(f => VersionedTable.resolveRef(dir, f))
     val df = schema match {
-      case Some(st) =>
-        spark.read.schema(st).parquet(files.map(f => s"$dir/$f"): _*)
-      case None => spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
     }
     val fields = cols.map { c =>
       val f = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(

@@ -120,9 +120,14 @@ object DataSkipping {
     // the recorded table schema (when given) keeps evolved columns
     // visible over files that predate them — those files' rows read as
     // null, which IS the truth the stats should record
+    // refs resolve through VersionedTable.resolveRef: a shallow clone's
+    // manifest carries ABSOLUTE refs borrowed from its source, and
+    // "$dir/$f" would mangle those into <dir>//abs/... — analyze() on a
+    // clone reads borrowed bytes where they actually live
+    val paths = files.map(f => VersionedTable.resolveRef(dir, f))
     val df = schema match {
-      case Some(st) => spark.read.schema(st).parquet(files.map(f => s"$dir/$f"): _*)
-      case None => spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
     }
     val tags = statsCols.map { c =>
       val field = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(

@@ -2694,6 +2694,14 @@ object VersionedTable {
       n == "__vt_file" || n == "__vt_pos" || n == "__vt_base"),
       "table schema collides with reserved __vt_* positional columns")
     import spark.implicits._
+    // positional identity keys on basenames — duplicate basenames would
+    // fan out the lookup join and misattribute DV rows. UUID-staged
+    // names make this structurally true; assert rather than assume
+    // (mirrors BloomStats.collect / DataSkipping.collectStats).
+    val bases = files.map(f => f.substring(f.lastIndexOf('/') + 1))
+    require(bases.distinct.size == bases.size,
+      "duplicate part-file basenames in positional scan: " +
+        bases.diff(bases.distinct).distinct.take(3).mkString(", "))
     val lookup = broadcast(files.map(f =>
       (f.substring(f.lastIndexOf('/') + 1), f))
       .toDF("__vt_base", "__vt_file"))
@@ -3250,6 +3258,27 @@ object VersionedTable {
     val (sfs, _) = fsFor(spark, srcDir)
     requireFilesPresent(sfs, srcDir, target,
       s"clone version ${target.version} of $srcDir")
+    // borrowed refs are scheme-less absolute PATHS, so they can only
+    // ever resolve on the destination's filesystem — a cross-FS shallow
+    // clone (s3a source, local dest) would commit a manifest whose refs
+    // can never resolve. Enforce the documented same-filesystem
+    // contract up front instead of stranding the clone at birth.
+    val (dfs0, _) = fsFor(spark, dstDir)
+    require(sfs.getUri == dfs0.getUri,
+      s"clone requires source and target on the same filesystem; " +
+        s"got ${sfs.getUri} vs ${dfs0.getUri}")
+    // the DV anti-join and per-file stats attribution key rows by
+    // part-file BASENAME; a basename collision anywhere in the clone's
+    // lineage would silently misattribute rows. Self-staged names are
+    // UUID-unique, but assert it — a violation must fail loudly here,
+    // not drop live rows on a later read.
+    locally {
+      val bases = (target.files ++ target.dvFiles)
+        .map(f => f.substring(f.lastIndexOf('/') + 1))
+      require(bases.distinct.size == bases.size,
+        "clone source carries duplicate part-file basenames: " +
+          bases.diff(bases.distinct).distinct.take(3).mkString(", "))
+    }
     val srcAbs = sfs.makeQualified(new Path(srcDir)).toUri.getPath
     if (shallow) {
       def abs(f: String) = if (f.startsWith("/")) f else s"$srcAbs/$f"

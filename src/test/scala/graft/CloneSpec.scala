@@ -202,6 +202,60 @@ class CloneSpec extends AnyFunSuite {
     assert(ids(VersionedTable.read(spark, dst)) === (1L to 20L).toSet)
   }
 
+  test("stats and bloom backfill work ON a still-shallow clone (borrowed absolute refs resolve)") {
+    val src = tmp(); val dst = tmp()
+    // source tracks NO stats/blooms — the clone must backfill its own
+    VersionedTable.create(
+      (1L to 400L).toDF("id").repartitionByRange(8, col("id")), src)
+    VersionedTable.cloneTable(spark, src, dst)
+    assert(VersionedTable.latest(spark, dst).get.files
+      .forall(_.startsWith("/")), "still shallow: all refs borrowed")
+    // analyze reads the borrowed bytes where they live (resolveRef, not
+    // <dst>//abs/...) and commits metadata-only stats on the clone
+    val s1 = VersionedTable.analyze(spark, dst, Seq("id"))
+    assert(s1.files.forall(_.startsWith("/")), "analyze moved no data")
+    val (kept, pruned) = VersionedTable.pruneInfo(spark, dst,
+      col("id") === 123L)
+    assert(kept === 1 && pruned === 7, "backfilled stats prune")
+    // bloom backfill over the same borrowed refs; sidecars land LOCAL
+    val s2 = VersionedTable.analyzeBloom(spark, dst, Seq("id"))
+    assert(s2.blooms.nonEmpty)
+    assert(s2.blooms.values.flatMap(_.values)
+      .forall(!_.startsWith("/")), "bloom sidecars are the clone's own")
+    assert(ids(VersionedTable.readWhere(spark, dst, col("id") === 123L))
+      === Set(123L))
+    // source untouched by the clone's metadata commits
+    assert(VersionedTable.latest(spark, src).get.version === 1L)
+  }
+
+  test("renamed-then-cloned table prunes and reads on the LOGICAL name end-to-end") {
+    val src = tmp(); val dst = tmp()
+    VersionedTable.create(
+      (1L to 400L).toDF("id").repartitionByRange(8, col("id")), src,
+      statsCols = Seq("id"))
+    // rename engages column mapping: files keep the physical name, the
+    // manifest speaks the logical one
+    VersionedTable.renameColumn(spark, src, "id", "doc_id")
+    VersionedTable.cloneTable(spark, src, dst)
+    val (kept, pruned) = VersionedTable.pruneInfo(spark, dst,
+      col("doc_id") === 77L)
+    assert(kept === 1 && pruned === 7, "carried stats prune on the logical name")
+    assert(VersionedTable.readWhere(spark, dst, col("doc_id") === 77L)
+      .select("doc_id").as[Long].collect().toSet === Set(77L))
+    // DV delete on the clone under the mapping, then the rename+clone+DV
+    // triple still reads consistently
+    VersionedTable.deleteWithDv(spark, dst, col("doc_id") % 100L === 0L,
+      densityThreshold = 0.5)
+    assert(VersionedTable.read(spark, dst)
+      .select("doc_id").as[Long].collect().toSet ===
+      (1L to 400L).filterNot(_ % 100 == 0).toSet)
+    // a second rename ON the clone, then analyze backfill of a fresh
+    // column name over borrowed refs (mapping + clone + analyze)
+    VersionedTable.renameColumn(spark, dst, "doc_id", "k")
+    assert(VersionedTable.readWhere(spark, dst, col("k") === 77L)
+      .select("k").as[Long].collect().toSet === Set(77L))
+  }
+
   test("clone target must be empty; clone of a clone composes") {
     val src = tmp(); val dst = tmp(); val dst2 = tmp()
     VersionedTable.create((1L to 30L).toDF("id"), src)
