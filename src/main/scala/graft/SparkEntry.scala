@@ -2725,6 +2725,75 @@ object SparkEntry {
       VersionedTable.read(s, dst)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"), decSum("o_price").as("sum_price"))
+    }),
+
+    // SQL TEXT reaches the versioned-table format (round 17): the
+    // reference's primary consumption mode is SQL over catalog tables
+    // (notebooks/gold.py:12, docs/runbook.md:41-46); here the q84
+    // create/append/compact lineage is queried ENTIRELY as spark.sql
+    // text through the DSv2 GraftCatalog — `VERSION AS OF 1` versus the
+    // latest — and must hash-match the same oracle q84's Scala-API
+    // reads match. DsV2Spec drives the connector's full contract
+    // (skipping pushdown, DV rows, column mapping, timestamps).
+    "q127_sql_time_travel" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val wh = scratchPath("q127wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gvt127", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gvt127.warehouse", wh)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val t = s"$wh/orders_t"
+      VersionedTable.create(o.filter(col("o_orderkey") % 3 === 0), t)
+      VersionedTable.append(o.filter(col("o_orderkey") % 3 === 1), t)
+      VersionedTable.compactTable(s, t, targetFiles = 4)
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS cnt,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price, 'v1' AS version
+          |FROM gvt127.orders_t VERSION AS OF 1 GROUP BY o_orderstatus
+          |UNION ALL
+          |SELECT o_orderstatus, COUNT(*) AS cnt,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price, 'v3' AS version
+          |FROM gvt127.orders_t GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    // Data skipping + deletion vectors THROUGH SQL text (round 17): the
+    // q90 z-order/stats lineage plus a 10%-per-file DV delete, read as
+    // plain spark.sql WHERE text over the DSv2 catalog table. The
+    // pushed predicate must prune files via manifest stats BEFORE
+    // planning (DsV2Spec proves kept/total), each surviving file's DV
+    // positions must drop soft-deleted rows inside the scan, and the
+    // answer must equal the oracle's declarative replay (filter + the
+    // %10 delete) — connector-path correctness, not just API-path.
+    "q128_sql_skipping_dv" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val wh = scratchPath("q128wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gvt128", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gvt128.warehouse", wh)
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity",
+        "l_extendedprice", "l_shipdate", "l_returnflag")
+      val t = s"$wh/lineitem_t"
+      VersionedTable.create(li, t)
+      VersionedTable.cluster(s, t, ("l_quantity", "l_extendedprice"),
+        targetFiles = 16,
+        statsCols = Seq("l_quantity", "l_extendedprice", "l_shipdate"))
+      VersionedTable.deleteWithDv(s, t, col("l_orderkey") % 10L === 3L,
+        densityThreshold = 0.9)
+      s.sql(
+        """SELECT l_returnflag, COUNT(*) AS cnt,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM gvt128.lineitem_t
+          |WHERE l_quantity <= 5.0 AND l_extendedprice < 20000.0
+          |  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          |GROUP BY l_returnflag""".stripMargin)
     })
   )
 
@@ -3748,6 +3817,34 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 <> 0
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // the q84 lineage consumed as SQL text (VERSION AS OF through the
+    // DSv2 catalog) — same declarative replay as q84's oracle
+    "q127_sql_time_travel" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  'v1' AS version
+        |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  'v3' AS version
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // q90's filtered aggregate plus the %10=3 soft delete, replayed
+    // declaratively — layout, skipping, DVs, and the SQL-text path
+    // change the plan, never the answer
+    "q128_sql_skipping_dv" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey % 10 <> 3
+        |  AND l_quantity <= 5.0 AND l_extendedprice < 20000.0
+        |  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

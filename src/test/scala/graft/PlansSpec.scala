@@ -34,6 +34,23 @@ class PlansSpec extends AnyFunSuite {
       "p_size predicate must reach the parquet scan")
   }
 
+  test("q128 SQL text over the DSv2 catalog prunes files via manifest stats before planning") {
+    graft.sources.v2.GraftScan.lastPlanned = None
+    val p = plan("q128_sql_skipping_dv")
+    // the BatchScan advertises the prune (kept/total) and the pushed
+    // predicate; the residual Filter stays above the scan
+    assert(p.contains("BatchScan"), s"q128 must scan through the DSv2 connector:\n$p")
+    assert("files=(\\d+)/(\\d+)".r.findFirstMatchIn(p).exists(m =>
+      m.group(1).toInt < m.group(2).toInt),
+      s"stats must prune files through the DSv2 scan:\n$p")
+    val (kept, total) = graft.sources.v2.GraftScan.lastPlanned.getOrElse(
+      // planInputPartitions runs at execution; force it
+      { SparkEntry.queries("q128_sql_skipping_dv")(spark,
+          SparkTestSession.sfTiny).count()
+        graft.sources.v2.GraftScan.lastPlanned.get })
+    assert(kept < total, s"planned $kept/$total files — no prune")
+  }
+
   test("q01 aggregation runs with map-side partial aggregation") {
     // two HashAggregate levels (partial + final) around the exchange
     val p = plan("q01_pricing_summary")
