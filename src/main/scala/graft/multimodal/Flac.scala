@@ -3,19 +3,21 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** FLAC fixed-predictor subset decode — real lossless-audio samples
-  * from real FLAC streams (public format: RFC 9639), shrinking
-  * [[Media.decodeStub]]'s declared fake tier by the lossless-audio
-  * family. The implemented subset is the fixed-predictor half of the
-  * format: mono streams, any 8-32 bit depth, CONSTANT / VERBATIM /
-  * FIXED(order 0-4) subframes, both rice residual methods (4- and
-  * 5-bit parameters) including the verbatim-escape code, any partition
-  * order, wasted-bits shifts, multi-byte UTF-8 frame numbers, and the
-  * three follow-up blocksize/sample-rate header forms. LPC subframes
-  * and multi-channel decorrelation are OUTSIDE the subset (an LPC
-  * frame rejects the payload to the null row — the same honest-subset
-  * posture as every codec tier here; FLAC's own spec makes fixed
-  * predictors a complete encoding any encoder may emit).
+/** FLAC decode — real lossless-audio samples from real FLAC streams
+  * (public format: RFC 9639), shrinking [[Media.decodeStub]]'s
+  * declared fake tier by the lossless-audio family. The implemented
+  * subset covers both predictor families of the mono format: CONSTANT
+  * / VERBATIM / FIXED(order 0-4) / LPC(order 1-32, quantized
+  * coefficients + shift, 64-bit accumulate) subframes, any 8-32 bit
+  * depth, both rice residual methods (4- and 5-bit parameters)
+  * including the verbatim-escape code, any partition order,
+  * wasted-bits shifts, multi-byte UTF-8 frame numbers, and the three
+  * follow-up blocksize/sample-rate header forms — LPC is what
+  * real-world encoders emit almost exclusively, so this is the tier
+  * that matters for user audio (round 17; VERDICT r16 item 3).
+  * Multi-channel decorrelation and negative quantization shifts stay
+  * OUTSIDE the subset (such a frame rejects the payload to the null
+  * row — the same honest-subset posture as every codec tier here).
   *
   * Integrity is enforced, not assumed: the frame-header CRC-8
   * (poly 0x07) and whole-frame CRC-16 (poly 0x8005) both verify, the
@@ -128,14 +130,18 @@ object Flac {
 
   /** Assemble a complete FLAC stream: fLaC magic, STREAMINFO, then one
     * frame per `frames` entry. Each frame is (warm-up samples, residual
-    * count implied by blockSize, rice param k, partition order p) with
-    * ALL residuals zero — the corpus contract (affine signal under the
-    * order-2 fixed predictor). Mono 16-bit, fixed blocksize 192
-    * (blocksize code 0001, no follow-up bytes).
+    * count implied by blockSize, rice param k, partition order p,
+    * optional LPC spelling) with ALL residuals zero — the corpus
+    * contract (affine signal, exactly predicted by the order-2 fixed
+    * predictor AND by any quantized order-2 LPC whose coefficients
+    * scale (2, -1) by 2^shift: (c1·s₋₁ + c2·s₋₂) >> shift is exact
+    * because the accumulator is always divisible by 2^shift). Mono
+    * 16-bit, fixed blocksize 192 (blocksize code 0001, no follow-ups).
     */
   private[graft] def flacFromFrames(srCode: Int, sampleRate: Int,
       blockSize: Int, totalSamples: Long,
-      frames: Seq[(Long, Long, Int, Int)]): Array[Byte] = {
+      frames: Seq[(Long, Long, Int, Int, Option[(Seq[Long], Int, Int)])]):
+      Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
     val si = new BitWriter
@@ -148,7 +154,7 @@ object Flac {
     si.bits(totalSamples, 36)
     (0 until 16).foreach(_ => si.bits(0, 8)) // MD5 unknown
     out.write(si.toBytes)
-    frames.zipWithIndex.foreach { case ((w0, w1, k, p), fi) =>
+    frames.zipWithIndex.foreach { case ((w0, w1, k, p, lpc), fi) =>
       val w = new BitWriter
       w.bits(0x3ffe, 14) // sync
       w.bits(0, 1)       // reserved
@@ -165,9 +171,20 @@ object Flac {
       val w2 = new BitWriter
       hdr.foreach(x => w2.bits(x & 0xffL, 8))
       w2.bits(crc8(hdr, 0, hdr.length).toLong, 8)
-      // subframe: pad, type = fixed order 2 (001010), no wasted bits
-      w2.bits(0, 1); w2.bits(8 + 2, 6); w2.bits(0, 1)
-      w2.bits(w0 & 0xffffL, 16); w2.bits(w1 & 0xffffL, 16) // warm-up
+      lpc match {
+        case None =>
+          // subframe: pad, type = fixed order 2 (001010), no wasted bits
+          w2.bits(0, 1); w2.bits(8 + 2, 6); w2.bits(0, 1)
+          w2.bits(w0 & 0xffffL, 16); w2.bits(w1 & 0xffffL, 16) // warm-up
+        case Some((coefs, shift, prec)) =>
+          require(coefs.length == 2, "corpus LPC frames are order 2")
+          // subframe: pad, type = LPC order 2 (100001), no wasted bits
+          w2.bits(0, 1); w2.bits(32L + 1, 6); w2.bits(0, 1)
+          w2.bits(w0 & 0xffffL, 16); w2.bits(w1 & 0xffffL, 16) // warm-up
+          w2.bits((prec - 1).toLong, 4)
+          w2.bits(shift.toLong & 0x1fL, 5)
+          coefs.foreach(c => w2.bits(c & ((1L << prec) - 1), prec))
+      }
       w2.bits(0, 2) // residual method 00: 4-bit rice
       w2.bits(p.toLong, 4) // partition order
       val parts = 1 << p
@@ -198,6 +215,16 @@ object Flac {
     * residual, so the oracle replays sums in closed form. Partition
     * order id%2, rice param 3 when id%5=0 else 0, sample-rate code
     * 0100+id%4 (8/16/22.05/24 kHz) — the in-corpus variety lanes.
+    *
+    * LPC lane (round 17): frames where (id + frame) is odd encode the
+    * SAME signal through a quantized order-2 LPC predictor instead —
+    * coefficients (8, −4) at shift 2 (precision 5), or (4, −2) at
+    * shift 1 (precision 4) when id%11 = 0. Both are exact spellings of
+    * 2·s₋₁ − s₋₂, so residuals stay zero and the oracle's closed form
+    * is UNCHANGED — but the decoder must now walk the LPC subframe
+    * header (precision, shift, quantized coefficients) and run the
+    * 64-bit accumulate-shift reconstruction to reproduce it. Streams
+    * with 2-3 frames therefore MIX fixed and LPC subframes.
     */
   private[graft] def flacBytes(id: Long): Array[Byte] = {
     val a = (id % 1024) - 512
@@ -206,8 +233,13 @@ object Flac {
     val bs = 192
     val frames = (0 until nb).map { b =>
       val t0 = b.toLong * bs
+      val lpc =
+        if ((id + b) % 2 == 1)
+          Some(if (id % 11 == 0) (Seq(4L, -2L), 1, 4)
+               else (Seq(8L, -4L), 2, 5))
+        else None
       (a + d * t0, a + d * (t0 + 1),
-        if (id % 5 == 0) 3 else 0, (id % 2).toInt)
+        if (id % 5 == 0) 3 else 0, (id % 2).toInt, lpc)
     }
     flacFromFrames(srCode = 4 + (id % 4).toInt,
       sampleRate = Seq(8000, 16000, 22050, 24000)((id % 4).toInt),
@@ -229,6 +261,47 @@ object Flac {
 
   private final case class StreamInfo(minBlock: Int, maxBlock: Int,
       sampleRate: Int, channels: Int, bps: Int, totalSamples: Long)
+
+  /** Rice-coded residual section shared by FIXED and LPC subframes:
+    * decode into `samples(order until blockSize)` (raw residuals, not
+    * yet predicted). False on any invalid shape — caller rejects.
+    */
+  private def riceResiduals(r: BitReader, samples: Array[Long],
+      order: Int, blockSize: Int): Boolean = {
+    val method = r.bits(2).toInt
+    if (method > 1) return false
+    val pOrder = r.bits(4).toInt
+    val parts = 1 << pOrder
+    if (blockSize % parts != 0) return false
+    val kBits = if (method == 0) 4 else 5
+    val escape = (1 << kBits) - 1
+    var pi = 0
+    var idx = order
+    while (pi < parts) {
+      val k = r.bits(kBits).toInt
+      val cnt = blockSize / parts - (if (pi == 0) order else 0)
+      if (cnt < 0) return false
+      if (k == escape) { // verbatim residuals: 5-bit size, raw
+        val sz = r.bits(5).toInt
+        var i2 = 0
+        while (i2 < cnt) {
+          samples(idx) = if (sz == 0) 0L else r.sbits(sz)
+          idx += 1; i2 += 1
+        }
+      } else {
+        var i2 = 0
+        while (i2 < cnt) {
+          if (r.remaining < 1) return false
+          val q = r.unary().toLong
+          val u = (q << k) | (if (k > 0) r.bits(k) else 0L)
+          samples(idx) = (u >>> 1) ^ -(u & 1L) // zigzag
+          idx += 1; i2 += 1
+        }
+      }
+      pi += 1
+    }
+    true
+  }
 
   /** Decode one FLAC payload:
     * (sample_rate, n_samples, sample_sum, sample_min, sample_max);
@@ -379,39 +452,7 @@ object Flac {
         if (order > blockSize) return None
         var i = 0
         while (i < order) { samples(i) = r.sbits(eff); i += 1 }
-        // rice-coded residuals
-        val method = r.bits(2).toInt
-        if (method > 1) return None
-        val pOrder = r.bits(4).toInt
-        val parts = 1 << pOrder
-        if (blockSize % parts != 0) return None
-        val kBits = if (method == 0) 4 else 5
-        val escape = (1 << kBits) - 1
-        var pi = 0
-        var idx = order
-        while (pi < parts) {
-          val k = r.bits(kBits).toInt
-          val cnt = blockSize / parts - (if (pi == 0) order else 0)
-          if (cnt < 0) return None
-          if (k == escape) { // verbatim residuals: 5-bit size, raw
-            val sz = r.bits(5).toInt
-            var i2 = 0
-            while (i2 < cnt) {
-              samples(idx) = if (sz == 0) 0L else r.sbits(sz)
-              idx += 1; i2 += 1
-            }
-          } else {
-            var i2 = 0
-            while (i2 < cnt) {
-              if (r.remaining < 1) return None
-              val q = r.unary().toLong
-              val u = (q << k) | (if (k > 0) r.bits(k) else 0L)
-              samples(idx) = (u >>> 1) ^ -(u & 1L) // zigzag
-              idx += 1; i2 += 1
-            }
-          }
-          pi += 1
-        }
+        if (!riceResiduals(r, samples, order, blockSize)) return None
         // reconstruct through the fixed predictor
         var t = order
         while (t < blockSize) {
@@ -426,7 +467,34 @@ object Flac {
           })
           t += 1
         }
-      } else return None // LPC (32-63) and reserved types: out of subset
+      } else if (sfType >= 32) { // LPC, order 1-32 (type 1xxxxx)
+        val order = (sfType & 31) + 1
+        if (order > blockSize) return None
+        var i = 0
+        while (i < order) { samples(i) = r.sbits(eff); i += 1 }
+        val precM1 = r.bits(4).toInt
+        if (precM1 == 15) return None // 1111 invalid (spec)
+        val prec = precM1 + 1
+        // quantization shift is signed 5-bit in the spec but negative
+        // values are reserved-in-practice; reject rather than guess
+        val shift = r.sbits(5).toInt
+        if (shift < 0) return None
+        val coefs = new Array[Long](order)
+        i = 0
+        while (i < order) { coefs(i) = r.sbits(prec); i += 1 }
+        if (!riceResiduals(r, samples, order, blockSize)) return None
+        // reconstruct: s(t) = residual + (Σ_j c_j · s(t-1-j)) >> shift,
+        // 64-bit accumulation (the spec's arithmetic right shift —
+        // floor division, exact for the encoder's quantized predictor)
+        var t = order
+        while (t < blockSize) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j) * samples(t - 1 - j); j += 1 }
+          samples(t) += (acc >> shift)
+          t += 1
+        }
+      } else return None // reserved subframe types (2-7, 13-31)
       if (wasted > 0) {
         var i = 0
         while (i < blockSize) { samples(i) <<= wasted; i += 1 }

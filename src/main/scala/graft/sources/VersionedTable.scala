@@ -1873,7 +1873,7 @@ object VersionedTable {
     */
   def merge(updates: DataFrame, dir: String, keys: Seq[String],
       statsCols: Seq[String] = Seq.empty,
-      maxAttempts: Int = 1): Snapshot =
+      maxAttempts: Int = 5): Snapshot =
     mergeRebase(updates, dir, keys, statsCols, maxAttempts)
 
   /** Core merge loop; `onStaged` is the race-window test seam,
@@ -2097,10 +2097,19 @@ object VersionedTable {
     * atomic new version. Only may-match files are rewritten
     * ([[copyOnWrite]]); deleting every row leaves a readable empty
     * version. The pre-delete version stays time-travelable.
+    *
+    * Concurrency (Delta parity, all DML entry points alike): losing
+    * the version race auto-rebases BY DEFAULT (`maxAttempts = 5`) —
+    * the staged result re-commits once [[rebaseOrConflict]] proves the
+    * competitors touched neither the files nor the DVs this DML read
+    * and added nothing its predicate may match; otherwise the typed
+    * [[ConflictingCommitException]] surfaces, never a silent wrong
+    * rebase. Two disjoint-predicate writers (the daily job racing a
+    * backfill) both land with zero caller retry code.
     */
   def delete(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
-      maxAttempts: Int = 1): Snapshot = {
+      maxAttempts: Int = 5): Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     copyOnWrite(spark, dir, predicate, "delete",
       (df, p) => df.filter(coalesce(not(p), lit(true))),
@@ -2146,7 +2155,7 @@ object VersionedTable {
   def deleteWithDv(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       densityThreshold: Double = 0.15,
-      maxAttempts: Int = 1,
+      maxAttempts: Int = 5,
       onStaged: () => Unit = () => ()): Snapshot = {
     require(maxAttempts >= 1, "maxAttempts must be at least 1")
     require(densityThreshold > 0.0 && densityThreshold <= 1.0,
@@ -2233,7 +2242,7 @@ object VersionedTable {
   def update(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
-      maxAttempts: Int = 1): Snapshot =
+      maxAttempts: Int = 5): Snapshot =
     copyOnWrite(spark, dir, predicate, "update", maxAttempts = maxAttempts,
       rewrite = (df, p) => applyUpdateSet(df, p, set),
       setCols = set.keys)
@@ -2315,7 +2324,7 @@ object VersionedTable {
       predicate: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
       densityThreshold: Double = 0.15,
-      maxAttempts: Int = 1,
+      maxAttempts: Int = 5,
       onStaged: () => Unit = () => ()): Snapshot = {
     require(maxAttempts >= 1, "maxAttempts must be at least 1")
     require(densityThreshold > 0.0 && densityThreshold <= 1.0,
@@ -2439,7 +2448,7 @@ object VersionedTable {
   def mergeWithDv(updates0: DataFrame, dir: String, keys: Seq[String],
       statsCols: Seq[String] = Seq.empty,
       densityThreshold: Double = 0.15,
-      maxAttempts: Int = 1,
+      maxAttempts: Int = 5,
       onStaged: () => Unit = () => (),
       opTag: String = "merge"): Snapshot = {
     require(maxAttempts >= 1, "maxAttempts must be at least 1")

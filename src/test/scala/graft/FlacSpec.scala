@@ -29,8 +29,9 @@ class FlacSpec extends AnyFunSuite {
       method: Int = 0, pOrder: Int = 0, bps: Int = 16, wasted: Int = 0,
       srCode: Int = 4, sampleRate: Int = 8000,
       breakCrc8: Boolean = false, breakCrc16: Boolean = false,
-      lpcType: Boolean = false, channels: Int = 1,
-      totalOverride: Long = -1L): Array[Byte] = {
+      reservedType: Boolean = false, channels: Int = 1,
+      totalOverride: Long = -1L,
+      lpc: (Seq[Long], Int, Int) = null): Array[Byte] = {
     require(samples.length % blockSize == 0)
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
@@ -75,9 +76,44 @@ class FlacSpec extends AnyFunSuite {
       val c8 = Flac.crc8(hdr, 0, hdr.length) ^ (if (breakCrc8) 1 else 0)
       w2.bits(c8.toLong, 8)
       w2.bits(0, 1) // subframe pad
-      if (lpcType) {
-        w2.bits(0x20L, 6); w2.bits(0, 1) // LPC order 1: out of subset
+      if (reservedType) {
+        w2.bits(2L, 6); w2.bits(0, 1) // type 000010: reserved
         w2.bits(0, eff)
+      } else if (lpc != null) { // LPC: quantized coefficients + shift
+        val (coefs, shift, prec) = lpc
+        val ord = coefs.length
+        w2.bits(32L + (ord - 1), 6)
+        w2.bits(0, 1) // no wasted bits on the LPC lane
+        (0 until ord).foreach(i => w2.bits(blk(i) & ((1L << eff) - 1), eff))
+        w2.bits((prec - 1).toLong, 4)
+        w2.bits(shift.toLong & 0x1fL, 5)
+        coefs.foreach(c => w2.bits(c & ((1L << prec) - 1), prec))
+        // residual = s(t) - (Σ c_j·s(t-1-j) >> shift), the decoder's
+        // exact integer inverse — round-trips ANY signal bit-exactly
+        val res = (ord until blockSize).map { t =>
+          val acc = (0 until ord).map(j => coefs(j) * blk(t - 1 - j)).sum
+          blk(t) - (acc >> math.max(shift, 0))
+        }
+        w2.bits(method.toLong, 2)
+        w2.bits(pOrder.toLong, 4)
+        val parts = 1 << pOrder
+        val kBits = if (method == 0) 4 else 5
+        var idx = 0
+        (0 until parts).foreach { pi =>
+          val cnt = blockSize / parts - (if (pi == 0) ord else 0)
+          val chunk = res.slice(idx, idx + cnt); idx += cnt
+          val k = (0 to 14).find(k0 =>
+            chunk.forall(r => ((r << 1) ^ (r >> 63)) >> k0 < 48))
+            .getOrElse(14)
+          w2.bits(k.toLong, kBits)
+          chunk.foreach { r =>
+            val u = (r << 1) ^ (r >> 63)
+            val q = (u >>> k).toInt
+            (0 until q).foreach(_ => w2.bits(0, 1))
+            w2.bits(1, 1)
+            if (k > 0) w2.bits(u & ((1L << k) - 1), k)
+          }
+        }
       } else if (order == -1) { // CONSTANT
         w2.bits(0, 6); w2.bits(0, 1)
         w2.bits(blk.head & ((1L << eff) - 1), eff)
@@ -140,7 +176,11 @@ class FlacSpec extends AnyFunSuite {
   // -------------------------------------------------------- the tests
 
   test("corpus round trip matches the closed form the oracle replays") {
-    Seq(0L, 1L, 7L, 42L, 444L, 1023L).foreach { id =>
+    // ids cover both predictor spellings: odd (id+frame) parities plant
+    // LPC subframes ((8,-4)>>2, or (4,-2)>>1 when id%11=0) alongside
+    // fixed-order-2 ones in the same stream — the closed form is
+    // spelling-invariant by construction
+    Seq(0L, 1L, 7L, 11L, 42L, 444L, 1023L).foreach { id =>
       val a = (id % 1024) - 512
       val d = (id % 7) - 3
       val n = 192L * (1 + id % 3)
@@ -224,6 +264,36 @@ class FlacSpec extends AnyFunSuite {
     assert(decode(encode(s24, n, order = 2, bps = 24)).get._3 === s24.sum)
   }
 
+  test("LPC subframes: arbitrary coefficients/orders/shifts round-trip any signal exactly (r17)") {
+    val n = 192
+    // pseudo-random but deterministic signal — the encoder's integer
+    // residuals compensate whatever the predictor gets wrong, so a
+    // round-trip pins the decoder's accumulate-shift arithmetic
+    // (including the arithmetic >> on negative accumulators) against
+    // the encoder's, coefficient for coefficient
+    def sig(seed: Long): IndexedSeq[Long] =
+      (0 until 2 * n).map { t =>
+        val x = (seed + t) * 2654435761L
+        ((x >> 7) % 2000L) - 1000L
+      }
+    val lanes = Seq(
+      (Seq(1L), 0, 2),                      // order 1, identity-ish, shift 0
+      (Seq(3L, -2L), 1, 4),                 // order 2, negative coef
+      (Seq(5L, -4L, 2L), 2, 5),             // order 3
+      (Seq(7L, -3L, 2L, -1L, 1L, 0L, -2L, 4L), 3, 6)) // order 8
+    lanes.zipWithIndex.foreach { case (lane, i) =>
+      val s = sig(100L + i)
+      val got = decode(encode(s, n, order = 0, pOrder = if (i % 2 == 0) 0 else 2,
+        method = i % 2, lpc = lane))
+      assert(got === Some((8000, 2L * n, s.sum, s.min, s.max)),
+        s"LPC lane $lane")
+    }
+    // LPC exactness claim the corpus rests on: (8,-4)>>2 ≡ fixed order 2
+    val aff = (0 until n).map(t => -300L + 5L * t)
+    assert(decode(encode(aff, n, order = 0, lpc = (Seq(8L, -4L), 2, 5))) ===
+      decode(encode(aff, n, order = 2)))
+  }
+
   test("rejection lanes: CRCs, LPC, truncation, trailing garbage, shape mismatches, bad magic") {
     val n = 192
     val sig = (0 until n).map(t => t.toLong)
@@ -233,8 +303,11 @@ class FlacSpec extends AnyFunSuite {
       "corrupt header CRC-8 must reject")
     assert(decode(encode(sig, n, order = 1, breakCrc16 = true)).isEmpty,
       "corrupt frame CRC-16 must reject")
-    assert(decode(encode(sig, n, order = 1, lpcType = true)).isEmpty,
-      "LPC subframe is outside the declared subset")
+    assert(decode(encode(sig, n, order = 1, reservedType = true)).isEmpty,
+      "reserved subframe type must reject")
+    assert(decode(encode(sig, n, order = 1,
+      lpc = (Seq(1L), -1, 4))).isEmpty,
+      "negative LPC quantization shift is outside the subset")
     assert(decode(good.take(good.length - 3)).isEmpty,
       "truncated stream must reject, not throw")
     assert(decode(good ++ Array[Byte](1, 2, 3)).isEmpty,

@@ -1356,6 +1356,36 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("deletion vector"))
   }
 
+  test("DML DEFAULTS rebase disjoint concurrent commits (Delta parity, r17): " +
+      "no caller-visible conflict on disjoint files; overlap still fails typed") {
+    // the reference's daily job racing a backfill (docs/runbook.md) —
+    // with DEFAULT arguments both land iff their touched files are
+    // provably disjoint; the caller writes no retry code
+    val dir = tmp()
+    dvTable(dir, files = 2, per = 100L)
+    VersionedTable.deleteWithDv(spark, dir, col("id") === 11L,
+      onStaged = () =>
+        VersionedTable.deleteWithDv(spark, dir, col("id") === 151L))
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      (1L to 200L).toSet -- Set(11L, 151L))
+    VersionedTable.updateWithDv(spark, dir, col("id") === 12L,
+      Map("v" -> lit("uA")),
+      onStaged = () =>
+        VersionedTable.updateWithDv(spark, dir, col("id") === 152L,
+          Map("v" -> lit("uB"))))
+    val vals = VersionedTable.read(spark, dir)
+      .filter(col("id").isin(12L, 152L))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(vals === Map(12L -> "uA", 152L -> "uB"))
+    // overlap under defaults: still the TYPED conflict, never a wrong rebase
+    val ex = intercept[graft.sources.ConflictingCommitException] {
+      VersionedTable.deleteWithDv(spark, dir, col("id") === 21L,
+        onStaged = () =>
+          VersionedTable.deleteWithDv(spark, dir, col("id") === 31L))
+    }
+    assert(ex.getMessage.contains("deletion vector"))
+  }
+
   // ------------------------------------------- merge-on-read UPDATE (r16)
 
   private def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
