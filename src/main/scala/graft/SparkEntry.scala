@@ -2832,8 +2832,12 @@ object SparkEntry {
         "l_extendedprice", "l_shipdate", "l_returnflag")
       val t = s"$wh/lineitem_t"
       VersionedTable.create(li, t)
+      // scale-derived file count (the q118 vtParts lesson): a fixed 16
+      // files at sf100 would mean 37M-row files — per-file DV payload
+      // and DML parallelism must grow with data. Uniform %10 deletes
+      // keep every per-file density (and the oracle) invariant.
       VersionedTable.cluster(s, t, ("l_quantity", "l_extendedprice"),
-        targetFiles = 16,
+        targetFiles = math.max(16, vtParts(s)),
         statsCols = Seq("l_quantity", "l_extendedprice", "l_shipdate"))
       VersionedTable.deleteWithDv(s, t, col("l_orderkey") % 10L === 3L,
         densityThreshold = 0.9)

@@ -264,12 +264,16 @@ private[v2] class GraftScan(dir: String, snap: VersionedTable.Snapshot,
         s"(cap ${GraftScan.MaxDvScanRows}); compact the table to fold " +
         "dense DVs into rewritten files first")
     val wanted = touched.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    // the kept-file filter runs IN the scan (InSet over basenames), so
+    // only the touched files' positions ever reach the driver — a scan
+    // that prunes most of a heavily-DV'd table must not pay the whole
+    // table's DV cardinality here
     spark.read.schema(VersionedTable.DvSchema)
       .parquet(snap.dvFiles.map(f => VersionedTable.resolveRef(dir, f)): _*)
       .select(substring_index(col("__vt_file"), "/", -1).as("b"),
         col("__vt_pos"))
+      .where(col("b").isin(wanted.toSeq: _*))
       .collect()
-      .filter(r => wanted.contains(r.getString(0)))
       .groupBy(_.getString(0))
       .map { case (b, rows) => b -> rows.map(_.getLong(1)).sorted }
   }
