@@ -110,6 +110,7 @@ object Bench {
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.sources.v2.GraftSqlExtension")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         shufflePartitions)

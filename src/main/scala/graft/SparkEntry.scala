@@ -2851,6 +2851,137 @@ object SparkEntry {
           |WHERE l_quantity <= 5.0 AND l_extendedprice < 20000.0
           |  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
           |GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // SQL DML lifecycle through the DSv2 catalog (round 17): CTAS,
+    // INSERT INTO, and DELETE FROM as PLAIN SQL TEXT — the write half
+    // of the connector. CTAS creates the table and populates it through
+    // the V1Write fallback (full commit protocol: stats, constraints,
+    // rebase), INSERT INTO appends the other half, and DELETE FROM
+    // lands as deletion-vector DML (SupportsDelete → deleteWithDv
+    // prices DV-vs-CoW per file). The final SELECT must agree with the
+    // oracle's declarative replay of insert-all-then-delete.
+    "q129_sql_dml" -> ((s, dir) => {
+      val wh = scratchPath("q129wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gvt129", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gvt129.warehouse", wh)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+        .createOrReplaceTempView("q129_src")
+      s.sql("""CREATE TABLE gvt129.orders_t AS
+              |SELECT * FROM q129_src WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO gvt129.orders_t
+              |SELECT * FROM q129_src WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql("""DELETE FROM gvt129.orders_t
+              |WHERE o_orderstatus = 'F' AND o_price < 50000.00""".stripMargin)
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS cnt,
+          |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+          |FROM gvt129.orders_t GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    // The versioned table AS a Structured Streaming source (round 17):
+    // spark.readStream.format("graft") tails the commit log — offsets
+    // are versions, each micro-batch plans the commits' ADDED files
+    // straight from the immutable manifests (O(new data) per batch),
+    // and maxVersionsPerTrigger=1 forces the two appends to arrive as
+    // separate bounded batches (admission control). The rows the sink
+    // accumulates must equal the two appended slices exactly — no
+    // initial-snapshot leak, no duplication, no loss.
+    "q130_stream_source" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val t = scratchPath("q130vt")
+      val p = new org.apache.hadoop.fs.Path(t)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+      VersionedTable.create(o.filter(col("o_orderkey") % 4 === 0), t)
+      VersionedTable.append(o.filter(col("o_orderkey") % 4 === 1), t)
+      VersionedTable.append(o.filter(col("o_orderkey") % 4 === 2), t)
+      try s.catalog.dropTempView("q130_sink") catch { case _: Exception => }
+      val q = s.readStream.format("graft")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+        .load(t)
+        .writeStream.format("memory").queryName("q130_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q130_sink")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("o_price").cast("double").as("sum_price"))
+    }),
+
+    // SQL-text UPDATE and MERGE INTO over a versioned catalog table
+    // (round 17): GraftSqlExtension swaps the analyzed UpdateTable /
+    // MergeIntoTable plans for the format's own merge-on-read DML —
+    // the SAME updateWithDv/mergeWithDv path q121/q122 gate through
+    // the Scala API, now reachable as ANSI text. The statement mix is
+    // deliberately order-sensitive (the MERGE overwrites half the
+    // UPDATE's rows) so a wrong execution order cannot hash-match.
+    "q131_sql_update_merge" -> ((s, dir) => {
+      val wh = scratchPath("q131wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gvt131", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gvt131.warehouse", wh)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+        .createOrReplaceTempView("q131_src")
+      s.sql("""CREATE TABLE gvt131.orders_t AS
+              |SELECT * FROM q131_src WHERE o_orderkey % 3 != 0""".stripMargin)
+      s.sql("""UPDATE gvt131.orders_t
+              |SET o_price = CAST(o_price + 10.00 AS DECIMAL(18,2))
+              |WHERE o_orderstatus = 'O'""".stripMargin)
+      s.sql("""MERGE INTO gvt131.orders_t USING (
+              |  SELECT o_orderkey, o_orderstatus,
+              |    CAST(o_price * 2 AS DECIMAL(18,2)) AS o_price
+              |  FROM q131_src WHERE o_orderkey % 6 = 1
+              |  UNION ALL
+              |  SELECT * FROM q131_src WHERE o_orderkey % 3 = 0
+              |) src ON orders_t.o_orderkey = src.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS cnt,
+          |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+          |FROM gvt131.orders_t GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    // SQL DDL schema evolution over a versioned catalog table (round
+    // 17): ALTER TABLE ADD COLUMNS / RENAME COLUMN land as the
+    // format's metadata-only evolution commits — zero data movement —
+    // and the queryable state must still hash-match: pre-evolution
+    // rows read NULL for the added column, a post-ADD INSERT fills it,
+    // and the rename carries every row and stat to the new name.
+    "q132_sql_ddl_evolution" -> ((s, dir) => {
+      val wh = scratchPath("q132wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gvt132", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gvt132.warehouse", wh)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+        .createOrReplaceTempView("q132_src")
+      s.sql("""CREATE TABLE gvt132.orders_t AS
+              |SELECT * FROM q132_src WHERE o_orderkey % 3 != 0""".stripMargin)
+      s.sql("ALTER TABLE gvt132.orders_t ADD COLUMNS (bonus DECIMAL(18,2))")
+      s.sql("""INSERT INTO gvt132.orders_t
+              |SELECT o_orderkey, o_orderstatus, o_price,
+              |  CAST(o_orderkey % 100 AS DECIMAL(18,2)) AS bonus
+              |FROM q132_src WHERE o_orderkey % 3 = 0""".stripMargin)
+      s.sql("ALTER TABLE gvt132.orders_t RENAME COLUMN o_price TO base_price")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS cnt,
+          |  CAST(SUM(base_price) AS DOUBLE) AS sum_base,
+          |  CAST(SUM(bonus) AS DOUBLE) AS sum_bonus,
+          |  COUNT(bonus) AS cnt_bonus
+          |FROM gvt132.orders_t GROUP BY o_orderstatus""".stripMargin)
     })
   )
 
@@ -3902,6 +4033,65 @@ object SparkEntry {
         |  AND l_quantity <= 5.0 AND l_extendedprice < 20000.0
         |  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
         |GROUP BY l_returnflag""".stripMargin,
+
+    // CTAS of evens + INSERT of odds = all rows, then the SQL DELETE
+    // replayed as a declarative anti-filter
+    "q129_sql_dml" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F'
+        |           AND CAST(o_totalprice AS DECIMAL(18,2)) < 50000.00)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // the stream (startingVersion=1) receives exactly the two appended
+    // slices: %4 = 1 and %4 = 2
+    "q130_stream_source" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (1, 2)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // replay of q131's statement sequence: start = keys %3 != 0;
+    // UPDATE bumps 'O' rows +10; MERGE then replaces %6 = 1 keys with
+    // doubled ORIGINAL price (source reads the base view, overwriting
+    // the +10) and inserts the %3 = 0 keys at original price
+    "q131_sql_update_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders
+        |), fin AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN p
+        |         WHEN o_orderkey % 6 = 1 THEN CAST(p * 2 AS DECIMAL(18,2))
+        |         WHEN o_orderstatus = 'O' THEN CAST(p + 10.00 AS DECIMAL(18,2))
+        |         ELSE p END AS price
+        |  FROM base
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM fin GROUP BY o_orderstatus""".stripMargin,
+
+    // replay of q132's DDL lifecycle: all rows carry base_price (the
+    // renamed o_price); only the %3 = 0 rows (inserted AFTER the ADD
+    // COLUMNS) carry bonus = key % 100 — pre-evolution rows read NULL
+    "q132_sql_ddl_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(p) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 = 0
+        |    THEN CAST(o_orderkey % 100 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS sum_bonus,
+        |  COUNT(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS cnt_bonus
+        |FROM base GROUP BY o_orderstatus""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

@@ -970,6 +970,44 @@ object VersionedTable {
       prev.generatedCols.filterNot(_._1.equalsIgnoreCase(name)))
   }
 
+  /** ADD a column, metadata-only: the field joins the logical schema at
+    * the end, nullable — existing files simply lack it and read NULL,
+    * so not one byte of data moves. [[mergeSchemas]] computes the union
+    * exactly as an evolving append would (fresh field id + self
+    * physical name when the table carries a column mapping; fail-fast
+    * on recycling a DROPPED column's name, which would resurrect the
+    * dropped data from old files). NOT NULL additions are refused —
+    * existing rows have no value to satisfy them.
+    */
+  def addColumn(spark: SparkSession, dir: String,
+      field: org.apache.spark.sql.types.StructField): Snapshot = {
+    val prev = latest(spark, dir).getOrElse(
+      sys.error(s"table $dir has no commits"))
+    val sch = prev.schema.getOrElse(sys.error(
+      s"addColumn needs a recorded schema on $dir"))
+    require(!sch.fields.exists(_.name.equalsIgnoreCase(field.name)),
+      s"column ${field.name} already exists in " +
+        sch.fieldNames.mkString("[", ",", "]"))
+    require(!field.name.startsWith("__vt_"), "reserved name prefix __vt_")
+    require(field.nullable,
+      s"added column ${field.name} must be nullable: existing rows " +
+        "have no value for it")
+    val merged = mergeSchemas(sch,
+      org.apache.spark.sql.types.StructType(Array(field)),
+      prev.droppedCols)
+    // mergeSchemas relaxes every prior field to nullable (right for an
+    // evolving append, where old files lack new columns); a pure ADD
+    // COLUMN must not touch the existing fields' nullability
+    val next = org.apache.spark.sql.types.StructType(
+      merged.fields.zipWithIndex.map { case (f, i) =>
+        if (i < sch.fields.length) f.copy(nullable = sch.fields(i).nullable)
+        else f
+      })
+    commit(spark, dir, prev.version + 1, "add_column", prev.files,
+      prev.stats, Some(next.json), prev.tableId, prev.dvFiles, prev.dvn,
+      prev.blooms, prev.droppedCols, prev.constraints, prev.generatedCols)
+  }
+
   /** Stage `df`'s rows as immutable data files for version `v` and
     * return their table-relative paths. The subdir is random-suffixed so
     * a crashed or conflict-losing attempt leaves only invisible debris.

@@ -34,9 +34,11 @@ import graft.sources.VersionedTable
   * filtering apply to SQL text exactly as to the Scala API.
   *
   * CREATE TABLE materializes an empty v1 with the declared schema
-  * (writes then flow through the `VersionedTable.*` API); DROP TABLE
-  * removes the directory. ALTER/RENAME route to the format's own
-  * evolution API surface and are rejected here.
+  * (writes then flow through [[GraftWriteBuilder]] or the
+  * `VersionedTable.*` API); DROP TABLE removes the directory;
+  * ALTER TABLE ADD/RENAME/DROP COLUMN land as the format's
+  * metadata-only evolution commits (see [[alterTable]]). RENAME TABLE
+  * is rejected — shallow clones may borrow files by absolute path.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -87,7 +89,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         eligible.last
       case _ => all.last
     }
-    new GraftTable(dir, snap)
+    new GraftTable(dir, snap, pinned = version.isDefined || tsMs.isDefined)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None, None)
@@ -111,10 +113,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution runs through VersionedTable.renameColumn/" +
-        "dropColumn/addColumn (mapping-aware); ALTER TABLE text is not wired")
+  /** `ALTER TABLE` text → the format's own metadata-only evolution
+    * commits — each change is one atomic manifest commit and not one
+    * byte of data moves:
+    *
+    * {{{
+    *   ALTER TABLE gvt.t ADD COLUMNS (bonus DECIMAL(18,2))
+    *   ALTER TABLE gvt.t RENAME COLUMN price TO base_price
+    *   ALTER TABLE gvt.t DROP COLUMN legacy
+    * }}}
+    *
+    * RENAME engages column mapping (stable field ids + physical names,
+    * stats/blooms remap with the logical name); DROP remembers the
+    * physical name so a later re-ADD of it fails fast instead of
+    * resurrecting dropped data; ADD joins at the end, nullable. Shapes
+    * the format cannot honor metadata-only (type changes, nested
+    * fields, column positioning, NOT NULL adds) are refused loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    def single(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        "graft ALTER TABLE supports top-level columns only; got nested " +
+          fieldNames.mkString("."))
+      fieldNames.head
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.position() == null,
+          "graft ADD COLUMN appends at the end; FIRST/AFTER positioning " +
+            "is not supported (column order is logical-schema order)")
+        VersionedTable.addColumn(spark, dir,
+          org.apache.spark.sql.types.StructField(
+            single(a.fieldNames()), a.dataType(), a.isNullable))
+      case r: TableChange.RenameColumn =>
+        VersionedTable.renameColumn(spark, dir,
+          single(r.fieldNames()), r.newName())
+      case d: TableChange.DeleteColumn =>
+        VersionedTable.dropColumn(spark, dir, single(d.fieldNames()))
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE does not support ${other.getClass.getSimpleName}" +
+          "; supported: ADD COLUMN (nullable, top-level), RENAME COLUMN, " +
+          "DROP COLUMN. Type changes need a rewrite — use the " +
+          "VersionedTable API overwrite path")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

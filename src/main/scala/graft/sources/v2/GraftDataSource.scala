@@ -9,9 +9,11 @@ import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{col, lit, substring_index}
@@ -59,9 +61,13 @@ import graft.sources.{DataSkipping, VersionedTable}
   *    the DSv2 row boundary), so codec/rebase/timestamp semantics are
   *    identical to `spark.read.parquet`.
   *
-  * Write paths stay with the `VersionedTable.*` API (commit protocol,
-  * constraints, generated columns live there); this connector is the
-  * READ surface (VERDICT r16 item 1).
+  * The WRITE half routes SQL text back INTO the same commit protocol
+  * ([[GraftWriteBuilder]]): `INSERT INTO` / CTAS / `INSERT OVERWRITE`
+  * flow through `VersionedTable.appendWithRetry`/`overwrite` (CHECK
+  * constraints, generated columns, per-file stats and the optimistic
+  * rebase loop all apply exactly as to the Scala API), and
+  * `DELETE FROM` / `TRUNCATE TABLE` land as deletion-vector DML via
+  * [[SupportsDelete]]. Time-travel-pinned loads are read-only.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -73,9 +79,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
-    val (dir, snap) =
-      GraftDataSource.resolveSnap(new CaseInsensitiveStringMap(properties))
-    new GraftTable(dir, snap)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (dir, snap) = GraftDataSource.resolveSnap(opts)
+    val pinned = opts.containsKey("versionAsOf") ||
+      opts.containsKey("version") || opts.containsKey("timestampAsOf")
+    new GraftTable(dir, snap, pinned)
   }
 }
 
@@ -122,21 +130,57 @@ object GraftDataSource {
   }
 }
 
-private[v2] class GraftTable(dir: String, snap: VersionedTable.Snapshot)
-    extends Table with SupportsRead {
+private[v2] class GraftTable(val dir: String,
+    snap: VersionedTable.Snapshot, val pinned: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   private[v2] val logicalSchema: StructType = snap.schema.getOrElse(
     sys.error(s"graft DSv2 reads of $dir need a recorded schema"))
 
   override def name(): String = s"graft.`$dir`@v${snap.version}"
   override def schema(): StructType = logicalSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // a time-travel-pinned load is a READ of table history; writing
+    // "into the past" has no commit to claim, so pinned tables carry
+    // no write capability and Spark's capability check rejects the
+    // statement at analysis instead of us failing mid-write
+    if (pinned) java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, snap, logicalSchema)
+    new GraftScanBuilder(dir, snap, logicalSchema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned, s"cannot write to time-travel pinned ${name()}")
+    new GraftWriteBuilder(dir, info)
+  }
+
+  /** SQL `DELETE FROM` (and `TRUNCATE TABLE` via the AlwaysTrue
+    * default): predicates our filter vocabulary can express run as
+    * deletion-vector DML — [[VersionedTable.deleteWithDv]] prices DV
+    * sidecar vs copy-on-write per touched file, so a SQL point delete
+    * against a large table costs KB-scale sidecars, and a truncate
+    * (density 1.0 everywhere) drops whole files. Unsupported predicate
+    * shapes are refused in [[canDeleteWhere]], which Spark surfaces as
+    * an analysis error rather than a wrong answer.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !pinned && filters.forall(f => GraftScan.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!pinned, s"cannot delete from time-travel pinned ${name()}")
+    val pred = filters.flatMap(GraftScan.filterToColumn(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    VersionedTable.deleteWithDv(SparkSession.active, dir, pred)
+    ()
+  }
 }
 
 private[v2] class GraftScanBuilder(dir: String,
-    snap: VersionedTable.Snapshot, full: StructType)
+    snap: VersionedTable.Snapshot, full: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var required: StructType = full
@@ -159,7 +203,8 @@ private[v2] class GraftScanBuilder(dir: String,
     required = StructType(requiredSchema.fields.map(f =>
       full.fields.find(_.name.equalsIgnoreCase(f.name)).getOrElse(f)))
 
-  override def build(): Scan = new GraftScan(dir, snap, full, required, pushed)
+  override def build(): Scan =
+    new GraftScan(dir, snap, full, required, pushed, options)
 }
 
 private[graft] object GraftScan {
@@ -183,6 +228,8 @@ private[graft] object GraftScan {
     case sources.Or(l, r) =>
       for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
     case sources.Not(c) => filterToColumn(c).map(!_)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
     case _ => None
   }
 
@@ -200,7 +247,8 @@ private[graft] object GraftScan {
 }
 
 private[v2] class GraftScan(dir: String, snap: VersionedTable.Snapshot,
-    full: StructType, required: StructType, pushed: Array[Filter])
+    full: StructType, required: StructType, pushed: Array[Filter],
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch {
   private def spark = SparkSession.active
 
@@ -221,9 +269,37 @@ private[v2] class GraftScan(dir: String, snap: VersionedTable.Snapshot,
 
   override def planInputPartitions(): Array[InputPartition] = {
     GraftScan.lastPlanned = Some((kept.size, snap.files.size))
-    val dvByBase = collectDvPositions()
-    val sizes = fileSizes()
-    kept.map { f =>
+    GraftFiles.partitionsFor(spark, dir, snap, kept)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftFiles.readerFactory(spark, full, required, pushed.toSeq)
+
+  /** `spark.readStream.format("graft")` — commit-log tailing as a
+    * native Structured Streaming source ([[GraftMicroBatchStream]]).
+    * Pushed filters don't reach the stream (Spark applies them as
+    * residuals above the source); column pruning does.
+    */
+  override def toMicroBatchStream(checkpointLocation: String):
+      MicroBatchStream =
+    new GraftMicroBatchStream(dir, full, required, options)
+}
+
+/** File-level planning helpers shared by the batch [[GraftScan]] and
+  * the streaming [[GraftMicroBatchStream]] — both plan one input
+  * partition per manifest-listed part-file and decode through Spark's
+  * own parquet reader.
+  */
+private[v2] object GraftFiles {
+
+  def partitionsFor(spark: SparkSession, dir: String,
+      snap: VersionedTable.Snapshot, files: Seq[String],
+      withDv: Boolean = true): Array[InputPartition] = {
+    val dvByBase =
+      if (withDv) collectDvPositions(spark, dir, snap, files)
+      else Map.empty[String, Array[Long]]
+    val sizes = fileSizes(spark, dir, files)
+    files.map { f =>
       val abs = VersionedTable.resolveRef(dir, f)
       val base = f.substring(f.lastIndexOf('/') + 1)
       GraftInputPartition(abs, sizes(f),
@@ -235,9 +311,10 @@ private[v2] class GraftScan(dir: String, snap: VersionedTable.Snapshot,
     * the same batching [[VersionedTable.requireFilesPresent]] uses, so
     * planning a million-file scan is O(dirs) namenode calls.
     */
-  private def fileSizes(): Map[String, Long] = {
+  def fileSizes(spark: SparkSession, dir: String,
+      files: Seq[String]): Map[String, Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    kept.groupBy(f => f.substring(0, f.lastIndexOf('/'))).flatMap {
+    files.groupBy(f => f.substring(0, f.lastIndexOf('/'))).flatMap {
       case (sub, fsOfSub) =>
         val p = new Path(VersionedTable.resolveRef(dir, sub))
         val listed = p.getFileSystem(conf).listStatus(p)
@@ -250,12 +327,15 @@ private[v2] class GraftScan(dir: String, snap: VersionedTable.Snapshot,
     }
   }
 
-  /** Deleted positions per part-file BASENAME, for kept files only.
-    * Each input partition then carries just its own file's positions —
-    * per-task DV payload is proportional to that file's deletes.
+  /** Deleted positions per part-file BASENAME, for the given files
+    * only. Each input partition then carries just its own file's
+    * positions — per-task DV payload is proportional to that file's
+    * deletes.
     */
-  private def collectDvPositions(): Map[String, Array[Long]] = {
-    val touched = kept.filter(snap.dvn.contains)
+  def collectDvPositions(spark: SparkSession, dir: String,
+      snap: VersionedTable.Snapshot,
+      files: Seq[String]): Map[String, Array[Long]] = {
+    val touched = files.filter(snap.dvn.contains)
     if (touched.isEmpty || snap.dvFiles.isEmpty)
       return Map.empty
     val expected = touched.map(snap.dvn).sum
@@ -278,7 +358,8 @@ private[v2] class GraftScan(dir: String, snap: VersionedTable.Snapshot,
       .map { case (b, rows) => b -> rows.map(_.getLong(1)).sorted }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  def readerFactory(spark: SparkSession, full: StructType,
+      required: StructType, pushed: Seq[Filter]): PartitionReaderFactory = {
     val physFull = VersionedTable.physSchema(full)
     val physReq = VersionedTable.physSchema(required)
     // under a column mapping the pushed filters name LOGICAL columns
@@ -287,7 +368,7 @@ private[v2] class GraftScan(dir: String, snap: VersionedTable.Snapshot,
     // filters rows). Unmapped tables pass filters straight through for
     // row-group/page skipping.
     val mapped = full.fields.exists(f => VersionedTable.physNameOf(f) != f.name)
-    val parquetFilters: Seq[Filter] = if (mapped) Nil else pushed.toSeq
+    val parquetFilters: Seq[Filter] = if (mapped) Nil else pushed
     val fmt = new ParquetFileFormat()
     // row output at the reader boundary (the vectorized reader still
     // decodes columnar internally; it just hands rows back) — DSv2

@@ -17,6 +17,9 @@ object SparkTestSession {
       // carries it.)
       .master("local[4, 2]")
       .appName("graft-test")
+      // SQL-text DML over versioned tables (UPDATE/MERGE INTO/rich
+      // DELETE) — the same line a production session would carry
+      .config("spark.sql.extensions", "graft.sources.v2.GraftSqlExtension")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is TIMESTAMP(NANOS); session-level, never set
