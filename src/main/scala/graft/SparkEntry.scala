@@ -2987,6 +2987,40 @@ object SparkEntry {
           |  CAST(SUM(bonus) AS DOUBLE) AS sum_bonus,
           |  COUNT(bonus) AS cnt_bonus
           |FROM gvt132.orders_t GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    // The commit log as a QUERYABLE SQL relation (round 17):
+    // `t$history` is the DESCRIBE HISTORY twin — one row per commit,
+    // live rows priced from manifest metadata alone (per-file stats
+    // rowCount minus DV cardinality, the same arithmetic the DML
+    // pricing job uses; never a data scan). The oracle recomputes each
+    // version's expected deleted/live counts declaratively, so a DV
+    // that leaks into the wrong commit's accounting cannot hash-match.
+    "q133_sql_history" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val wh = scratchPath("q133wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gvt133", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gvt133.warehouse", wh)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+      VersionedTable.create(o.repartitionByRange(vtParts(s),
+        col("o_orderkey")), s"$wh/orders_t", Seq("o_orderkey"))
+      s.sql("DELETE FROM gvt133.orders_t WHERE o_orderkey % 10 = 3")
+      s.sql("""UPDATE gvt133.orders_t
+              |SET o_price = CAST(o_price + 1.00 AS DECIMAL(18,2))
+              |WHERE o_orderkey % 7 = 0""".stripMargin)
+      // live_rows is priced from manifest metadata alone and is
+      // invariant to the per-file DV-vs-CoW pricing choice (a DV keeps
+      // the file and subtracts; a rewrite folds the DV and re-counts) —
+      // so the oracle holds at every scale factor. n_deleted_rows is
+      // deliberately NOT projected: it mirrors whichever lane the
+      // pricing chose, which is a cost decision, not an answer.
+      s.sql(
+        """SELECT version, operation, live_rows
+          |FROM gvt133.`orders_t$history`""".stripMargin)
     })
   )
 
@@ -4097,6 +4131,20 @@ object SparkEntry {
         |    AS sum_bonus,
         |  COUNT(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS cnt_bonus
         |FROM base GROUP BY o_orderstatus""".stripMargin,
+
+    // declarative replay of q133's per-commit accounting: v1 create
+    // (all rows live), v2 deletes the %10=3 keys, v3 updates the %7=0
+    // keys still live (cardinality unchanged) — live_rows is invariant
+    // to the engine's per-file DV-vs-CoW choice, so this replay holds
+    // at every scale factor
+    "q133_sql_history" ->
+      """WITH m AS (SELECT COUNT(*) AS c,
+        |  SUM(CASE WHEN o_orderkey % 10 = 3 THEN 1 ELSE 0 END) AS d
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version, 'create' AS operation,
+        |  CAST(c AS BIGINT) AS live_rows FROM m
+        |UNION ALL SELECT 2, 'delete', CAST(c - d AS BIGINT) FROM m
+        |UNION ALL SELECT 3, 'update', CAST(c - d AS BIGINT) FROM m""".stripMargin,
 
     "q16_dedup_exact" ->
       """SELECT array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS dedup_key,

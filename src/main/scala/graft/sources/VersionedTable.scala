@@ -372,19 +372,30 @@ object VersionedTable {
       .sortBy(_.version)
     val out = Seq.newBuilder[Snapshot]
     var byVersion = Map.empty[Long, Snapshot]
+    // a FULL manifest at version V supersedes everything below it: a
+    // delta below V whose base chain is GONE cannot be part of the
+    // canonical chain (the chain reached V without it) — it is
+    // stranded-resurrection debris from a stale writer that claimed a
+    // vacuum-vacated slot (the pre-claim freshness check now prevents
+    // new ones; this tolerance keeps a table with legacy debris
+    // readable instead of permanently erroring, and vacuum's
+    // unknown-manifest sweep removes the file)
+    val maxFull = recs.collect { case FullRec(s) => s.version }
+      .maxOption.getOrElse(Long.MinValue)
     recs.foreach {
       case FullRec(s) =>
         out += s; byVersion += (s.version -> s)
       case d: DeltaRec =>
-        val base = byVersion.get(d.base) match {
-          case Some(s) => s
+        val base: Option[Snapshot] = byVersion.get(d.base) match {
+          case Some(s) => Some(s)
           case None =>
             // not in the fold: fetch the base chain directly by NAME
             // ([[resolveByName]] — covers the non-atomic-readdir miss
             // and the vacuum `.ckpt` crash state), then as a last
             // resort one clean re-list (a concurrent vacuum sweeping
             // between listing and reads); still broken after both =
-            // real corruption, loud.
+            // stranded debris if a later full manifest supersedes it,
+            // real corruption — loud — otherwise.
             resolveByName(fs, dir, d.base, byVersion) match {
               case Some(chain) =>
                 // EVERY version materialized along the walk is a
@@ -396,16 +407,23 @@ object VersionedTable {
                 // Ascending order holds: deltas base on version-1, so
                 // the chain fills exactly the gap below d.version.
                 chain.foreach { s => out += s; byVersion += (s.version -> s) }
-                chain.last
+                Some(chain.last)
               case None if recover =>
                 return snapshotsAttempt(spark, dir, recover = false)
+              case None if d.version < maxFull =>
+                // stranded-resurrection debris (see maxFull above):
+                // the canonical chain continues from the later full
+                // manifest without this version — skip, don't brick
+                None
               case None => sys.error(
                 s"manifest chain broken: version ${d.version} of $dir is " +
                   s"a delta on missing/torn base ${d.base}")
             }
         }
-        val s = applyDelta(base, d)
-        out += s; byVersion += (s.version -> s)
+        base.foreach { b =>
+          val s = applyDelta(b, d)
+          out += s; byVersion += (s.version -> s)
+        }
     }
     out.result()
   }
@@ -1163,6 +1181,20 @@ object VersionedTable {
     sys.props.get("graft.vt.tornGraceMs").flatMap(_.toLongOption)
       .getOrElse(10L * 60 * 1000)
 
+  /** Vacuum never sweeps a manifest younger than this, regardless of
+    * the retention count — the temporal half of the slot-resurrection
+    * defense (see [[writeExclusive]]'s freshness check and
+    * [[vacuumLocked]]'s grace). 30 s bounds the freshness-check-to-
+    * claim window with three orders of magnitude to spare (the window
+    * is two metadata RPCs); manifests are KBs, so retaining 30 s of
+    * them costs nothing at any scale. Settable (system property or
+    * directly — it is a test seam) for specs that vacuum immediately
+    * after committing.
+    */
+  private[graft] var vacuumManifestGraceMs: Long =
+    sys.props.get("graft.vt.vacuumManifestGraceMs").flatMap(_.toLongOption)
+      .getOrElse(30L * 1000)
+
   /** Retry pacing for the rebase loops: when a commit attempt loses
     * and the table's latest version has NOT advanced since the last
     * attempt, the blocker is not a faster competitor but a stalled
@@ -1360,8 +1392,56 @@ object VersionedTable {
     if (dest.toUri.getScheme != null && dest.toUri.getScheme != "file")
       probeCommitSubstrate(fs, mdir)
     var reclaimed = false
+    var headReclaimed = false
     while (true) {
-      try {
+      // A successful exclusive create proves only that THIS SLOT is
+      // free — not that v is the table's next version. A writer whose
+      // snapshot went stale past the vacuum retention floor can find
+      // its target slot VACATED (the original v-manifest swept by a
+      // concurrent vacuum), and a blind claim would then resurrect a
+      // version BELOW the live chain: a delta whose base is gone,
+      // permanently unreadable (caught live by DvRace: an auto-rebasing
+      // DML writer committed v47-on-46 thirty seconds after the real
+      // chain had moved past v50 and vacuum had swept 46-49). So
+      // freshness-check the head IMMEDIATELY before claiming: claimable
+      // iff the newest existing manifest is exactly v-1 (none for
+      // v=1). == v falls through to the claim, whose EEXIST path owns
+      // torn-claim repair. The residual window — head advances past v
+      // AND a vacuum sweep drops the new v, all between this listing
+      // and the link — is closed by vacuum's manifest-age grace
+      // ([[VacuumManifestGraceMs]]): a manifest young enough to have
+      // committed inside the window is never sweepable inside it.
+      val maxExisting = manifestFiles(fs, dir)
+        .flatMap(s => versionOfName(s.getPath.getName))
+        .maxOption.getOrElse(0L)
+      if (maxExisting > v) {
+        // contested: a COMPLETE newer manifest proves the head moved
+        // past v (stale claim — abort, typed, so rebase re-reads); a
+        // TORN one above the head (crashed stale claimant, non-local FS
+        // only) would wedge every writer on this check forever, so it
+        // gets the same grace-guarded reclaim as a torn claim at v
+        val hp = new Path(mdir, manifestName(maxExisting))
+        val complete = readManifestIfPresent(fs, hp).isDefined
+        val stale = !complete && (try {
+          System.currentTimeMillis() -
+            fs.getFileStatus(hp).getModificationTime >= TornClaimGraceMs
+        } catch { case _: java.io.FileNotFoundException => false })
+        if (complete || !stale || headReclaimed)
+          throw new ConcurrentCommitException(
+            s"VersionedTable: version $v of $dir cannot be claimed — " +
+              s"the manifest head is already $maxExisting (this " +
+              "writer's snapshot is stale past the vacuum retention " +
+              "floor); re-read the latest snapshot and retry", null)
+        headReclaimed = true
+        fs.delete(hp, false)
+        // loop: re-list and re-evaluate from scratch
+      } else if (maxExisting < v - 1)
+        throw new ConcurrentCommitException(
+          s"VersionedTable: version $v of $dir cannot be claimed — its " +
+            s"base ${v - 1} is not on disk (head $maxExisting; the " +
+            "base was vacuumed or never committed); re-read the latest " +
+            "snapshot and retry", null)
+      else try {
         if (dest.toUri.getScheme == null || dest.toUri.getScheme == "file") {
           // local FS: stage the COMPLETE body in a hidden temp (readers
           // skip dot-names), fsync, then publish via hard link. link(2)
@@ -2993,7 +3073,36 @@ object VersionedTable {
     val (fs, _) = fsFor(spark, dir)
     val all = snapshots(spark, dir)
     if (all.isEmpty) return 0
-    val (drop, keep) = all.splitAt(math.max(0, all.size - retainVersions))
+    val cutoffMs = System.currentTimeMillis() - vacuumManifestGraceMs
+    // sweep UNKNOWN manifest files: version-named files below the head
+    // that no resolvable snapshot claims are stranded-resurrection
+    // debris (a stale writer's claim of a vacuum-vacated slot — see
+    // writeExclusive's freshness check); snapshots() skips them, so
+    // the count-based drop below can never reach them. Age-guarded by
+    // the same grace as every sweep, and never at/above the head
+    // (torn-claim repair owns that region).
+    val known = all.map(_.version).toSet
+    val headV = all.last.version
+    manifestFiles(fs, dir).foreach { st =>
+      versionOfName(st.getPath.getName).foreach { mv =>
+        if (!known.contains(mv) && mv < headV &&
+            st.getModificationTime <= cutoffMs)
+          fs.delete(st.getPath, false)
+      }
+    }
+    val dropByCount = all.dropRight(math.min(all.size, retainVersions))
+    // manifest-age grace: never sweep a manifest younger than
+    // [[vacuumManifestGraceMs]], no matter the retention count. This is
+    // the other half of writeExclusive's pre-claim freshness check: the
+    // check proves the head is v-1 an instant before claiming v, and
+    // the grace guarantees a version committed INSIDE that instant
+    // cannot be swept inside it — together they make a stale writer's
+    // resurrection of a vacated slot impossible rather than merely
+    // unlikely. takeWhile keeps the dropped set a contiguous PREFIX
+    // (commit timestamps are monotone along versions), preserving the
+    // invariant that retained manifests always form a resolvable chain.
+    val drop = dropByCount.takeWhile(_.timestampMs <= cutoffMs)
+    val keep = all.drop(drop.size)
     if (drop.isEmpty) return 0
     // the oldest RETAINED manifest must become self-contained before its
     // ancestors disappear: a delta whose base chain is vacuumed away

@@ -76,6 +76,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def load(ident: Identifier,
       version: Option[Long], tsMs: Option[Long]): Table = {
+    // `t$history` (backquoted in SQL) routes to the commit-log
+    // relation; time travel does not compose with it — the history IS
+    // every version
+    if (ident.name.endsWith(GraftHistoryTable.Suffix) &&
+        ident.name.length > GraftHistoryTable.Suffix.length) {
+      require(version.isEmpty && tsMs.isEmpty,
+        "time travel over a $history relation is meaningless — it " +
+          "already lists every version")
+      val base = Identifier.of(ident.namespace,
+        ident.name.dropRight(GraftHistoryTable.Suffix.length))
+      val baseDir = dirOf(base)
+      if (!isTable(baseDir)) throw new NoSuchTableException(base)
+      return new GraftHistoryTable(baseDir)
+    }
     val dir = dirOf(ident)
     val all = VersionedTable.snapshots(spark, dir)
     if (all.isEmpty) throw new NoSuchTableException(ident)

@@ -532,4 +532,51 @@ class DsV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gva.t VERSION AS OF 1")
       .schema.fieldNames.toSeq === Seq("id", "v"))
   }
+
+  // ---------------------------------------------------- $history relation
+
+  test("t$history lists the commit log with metadata-priced live rows") {
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.gvh", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gvh.warehouse", wh)
+    VersionedTable.create(
+      (1L to 200L).map(i => (i, i * 10L)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), s"$wh/t",
+      statsCols = Seq("id"))
+    spark.sql("DELETE FROM gvh.t WHERE id % 10 = 3")
+    spark.sql("UPDATE gvh.t SET v = v + 1 WHERE id % 7 = 0")
+    val h = spark.sql(
+      "SELECT version, operation, n_files, n_dv_files, n_deleted_rows, " +
+        "live_rows FROM gvh.`t$history` ORDER BY version")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(h.map(x => (x._1, x._2)).toSeq ===
+      Seq((1L, "create"), (2L, "delete"), (3L, "update")))
+    val d = (1L to 200L).count(_ % 10 == 3)
+    val u = (1L to 200L).count(i => i % 7 == 0 && i % 10 != 3)
+    assert(h(0)._6 === 200L && h(0)._5 === 0L)
+    assert(h(1)._6 === 200L - d && h(1)._5 === d.toLong)
+    assert(h(2)._6 === 200L - d, "update must not change live cardinality")
+    // n_deleted_rows at v3 depends on the per-file DV-vs-CoW pricing:
+    // these 50-row files price as rewrites, which FOLD the delete's
+    // DVs away — accounting must follow whichever lane ran, agreeing
+    // with the manifest (u is declared for documentation: a DV-lane
+    // update would have shown d + u)
+    val dvnV3 = VersionedTable.snapshots(spark, s"$wh/t")
+      .find(_.version == 3L).get.dvn.values.sum
+    assert(h(2)._5 === dvnV3,
+      s"history must mirror the manifest's DV accounting (u=$u)")
+    // the priced live_rows must equal the actual readable row count —
+    // the same metadata-vs-scan agreement DvRace asserts cross-JVM
+    assert(spark.table("gvh.t").count() === 200L - d)
+    // a table without per-file stats prices as NULL, never a guess
+    VersionedTable.create((1L to 10L).toDF("id"), s"$wh/nostats")
+    val h2 = spark.sql(
+      "SELECT live_rows FROM gvh.`nostats$history`").collect()
+    assert(h2.length === 1 && h2(0).isNullAt(0))
+    // time travel over $history is refused loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gvh.`t$history` VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("meaningless"), e.getMessage)
+  }
 }

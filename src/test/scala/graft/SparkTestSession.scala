@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   */
 object SparkTestSession {
   lazy val spark: SparkSession = {
+    // in-process specs commit and vacuum within milliseconds; the
+    // production manifest-age grace (the slot-resurrection defense the
+    // multi-JVM race harnesses run WITH) would make those vacuums
+    // no-ops, so the seam zeroes it for this JVM only
+    graft.sources.VersionedTable.vacuumManifestGraceMs = 0L
     val s = SparkSession.builder()
       // local[cores, maxTaskFailures]: allow ONE task retry, so the
       // task-retry idempotency specs (TaskRetrySpec) can plant

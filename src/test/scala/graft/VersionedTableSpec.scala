@@ -1569,4 +1569,44 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, dir)
       .filter(col("body") === "updated").count() === 1L)
   }
+
+  test("a stale writer cannot resurrect a vacuum-vacated version slot; " +
+      "stranded debris reads around and sweeps away") {
+    import graft.sources.ConcurrentCommitException
+    val dir = tmp()
+    VersionedTable.create((1L to 10L).toDF("id"), dir)
+    (2 to 6).foreach(i =>
+      VersionedTable.append(Seq(100L + i).toDF("id"), dir)) // head v6
+    VersionedTable.vacuum(spark, dir, retainVersions = 2) // drops v1-v4
+    // the freshness check refuses a claim of the vacated v3 slot (the
+    // DvRace corruption: a stale auto-rebasing writer claiming a slot
+    // vacuum emptied, committing a delta on a base that is gone)
+    val e = intercept[ConcurrentCommitException] {
+      VersionedTable.commit(spark, dir, 3L, "append", Seq.empty)
+    }
+    assert(e.getMessage.contains("cannot be claimed"), e.getMessage)
+    // ...and a claim whose base was never committed (far past the head)
+    val e2 = intercept[ConcurrentCommitException] {
+      VersionedTable.commit(spark, dir, 99L, "append", Seq.empty)
+    }
+    assert(e2.getMessage.contains("cannot be claimed"), e2.getMessage)
+    assert(VersionedTable.latest(spark, dir).get.version === 6L,
+      "refused claims must leave the head untouched")
+    // legacy debris planted by a pre-fix writer: a complete delta in a
+    // vacated slot. The chain must read AROUND it (skip, not brick —
+    // the later full manifest supersedes it) and the next vacuum must
+    // sweep the file.
+    val debris = java.nio.file.Paths.get(dir, "_manifests",
+      "v00000003.manifest")
+    java.nio.file.Files.write(debris,
+      "version=3\ntimestamp=1\noperation=update\nkind=delta\nbase=2\nend=0\n"
+        .getBytes("UTF-8"))
+    assert(VersionedTable.snapshots(spark, dir).map(_.version) ===
+      Seq(5L, 6L), "stranded delta must be skipped, not resolved or fatal")
+    assert(ids(VersionedTable.read(spark, dir)) ===
+      (1L to 10L).toSet ++ (102L to 106L).toSet)
+    VersionedTable.vacuum(spark, dir, retainVersions = 2)
+    assert(!java.nio.file.Files.exists(debris),
+      "vacuum must sweep unknown below-head manifest debris")
+  }
 }

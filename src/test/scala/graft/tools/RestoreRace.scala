@@ -42,7 +42,15 @@ object RestoreRace {
     else { failures += 1; println(s"  FAIL $what") }
   }
 
-  private val Grace = Seq("-Dgraft.vt.maintLockGraceMs=3000")
+  // compressed clocks for the spawned JVMs: the maintenance-lock
+  // reclaim grace (production 60 s → 3 s) and the vacuum manifest-age
+  // grace (production 30 s → 2 s — this harness's phases churn
+  // versions in seconds, and the reclaim-during-race assertion needs
+  // manifests to age past the grace INSIDE a phase; the
+  // slot-resurrection defense the grace backs is exercised at full
+  // strength by DvRace, whose longer phases run the production value)
+  private val Grace = Seq("-Dgraft.vt.maintLockGraceMs=3000",
+    "-Dgraft.vt.vacuumManifestGraceMs=2000")
 
   private def audit(spark: org.apache.spark.sql.SparkSession, dir: String,
       phase: String): Unit = {
