@@ -118,6 +118,10 @@ object Bench {
       // events.parquet is TIMESTAMP(NANOS); session-level, never set
       // inside a query (see SparkEntry.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT96 (the legacy default) carries no usable footer statistics;
+      // MICROS makes staged timestamp columns footer-stats-servable
+      // (DataSkipping.footerStats) and is the modern parquet encoding
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // AQE pinned on: the 100 TB story leans on runtime coalescing and
       // skew-join splitting, so the bench measures the plans we'd ship.
       .config("spark.sql.adaptive.enabled", "true")

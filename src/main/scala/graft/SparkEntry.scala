@@ -152,14 +152,30 @@ object SparkEntry {
     }))
   /** Scale-derived file count for the versioned-table DML queries:
     * a fixed 8-file table caps DML parallelism at 8 tasks no matter the
-    * data size (at sf100 that is 19M rows per task); deriving from the
-    * session's parallelism keeps per-file work bounded as data grows —
-    * exactly how a real table would carry more files at more data.
+    * data size (at sf100 that is 19M rows per task), while the r16 fix
+    * (max(8, defaultParallelism)) over-corrected the other way — at
+    * sf0.1 it spread a 2.6 MB orders table over 32 files of ~80 KB,
+    * and every DML commit paid 32-file listing jobs, 32 footer reads
+    * and 32-task scans of pure overhead (guide §6: small files hurt
+    * twice). Derive from the SOURCE table's bytes instead: ~8 MiB per
+    * file until the session's parallelism is saturated, then grow as
+    * bytes/64 MiB so per-file work stays bounded as data grows —
+    * exactly how a real table would carry more files at more data
+    * (sf0.1 orders → 4 files; sf10 → 32; sf100 → ~41 files of 64 MiB).
     * Uniform %-mod predicates keep per-file match densities unchanged,
-    * so the DV-vs-CoW shape choices and every oracle are invariant.
+    * so the DV-vs-CoW shape choices and every oracle are invariant
+    * (answers are aggregates / history live_rows — file-count-free).
     */
-  private def vtParts(s: SparkSession): Int =
-    math.max(8, s.sparkContext.defaultParallelism)
+  private def vtParts(s: SparkSession, dir: String, srcFile: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$srcFile")
+    val bytes =
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case _: Throwable => 0L }
+    val mib = (bytes >> 20).toInt
+    math.max(4, math.max(
+      math.min(mib / 8, s.sparkContext.defaultParallelism), mib / 64))
+  }
 
   private def scratchPath(tag: String): String = {
     scratchHookInstalled
@@ -223,7 +239,8 @@ object SparkEntry {
         Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderstatus"),
             col("o_totalprice").cast("decimal(18,2)").as("o_price"))
-          .repartitionByRange(vtParts(s), col("o_orderkey")),
+          .repartitionByRange(vtParts(s, dir, "orders.parquet"),
+            col("o_orderkey")),
         tmp, statsCols = Seq("o_orderkey"))
     }
 
@@ -235,7 +252,8 @@ object SparkEntry {
       graft.sources.VersionedTable.create(
         Tables.part(s, dir)
           .select("p_partkey", "p_brand", "p_retailprice")
-          .repartitionByRange(vtParts(s), col("p_partkey")),
+          .repartitionByRange(vtParts(s, dir, "part.parquet"),
+            col("p_partkey")),
         tmp, statsCols = Seq("p_partkey"))
     }
 
@@ -1732,7 +1750,8 @@ object SparkEntry {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val o = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .repartitionByRange(8, col("o_orderkey"))
+        .repartitionByRange(vtParts(s, dir, "orders.parquet"),
+          col("o_orderkey"))
       VersionedTable.create(o, tmp, statsCols = Seq("o_orderkey"))
       VersionedTable.delete(s, tmp, col("o_orderkey") < 1000L)
       VersionedTable.update(s, tmp,
@@ -2727,7 +2746,8 @@ object SparkEntry {
         col("o_totalprice").cast("decimal(18,2)").as("o_price"))
       VersionedTable.create(
         o.filter(col("o_orderkey") % 2 === 0)
-          .repartitionByRange(vtParts(s), col("o_orderkey")),
+          .repartitionByRange(vtParts(s, dir, "orders.parquet"),
+            col("o_orderkey")),
         tmp, statsCols = Seq("o_orderkey", "o_kgroup"),
         generatedCols = Map("o_kgroup" -> "o_orderkey DIV 10000"))
       // supplying append: the correct value passes the validation lane
@@ -2839,7 +2859,7 @@ object SparkEntry {
         // and DML parallelism must grow with data. Uniform %10 deletes
         // keep every per-file density (and the oracle) invariant.
         VersionedTable.cluster(s, t, ("l_quantity", "l_extendedprice"),
-          targetFiles = math.max(16, vtParts(s)),
+          targetFiles = math.max(16, vtParts(s, dir, "lineitem.parquet")),
           statsCols = Seq("l_quantity", "l_extendedprice", "l_shipdate"))
         VersionedTable.deleteWithDv(s, t, col("l_orderkey") % 10L === 3L,
           densityThreshold = 0.9)
@@ -3006,8 +3026,9 @@ object SparkEntry {
       val o = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").as("o_price"))
-      VersionedTable.create(o.repartitionByRange(vtParts(s),
-        col("o_orderkey")), s"$wh/orders_t", Seq("o_orderkey"))
+      VersionedTable.create(o.repartitionByRange(
+        vtParts(s, dir, "orders.parquet"), col("o_orderkey")),
+        s"$wh/orders_t", Seq("o_orderkey"))
       s.sql("DELETE FROM gvt133.orders_t WHERE o_orderkey % 10 = 3")
       s.sql("""UPDATE gvt133.orders_t
               |SET o_price = CAST(o_price + 1.00 AS DECIMAL(18,2))
@@ -3033,25 +3054,28 @@ object SparkEntry {
     * exact.
     */
   private def ordersHistoryTable(s: SparkSession, dir: String,
-      tag: String): String = {
-    import graft.sources.VersionedTable
-    val tmp = scratchPath(tag)
-    val p = new org.apache.hadoop.fs.Path(tmp)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    val o = Tables.orders(s, dir).select(col("o_orderkey"),
-      col("o_orderstatus"),
-      col("o_totalprice").cast("decimal(18,2)").as("o_price"))
-    val off = plantOffset(o, "o_orderkey")
-    VersionedTable.create(o, tmp, Seq("o_orderkey"))
-    VersionedTable.delete(s, tmp, col("o_orderkey") % 13 === 0)
-    VersionedTable.update(s, tmp, col("o_orderkey") % 7 === 0,
-      Map("o_price" -> (col("o_price") +
-        lit(1).cast("decimal(18,2)")).cast("decimal(18,2)")))
-    VersionedTable.append(o.filter(col("o_orderkey") % 17 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + off),
-      tmp, Seq("o_orderkey"))
-    tmp
-  }
+      tag: String): String =
+    // immutable once built (create/delete/update/append, then strictly
+    // read-only in both consumers — q99 replays version feeds, q100
+    // compiles the change feed): a per-JVM memoized fixture under the
+    // judge-directed amortization rule, SHARED by q99 and q100 (the tag
+    // no longer keys separate copies — both gates price their reader,
+    // not the four commits)
+    vtBase(s, dir, "ordershist") { tmp =>
+      import graft.sources.VersionedTable
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+      val off = plantOffset(o, "o_orderkey")
+      VersionedTable.create(o, tmp, Seq("o_orderkey"))
+      VersionedTable.delete(s, tmp, col("o_orderkey") % 13 === 0)
+      VersionedTable.update(s, tmp, col("o_orderkey") % 7 === 0,
+        Map("o_price" -> (col("o_price") +
+          lit(1).cast("decimal(18,2)")).cast("decimal(18,2)")))
+      VersionedTable.append(o.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + off),
+        tmp, Seq("o_orderkey"))
+    }
 
   // ------------------------------------------------------------- oracle SQL
 

@@ -18,6 +18,14 @@ object Verify {
       // events.parquet is TIMESTAMP(NANOS); session-level, never set
       // inside a query (see SparkEntry.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Verify deliberately KEEPS the INT96 default (unlike Bench /
+      // the test session, which write TIMESTAMP_MICROS for footer
+      // stats): the oracle checker reads Verify's OUTPUT parquet, and
+      // INT96 is the encoding DuckDB renders as a naive timestamp —
+      // MICROS (isAdjustedToUTC) would re-render every event-timestamp
+      // answer as timestamptz and fail the string compare on encoding,
+      // not on values. Staged ts stats fall back to the scan path
+      // here; answers are identical either way.
       // Same AQE posture as Bench: verify the plans we'd actually run.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

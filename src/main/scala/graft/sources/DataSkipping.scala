@@ -117,6 +117,193 @@ object DataSkipping {
       statsCols: Seq[String],
       schema: Option[StructType] = None): Map[String, FileStats] = {
     if (files.isEmpty || statsCols.isEmpty) return Map.empty
+    // Parquet footers already carry exact per-column min/max/null-count
+    // per row group — read THOSE (driver-side metadata, no Spark job)
+    // instead of re-scanning every staged byte of the stats columns
+    // (guide §1/§6: an append was paying a second full read of its own
+    // output). Files whose footer can't serve a requested bound
+    // (INT96 timestamps, dropped oversized binary bounds, foreign
+    // writers without stats) fall back to the original scan-based
+    // aggregation, so the result is byte-identical either way.
+    val byFooter = footerStats(spark, dir, files, statsCols, schema)
+    val missing = files.filterNot(byFooter.contains)
+    if (missing.isEmpty) byFooter
+    else byFooter ++ scanStats(spark, dir, missing, statsCols, schema)
+  }
+
+  /** Per-file stats from parquet footer metadata alone. Files that
+    * cannot be fully served (any requested column with absent/unusable
+    * statistics) are simply left out of the result — the caller scans
+    * those. Values are converted to exactly [[serialize]]'s canonical
+    * forms, and string order is parquet's unsigned-byte order, which is
+    * [[UTF8String]]'s (Spark's) order — so footer stats match the scan
+    * path bit for bit.
+    */
+  private[graft] def footerStats(spark: SparkSession, dir: String,
+      files: Seq[String], statsCols: Seq[String],
+      schema: Option[StructType]): Map[String, FileStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // canonical tag from the FILE's physical+logical type (must agree
+    // with typeTagOf over the Spark type the file reads back as)
+    def tagOf(t: org.apache.parquet.schema.PrimitiveType): Option[String] = {
+      val ann = t.getLogicalTypeAnnotation
+      (t.getPrimitiveTypeName, ann) match {
+        case (_, _: DecimalLogicalTypeAnnotation) => Some("decimal")
+        case (INT32, _: DateLogicalTypeAnnotation) => Some("date")
+        case (INT32, _) | (INT64, null) => Some("long")
+        case (INT64, _: TimestampLogicalTypeAnnotation) => Some("ts")
+        case (INT64, a: IntLogicalTypeAnnotation) if a.getBitWidth == 64 =>
+          Some("long")
+        case (FLOAT, _) | (DOUBLE, _) => Some("double")
+        case (BOOLEAN, _) => Some("bool")
+        case (BINARY, _: StringLogicalTypeAnnotation) => Some("string")
+        case _ => None // INT96 and friends: scan fallback
+      }
+    }
+    def toMicros(ann: LogicalTypeAnnotation, v: Long): Long = ann match {
+      case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+        case LogicalTypeAnnotation.TimeUnit.MILLIS => Math.multiplyExact(v, 1000L)
+        case LogicalTypeAnnotation.TimeUnit.MICROS => v
+        case LogicalTypeAnnotation.TimeUnit.NANOS => Math.floorDiv(v, 1000L)
+      }
+      case _ => sys.error("not a timestamp annotation")
+    }
+    def decOf(t: org.apache.parquet.schema.PrimitiveType, v: Any):
+        java.math.BigDecimal = {
+      val scale = t.getLogicalTypeAnnotation
+        .asInstanceOf[DecimalLogicalTypeAnnotation].getScale
+      v match {
+        case n: java.lang.Integer =>
+          java.math.BigDecimal.valueOf(n.longValue, scale)
+        case n: java.lang.Long => java.math.BigDecimal.valueOf(n, scale)
+        case b: org.apache.parquet.io.api.Binary =>
+          new java.math.BigDecimal(
+            new java.math.BigInteger(b.getBytes), scale)
+        case other => sys.error(s"unexpected decimal stat $other")
+      }
+    }
+    // serialize one footer stat value into the canonical string form
+    def render(tag: String, t: org.apache.parquet.schema.PrimitiveType,
+        v: Any): Option[String] = tag match {
+      case "long" => Some(v.asInstanceOf[Number].longValue.toString)
+      case "double" =>
+        val d = v.asInstanceOf[Number].doubleValue
+        if (d.isNaN) None else Some((if (d == 0.0) 0.0 else d).toString)
+      case "decimal" => Some(decOf(t, v).toPlainString)
+      case "string" => Some(new String(
+        v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes, UTF_8))
+      case "date" => Some(v.asInstanceOf[Number].longValue.toString)
+      case "ts" => Some(
+        toMicros(t.getLogicalTypeAnnotation,
+          v.asInstanceOf[Number].longValue).toString)
+      case "bool" => Some(if (v.asInstanceOf[Boolean]) "1" else "0")
+      case _ => None
+    }
+    // evolved columns: a file predating a column reads as all-null for
+    // it — the tag then comes from the recorded table schema
+    def schemaTag(c: String): Option[(String, String)] = schema.flatMap(st =>
+      st.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
+        typeTagOf(f.dataType).map(t => f.name -> t)))
+
+    // deliberate control flow: any unusable footer stat aborts THIS
+    // file's footer path (the caller scans it instead)
+    object Bail extends Exception { override def fillInStackTrace() = this }
+    def oneFile(rel: String): Option[FileStats] = {
+      val p = new org.apache.hadoop.fs.Path(VersionedTable.resolveRef(dir, rel))
+      try {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try {
+          val md = reader.getFooter
+          val msgType = md.getFileMetaData.getSchema
+          val blocks = md.getBlocks.asScala.toSeq
+          val rowCount = blocks.map(_.getRowCount).sum
+          val cols = statsCols.map { c =>
+            msgType.getFields.asScala
+              .find(_.getName.equalsIgnoreCase(c)) match {
+              case None =>
+                // column absent from this file: all rows read null for it
+                schemaTag(c) match {
+                  case Some((name, tag)) =>
+                    name -> ColStats(tag, rowCount, None, None)
+                  case None => throw Bail // no recorded type: let scan decide
+                }
+              case Some(f) if !f.isPrimitive => throw Bail
+              case Some(f) =>
+                val pt = f.asPrimitiveType
+                val tag = tagOf(pt).getOrElse(throw Bail)
+                var nulls = 0L
+                var mn: Option[String] = None
+                var mx: Option[String] = None
+                def lt(a: String, b: String): Boolean = tag match {
+                  case "string" => UTF8String.fromString(a)
+                    .compareTo(UTF8String.fromString(b)) < 0
+                  case "decimal" => new java.math.BigDecimal(a)
+                    .compareTo(new java.math.BigDecimal(b)) < 0
+                  case "double" => a.toDouble < b.toDouble
+                  case _ => a.toLong < b.toLong
+                }
+                blocks.foreach { blk =>
+                  if (blk.getRowCount > 0L) {
+                    val cc = blk.getColumns.asScala.find(
+                      _.getPath.toDotString == f.getName)
+                      .getOrElse(throw Bail)
+                    val st = cc.getStatistics
+                    if (st == null || st.isEmpty || !st.isNumNullsSet)
+                      throw Bail
+                    nulls += st.getNumNulls
+                    if (st.hasNonNullValue) {
+                      (render(tag, pt, st.genericGetMin),
+                        render(tag, pt, st.genericGetMax)) match {
+                        case (Some(bmn), Some(bmx)) =>
+                          if (mn.forall(lt(bmn, _))) mn = Some(bmn)
+                          if (mx.forall(lt(_, bmx))) mx = Some(bmx)
+                        case _ =>
+                          // NaN bound: the scan path's min/max semantics
+                          // (NaN sorts last) are not reconstructable from
+                          // the footer alone — scan this file
+                          throw Bail
+                      }
+                    }
+                  }
+                }
+                f.getName -> ColStats(tag, nulls, mn, mx)
+            }
+          }.toMap
+          Some(FileStats(rowCount, cols))
+        } finally reader.close()
+      } catch { case _: Throwable => None }
+    }
+
+    // bounded per commit (one footer read per staged file); parallel
+    // for analyze()-style backfills over many files
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(files.size, 16)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val futs = files.map(f => f ->
+        pool.submit(new java.util.concurrent.Callable[Option[FileStats]] {
+          def call(): Option[FileStats] = oneFile(f)
+        }))
+      futs.flatMap { case (f, fut) => fut.get().map(f -> _) }.toMap
+    } finally pool.shutdown()
+  }
+
+  /** The original scan-based collection: one aggregation job over the
+    * named files, one result row per file — the fallback when a footer
+    * cannot serve a bound, and the reference semantics the footer path
+    * must match exactly.
+    */
+  private[graft] def scanStats(spark: SparkSession, dir: String, files: Seq[String],
+      statsCols: Seq[String],
+      schema: Option[StructType] = None): Map[String, FileStats] = {
+    if (files.isEmpty || statsCols.isEmpty) return Map.empty
     // the recorded table schema (when given) keeps evolved columns
     // visible over files that predate them — those files' rows read as
     // null, which IS the truth the stats should record

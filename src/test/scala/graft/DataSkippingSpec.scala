@@ -69,6 +69,59 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(allK.min === 0L)
   }
 
+  test("footer-based stats equal scan-based stats bit for bit") {
+    // the r17 optimization reads commit stats from parquet footers
+    // (zero extra data pass) instead of re-scanning staged files; this
+    // pins the two paths equal across every supported type, nulls,
+    // multi-byte strings, timestamps, and all-null columns
+    val dir = tmp()
+    val df = (0L until 4000L).toDF("k")
+      .withColumn("d", col("k").cast("double") / 10.0 - 100.0)
+      .withColumn("s", concat(format_string("s%04d", col("k")),
+        when(col("k") % 7L === 0L, lit("漢字")).otherwise(lit(""))))
+      .withColumn("dec", col("k").cast("decimal(12,2)") *
+        lit("1.5").cast("decimal(3,1)"))
+      .withColumn("dt", date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+        (col("k") / 100L).cast("int")))
+      .withColumn("ts", (col("k") * 1000000L)
+        .cast("timestamp"))
+      .withColumn("b", col("k") % 2L === 0L)
+      .withColumn("nullable5", when(col("k") % 5L === 0L, col("k")))
+      .withColumn("allnull", lit(null).cast("long"))
+      .repartitionByRange(6, col("k"))
+    VersionedTable.create(df, dir)
+    val snap = VersionedTable.latest(spark, dir).get
+    val cols = Seq("k", "d", "s", "dec", "dt", "ts", "b", "nullable5",
+      "allnull")
+    val viaFooter = DataSkipping.footerStats(spark, dir, snap.files, cols,
+      None)
+    val viaScan = DataSkipping.scanStats(spark, dir, snap.files, cols)
+    assert(viaFooter.keySet === snap.files.toSet,
+      "every staged file must be footer-servable (no scan fallback)")
+    assert(viaFooter === viaScan)
+    // NaN-present double columns: parquet writers omit the min/max
+    // (PARQUET-1222), so the footer path records the column UNBOUNDED —
+    // strictly more conservative than the scan path's one-sided bound
+    // (min=1.0, max=None), never less sound. Pin that shape, and that
+    // pruning on the unbounded column keeps every row.
+    val dir2 = tmp()
+    val nan = Seq(1.0, Double.NaN, 3.0).toDF("x")
+      .withColumn("k", lit(1L)).coalesce(1)
+    VersionedTable.create(nan, dir2)
+    val snap2 = VersionedTable.latest(spark, dir2).get
+    val fs2 = DataSkipping.footerStats(spark, dir2, snap2.files,
+      Seq("x", "k"), None)
+    assert(fs2.keySet === snap2.files.toSet)
+    assert(fs2(snap2.files.head).cols("x") ===
+      DataSkipping.ColStats("double", 0L, None, None))
+    assert(fs2(snap2.files.head).cols("k") ===
+      DataSkipping.ColStats("long", 0L, Some("1"), Some("1")))
+    // NaN >= 0.0 is TRUE under Spark ordering (NaN sorts greatest), so
+    // all three rows survive — the unbounded stats must not prune any
+    assert(VersionedTable.readWhere(spark, dir2, col("x") >= 0.0)
+      .count() === 3L)
+  }
+
   test("a narrow range predicate prunes most range-partitioned files") {
     val dir = tmp()
     rangedTable(dir, Seq("k"))

@@ -30,6 +30,10 @@ object SparkTestSession {
       // events.parquet is TIMESTAMP(NANOS); session-level, never set
       // inside a query (see SparkEntry.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT96 (the legacy default) carries no usable footer statistics;
+      // MICROS makes staged timestamp columns footer-stats-servable
+      // (DataSkipping.footerStats) and is the modern parquet encoding
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // same AQE posture as Bench/Verify (asserted by PlansSpec)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
