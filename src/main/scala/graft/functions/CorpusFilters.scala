@@ -106,12 +106,23 @@ object CorpusFilters {
   def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L,
       sep: String = "\n"): DataFrame = {
-    val text = col(textCol)
-    val ls = lines(text, sep)
-    // words across the whole doc: line separators count as whitespace
-    // (flatten per-line word arrays — sep-agnostic, still one projection)
-    val toks = filter(flatten(transform(ls, l => words(l))),
-      t => length(t) > 0)
+    // The line/word arrays feed ~9 metric expressions. Higher-order
+    // array functions are CodegenFallback — inlining the array-building
+    // chain into every metric re-splits the text per metric per row
+    // (measured as the dominant cost of this map-only operator). Stage
+    // the arrays as their own projections instead: CollapseProject
+    // refuses to duplicate non-cheap expressions referenced more than
+    // once (SPARK-36718), so each array is built once per row and the
+    // metrics are single passes over materialized arrays.
+    val staged = docs
+      .select(col(idCol), lines(col(textCol), sep).as("__gq_ls"))
+      .select(col(idCol), col("__gq_ls"),
+        // words across the whole doc: line separators count as
+        // whitespace (flatten per-line word arrays — sep-agnostic)
+        filter(flatten(transform(col("__gq_ls"), l => words(l))),
+          t => length(t) > 0).as("__gq_toks"))
+    val ls = col("__gq_ls")
+    val toks = col("__gq_toks")
     val nWords = size(toks).cast("long")
     val nWordsD = nWords.cast("double")
     val meanLen = when(nWords > 0,
@@ -138,7 +149,7 @@ object CorpusFilters {
       meanLen >= 3.0 && meanLen <= 10.0 &&
       symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
       alphaFrac >= 0.8 && stopHits >= 2
-    docs.select(col(idCol),
+    staged.select(col(idCol),
       nWords.as("n_words"),
       meanLen.as("mean_word_len"),
       symbolRatio.as("symbol_ratio"),

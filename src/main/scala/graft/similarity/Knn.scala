@@ -183,11 +183,6 @@ object Knn {
       k: Int, blocks: Int = 8, ksub: Int = 16, lloydIters: Int = 2,
       refine: Int = 8): DataFrame = {
     import graft.expressions.HashExpressions.vecDot
-    val dim = corpus.select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    require(dim > 0, "pq needs a non-empty corpus")
-    require(dim % blocks == 0, s"dim $dim must divide into $blocks blocks")
-    val sub = dim / blocks
 
     // norm computed ONCE per row as its own column: referencing the
     // norm expression inside the transform lambda would re-evaluate it
@@ -198,6 +193,23 @@ object Knn {
         .select(col(outId),
           transform(col("__v"), x => x.cast("double") / col("__n")).as(outVec))
     val corp = normalized(corpus, "neighbor_id", "c_vec")
+
+    // bounded deterministic training set ([[DefaultTrainMax]]): Lloyd
+    // refinement never scans the full corpus, only the final encode does
+    val train = corp.withColumn("__h", xxhash64(col("neighbor_id")))
+      .orderBy(col("__h"), col("neighbor_id")).limit(DefaultTrainMax)
+      .localCheckpoint()
+    // deterministic seeds: the ksub smallest-xxhash64(id) vectors, block
+    // slices taken driver-side (one bounded collect covers all blocks).
+    // The dimension comes off the seeds too — a separate limit(1) probe
+    // job over the corpus priced one extra Spark job per call.
+    val seedVecs = train
+      .orderBy(col("__h"), col("neighbor_id")).limit(ksub)
+      .select("c_vec").collect().map(_.getSeq[Double](0).toArray)
+    require(seedVecs.nonEmpty, "pq needs a non-empty corpus")
+    val dim = seedVecs.head.length
+    require(dim % blocks == 0, s"dim $dim must divide into $blocks blocks")
+    val sub = dim / blocks
 
     // nearest sub-centroid per block: argmin of ||x-c||^2, expanded to
     // (dot(c,c) - 2*dot(x,c)) so the constant-foldable dot(c,c) term
@@ -213,16 +225,6 @@ object Knn {
         argBest(slice(col("c_vec"), b * sub + 1, sub), cents(b))
       }: _*)
 
-    // bounded deterministic training set ([[DefaultTrainMax]]): Lloyd
-    // refinement never scans the full corpus, only the final encode does
-    val train = corp.withColumn("__h", xxhash64(col("neighbor_id")))
-      .orderBy(col("__h"), col("neighbor_id")).limit(DefaultTrainMax)
-      .localCheckpoint()
-    // deterministic seeds: the ksub smallest-xxhash64(id) vectors, block
-    // slices taken driver-side (one bounded collect covers all blocks)
-    val seedVecs = train
-      .orderBy(col("__h"), col("neighbor_id")).limit(ksub)
-      .select("c_vec").collect().map(_.getSeq[Double](0).toArray)
     var cents: Array[Array[Array[Double]]] = Array.tabulate(blocks) { b =>
       seedVecs.map(v => v.slice(b * sub, (b + 1) * sub))
     }

@@ -1030,9 +1030,23 @@ object VersionedTable {
     * return their table-relative paths. The subdir is random-suffixed so
     * a crashed or conflict-losing attempt leaves only invisible debris.
     */
+  /** Label the Spark jobs launched inside `f` (guide §1.5) so DML and
+    * staging work is attributable in the UI / listeners; thread-local,
+    * restores the caller's own description afterwards (SQL-text DML
+    * runs on Spark's execution pool, which sets one).
+    */
+  private def withJobDesc[T](spark: SparkSession, desc: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
+  }
+
   private def stageFiles(df: DataFrame, dir: String, v: Long): Seq[String] = {
     val sub = s"data/v${v}_${java.util.UUID.randomUUID.toString.take(8)}"
-    df.write.mode("overwrite").parquet(s"$dir/$sub")
+    withJobDesc(df.sparkSession, s"vt:stage:v$v") {
+      df.write.mode("overwrite").parquet(s"$dir/$sub")
+    }
     val (fs, _) = fsFor(df.sparkSession, dir)
     fs.listStatus(new Path(s"$dir/$sub")).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -2296,11 +2310,12 @@ object VersionedTable {
         // ONE aggregation job prices every touched file: live rows
         // (existing DV applied) and predicate matches — one result row
         // per touched file, driver-bounded like the manifest itself
-        val counts = scan.groupBy(col("__vt_file"))
-          .agg(count(lit(1)).as("__n"),
-            sum(when(pTrue, 1L).otherwise(0L)).as("__m"))
-          .collect()
-          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val counts = withJobDesc(spark, "vt:dml-price") {
+          scan.groupBy(col("__vt_file"))
+            .agg(count(lit(1)).as("__n"),
+              sum(when(pTrue, 1L).otherwise(0L)).as("__m"))
+            .collect()
+        }.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
         var dvSet = Vector.empty[String]
         var rwSet = Vector.empty[String]
         var dead = Vector.empty[String]
@@ -2467,11 +2482,12 @@ object VersionedTable {
         // ONE aggregation job prices every touched file (live rows
         // under the existing DVs, predicate matches) — one result row
         // per touched file, driver-bounded like the manifest itself
-        val counts = scan.groupBy(col("__vt_file"))
-          .agg(count(lit(1)).as("__n"),
-            sum(when(pTrue, 1L).otherwise(0L)).as("__m"))
-          .collect()
-          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val counts = withJobDesc(spark, "vt:dml-price") {
+          scan.groupBy(col("__vt_file"))
+            .agg(count(lit(1)).as("__n"),
+              sum(when(pTrue, 1L).otherwise(0L)).as("__m"))
+            .collect()
+        }.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
         var dvSet = Vector.empty[String]
         var rwSet = Vector.empty[String]
         val dvnB = Map.newBuilder[String, Long]
@@ -2624,12 +2640,13 @@ object VersionedTable {
         // ONE aggregation job prices every touched file: live rows and
         // key matches (keys are unique on both sides, so the join
         // never fans out)
-        val counts = scan.join(hit, keys, "left_outer")
-          .groupBy(col("__vt_file"))
-          .agg(count(lit(1)).as("__n"),
-            sum(when(col("__u_hit"), 1L).otherwise(0L)).as("__m"))
-          .collect()
-          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val counts = withJobDesc(spark, "vt:dml-price") {
+          scan.join(hit, keys, "left_outer")
+            .groupBy(col("__vt_file"))
+            .agg(count(lit(1)).as("__n"),
+              sum(when(col("__u_hit"), 1L).otherwise(0L)).as("__m"))
+            .collect()
+        }.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
         var dvSet = Vector.empty[String]
         var rwSet = Vector.empty[String]
         val dvnB = Map.newBuilder[String, Long]

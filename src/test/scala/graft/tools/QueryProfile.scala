@@ -59,6 +59,7 @@ object QueryProfile {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(js.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("?")
         jobs.put(js.jobId, (js.time, desc, js.stageIds.size))
       }
