@@ -30,6 +30,13 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Size-based shuffle coalescing (guide §2.2/§9): the default
+      // parallelism-first mode re-splits every small shuffle into up to
+      // defaultParallelism ~1 MB partitions — pure task overhead for
+      // KB-scale exchanges, and at scale the 100 MB-1 GB-partition
+      // guidance wants the advisory size respected, not overridden.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
