@@ -465,11 +465,24 @@ object Media {
     val w = lit(4L) + id % 5L
     val h = lit(2L) + id % 3L
     val nSamp = lit(64L) + id % 32L
+    // The planted body bytes stage as their OWN projection (the
+    // gopherQuality discipline): bmpPayload/wavPcmPayload reference
+    // their body argument nine times (4 file-size + 4 chunk-size
+    // byte extractions + the body itself), the byte-builder is a
+    // CodegenFallback higher-order transform chain, and the payload
+    // Project is interpreted — no codegen subexpression elimination —
+    // so inlining re-built the whole byte string 9x per row (measured
+    // as q27's dominant cost). CollapseProject keeps non-cheap
+    // multi-referenced projections separate (SPARK-36718), so __body
+    // now evaluates once per row.
+    val staged = docs.select(id, col("source"),
+      when(kind === "audio", plantedSampleBytes(id, nSamp))
+        .otherwise(plantedPixelRows(id, w, h)).cast("binary").as("__body"))
     val content = when(kind === "audio",
       wavPcmPayload(lit(8000L) + (id % 8L) * 4000L, lit(1L) + id % 2L,
-        plantedSampleBytes(id, nSamp)))
-      .otherwise(bmpPayload(w, h, plantedPixelRows(id, w, h)))
-    docs.select(
+        col("__body")))
+      .otherwise(bmpPayload(w, h, col("__body")))
+    staged.select(
       id.as("media_id"),
       kind.as("kind"),
       content.as("content"),

@@ -48,14 +48,34 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, damping: Double = 0.85): DataFrame = {
+      iterations: Int, damping: Double = 0.85,
+      maxDriverEdges: Int = 1000000): DataFrame = {
     require(iterations >= 1, "iterations must be at least 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     import org.apache.spark.storage.StorageLevel
+    val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // Size-gated driver path (the Components.maxDriverEdges pattern):
+    // an edge list under the cap is a few MB — iterating it in driver
+    // arrays costs one collect job, where the distributed formulation
+    // pays a blocking localCheckpoint materialization every third round
+    // plus a broadcast-subquery exchange per round in pure coordination
+    // overhead. Long-id graphs only (the driver path must return the
+    // same id type it was given); limit(cap+1)+collect detects
+    // over-cap without a separate count job. Above the cap the
+    // distributed path below is authoritative — per-decade ladder runs
+    // exercise it. PageRankSpec pins driver ≡ distributed (1e-12).
+    if (maxDriverEdges > 0 && eSel.schema.fields.forall(
+        _.dataType == org.apache.spark.sql.types.LongType)) {
+      val sample = eSel.limit(maxDriverEdges + 1).collect()
+      if (sample.length <= maxDriverEdges) {
+        return driverPageRank(edges.sparkSession,
+          sample.map(r => (r.getLong(0), r.getLong(1))), iterations, damping)
+      }
+    }
     // edges re-read every iteration: partition by the join key ONCE and
     // materialize — localCheckpoint preserves the hash partitioning, so
     // the per-round contribution join never moves the edge set again
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = eSel
       .repartition(col("src"))
       .localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -109,5 +129,50 @@ object PageRank {
       i += 1
     }
     ranks.select(col("id"), col("rank"))
+  }
+
+  /** In-memory PageRank over a collected edge list — the under-cap twin
+    * of the distributed path, same update rule with the same expression
+    * shape per vertex: `(1-d)/n + d*dm/n + d*contrib` (left-associated
+    * exactly as the Column expression evaluates). Summation orders
+    * (dangling mass, per-dst contributions) are canonical (sorted ids /
+    * sorted edges) rather than shuffle-arrival order — consumers read
+    * ranks through tolerance contracts, and PageRankSpec pins the two
+    * paths within 1e-12.
+    */
+  private def driverPageRank(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)], iterations: Int,
+      damping: Double): DataFrame = {
+    require(edges.nonEmpty, "pageRank needs at least one edge")
+    val edgesSorted = edges.sorted
+    val ids: Array[Long] =
+      (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = ids.length
+    val idx: java.util.HashMap[Long, Int] = {
+      val m = new java.util.HashMap[Long, Int](n * 2)
+      var i = 0
+      while (i < n) { m.put(ids(i), i); i += 1 }
+      m
+    }
+    val deg = new Array[Long](n)
+    edgesSorted.foreach { case (s, _) => deg(idx.get(s)) += 1L }
+    var rank = Array.fill(n)(1.0 / n)
+    var it = 0
+    while (it < iterations) {
+      var dm = 0.0
+      var i = 0
+      while (i < n) { if (deg(i) == 0L) dm += rank(i); i += 1 }
+      val contrib = new Array[Double](n)
+      edgesSorted.foreach { case (s, d) =>
+        val si = idx.get(s)
+        contrib(idx.get(d)) += rank(si) / deg(si)
+      }
+      rank = Array.tabulate(n)(i =>
+        (1.0 - damping) / n + damping * dm / n.toDouble +
+          damping * contrib(i))
+      it += 1
+    }
+    import spark.implicits._
+    ids.zip(rank).toSeq.toDF("id", "rank")
   }
 }

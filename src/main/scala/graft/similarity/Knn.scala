@@ -89,31 +89,58 @@ object Knn {
     // id tiebreaker: xxhash64 ties at the limit() cut boundary would
     // otherwise make the training set (hence centroids and ANN output)
     // run-dependent — same ordering contract as the PQ codebook path.
-    val train = corpus
+    //
+    // ONE bounded collect, then Lloyd entirely driver-side: the
+    // training problem is trainMax-capped by design (≤ 64Ki × dim
+    // floats ≈ 16 MB — the same bounded-driver-state budget the
+    // centroid broadcast already spends), so paying a localCheckpoint
+    // materialization plus one distributed assign+posexplode+avg
+    // shuffle round PER iteration priced cluster round-trips for a
+    // fixed-size in-memory computation (guide §2.4: remove shuffles
+    // outright; this is also how production ANN libraries train —
+    // sample to the trainer, keep the cluster for encode/scan).
+    // Assignment replays computeVecCosine's loop order bit-for-bit;
+    // the per-cluster means sum in the deterministic (__h, id) train
+    // order (the old avg() summed in partition order — both land on
+    // the same float after the .toFloat rounding).
+    val train: Array[Array[Float]] = corpus
       .select(col(idCol), col(vecCol))
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy(col("__h"), col(idCol)).limit(trainMax)
-      .localCheckpoint()
-    // 1. deterministic seed centroids: smallest xxhash64(id) wins
-    var centroids: Array[Array[Float]] = train
-      .orderBy(col("__h"), col(idCol)).limit(nlist)
       .select(vecCol).collect()
       .map(_.getSeq[Float](0).toArray)
+    // 1. deterministic seed centroids: smallest xxhash64(id) wins
+    var centroids: Array[Array[Float]] = train.take(nlist)
 
     // 2. Lloyd refinement: assign → per-cluster elementwise mean
     for (_ <- 0 until lloydIters) {
-      val assigned = train
-        .withColumn("__c", element_at(centroidTop(col(vecCol), centroids, 1), 1)("idx"))
-      val means = assigned
-        .select(col("__c"), posexplode(col(vecCol)).as(Seq("__p", "__v")))
-        .groupBy("__c", "__p").agg(avg("__v").as("m"))
-        .collect()
-      val byCluster = means.groupBy(_.getInt(0))
-      centroids = centroids.indices.map { i =>
-        byCluster.get(i) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
-          case None => centroids(i) // empty cluster keeps its seed
+      val dim = centroids.head.length
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      train.foreach { v =>
+        // argmax cosine, ties on smallest index — centroidTop's
+        // (-sim, idx) struct sort with java.lang.Double NaN ordering
+        var best = 0; var bestSim = Double.NaN; var c = 0
+        while (c < centroids.length) {
+          val cent = centroids(c)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < dim) {
+            val x = v(i).toDouble; val y = cent(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (c == 0 || java.lang.Double.compare(-sim, -bestSim) < 0) {
+            best = c; bestSim = sim
+          }
+          c += 1
         }
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += v(i).toDouble; i += 1 }
+        counts(best) += 1L
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0L) centroids(i) // empty cluster keeps its seed
+        else sums(i).map(x => (x / counts(i)).toFloat)
       }.toArray
     }
     centroids
@@ -195,17 +222,21 @@ object Knn {
     val corp = normalized(corpus, "neighbor_id", "c_vec")
 
     // bounded deterministic training set ([[DefaultTrainMax]]): Lloyd
-    // refinement never scans the full corpus, only the final encode does
-    val train = corp.withColumn("__h", xxhash64(col("neighbor_id")))
+    // refinement never scans the full corpus, only the final encode
+    // does. ONE bounded collect (≤ 64Ki × dim doubles ≈ 32 MB) brings
+    // the whole training problem driver-side — the old shape paid a
+    // localCheckpoint materialization, a separate ksub seed collect,
+    // and one posexplode+avg shuffle round per Lloyd iteration, four
+    // sequential cluster round-trips for a trainMax-capped in-memory
+    // computation (guide §2.4; [[trainQuantizer]] has the same
+    // restructure). Seeds are the prefix of the same (__h, id)
+    // ordering, and the dimension comes off the seeds too — a separate
+    // limit(1) probe job over the corpus priced one extra Spark job.
+    val train: Array[Array[Double]] = corp
+      .withColumn("__h", xxhash64(col("neighbor_id")))
       .orderBy(col("__h"), col("neighbor_id")).limit(DefaultTrainMax)
-      .localCheckpoint()
-    // deterministic seeds: the ksub smallest-xxhash64(id) vectors, block
-    // slices taken driver-side (one bounded collect covers all blocks).
-    // The dimension comes off the seeds too — a separate limit(1) probe
-    // job over the corpus priced one extra Spark job per call.
-    val seedVecs = train
-      .orderBy(col("__h"), col("neighbor_id")).limit(ksub)
       .select("c_vec").collect().map(_.getSeq[Double](0).toArray)
+    val seedVecs = train.take(ksub)
     require(seedVecs.nonEmpty, "pq needs a non-empty corpus")
     val dim = seedVecs.head.length
     require(dim % blocks == 0, s"dim $dim must divide into $blocks blocks")
@@ -229,22 +260,45 @@ object Knn {
       seedVecs.map(v => v.slice(b * sub, (b + 1) * sub))
     }
 
-    // Lloyd refinement: ONE aggregation per iter over (block, code, pos)
+    // Lloyd refinement, driver-side over the collected train set: per
+    // block, assign each subvector to its nearest sub-centroid with
+    // argBest's exact arithmetic (d2 = dot(c,c) - 2·dot(x,c), ties on
+    // smallest index), then per-(block, code, pos) means summed in the
+    // deterministic (__h, id) train order (the old avg() summed in
+    // partition order — same values, order-insensitive downstream: the
+    // recall contract tolerates ulp-level codebook drift by design)
     for (_ <- 0 until lloydIters) {
-      val means = train.withColumn("__codes", codesExpr(cents))
-        .select(col("__codes"), posexplode(col("c_vec")).as(Seq("__p", "__x")))
-        .withColumn("__b", (col("__p") / sub).cast("int"))
-        .withColumn("__c", element_at(col("__codes"), col("__b") + 1))
-        .groupBy(col("__b"), col("__c"), col("__p"))
-        .agg(avg(col("__x")).as("m"))
-        .collect()
-      val byKey = means.map(r =>
-        (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      val sums = Array.tabulate(blocks)(b =>
+        Array.fill(cents(b).length)(new Array[Double](sub)))
+      val counts = Array.tabulate(blocks)(b => new Array[Long](cents(b).length))
+      train.foreach { v =>
+        var b = 0
+        while (b < blocks) {
+          val cb = cents(b)
+          var best = 0; var bestD2 = Double.NaN; var c = 0
+          while (c < cb.length) {
+            val cent = cb(c)
+            var dcc = 0.0; var dxc = 0.0; var i = 0
+            while (i < sub) {
+              val y = cent(i)
+              dcc += y * y; dxc += v(b * sub + i) * y; i += 1
+            }
+            val d2 = dcc - dxc * 2.0
+            if (c == 0 || java.lang.Double.compare(d2, bestD2) < 0) {
+              best = c; bestD2 = d2
+            }
+            c += 1
+          }
+          val s = sums(b)(best); var i = 0
+          while (i < sub) { s(i) += v(b * sub + i); i += 1 }
+          counts(b)(best) += 1L
+          b += 1
+        }
+      }
       cents = Array.tabulate(blocks) { b =>
         Array.tabulate(cents(b).length) { c =>
-          Array.tabulate(sub) { p =>
-            byKey.getOrElse((b, c, b * sub + p), cents(b)(c)(p)) // empty keeps seed
-          }
+          if (counts(b)(c) == 0L) cents(b)(c) // empty keeps seed
+          else sums(b)(c).map(_ / counts(b)(c))
         }
       }
     }

@@ -80,4 +80,25 @@ class PageRankSpec extends AnyFunSuite {
       assert(math.abs(r - want(v)) < 1e-9) }
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
+
+  test("distributed path (cap=0) agrees with the driver path to 1e-12") {
+    // maxDriverEdges=0 forces the distributed formulation; the default
+    // takes the driver path on this tiny graph. Same update rule, only
+    // summation order differs — the two must agree to ulp-level.
+    val driver = PageRank.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = PageRank.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 12, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(driver.keySet === dist.keySet)
+    driver.foreach { case (v, r) =>
+      assert(math.abs(r - dist(v)) < 1e-12, s"vertex $v: $r vs ${dist(v)}")
+    }
+    // and the distributed path still matches the exact reference
+    val want = ref(edges, 12, 0.85)
+    dist.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-9, s"vertex $v vs ref")
+    }
+  }
 }
