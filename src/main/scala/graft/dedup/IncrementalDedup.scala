@@ -72,7 +72,13 @@ object IncrementalDedup {
     val batchSigs = MinHashDedup.withSignatures(
         fresh, idCol, textCol, shingleSize, numHashes, seed)
       .localCheckpoint()
-    val storeBands = MinHashDedup.bandedRows(storeSigs, idCol, bands, rowsPerBand)
+    // the store relation feeds BOTH the banding and the verify's shingle
+    // lookup — without a persist a lazily-built store (signatureStore is
+    // lazy) re-runs its shingle + k-minhash pass per consumer; callers
+    // holding an already-materialized store pay one cheap extra copy
+    val store = storeSigs.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val storeBands = MinHashDedup.bandedRows(store, idCol, bands, rowsPerBand)
       .withColumn("__new", lit(false))
     val batchBands = MinHashDedup.bandedRows(batchSigs, idCol, bands, rowsPerBand)
       .withColumn("__new", lit(true))
@@ -91,11 +97,12 @@ object IncrementalDedup {
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .dropDuplicates()
-    val sets = storeSigs.select(col(idCol), col("shingles"))
+    val sets = store.select(col(idCol), col("shingles"))
       .unionByName(batchSigs.select(col(idCol), col("shingles")))
     val verified = verifyJaccard(candidates, sets, idCol, threshold)
-    val out = verified.localCheckpoint() // eager; then release the band cache
+    val out = verified.localCheckpoint() // eager; then release the caches
     bounded.unpersist()
+    store.unpersist()
     (out, batchSigs)
   }
 

@@ -156,6 +156,24 @@ object MinHashDedup {
     // every LSH pipeline.
     val sigs = withSignatures(docs, idCol, textCol, shingleSize, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager inside (localCheckpoint), so the wide cached signatures can go
+    try nearDuplicatesFromSignatures(sigs, idCol, threshold, bands,
+      rowsPerBand, maxBucketSize)
+    finally sigs.unpersist()
+  }
+
+  /** [[nearDuplicates]] over an ALREADY-COMPUTED signature relation
+    * ((idCol, shingles, sig) — [[withSignatures]]' shape, which is also
+    * `IncrementalDedup.signatureStore`'s): callers holding a
+    * materialized store avoid re-running the shingle + k-minhash pass
+    * the doc-level entry point would pay (q67 computes its old-snapshot
+    * signatures ONCE for the full-graph labeling, the store, and the
+    * incremental probe). Same banding, same exact-Jaccard verify, same
+    * materialized output.
+    */
+  def nearDuplicatesFromSignatures(sigs: DataFrame, idCol: String,
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucketSize: Int = 2000): DataFrame = {
     val candidates = candidatePairs(sigs, idCol, bands, rowsPerBand, maxBucketSize)
     val sets = sigs.select(col(idCol), col("shingles"))
     val verified = candidates
@@ -166,11 +184,8 @@ object MinHashDedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    // eager by default: materializes the (small) pair list, then the wide
-    // cached signatures can go
-    val out = verified.localCheckpoint()
-    sigs.unpersist()
-    out
+    // eager: materializes the (small) pair list
+    verified.localCheckpoint()
   }
 
   /** Brute-force exact Jaccard over all pairs — the correctness oracle for

@@ -2008,6 +2008,42 @@ object VersionedTable {
       maxAttempts: Int = 5): Snapshot =
     mergeRebase(updates, dir, keys, statsCols, maxAttempts)
 
+  /** ONE job over the update frame pricing both merge preconditions:
+    * per-key counts rolled up into (max per-key count, per-key
+    * min/max) — the SQL MERGE duplicate rule and the key-range prune
+    * bounds together, instead of two sequential driver actions (the
+    * grouped min/max over keys equals the raw min/max; grouped counts
+    * feed the dup rule). Index 0 = max count (null on empty updates),
+    * then (min, max) per key in order. On a dup-rule violation the
+    * caller re-runs the bounded example probe — a failure-only job.
+    */
+  private def mergePreAgg(updates: DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.functions._
+    val aggs = Seq(max(col("__n")).as("__dupmax")) ++ keys.flatMap(k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+    updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().head
+  }
+
+  /** The SQL MERGE duplicate rule over a [[mergePreAgg]] row: fails
+    * with a bounded duplicate-key example (failure-only second job).
+    */
+  private def requireUniqueKeys(updates: DataFrame, keys: Seq[String],
+      pre: org.apache.spark.sql.Row): Unit = {
+    import org.apache.spark.sql.functions._
+    if (!pre.isNullAt(0) && pre.getLong(0) > 1) {
+      val dup = updates.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
+        .collect()
+      require(dup.isEmpty,
+        s"merge requires one update row per key (SQL MERGE rule); " +
+          s"duplicate key example: ${dup.headOption.getOrElse("")}")
+    }
+  }
+
   /** Core merge loop; `onStaged` is the race-window test seam,
     * mirroring [[appendRebase]]. On losing the version race with
     * `maxAttempts > 1`, the staged result re-commits against the new
@@ -2030,22 +2066,16 @@ object VersionedTable {
     // SQL MERGE rule ("cannot update the same row twice"): duplicate
     // update keys would silently fan target rows out through upsert's
     // full-outer join and COMMIT the corruption — fail before staging.
-    // merge already runs eager jobs (staging writes), so the bounded
-    // dup probe adds no laziness cost here, unlike inside upsert itself.
-    val dup = updates.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"merge requires one update row per key (SQL MERGE rule); " +
-        s"duplicate key example: ${dup.headOption.getOrElse("")}")
-    // a file may hold a matched row only if EVERY key column's file
-    // range intersects the updates' [min, max] for that column — a
-    // necessary condition, so pruning on it is sound. min/max ignore
-    // NULL update keys, correctly: a NULL key matches no target row.
-    val aggs = keys.flatMap(k =>
-      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
-    val b = updates.agg(aggs.head, aggs.tail: _*).collect().head
+    // The dup rule and the key-range prune bounds price in ONE job
+    // ([[mergePreAgg]]); a file may hold a matched row only if EVERY
+    // key column's file range intersects the updates' [min, max] for
+    // that column — a necessary condition, so pruning on it is sound.
+    // min/max ignore NULL update keys, correctly: a NULL key matches
+    // no target row.
+    val b = mergePreAgg(updates, keys)
+    requireUniqueKeys(updates, keys, b)
     val keyRangePred = keys.zipWithIndex.map { case (k, i) =>
-      col(k) >= lit(b.get(2 * i)) && col(k) <= lit(b.get(2 * i + 1))
+      col(k) >= lit(b.get(2 * i + 1)) && col(k) <= lit(b.get(2 * i + 2))
     }.reduce(_ && _)
     val (touched, untouched) = DataSkipping.prune(spark, dir, prev, keyRangePred)
     // DV-aware: soft-deleted rows of touched files must NOT resurrect
@@ -2600,13 +2630,16 @@ object VersionedTable {
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key $k not in table schema " +
         schema.fieldNames.mkString("[", ",", "]")))
-    // SQL MERGE rule: one update row per key (see mergeRebase)
-    val dup = updates.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"merge requires one update row per key (SQL MERGE rule); " +
-        s"duplicate key example: ${dup.headOption.getOrElse("")}")
+    // Materialized MERGE source (Delta's materializeSource discipline):
+    // the update frame feeds the dup/prune pricing, the per-file match
+    // pricing join, the DV-lane and rewrite-lane semi-joins, and the
+    // insert anti-join — without a persist each consumer re-evaluates
+    // the whole source lineage (a SQL MERGE's USING clause re-read the
+    // source parquet per lane). Spillable persist, released after the
+    // commit; a MERGE batch is bounded by the caller, not the table.
     val aligned = updates.select(schema.fieldNames.map(col).toSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // carried files always exist on this path — type changes are only
     // legal as a full rewrite, exactly mergeRebase's carry rule
     require(schema.fields.map(f =>
@@ -2616,11 +2649,12 @@ object VersionedTable {
       s"mergeWithDv cannot change column types " +
         s"(${schema.simpleString} -> ${aligned.schema.simpleString}); " +
         "use merge()/overwrite for type changes")
-    val aggs = keys.flatMap(k =>
-      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
-    val b = updates.agg(aggs.head, aggs.tail: _*).collect().head
+    // SQL MERGE dup rule + key-range prune bounds in ONE job (see
+    // [[mergePreAgg]]; the first action also materializes the persist)
+    val b = mergePreAgg(aligned, keys)
+    requireUniqueKeys(aligned, keys, b)
     val keyRangePred = keys.zipWithIndex.map { case (k, i) =>
-      col(k) >= lit(b.get(2 * i)) && col(k) <= lit(b.get(2 * i + 1))
+      col(k) >= lit(b.get(2 * i + 1)) && col(k) <= lit(b.get(2 * i + 2))
     }.reduce(_ && _)
     val (touched, _) = DataSkipping.prune(spark, dir, prev, keyRangePred)
     val effStats =
@@ -2635,7 +2669,7 @@ object VersionedTable {
           Map.empty[String, Long])
       } else {
         val scan = scanWithPos(spark, dir, prev, touched)
-        val uKeys = updates.select(keys.map(col): _*)
+        val uKeys = aligned.select(keys.map(col): _*)
         val hit = uKeys.withColumn("__u_hit", lit(true))
         // ONE aggregation job prices every touched file: live rows and
         // key matches (keys are unique on both sides, so the join
@@ -2709,6 +2743,7 @@ object VersionedTable {
       }
     }
     sys.error("unreachable")
+    } finally aligned.unpersist() // all staging/commit actions are done
   }
 
   /** Rewrite the current contents into `targetFiles` files as a new

@@ -74,6 +74,10 @@ object QueryProfile {
         if (record) {
           val m = sc.stageInfo.taskMetrics
           if (m != null) shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          val ms = if (m == null) -1L else m.executorRunTime
+          lines.add(f"  stage ${sc.stageInfo.stageId}%4d tasks=" +
+            f"${sc.stageInfo.numTasks}%-4d cpuSum=${ms / 1000.0}%7.3f s " +
+            sc.stageInfo.name.takeWhile(_ != '\n').take(60))
         }
     })
 
