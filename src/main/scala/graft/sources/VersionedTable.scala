@@ -2030,6 +2030,10 @@ object VersionedTable {
 
   /** The SQL MERGE duplicate rule over a [[mergePreAgg]] row: fails
     * with a bounded duplicate-key example (failure-only second job).
+    * The pre-agg verdict is authoritative — the example probe only
+    * enriches the message. A nondeterministic source could re-evaluate
+    * duplicate-free on the probe; trusting that re-read would commit
+    * exactly the fan-out corruption this check exists to prevent.
     */
   private def requireUniqueKeys(updates: DataFrame, keys: Seq[String],
       pre: org.apache.spark.sql.Row): Unit = {
@@ -2038,9 +2042,11 @@ object VersionedTable {
       val dup = updates.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
         .collect()
-      require(dup.isEmpty,
+      require(false,
         s"merge requires one update row per key (SQL MERGE rule); " +
-          s"duplicate key example: ${dup.headOption.getOrElse("")}")
+          s"duplicate key example: ${dup.headOption.getOrElse(
+            "(source re-evaluated without duplicates — " +
+              "nondeterministic MERGE source)")}")
     }
   }
 
@@ -2536,32 +2542,42 @@ object VersionedTable {
         import spark.implicits._
         def lane(files: Vector[String]): DataFrame =
           scan.join(broadcast(files.toDF("__vt_file")), Seq("__vt_file"))
-        val staged =
-          if (dvSet.isEmpty) Nil
-          else stageFiles(lane(dvSet).filter(pTrue)
-            .select(col("__vt_file"), col("__vt_pos")), dir, v)
-        // post-images and CoW rewrites both recompute generated columns
-        // (the SET may have touched a source) before the CHECK guard
-        val (post, postStats) =
-          if (dvSet.isEmpty)
+        // The DV lane's two consumers — the positional sidecar and the
+        // post-image rewrite — both read exactly the MATCHED rows of
+        // the dvSet files; materializing them once (spillable persist,
+        // bounded by the density threshold: ≤ threshold·|dvSet rows|)
+        // halves the dvSet parquet scans and drops a lookup/DV-anti
+        // join re-evaluation per lane (guide §1.4/§2.4). Released after
+        // staging, before the commit loop.
+        val dvMatched =
+          if (dvSet.isEmpty) None
+          else Some(lane(dvSet).filter(pTrue).persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        try {
+        val staged = dvMatched.fold(Seq.empty[String])(m =>
+          stageFiles(m.select(col("__vt_file"), col("__vt_pos")), dir, v))
+        // post-image and CoW-rewrite rows both recompute generated
+        // columns (the SET may have touched a source) before the CHECK
+        // guard, and stage in ONE write job (the commit treats their
+        // files identically — only `removes` distinguishes a rewrite;
+        // CDC classifies row-level by key): one write, one listing,
+        // one footer-stats batch instead of two of each (guide §1.4)
+        val postRows = dvMatched.map(m => applyUpdateSet(m, predicate, set))
+        val rwRows =
+          if (rwSet.isEmpty) None
+          else Some(applyUpdateSet(lane(rwSet), predicate, set))
+        val (added, addedStats) = (postRows.toSeq ++ rwRows.toSeq)
+            .reduceOption(_ unionByName _) match {
+          case None =>
             (Seq.empty[String], Map.empty[String, DataSkipping.FileStats])
-          else rethrowConstraintViolation(stageWithStats(
-            constraintGuard(applyGenerated(
-              applyUpdateSet(lane(dvSet).filter(pTrue), predicate, set),
+          case Some(rows) => rethrowConstraintViolation(stageWithStats(
+            constraintGuard(applyGenerated(rows,
               prev.generatedCols, recompute = true),
               prev.constraints),
             dir, v, statsCols, prev.schema))
-        val (rw, rwStats) =
-          if (rwSet.isEmpty)
-            (Seq.empty[String], Map.empty[String, DataSkipping.FileStats])
-          else rethrowConstraintViolation(stageWithStats(
-            constraintGuard(applyGenerated(
-              applyUpdateSet(lane(rwSet), predicate, set),
-              prev.generatedCols, recompute = true),
-              prev.constraints),
-            dir, v, statsCols, prev.schema))
-        (post ++ rw, rwSet: Seq[String], postStats ++ rwStats,
-          staged, dvnB.result())
+        }
+        (added, rwSet: Seq[String], addedStats, staged, dvnB.result())
+        } finally dvMatched.foreach(_.unpersist())
       }
     onStaged()
     var attempt = 1
@@ -2671,12 +2687,25 @@ object VersionedTable {
         val scan = scanWithPos(spark, dir, prev, touched)
         val uKeys = aligned.select(keys.map(col): _*)
         val hit = uKeys.withColumn("__u_hit", lit(true))
-        // ONE aggregation job prices every touched file: live rows and
-        // key matches (keys are unique on both sides, so the join
-        // never fans out)
+        // ONE narrow pass over the touched files prices every lane:
+        // the (file, pos, matched?, keys) projection of the pricing
+        // join persists spillably and feeds (a) the per-file counts,
+        // (b) the DV-lane matched positions, (c) the rewrite-lane
+        // matched keys — the previous shape re-scanned the touched
+        // parquet and re-ran a shuffled semi-join per lane (DV lane,
+        // rewrite-key lane twice), up to 4 reads of the same files
+        // (guide §1.4/§2.4). Keys are unique on the update side (dup
+        // rule, enforced above), so the left-outer join never fans out
+        // and `__u_hit` marks exactly the semi-join survivors.
+        val priced = scan.join(hit, keys, "left_outer")
+          .select((Seq(col("__vt_file"), col("__vt_pos"),
+            coalesce(col("__u_hit"), lit(false)).as("__u_hit")) ++
+            keys.map(col)): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+        // the counts collect also materializes the persist
         val counts = withJobDesc(spark, "vt:dml-price") {
-          scan.join(hit, keys, "left_outer")
-            .groupBy(col("__vt_file"))
+          priced.groupBy(col("__vt_file"))
             .agg(count(lit(1)).as("__n"),
               sum(when(col("__u_hit"), 1L).otherwise(0L)).as("__m"))
             .collect()
@@ -2697,35 +2726,41 @@ object VersionedTable {
         import spark.implicits._
         def lane(files: Vector[String]): DataFrame =
           scan.join(broadcast(files.toDF("__vt_file")), Seq("__vt_file"))
+        // matched target rows of `files`, served from the priced cache
+        // (no parquet re-scan, no re-join — __u_hit already encodes the
+        // semi-join)
+        def pricedLane(files: Vector[String]): DataFrame =
+          priced.filter(col("__u_hit"))
+            .join(broadcast(files.toDF("__vt_file")), Seq("__vt_file"))
         val staged =
           if (dvSet.isEmpty) Nil
-          else stageFiles(lane(dvSet).join(uKeys, keys, "left_semi")
+          else stageFiles(pricedLane(dvSet)
             .select(col("__vt_file"), col("__vt_pos")), dir, v)
         // keys folded into CoW rewrites leave the append lane — each
         // update row lands exactly once
         val rwKeys =
           if (rwSet.isEmpty) None
-          else Some(lane(rwSet).join(uKeys, keys, "left_semi")
-            .select(keys.map(col): _*))
+          else Some(pricedLane(rwSet).select(keys.map(col): _*))
         val appendRows = rwKeys match {
           case None => aligned
           case Some(rk) => aligned.join(rk, keys, "left_anti")
         }
-        val (post, postStats) = rethrowConstraintViolation(stageWithStats(
-          constraintGuard(appendRows, prev.constraints), dir, v,
-          effStats, prev.schema))
-        val (rw, rwStats) = rwKeys match {
-          case None =>
-            (Seq.empty[String], Map.empty[String, DataSkipping.FileStats])
-          case Some(rk) => rethrowConstraintViolation(stageWithStats(
-            constraintGuard(graft.operators.Merge.upsert(
-              lane(rwSet).select(schema.fieldNames.map(col).toSeq: _*),
-              aligned.join(rk, keys, "left_semi"), keys),
-              prev.constraints),
-            dir, v, effStats, prev.schema))
+        // append lane and CoW-rewrite lane stage in ONE write job (the
+        // commit treats their files identically — only `removes`
+        // distinguishes a rewrite; CDC classifies row-level by key, not
+        // by file): one write, one listing, one footer-stats batch
+        // instead of two of each (guide §1.4)
+        val rewriteRows = rwKeys.map { rk =>
+          graft.operators.Merge.upsert(
+            lane(rwSet).select(schema.fieldNames.map(col).toSeq: _*),
+            aligned.join(rk, keys, "left_semi"), keys)
         }
-        (post ++ rw, rwSet: Seq[String], postStats ++ rwStats,
-          staged, dvnB.result())
+        val outRows = rewriteRows.foldLeft(appendRows)(_ unionByName _)
+        val (added, addedStats) = rethrowConstraintViolation(stageWithStats(
+          constraintGuard(outRows, prev.constraints), dir, v,
+          effStats, prev.schema))
+        (added, rwSet: Seq[String], addedStats, staged, dvnB.result())
+        } finally priced.unpersist()
       }
     onStaged()
     var attempt = 1
