@@ -171,7 +171,15 @@ object SparkEntry {
     val bytes =
       try p.getFileSystem(s.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
-      catch { case _: Throwable => 0L }
+      catch { case e: Throwable =>
+        // a mis-pointed srcFile at scale would otherwise silently
+        // collapse DML parallelism to the 4-file floor (the regression
+        // class the r16 fix addressed) — make the fallback loud
+        System.err.println(
+          s"[vtParts] could not size $p (${e.getMessage}); " +
+            "falling back to the 4-file floor")
+        0L
+      }
     val mib = (bytes >> 20).toInt
     math.max(4, math.max(
       math.min(mib / 8, s.sparkContext.defaultParallelism), mib / 64))
@@ -483,18 +491,23 @@ object SparkEntry {
       // The bucketed layout is the IMMUTABLE input fixture — built once
       // per (JVM, dir) under the amortization rule; the gate prices the
       // exchange-free join over it, which re-runs every trial.
+      // catalog names carry the dir hash: the memo is per sfDir, so the
+      // JVM-global table names must be too — otherwise a second dir's
+      // build would overwrite the first dir's tables under the same name
+      val dirTag = Integer.toHexString(dir.hashCode)
       q36BucketedBuilt.computeIfAbsent(dir, _ => {
-        val tmp = scratchPath("q36")
-        Bucketing.writeBucketed(Tables.orders(s, dir), "q36_orders", 8,
+        val tmp = scratchPath(s"q36_$dirTag")
+        Bucketing.writeBucketed(Tables.orders(s, dir),
+          s"q36_orders_$dirTag", 8,
           Seq("o_custkey"), Seq("o_custkey"), Some(s"$tmp/orders"))
         Bucketing.writeBucketed(
           Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"),
-          "q36_customer", 8, Seq("o_custkey"), Seq("o_custkey"),
+          s"q36_customer_$dirTag", 8, Seq("o_custkey"), Seq("o_custkey"),
           Some(s"$tmp/customer"))
         java.lang.Boolean.TRUE
       })
-      Bucketing.table(s, "q36_orders")
-        .join(Bucketing.table(s, "q36_customer"), Seq("o_custkey"))
+      Bucketing.table(s, s"q36_orders_$dirTag")
+        .join(Bucketing.table(s, s"q36_customer_$dirTag"), Seq("o_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("sum_price"))
     }),

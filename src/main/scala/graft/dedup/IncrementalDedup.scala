@@ -75,9 +75,15 @@ object IncrementalDedup {
     // the store relation feeds BOTH the banding and the verify's shingle
     // lookup — without a persist a lazily-built store (signatureStore is
     // lazy) re-runs its shingle + k-minhash pass per consumer; callers
-    // holding an already-materialized store pay one cheap extra copy
-    val store = storeSigs.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // holding an already-materialized store pay one cheap extra copy.
+    // Only unpersist what THIS call cached: a caller that persisted the
+    // store for its own continued reuse must not lose its cache here.
+    val storeWasCached =
+      storeSigs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val store =
+      if (storeWasCached) storeSigs
+      else storeSigs.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val storeBands = MinHashDedup.bandedRows(store, idCol, bands, rowsPerBand)
       .withColumn("__new", lit(false))
     val batchBands = MinHashDedup.bandedRows(batchSigs, idCol, bands, rowsPerBand)
@@ -102,7 +108,7 @@ object IncrementalDedup {
     val verified = verifyJaccard(candidates, sets, idCol, threshold)
     val out = verified.localCheckpoint() // eager; then release the caches
     bounded.unpersist()
-    store.unpersist()
+    if (!storeWasCached) store.unpersist()
     (out, batchSigs)
   }
 

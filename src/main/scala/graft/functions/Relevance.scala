@@ -134,10 +134,22 @@ object Relevance {
       k: Int): DataFrame = {
     require(k > 0, "topKRanked needs k > 0")
     val order = Seq(col(scoreCol).desc, col(idCol).asc)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
-    scored.orderBy(order: _*).limit(k)
-      .withColumn("rnk", row_number().over(w))
-      .select(col(idCol), col("rnk"))
+    // the k winners come back from the distributed TakeOrdered in rank
+    // order — assign `rnk` DRIVER-SIDE over that bounded collect (≤ k
+    // narrow rows) instead of running a single-partition WindowExec
+    // (bounded here, but an unpartitioned-window shape that logs the
+    // 100 TB funnel warning on every execution)
+    val spark = scored.sparkSession
+    val rows = scored.orderBy(order: _*).limit(k)
+      .select(col(idCol)).collect()
+    val ranked = rows.toSeq.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i + 1)
+    }
+    val idField = scored.select(col(idCol)).schema.fields.head
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(ranked.asJava, StructType(Seq(idField,
+      StructField("rnk", IntegerType, nullable = false))))
   }
 
   /** Reciprocal-rank fusion of N top-k rankings (the standard hybrid
@@ -166,12 +178,24 @@ object Relevance {
     val nLists = rankings.indices
       .map(i => when(col(s"__r_$i").isNull, lit(0L)).otherwise(lit(1L)))
       .reduceLeft[Column](_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rrf_score").desc, col(idCol).asc)
-    joined
+    // fused ranks assign DRIVER-SIDE over the bounded sorted collect
+    // (inputs are top-k lists — ≤ Σkᵢ rows reach the fusion, see
+    // scaladoc): the scores/joins stay in Spark, only the final
+    // row-numbering of the tiny fused list leaves the cluster, which
+    // removes the unpartitioned single-partition WindowExec this
+    // operator used to plan
+    val fused = joined
       .withColumn("rrf_score", terms.reduceLeft[Column](_ + _))
       .withColumn("n_lists", nLists)
-      .withColumn("fused_rank", row_number().over(w).cast("long"))
-      .select(col(idCol), col("n_lists"), col("rrf_score"), col("fused_rank"))
+      .select(col(idCol), col("n_lists"), col("rrf_score"))
+    val spark = fused.sparkSession
+    val rows = fused.orderBy(col("rrf_score").desc, col(idCol).asc).collect()
+    val out = rows.toSeq.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), (i + 1).toLong)
+    }
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.asJava, StructType(fused.schema.fields :+
+      StructField("fused_rank", LongType, nullable = false)))
   }
 }

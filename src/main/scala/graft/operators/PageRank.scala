@@ -34,8 +34,12 @@ import org.apache.spark.sql.functions._
   * are released at the next cut, so at most three rounds of rank state
   * are ever held. Scale: each iteration is one key-partitioned join +
   * one aggregation over |E| and |V| rows — the textbook distributed
-  * formulation that holds at any edge count; vertex ranks never sit on
-  * the driver.
+  * formulation that holds at any edge count. Vertex ranks never sit on
+  * the driver ABOVE `maxDriverEdges` (default 1M): long-id graphs at or
+  * under the cap instead run one bounded-count probe + one collect and
+  * iterate in driver arrays (pinned ≡ the distributed path at 1e-12 by
+  * PageRankSpec) — pass `maxDriverEdges = 0` to force the distributed
+  * path.
   *
   * Dedup/duplicate edges are NOT collapsed: parallel edges weight a
   * link twice, matching the adjacency-matrix definition over a
@@ -60,14 +64,18 @@ object PageRank {
     // pays a blocking localCheckpoint materialization every third round
     // plus a broadcast-subquery exchange per round in pure coordination
     // overhead. Long-id graphs only (the driver path must return the
-    // same id type it was given); limit(cap+1)+collect detects
-    // over-cap without a separate count job. Above the cap the
-    // distributed path below is authoritative — per-decade ladder runs
-    // exercise it. PageRankSpec pins driver ≡ distributed (1e-12).
+    // same id type it was given). The gate probe is a bounded COUNT
+    // (GlobalLimit stops the scan at cap+1; only a long returns), so an
+    // over-cap graph never ships ~cap rows to the driver just to
+    // discard them — the collect runs only once the count proves the
+    // graph fits. Above the cap the distributed path below is
+    // authoritative — per-decade ladder runs exercise it. PageRankSpec
+    // pins driver ≡ distributed (1e-12).
     if (maxDriverEdges > 0 && eSel.schema.fields.forall(
         _.dataType == org.apache.spark.sql.types.LongType)) {
-      val sample = eSel.limit(maxDriverEdges + 1).collect()
-      if (sample.length <= maxDriverEdges) {
+      val bounded = eSel.limit(maxDriverEdges + 1).count()
+      if (bounded <= maxDriverEdges) {
+        val sample = eSel.collect()
         return driverPageRank(edges.sparkSession,
           sample.map(r => (r.getLong(0), r.getLong(1))), iterations, damping)
       }

@@ -342,15 +342,34 @@ object CorpusPipeline {
       .limit(topK)
     val total = docs.agg(
       sum(size(TextFunctions.tokens(col(textCol)))).cast("double").as("__total"))
-    val order = Seq(col("freq").desc, col("token").asc)
-    val rankW = Window.orderBy(order: _*)
-    val cumW = Window.orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    top.crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(rankW).cast("long"))
-      .withColumn("coverage",
-        sum(col("freq")).over(cumW).cast("double") / col("__total"))
-      .select(col("token"), col("rank"), col("freq"), col("coverage"))
+    // Rank + running coverage over the K winners assign DRIVER-SIDE
+    // (one bounded collect of ≤ topK rows + the 1-row total): the
+    // previous single-partition window was safe (bounded input) but
+    // still an unpartitioned WindowExec — a warning-logging shape whose
+    // only legitimate instances were these top-K rankers. The top-K
+    // extraction itself stays the distributed TakeOrdered; arithmetic
+    // replays the window exactly (LONG running sum, then one double
+    // division per row).
+    val spark = docs.sparkSession
+    val winners = top.collect() // ordered: TakeOrdered output
+    val totalTok = total.collect().head.getAs[java.lang.Double](0)
+    var cum = 0L
+    val ranked = winners.toSeq.zipWithIndex.map { case (r, i) =>
+      val f = r.getLong(1)
+      cum += f
+      org.apache.spark.sql.Row(r.getString(0), (i + 1).toLong, f,
+        cum.toDouble / totalTok)
+    }
+    // schema spelled out so types AND nullability match the window
+    // formulation this replaces bit for bit
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(ranked.asJava,
+      StructType(Seq(
+        StructField("token", StringType, nullable = false),
+        StructField("rank", LongType, nullable = false),
+        StructField("freq", LongType, nullable = false),
+        StructField("coverage", DoubleType, nullable = true))))
   }
 
   /** Top-k keywords per document by TF-IDF — the standard keyword /

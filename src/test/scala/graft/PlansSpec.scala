@@ -157,10 +157,15 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
-  test("q63 vocabulary selects top-K via TakeOrdered, never a global sort") {
+  test("q63 vocabulary returns a bounded local relation (rank/coverage assigned driver-side)") {
+    // the top-K extraction runs as a distributed TakeOrdered inside
+    // vocabulary() (eager, ≤ topK rows collected); the returned frame
+    // must be the bounded local result — no Window, no Exchange
     val p = plan("q63_vocabulary")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"orderBy+limit must plan as a distributed TakeOrdered:\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"vocabulary result should be the driver-ranked local relation:\n$p")
+    assert(!p.contains("Window") && !p.contains("Exchange"),
+      s"no window/exchange may remain in the returned plan:\n$p")
   }
 
   test("q64 temperature sampling is a narrow filter (zero exchanges)") {
@@ -213,10 +218,33 @@ class PlansSpec extends AnyFunSuite {
       s"the distinct-word pieces dict must broadcast:\n$p")
   }
 
-  test("q74 hybrid search extracts top-50 via TakeOrdered, not whole-corpus windows") {
+  test("q74 hybrid search returns a bounded local relation, not whole-corpus windows") {
+    // the two top-50 extractions run as distributed TakeOrdereds inside
+    // topKRanked (eager, ≤ k narrow rows collected each); the fusion
+    // result is the bounded driver-ranked local relation
     val p = plan("q74_hybrid_search")
-    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
-      s"both score top-50 extractions must plan as distributed TakeOrdered:\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"rrf result should be the driver-ranked local relation:\n$p")
+    assert(!p.contains("Window"),
+      s"no whole-corpus window may remain in the returned plan:\n$p")
+  }
+
+  test("q63/q74: bounded global windows carry a partition key (no unpartitioned WindowExec)") {
+    // the r17 Verify tail logged 4× "WindowExec: No Partition Defined"
+    // — all from PROVABLY BOUNDED windows (top-K inputs) in vocabulary /
+    // topKRanked / rrf. Those now partition by a constant, so the
+    // warning condition (partitionSpec.isEmpty) must never re-appear in
+    // these paths; boundedness itself is swept registry-wide below.
+    Seq("q63_vocabulary", "q74_hybrid_search").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, SparkTestSession.sfTiny)
+      val bad = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q: WindowExec without partitionSpec (would log the " +
+          s"single-partition warning): ${bad.mkString("; ")}")
+    }
   }
 
   test("registry-wide: no query plan windows over an UNBOUNDED single-partition exchange") {
