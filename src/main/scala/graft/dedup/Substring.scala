@@ -190,9 +190,6 @@ object Substring {
     val gh = TextFunctions.ngramHashes(
       TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), n)
     val base = docs.select(col(idCol), gh.as("__g"))
-    // ngramHashes is null (not empty) below n tokens — count that as 0
-    val nWin = base.select(col(idCol),
-      coalesce(size(col("__g")), lit(0)).cast("long").as("n_windows"))
 
     // one row per (gram, doc) with its occurrence count, then the
     // cross-doc doc-count as a WINDOW over the same rollup (gid is
@@ -221,16 +218,24 @@ object Substring {
         .withColumn("__isdup", col("__hot") || count(lit(1)).over(w) > 1)
     })
       .groupBy(col(idCol))
+      // sum(__occ) over a doc's rollup rows IS its window count (every
+      // exploded position lands in exactly one (gram, doc) row), so the
+      // total rides the SAME aggregate — the previous shape re-ran the
+      // whole tokenize + n-gram-hash pass over the corpus purely to
+      // count windows per doc (guide §1.4: don't compute twice)
       .agg(sum(when(col("__isdup"), col("__occ")).otherwise(lit(0L)))
-        .as("__dup"))
+        .as("__dup"),
+        sum(col("__occ")).as("__tot"))
 
     // docs below n tokens never enter the rollup — restore them with 0s
-    nWin.join(stats, Seq(idCol), "left")
-      .select(col(idCol), col("n_windows"),
+    // (the restore side scans doc ids only: no text read, no tokenize)
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__tot"), lit(0L)).cast("long").as("n_windows"),
         coalesce(col("__dup"), lit(0L)).cast("long").as("dup_windows"),
-        when(col("n_windows") > 0,
+        when(coalesce(col("__tot"), lit(0L)) > 0,
           coalesce(col("__dup"), lit(0L)).cast("double") /
-            col("n_windows").cast("double"))
+            coalesce(col("__tot"), lit(0L)).cast("double"))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 
@@ -280,8 +285,14 @@ object Substring {
     val gh = TextFunctions.ngramHashes(
       TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), n)
     val base = docs.select(col(idCol), gh.as("__g"))
-    val nWin = base.select(col(idCol),
-      coalesce(size(col("__g")), lit(0)).cast("long").as("n_windows"))
+    // the restore/denominator side needs only the WINDOW COUNT:
+    // max(tokens - (n-1), 0) ≡ coalesce(size(ngramHashes), 0) — same
+    // value without re-hashing every token and materializing the gram
+    // arrays a second time (the dup stream below is filtered, so the
+    // count cannot ride its aggregate the way windowStats' does)
+    val nWin = docs.select(col(idCol),
+      greatest(size(TextFunctions.tokens(col(textCol))) - lit(n - 1),
+        lit(0)).cast("long").as("n_windows"))
     val pos = base.select(col(idCol), posexplode(col("__g")))
       .toDF(idCol, "__i", "__gram")
     // cross-doc test per position without aggregating: min(doc) !=
