@@ -64,7 +64,11 @@ object Dedup {
     * had ALL FOUR blocks hot, silently dropping their exact twins (the
     * q25 sf100 oracle caught exactly this). Identical-fingerprint pairs
     * therefore ALSO route through a direct equality self-join on the
-    * full 64-bit `sig` — a different key space whose skew comes only
+    * full 64-bit `sig` — gated to the docs whose four blocks are ALL
+    * hot (identical sigs share identical block values, so block heat is
+    * uniform per group and only the all-hot groups can lose pairs;
+    * with no hot blocks the lane is provably empty and costs nothing) —
+    * a different key space whose skew comes only
     * from genuinely identical-ish documents, bounded by its own
     * `maxSigClique` cap (an identical-sig clique above the cap is
     * definitional exact-dup boilerplate: `exactByKey` territory, and
@@ -91,7 +95,17 @@ object Dedup {
       explode(array(blocks: _*)).as("b"))
       .select(col(idCol), col("sig"), col("b.block_idx"), col("b.block_value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bounded = LshGuards.dropHotKeys(exploded, Seq("block_idx", "block_value"), maxBucketSize)
+    // hot blocks computed ONCE (the dropHotKeys shape, inlined) so the
+    // same broadcast set serves the anti-join guard AND the rescue
+    // lane's all-blocks-hot gate below
+    val hotBlocks = exploded
+      .groupBy(col("block_idx"), col("block_value"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+      .select(col("block_idx"), col("block_value"))
+    val bounded =
+      if (maxBucketSize <= 0) exploded
+      else exploded.join(broadcast(hotBlocks),
+        Seq("block_idx", "block_value"), "left_anti")
     val a = bounded.select(col("block_idx"), col("block_value"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = bounded.select(col("block_idx"), col("block_value"),
@@ -101,18 +115,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         HashExpressions.hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    // Hamming-0 rescue lane (see scaladoc): identical-sig pairs via the
-    // cached exploded rows (block 0 carries one row per doc), capped on
-    // the full-sig key so an identical-doc flood stays bounded
-    val sigRows = exploded.filter(col("block_idx") === 0)
-      .select(col(idCol), col("sig"))
-    val sigCap = if (maxSigClique > 0) maxSigClique else maxBucketSize
-    val sigBounded = LshGuards.dropHotKeys(sigRows, Seq("sig"), sigCap)
-    val sameSig = sigBounded.select(col("sig"), col(idCol).as("id_a"))
-      .join(sigBounded.select(col("sig"), col(idCol).as("id_b")), Seq("sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        lit(0).cast("int").as("hamming"))
+    // Hamming-0 rescue lane (see scaladoc): identical-sig pairs, capped
+    // on the full-sig key so an identical-doc flood stays bounded. An
+    // identical pair is lost from the banded lane iff EVERY one of its
+    // blocks is hot — and an identical-sig group shares all four block
+    // VALUES, so heat is uniform across the group: the lane only needs
+    // docs whose 4 blocks are all hot (countDistinct guards the
+    // duplicate-id case), not a corpus-wide sig self-join. With no hot
+    // blocks (the common case) the gate is empty and AQE collapses the
+    // whole rescue subtree; the cap verdict is unchanged because the
+    // filtered group is always the whole identical-sig group or none
+    // of it. maxBucketSize <= 0 disables the guard, so nothing is ever
+    // dropped and no rescue is needed.
+    val sameSig =
+      if (maxBucketSize <= 0)
+        exploded.filter(lit(false)).select(col(idCol).as("id_a"),
+          col(idCol).as("id_b"), lit(0).cast("int").as("hamming"))
+      else {
+        val allHot = exploded.join(broadcast(hotBlocks),
+            Seq("block_idx", "block_value"), "left_semi")
+          .groupBy(col(idCol), col("sig"))
+          .agg(countDistinct(col("block_idx")).as("__nh"))
+          .filter(col("__nh") === 4)
+          .select(col(idCol), col("sig"))
+        val sigCap = if (maxSigClique > 0) maxSigClique else maxBucketSize
+        val sigBounded = LshGuards.dropHotKeys(allHot, Seq("sig"), sigCap)
+        sigBounded.select(col("sig"), col(idCol).as("id_a"))
+          .join(sigBounded.select(col("sig"), col(idCol).as("id_b")), Seq("sig"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            lit(0).cast("int").as("hamming"))
+      }
     // min-hamming per id pair, not dropDuplicates: under duplicate ids
     // (two docs sharing one id) the same (id_a, id_b) can carry several
     // hamming values, and an arbitrary pick is nondeterministic — the

@@ -191,6 +191,23 @@ class DedupSpec extends AnyFunSuite {
     assert(cappedPairs === uncappedNormal)
   }
 
+  test("SimHash identical pair with PARTIAL block heat rides the banded lane (rescue gate)") {
+    // the rescue lane is gated to all-4-blocks-hot fingerprints (r18):
+    // an identical pair whose blocks are not all hot must still surface
+    // — via the banded lane, since at least one shared block bucket
+    // survives the cap. hotDocs' boilerplate heats ITS block values,
+    // not the planted identical pair's, so the pair's blocks are cold.
+    val docs = hotDocs.unionByName(Seq(
+      (50L, "planted identical twin text for the partial-heat gate check"),
+      (51L, "planted identical twin text for the partial-heat gate check"))
+      .toDF("doc_id", "text"))
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 50)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((50L, 51L, 0)),
+      s"cold-block identical pair must come from the banded lane: $pairs")
+  }
+
   test("SimHash hamming-0 rescue lane survives all-blocks-hot; clique cap bounds it") {
     // the q25 sf100 finding: 16-bit block values go hot from corpus-wide
     // bit bias, and a fingerprint whose FOUR blocks are all hot loses
