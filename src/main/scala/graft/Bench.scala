@@ -89,7 +89,7 @@ object Bench {
     // hand-tuned ladder converged on; no per-run env knob. On a real
     // cluster this is the same policy: initialPartitionNum sized to the
     // job's input, AQE coalescing to the observed bytes.
-    val shufflePartitions = {
+    val inputBytes = {
       def dirBytes(p: java.nio.file.Path): Long =
         try {
           val s = java.nio.file.Files.walk(p)
@@ -105,9 +105,24 @@ object Bench {
               "falling back to core-count shuffle partitions")
           0L
         }
-      val bytes = dirBytes(java.nio.file.Paths.get(sfDir))
-      math.max(cpus.toInt, (bytes / (64L << 20)).toInt)
+      dirBytes(java.nio.file.Paths.get(sfDir))
     }
+    val shufflePartitions =
+      math.max(cpus.toInt, (inputBytes / (64L << 20)).toInt)
+    // Size-based AQE coalescing (r17) needs a SCALE-AWARE advisory
+    // size: with the 64 MB default, a local[32] session only reaches
+    // full width on shuffles ≥ 2 GB, and the r18 sf10 ladder showed the
+    // dedup family serializing onto a handful of reducers (q53 13.6 →
+    // 27.7 s against the r16 tree on identical data). Derive it from
+    // the input: advisory = clamp(inputBytes / (4 × cores), 1 MiB,
+    // 64 MiB) — at sf0.1 the 1 MiB floor still coalesces KB-scale
+    // exchanges to one task (the r17 win), at sf10 a multi-hundred-MB
+    // dedup shuffle spreads across the cores, and at sf100+ the value
+    // saturates at the same 64 MiB the session ran before (on a real
+    // cluster input/(4·cores) lands in the guide's 100 MB–1 GB band by
+    // itself; the cap only binds small hosts).
+    val advisoryBytes = math.min(64L << 20,
+      math.max(1L << 20, inputBytes / (4L * cpus.toInt)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.sources.v2.GraftSqlExtension")
@@ -134,6 +149,8 @@ object Bench {
       // guidance wants the advisory size respected, not overridden.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        advisoryBytes.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -37,6 +37,21 @@ object Verify {
       // guidance wants the advisory size respected, not overridden.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      // scale-aware advisory size, mirroring Bench: clamp(input /
+      // (4 × cores), 1 MiB, 64 MiB) — see Bench.scala for the sf10
+      // ladder evidence behind the derivation
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", {
+        def dirBytes(p: java.nio.file.Path): Long =
+          try {
+            val s = java.nio.file.Files.walk(p)
+            try s.filter(java.nio.file.Files.isRegularFile(_))
+              .mapToLong(java.nio.file.Files.size(_)).sum()
+            finally s.close()
+          } catch { case _: Throwable => 0L }
+        math.min(64L << 20, math.max(1L << 20,
+          dirBytes(java.nio.file.Paths.get(sfDir)) / (4L * cpus.toInt)))
+          .toString
+      })
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,16 +18,20 @@ object QueryProfile {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val nRuns = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val shufflePartitions = {
+    val inputBytes = {
       def dirBytes(p: java.nio.file.Path): Long = {
         val s = java.nio.file.Files.walk(p)
         try s.filter(java.nio.file.Files.isRegularFile(_))
           .mapToLong(java.nio.file.Files.size(_)).sum()
         finally s.close()
       }
-      math.max(cpus.toInt,
-        (dirBytes(java.nio.file.Paths.get(sfDir)) / (64L << 20)).toInt)
+      dirBytes(java.nio.file.Paths.get(sfDir))
     }
+    val shufflePartitions =
+      math.max(cpus.toInt, (inputBytes / (64L << 20)).toInt)
+    // scale-aware advisory size, mirroring Bench (see Bench.scala)
+    val advisoryBytes = math.min(64L << 20,
+      math.max(1L << 20, inputBytes / (4L * cpus.toInt)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.sources.v2.GraftSqlExtension")
@@ -45,6 +49,8 @@ object QueryProfile {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        advisoryBytes.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
